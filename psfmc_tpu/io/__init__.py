@@ -1,0 +1,28 @@
+"""IO subsystem: native FITS codec, tables, WCS, ds9 regions, preprocessing."""
+from . import fits
+from .preprocess import (
+    calculate_psf_variability,
+    mask_from_file,
+    norm_psf,
+    pre_fft_psf,
+    preprocess_obs,
+    preprocess_psf,
+)
+from .region import parse_region_file, region_mask
+from .table import Table
+from .wcs import MiniWCS, proj_plane_pixel_area
+
+__all__ = [
+    "fits",
+    "Table",
+    "MiniWCS",
+    "proj_plane_pixel_area",
+    "parse_region_file",
+    "region_mask",
+    "norm_psf",
+    "preprocess_obs",
+    "preprocess_psf",
+    "pre_fft_psf",
+    "calculate_psf_variability",
+    "mask_from_file",
+]

@@ -1,0 +1,129 @@
+"""Observation / PSF preprocessing (host-side, one-time).
+
+Behavioral parity with reference ``utils.py:45-157``:
+
+* ``preprocess_obs`` — read obs + IVM FITS, build the bad-pixel map
+  (non-finite data/ivm or ivm <= 0), the variance map (inf at bad px),
+  and merge in an optional mask file (FITS or ds9 region).
+* ``preprocess_psf`` — zero bad PSF pixels in both data and weight, then
+  normalize (stable ``math.fsum`` summation like the reference).
+* ``calculate_psf_variability`` — inter-PSF mismatch variance added to
+  each PSF's variance map when multiple PSFs are supplied.
+* ``pre_fft_psf`` — center-pad PSF + variance map to the observation
+  shape and take their rfft2 once.
+
+All of this runs once per model build on the host; the resulting arrays
+(obs data, variance, good-pixel mask, pre-FFT'd PSF stack) are the static
+device constants of the jitted posterior.
+"""
+from __future__ import annotations
+
+from math import fsum
+from warnings import warn
+
+import numpy as np
+
+from ..ops.fourier import pad_and_rfft_image
+from . import fits
+from .region import region_mask
+
+__all__ = [
+    "norm_psf",
+    "preprocess_obs",
+    "preprocess_psf",
+    "pre_fft_psf",
+    "calculate_psf_variability",
+    "mask_from_file",
+]
+
+
+def _get_image(file_or_array):
+    """Accept a filename, (header, data) pair, or bare array."""
+    if isinstance(file_or_array, str):
+        return fits.getheader(file_or_array), np.asarray(
+            fits.getdata(file_or_array), dtype=np.float64
+        )
+    if isinstance(file_or_array, tuple):
+        header, data = file_or_array
+        return header, np.asarray(data, dtype=np.float64)
+    return fits.Header(), np.asarray(file_or_array, dtype=np.float64)
+
+
+def norm_psf(psf_data, psf_ivm):
+    """Normalize PSF to unit sum; scale IVM to match (utils.py:45-51)."""
+    psf_sum = fsum(np.asarray(psf_data, dtype=np.float64).flat)
+    return psf_data / psf_sum, psf_ivm * psf_sum**2
+
+
+def preprocess_obs(obs_data, obs_ivm, mask_file=None):
+    """Load obs + weight map, flag bad pixels, build the variance map.
+
+    Returns (header, data, variance, bad_px) exactly like the reference
+    (utils.py:54-79): bad pixels get infinite variance; mask-file regions
+    extend bad_px but leave the variance untouched (photometry later).
+    """
+    obs_hdr, obs_data = _get_image(obs_data)
+    _, obs_ivm = _get_image(obs_ivm)
+
+    badpx = ~np.isfinite(obs_data) | ~np.isfinite(obs_ivm) | (obs_ivm <= 0)
+    with np.errstate(divide="ignore"):
+        obs_var = np.where(badpx, np.inf, 1.0 / np.where(badpx, 1.0, obs_ivm))
+
+    if mask_file is not None:
+        exclude_px = mask_from_file(mask_file, obs_hdr, obs_data.shape)
+        if exclude_px is not None:
+            badpx |= exclude_px
+
+    return obs_hdr, obs_data, obs_var, badpx
+
+
+def mask_from_file(mask_file, obs_hdr, shape):
+    """Exclusion mask from FITS (nonzero = exclude) or ds9 region file.
+
+    ds9 regions define the fitting region; pixels outside it are excluded
+    (reference utils.py:82-103 uses ``~regfilt.mask``).
+    """
+    try:
+        data = fits.getdata(mask_file)
+        return np.asarray(data).astype(bool)
+    except Exception:
+        pass  # not FITS
+    try:
+        inside = region_mask(mask_file, shape, header=obs_hdr)
+        return ~inside
+    except (ValueError, UnicodeDecodeError) as err:
+        warn(f"Could not interpret mask file {mask_file}: {err}")
+    return None
+
+
+def preprocess_psf(psf_data, psf_ivm):
+    """Load a PSF + IVM, zero bad pixels, normalize (utils.py:106-123)."""
+    _, psf_data = _get_image(psf_data)
+    _, psf_ivm = _get_image(psf_ivm)
+
+    badpx = ~np.isfinite(psf_data) | ~np.isfinite(psf_ivm) | (psf_ivm <= 0)
+    psf_data = np.where(badpx, 0.0, psf_data)
+    psf_ivm = np.where(badpx, 0.0, psf_ivm)
+
+    psf_data, psf_ivm = norm_psf(psf_data, psf_ivm)
+    with np.errstate(divide="ignore"):
+        psf_var = np.where(psf_ivm <= 0, 0.0, 1.0 / np.where(psf_ivm <= 0, 1.0, psf_ivm))
+    return psf_data, psf_var
+
+
+def pre_fft_psf(psf_data, psf_var, pad_to_shape=None):
+    """One-time rfft2 of the padded PSF and its variance map."""
+    f_psf = pad_and_rfft_image(psf_data, pad_to_shape)
+    f_psf_var = pad_and_rfft_image(psf_var, pad_to_shape)
+    return f_psf, f_psf_var
+
+
+def calculate_psf_variability(psf_data, psf_vars):
+    """Propagate inter-PSF mismatch variance (reference utils.py:136-157)."""
+    psf_data = list(psf_data)
+    psf_vars = list(psf_vars)
+    if len(psf_data) == 1:
+        return psf_data, psf_vars
+    mismatch_var = np.var(np.stack(psf_data), axis=0)
+    psf_vars = [var + mismatch_var for var in psf_vars]
+    return psf_data, psf_vars

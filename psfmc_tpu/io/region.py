@@ -1,0 +1,181 @@
+"""ds9 region file parser + rasterizer (pyregion stand-in).
+
+The reference relies on the optional ``pyregion`` package to turn ds9
+region files into fitting masks (reference utils.py:82-103); this module
+implements the subset needed natively:
+
+* coordinate systems: ``image``/``physical`` (1-based FITS pixels) and
+  ``fk5``/``icrs``/``j2000`` (degrees, mapped through :class:`MiniWCS`),
+* shapes: ``circle``, ``ellipse``, ``box``, ``annulus``, ``point``,
+* include/exclude semantics: a leading ``-`` excludes; the inside-mask is
+  ``(union of includes) & ~(union of excludes)`` — matching pyregion's
+  filter combination, so ``~mask`` is the excluded-pixel map like the
+  reference's ``~regfilt.mask(shape)``.
+
+Sizes in sky systems may use ``"`` (arcsec), ``'`` (arcmin) or ``d``/deg
+suffixes and are converted to pixels with the WCS pixel scale.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .wcs import MiniWCS
+
+__all__ = ["parse_region_file", "region_mask", "RegionShape"]
+
+_SKY_SYSTEMS = {"fk5", "fk4", "icrs", "j2000", "b1950"}
+_PIX_SYSTEMS = {"image", "physical"}
+
+_SHAPE_RE = re.compile(
+    r"^\s*(?P<exclude>-?)\s*(?P<shape>[a-zA-Z]+)\s*\(\s*(?P<args>[^)]*)\)"
+)
+
+
+class RegionShape:
+    def __init__(self, shape, params, exclude, system):
+        self.shape = shape
+        self.params = params  # list of (value, unit) tuples
+        self.exclude = exclude
+        self.system = system
+
+    def __repr__(self):
+        sign = "-" if self.exclude else ""
+        return f"{sign}{self.shape}({self.params}) [{self.system}]"
+
+
+def _parse_size(token):
+    token = token.strip()
+    m = re.match(r'^([+-]?[\d.eE+-]+)\s*(["\'dr]?|deg)?$', token)
+    if not m:
+        raise ValueError(f"Cannot parse region token: {token!r}")
+    return float(m.group(1)), (m.group(2) or "")
+
+
+def _parse_coord(token, is_ra=False):
+    """Parse a coordinate: plain number or sexagesimal h:m:s / d:m:s."""
+    token = token.strip()
+    if ":" in token:
+        parts = [float(p) for p in token.split(":")]
+        sign = -1.0 if token.strip().startswith("-") else 1.0
+        mag = abs(parts[0]) + parts[1] / 60.0 + (parts[2] if len(parts) > 2 else 0.0) / 3600.0
+        val = sign * mag
+        if is_ra:
+            val *= 15.0  # hours -> degrees
+        return val, "deg"
+    return _parse_size(token)
+
+
+def parse_region_file(path_or_text):
+    """Parse a ds9 region file -> list of RegionShape."""
+    if "\n" in str(path_or_text) or "(" in str(path_or_text):
+        text = str(path_or_text)
+    else:
+        with open(path_or_text) as f:
+            text = f.read()
+
+    system = "image"
+    shapes = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("global"):
+            continue
+        lower = line.lower().rstrip(";")
+        if lower in _SKY_SYSTEMS | _PIX_SYSTEMS | {"fk4", "galactic", "linear"}:
+            system = lower
+            continue
+        m = _SHAPE_RE.match(line)
+        if not m:
+            continue
+        shape = m.group("shape").lower()
+        tokens = [t for t in m.group("args").split(",") if t.strip()]
+        params = []
+        for i, tok in enumerate(tokens):
+            is_ra = i == 0 and system in _SKY_SYSTEMS
+            params.append(_parse_coord(tok, is_ra=is_ra))
+        shapes.append(
+            RegionShape(shape, params, exclude=m.group("exclude") == "-", system=system)
+        )
+    return shapes
+
+
+def _size_to_pixels(value, unit, wcs):
+    if unit == "":
+        return value  # already pixels (or degrees treated as px w/o wcs)
+    if wcs is None:
+        raise ValueError("Region uses sky units but no WCS header available")
+    scale_deg = np.sqrt(wcs.pixel_area_deg2())  # deg per pixel (isotropic)
+    if unit == '"':
+        return value / 3600.0 / scale_deg
+    if unit == "'":
+        return value / 60.0 / scale_deg
+    if unit in ("d", "deg", "r"):
+        return value / scale_deg
+    raise ValueError(f"Unknown region size unit: {unit!r}")
+
+
+def _shape_inside(shape, xg, yg, wcs):
+    """Boolean inside-map for one shape. xg/yg are 1-based pixel centers."""
+    p = shape.params
+    if shape.system in _SKY_SYSTEMS:
+        if wcs is None:
+            raise ValueError("Sky-coordinate region requires a WCS header")
+        cx, cy = wcs.sky_to_pixel(p[0][0], p[1][0])
+        sizes = [_size_to_pixels(v, u, wcs) for v, u in p[2:]]
+    else:
+        cx, cy = p[0][0], p[1][0]
+        sizes = [v for v, _u in p[2:]]
+
+    dx = xg - cx
+    dy = yg - cy
+    if shape.shape == "circle":
+        r = sizes[0]
+        return dx * dx + dy * dy <= r * r
+    if shape.shape == "annulus":
+        r1, r2 = sizes[0], sizes[1]
+        sq = dx * dx + dy * dy
+        return (sq >= r1 * r1) & (sq <= r2 * r2)
+    if shape.shape == "ellipse":
+        a, b = sizes[0], sizes[1]
+        ang = np.deg2rad(sizes[2] if len(sizes) > 2 else 0.0)
+        u = np.cos(ang) * dx + np.sin(ang) * dy
+        v = -np.sin(ang) * dx + np.cos(ang) * dy
+        return (u / a) ** 2 + (v / b) ** 2 <= 1.0
+    if shape.shape == "box":
+        w, h = sizes[0], sizes[1]
+        ang = np.deg2rad(sizes[2] if len(sizes) > 2 else 0.0)
+        u = np.cos(ang) * dx + np.sin(ang) * dy
+        v = -np.sin(ang) * dx + np.cos(ang) * dy
+        return (np.abs(u) <= w / 2) & (np.abs(v) <= h / 2)
+    if shape.shape == "point":
+        return (np.round(xg) == np.round(cx)) & (np.round(yg) == np.round(cy))
+    raise ValueError(f"Unsupported region shape: {shape.shape}")
+
+
+def region_mask(path_or_text, shape, header=None):
+    """Rasterize a ds9 region file to an inside-mask of the given shape.
+
+    Returns a boolean array where True = pixel is inside the (combined)
+    region — same convention as ``pyregion...get_filter().mask(shape)``.
+    """
+    shapes = parse_region_file(path_or_text)
+    ny, nx = shape
+    # 1-based FITS pixel-center coordinates, like pyregion's mask()
+    yg, xg = np.mgrid[1 : ny + 1, 1 : nx + 1].astype(float)
+    wcs = MiniWCS(header) if header is not None else None
+
+    includes = [s for s in shapes if not s.exclude]
+    excludes = [s for s in shapes if s.exclude]
+
+    if includes:
+        inside = np.zeros(shape, dtype=bool)
+        for s in includes:
+            inside |= _shape_inside(s, xg, yg, wcs)
+    else:
+        inside = np.ones(shape, dtype=bool)
+    for s in excludes:
+        inside &= ~_shape_inside(s, xg, yg, wcs)
+    return inside

@@ -1,0 +1,83 @@
+"""Minimal FITS WCS: gnomonic (TAN) projection + pixel scale.
+
+The reference uses ``astropy.wcs`` only to compute the projected pixel
+area for surface-brightness plots (reference analysis/plotting.py:93-97)
+and ``pyregion`` uses it to map sky-coordinate ds9 regions onto the image.
+This stand-in reads the standard CD-matrix / CDELT+CROTA2 keywords and
+supports the TAN projection, which covers HST-style imaging.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["MiniWCS", "proj_plane_pixel_area"]
+
+_D2R = np.pi / 180.0
+
+
+class MiniWCS:
+    def __init__(self, header):
+        self.crpix = np.array(
+            [float(header.get("CRPIX1", 1.0)), float(header.get("CRPIX2", 1.0))]
+        )
+        self.crval = np.array(
+            [float(header.get("CRVAL1", 0.0)), float(header.get("CRVAL2", 0.0))]
+        )
+        if "CD1_1" in header:
+            self.cd = np.array(
+                [
+                    [float(header.get("CD1_1", 0.0)), float(header.get("CD1_2", 0.0))],
+                    [float(header.get("CD2_1", 0.0)), float(header.get("CD2_2", 0.0))],
+                ]
+            )
+        elif "PC1_1" in header:
+            pc = np.array(
+                [
+                    [float(header.get("PC1_1", 1.0)), float(header.get("PC1_2", 0.0))],
+                    [float(header.get("PC2_1", 0.0)), float(header.get("PC2_2", 1.0))],
+                ]
+            )
+            cdelt = np.diag(
+                [float(header.get("CDELT1", 1.0)), float(header.get("CDELT2", 1.0))]
+            )
+            self.cd = cdelt @ pc
+        else:
+            cdelt1 = float(header.get("CDELT1", 1.0))
+            cdelt2 = float(header.get("CDELT2", 1.0))
+            crota = float(header.get("CROTA2", 0.0)) * _D2R
+            self.cd = np.array(
+                [
+                    [cdelt1 * np.cos(crota), -cdelt2 * np.sin(crota)],
+                    [cdelt1 * np.sin(crota), cdelt2 * np.cos(crota)],
+                ]
+            )
+        self.cd_inv = np.linalg.inv(self.cd)
+
+    def pixel_area_deg2(self):
+        """Projected pixel area in square degrees (|det CD|)."""
+        return abs(np.linalg.det(self.cd))
+
+    def sky_to_pixel(self, ra, dec):
+        """TAN world->pixel; returns 1-based FITS (x, y) pixel coords."""
+        ra = np.asarray(ra, dtype=float) * _D2R
+        dec = np.asarray(dec, dtype=float) * _D2R
+        ra0 = self.crval[0] * _D2R
+        dec0 = self.crval[1] * _D2R
+
+        cos_c = np.sin(dec0) * np.sin(dec) + np.cos(dec0) * np.cos(dec) * np.cos(
+            ra - ra0
+        )
+        # Standard (intermediate) coordinates in degrees
+        xi = np.cos(dec) * np.sin(ra - ra0) / cos_c / _D2R
+        eta = (
+            (np.cos(dec0) * np.sin(dec) - np.sin(dec0) * np.cos(dec) * np.cos(ra - ra0))
+            / cos_c
+            / _D2R
+        )
+        dxy = self.cd_inv @ np.stack([xi, eta])
+        return dxy[0] + self.crpix[0], dxy[1] + self.crpix[1]
+
+
+def proj_plane_pixel_area(wcs):
+    """Pixel area in deg^2 (mirrors astropy.wcs.utils helper of same name)."""
+    return wcs.pixel_area_deg2()

@@ -1,0 +1,27 @@
+"""Model layer: components, static spec, jitted posterior, composite model."""
+from .components import (
+    ComponentBase,
+    Configuration,
+    PointSource,
+    PSFSelector,
+    Sersic,
+    Sky,
+)
+from .posterior import IMAGE_TYPES, PosteriorFns, build_posterior
+from .spec import CompSpec, ModelSpec, ParamSlot, build_model_spec
+
+__all__ = [
+    "ComponentBase",
+    "Configuration",
+    "PointSource",
+    "PSFSelector",
+    "Sersic",
+    "Sky",
+    "IMAGE_TYPES",
+    "PosteriorFns",
+    "build_posterior",
+    "CompSpec",
+    "ModelSpec",
+    "ParamSlot",
+    "build_model_spec",
+]

@@ -1,0 +1,320 @@
+"""Model components: declaration-time objects for the model-definition DSL.
+
+API parity with the reference ``psfMC/ModelComponents`` package:
+
+* attributes may be constants or prior :class:`Distribution` objects,
+* canonical intra-component parameter order is **alphabetical** by
+  attribute name (reference ComponentBase.py:57,88-97),
+* trace names are ``{count}_{CompType}_{attr}`` with FITS-header
+  abbreviations (reference ComponentBase.py:99-119),
+* ``xy`` stochastics occupy two slots in the parameter vector.
+
+TPU-first redesign: these objects exist only at model-build time.  They
+are *compiled* by :mod:`psfmc_tpu.models.spec` into a static
+:class:`ModelSpec` — offsets into a flat parameter vector plus pure
+render rules — so the sampling hot path never touches Python attribute
+plumbing (the reference's ``StochasticProperty``/``add_to_array`` mutable
+dispatch, ComponentBase.py:132-153, has no place under ``jit``).
+The mutable ``.value`` semantics are still honored host-side for
+API-compatible analysis/replay flows.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..distributions import DiscreteUniform, Distribution
+from ..io.preprocess import (
+    calculate_psf_variability,
+    pre_fft_psf,
+    preprocess_obs,
+    preprocess_psf,
+)
+from ..ops.coords import array_coords
+
+__all__ = [
+    "ComponentBase",
+    "Sky",
+    "PointSource",
+    "Sersic",
+    "Configuration",
+    "PSFSelector",
+]
+
+
+def _is_stochastic(value):
+    return isinstance(value, Distribution) or hasattr(value, "logp")
+
+
+class ComponentBase:
+    """Base component: tracks priors vs constants per attribute.
+
+    Stochastic attributes are declared per-subclass in ``_stochastic_attrs``
+    and routed through ``__getattr__``/``__setattr__`` — a prior
+    distribution lands in ``_priors``, any other value in ``_constants``
+    (reference ComponentBase.py:26-34).
+    """
+
+    _fits_abbrs = ()
+    _stochastic_attrs = ()
+
+    def __init__(self):
+        object.__setattr__(self, "_priors", {})
+        object.__setattr__(self, "_constants", {})
+
+    # -- attribute routing ----------------------------------------------
+    def __setattr__(self, name, value):
+        if name in type(self)._stochastic_attrs:
+            if _is_stochastic(value):
+                self._priors[name] = value
+                self._constants.pop(name, None)
+            else:
+                self._constants[name] = value
+                self._priors.pop(name, None)
+        else:
+            object.__setattr__(self, name, value)
+
+    def __getattr__(self, name):
+        # Only called when normal lookup fails.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        priors = self.__dict__.get("_priors", {})
+        constants = self.__dict__.get("_constants", {})
+        if name in priors:
+            return priors[name].value
+        if name in constants:
+            return constants[name]
+        raise AttributeError(name)
+
+    # -- introspection (canonical alphabetical order) ---------------------
+    def sorted_prior_items(self):
+        return sorted(self._priors.items())
+
+    def get_distribution(self, stoch_name):
+        matching = [d for d in self._priors.values() if d.name == stoch_name]
+        if len(matching) != 1:
+            raise KeyError(f"Could not find unique prior with name: {stoch_name}")
+        return matching[0]
+
+    def stochastic_lens(self):
+        return [np.asarray(prior.value).size for _k, prior in self.sorted_prior_items()]
+
+    def num_stochastics(self):
+        return int(np.sum(self.stochastic_lens(), dtype=int)) if self._priors else 0
+
+    def stochastic_names(self, name_attr="name"):
+        return [getattr(prior, name_attr) for _k, prior in self.sorted_prior_items()]
+
+    def update_stochastic_names(self, count=None):
+        comptype = type(self).__name__
+        for attr, prior in self._priors.items():
+            newname = f"{comptype}_{attr}"
+            fitsname = newname
+            for longname, abbr in type(self)._fits_abbrs:
+                fitsname = fitsname.replace(longname, abbr)
+            if count is not None:
+                newname = f"{count:d}_{newname}"
+                fitsname = f"{count:d}{fitsname}"
+            prior.name = newname
+            prior.fitsname = fitsname
+
+    # -- value plumbing (host-side) ---------------------------------------
+    def set_stochastic_values(self, param_values="random", random_state=None):
+        """Set stochastic values from a vector, or draw 'random'/'median'.
+
+        Returns the vector of values set (reference ComponentBase.py:45-74).
+        """
+        items = self.sorted_prior_items()
+        if isinstance(param_values, str):
+            vals = []
+            for _name, prior in items:
+                if param_values == "random":
+                    drawn = prior.random(random_state=random_state)
+                elif param_values == "median":
+                    drawn = prior.median()
+                else:
+                    raise ValueError(f"Unknown draw mode: {param_values}")
+                vals.append(np.ravel(drawn))
+            param_values = (
+                np.concatenate(vals) if vals else np.array([], dtype=float)
+            )
+
+        start = 0
+        for (_name, prior), size in zip(items, self.stochastic_lens()):
+            prior.value = np.array(param_values[start : start + size])
+            start += size
+        return param_values
+
+    def log_priors(self):
+        """Joint host-side log-prior at current values (scipy path)."""
+        logp = 0.0
+        for prior in self._priors.values():
+            logp += float(np.sum(prior.logp(prior.value)))
+        return logp
+
+
+class Sky(ComponentBase):
+    """Flat sky-offset component (reference Sky.py)."""
+
+    _stochastic_attrs = ("adu",)
+
+    def __init__(self, adu=None):
+        super().__init__()
+        self.adu = adu
+
+
+class PointSource(ComponentBase):
+    """Point source with sub-pixel shift kernel (reference PointSource.py).
+
+    ``xy`` is 0-based (numpy-style) pixel position.
+    ``shift_method`` is ``lanczos3`` (default) or ``bilinear``.
+    """
+
+    _fits_abbrs = (("PointSource", "PS"),)
+    _stochastic_attrs = ("xy", "mag")
+
+    def __init__(self, xy=None, mag=None, shift_method="lanczos3"):
+        super().__init__()
+        self.xy = xy
+        self.mag = mag
+        self.shift_method = shift_method
+
+
+class Sersic(ComponentBase):
+    """Sersic profile component (reference Sersic.py)."""
+
+    _fits_abbrs = (
+        ("Sersic", "SER"),
+        ("reff_b", "REB"),
+        ("reff", "RE"),
+        ("index", "N"),
+        ("angle", "ANG"),
+    )
+    _stochastic_attrs = ("xy", "mag", "reff", "reff_b", "index", "angle")
+
+    def __init__(
+        self,
+        xy=None,
+        mag=None,
+        reff=None,
+        reff_b=None,
+        index=None,
+        angle=None,
+        angle_degrees=False,
+    ):
+        super().__init__()
+        self.xy = xy
+        self.mag = mag
+        self.reff = reff
+        self.reff_b = reff_b
+        self.index = index
+        self.angle = angle
+        self.angle_degrees = angle_degrees
+
+    def log_priors(self):
+        logp = super().log_priors()
+        # Semi-major axis must exceed semi-minor (reference Sersic.py:41-45)
+        logp += -np.inf if self.reff_b > self.reff else 0.0
+        return logp
+
+
+class PSFSelector(ComponentBase):
+    """Discrete choice over a pre-FFT'd PSF stack (reference PSFSelector.py).
+
+    With multiple PSFs the index is a free ``DiscreteUniform`` parameter;
+    preprocessing normalizes each PSF, propagates inter-PSF mismatch
+    variance, and pre-computes ``rfft2`` of every PSF and variance map
+    padded to the observation shape.  On device this becomes a gather
+    over the stacked Fourier arrays — fully batched and branchless.
+    """
+
+    _stochastic_attrs = ("psf_index",)
+
+    def __init__(self, psf_list, ivm_list, data_shape):
+        super().__init__()
+        if isinstance(psf_list, (str, np.ndarray)):
+            psf_list = [psf_list]
+        if isinstance(ivm_list, (str, np.ndarray)):
+            ivm_list = [ivm_list]
+        if len(psf_list) != len(ivm_list):
+            raise ValueError("PSF and IVM lists must be the same length")
+
+        if len(psf_list) > 1:
+            self.psf_index = DiscreteUniform(low=0, high=len(psf_list))
+        else:
+            self.psf_index = 0
+
+        pairs = [preprocess_psf(p, i) for p, i in zip(psf_list, ivm_list)]
+        data_list, var_list = calculate_psf_variability(
+            [d for d, _ in pairs], [v for _, v in pairs]
+        )
+        ffts = [
+            pre_fft_psf(psf, var, data_shape)
+            for psf, var in zip(data_list, var_list)
+        ]
+        self.filenames = [
+            p if isinstance(p, str) else f"<array {i}>"
+            for i, p in enumerate(psf_list)
+        ]
+        self.psf_list = [f for f, _ in ffts]
+        self.var_list = [v for _, v in ffts]
+
+    def update_stochastic_names(self, count=None):
+        # Single selector per model: no count prefix (PSFSelector.py:45-52)
+        if "psf_index" in self._priors:
+            self._priors["psf_index"].name = "PSF_Index"
+            self._priors["psf_index"].fitsname = "PSF_IDX"
+
+    def current_index(self):
+        return int(np.rint(np.asarray(self.psf_index)))
+
+    @property
+    def psf(self):
+        return self.psf_list[self.current_index()]
+
+    @property
+    def variance(self):
+        return self.var_list[self.current_index()]
+
+    @property
+    def filename(self):
+        return self.filenames[self.current_index()]
+
+
+class Configuration(ComponentBase):
+    """Input images + control parameters (reference Configuration.py).
+
+    :param obs_file: observed image — FITS filename, (header, array) pair,
+        or bare array.
+    :param obsivm_file: inverse-variance map of the observation.
+    :param psf_files: one or more PSF images (multiple => PSF index
+        becomes a free discrete parameter).
+    :param psfivm_files: matching PSF inverse-variance maps.
+    :param mask_file: optional FITS mask (nonzero = exclude) or ds9
+        region file defining the fit region.
+    :param mag_zeropoint: magnitude of 1 count/second.
+    """
+
+    def __init__(
+        self,
+        obs_file,
+        obsivm_file,
+        psf_files,
+        psfivm_files,
+        mask_file=None,
+        mag_zeropoint=0,
+    ):
+        super().__init__()
+        self.mag_zeropoint = mag_zeropoint
+
+        obs_hdr, obs_data, obs_var, bad_px = preprocess_obs(
+            obs_file, obsivm_file, mask_file
+        )
+        self.obs_header = obs_hdr
+        self.obs_data = obs_data
+        self.obs_var = obs_var
+        self.bad_px = bad_px
+
+        self.psf_selector = PSFSelector(
+            psf_files, psfivm_files, obs_data.shape
+        )
+        self.coords = array_coords(obs_data.shape)

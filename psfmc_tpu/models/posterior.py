@@ -1,0 +1,216 @@
+"""Pure jittable posterior built from a :class:`ModelSpec`.
+
+The whole render → convolve → likelihood → prior chain is one XLA
+computation ``lnpost(theta) -> scalar`` (+ an image-returning variant),
+vmapped over walkers by the sampler — the TPU-native equivalent of the
+reference's hot loop ``MultiComponentModel.log_posterior``
+(reference models.py:193-243).
+
+Image-type semantics match the reference blobs (models.py:213-226):
+``raw_model``, ``convolved_model``, ``residual``, ``composite_ivm``,
+``point_source_subtracted``.  Internally we carry the four *independent*
+images (raw, conv, total variance, convolved point sources): residual
+and point_source_subtracted are affine in those, so posterior means are
+reconstructed exactly at finalize time — saving one image's worth of HBM
+traffic per walker per step.
+
+-inf handling is branchless (``jnp.where``) rather than the reference's
+early-return; XLA computes the full batch regardless, which is free on
+the ensemble-batched TPU layout.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.coords import coord_grids, mag_to_flux
+from ..ops.fourier import convolve
+from ..ops.likelihood import gaussian_lnlike
+from ..ops.pointsource import add_pointsource
+from ..ops.sersic import render_sersic
+from .spec import ModelSpec
+
+__all__ = ["PosteriorFns", "build_posterior", "IMAGE_TYPES"]
+
+IMAGE_TYPES = (
+    "raw_model",
+    "convolved_model",
+    "residual",
+    "composite_ivm",
+    "point_source_subtracted",
+)
+
+# The independent accumulation basis (see module docstring).
+CARRY_IMAGE_TYPES = ("raw", "conv", "var", "ps_conv")
+
+
+def _getter(params, theta, name):
+    kind, payload = params[name]
+    if kind == "const":
+        return payload
+    offset, size = payload
+    if size == 1:
+        return theta[offset]
+    return jax.lax.dynamic_slice(theta, (offset,), (size,))
+
+
+class PosteriorFns:
+    """Bundle of pure functions over a fixed ModelSpec.
+
+    Attributes (all jittable, theta is a flat (num_params,) vector):
+
+    * ``log_prior(theta)`` — joint log-prior (includes Sersic axis-ratio
+      constraint and NaN guard).
+    * ``log_posterior(theta)`` — scalar lnP.
+    * ``log_posterior_and_images(theta)`` — (lnP, dict of carry images).
+    * ``render_images(theta)`` — dict of the five reference image types.
+    * ``constants`` — dict of device constants (obs, var, mask, psf ffts).
+    """
+
+    def __init__(self, spec: ModelSpec, dtype=jnp.float32):
+        self.spec = spec
+        self.dtype = dtype
+        h, w = spec.shape
+        xg, yg = coord_grids(spec.shape, dtype)
+        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        self.constants = {
+            "xg": xg,
+            "yg": yg,
+            "obs_data": jnp.asarray(spec.obs_data, dtype),
+            "obs_var": jnp.asarray(spec.obs_var, dtype),
+            "good_px": jnp.asarray(~spec.bad_px),
+            "f_psf": jnp.asarray(spec.f_psf_stack, cdtype),
+            "f_var": jnp.asarray(spec.f_var_stack, cdtype),
+        }
+        self.mag_zp = float(spec.mag_zeropoint)
+
+        self.log_prior = self._make_log_prior()
+        self.log_posterior = partial(self._lnpost_impl, with_images=False)
+        self.log_posterior_and_images = partial(
+            self._lnpost_impl, with_images=True
+        )
+        self.render_images = self._render_images
+
+    # -- prior ------------------------------------------------------------
+    def _make_log_prior(self):
+        spec = self.spec
+
+        def log_prior(theta):
+            lp = jnp.asarray(0.0, self.dtype)
+            for slot in spec.slots:
+                if slot.size == 1:
+                    x = theta[slot.offset]
+                else:
+                    x = jax.lax.dynamic_slice(
+                        theta, (slot.offset,), (slot.size,)
+                    )
+                lp = lp + jnp.sum(slot.dist.jax_logp(x))
+            # Sersic constraint: reff >= reff_b (reference Sersic.py:41-45)
+            for cs in spec.comp_specs:
+                if cs.kind != "sersic":
+                    continue
+                reff = _getter(cs.params, theta, "reff")
+                reff_b = _getter(cs.params, theta, "reff_b")
+                lp = jnp.where(reff_b > reff, -jnp.inf, lp)
+            return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+        return log_prior
+
+    # -- renders ------------------------------------------------------------
+    def _psf_index(self, theta):
+        cs = next(
+            c for c in self.spec.comp_specs if c.kind == "psfselector"
+        )
+        kind, payload = cs.params["psf_index"]
+        if kind == "const":
+            return jnp.asarray(int(payload), jnp.int32)
+        offset, _size = payload
+        idx = jnp.round(theta[offset]).astype(jnp.int32)
+        return jnp.clip(idx, 0, self.spec.num_psfs - 1)
+
+    def _raw_and_ps(self, theta):
+        """Raw composite model and the point-source-only image."""
+        c = self.constants
+        raw = jnp.zeros(self.spec.shape, self.dtype)
+        ps = jnp.zeros(self.spec.shape, self.dtype)
+        for cs in self.spec.comp_specs:
+            if cs.kind == "sky":
+                adu = _getter(cs.params, theta, "adu")
+                raw = raw + jnp.asarray(adu, self.dtype)
+            elif cs.kind == "pointsource":
+                xy = _getter(cs.params, theta, "xy")
+                xy = jnp.asarray(xy, self.dtype)
+                mag = _getter(cs.params, theta, "mag")
+                ps = add_pointsource(
+                    ps, xy, mag, self.mag_zp, cs.static["shift_method"]
+                )
+            elif cs.kind == "sersic":
+                xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
+                raw = raw + render_sersic(
+                    c["xg"],
+                    c["yg"],
+                    xy,
+                    _getter(cs.params, theta, "mag"),
+                    _getter(cs.params, theta, "reff"),
+                    _getter(cs.params, theta, "reff_b"),
+                    _getter(cs.params, theta, "index"),
+                    _getter(cs.params, theta, "angle"),
+                    self.mag_zp,
+                    cs.static["angle_degrees"],
+                )
+        raw = raw + ps
+        return raw, ps
+
+    def _images_impl(self, theta):
+        """The four independent carry images (see module docstring)."""
+        c = self.constants
+        idx = self._psf_index(theta)
+        f_psf = c["f_psf"][idx]
+        f_var = c["f_var"][idx]
+
+        raw, ps = self._raw_and_ps(theta)
+        conv = convolve(raw, f_psf)
+        model_var = convolve(raw * raw, f_var)
+        var_total = model_var + c["obs_var"]
+        ps_conv = convolve(ps, f_psf)
+        return {"raw": raw, "conv": conv, "var": var_total, "ps_conv": ps_conv}
+
+    def _lnpost_impl(self, theta, with_images=False):
+        theta = jnp.asarray(theta, self.dtype)
+        c = self.constants
+        lp = self.log_prior(theta)
+        imgs = self._images_impl(theta)
+        resid = c["obs_data"] - imgs["conv"]
+        ivm = 1.0 / imgs["var"]
+        lnl = gaussian_lnlike(resid, ivm, c["good_px"])
+        lnpost = jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
+        if with_images:
+            return lnpost, imgs
+        return lnpost
+
+    def _render_images(self, theta):
+        """All five reference image types (models.py:213-226 blobs)."""
+        theta = jnp.asarray(theta, self.dtype)
+        c = self.constants
+        imgs = self._images_impl(theta)
+        return carry_to_reference_images(
+            imgs, c["obs_data"]
+        )
+
+
+def carry_to_reference_images(imgs: Dict[str, Any], obs_data):
+    """Map the independent carry basis to the five reference image types."""
+    return {
+        "raw_model": imgs["raw"],
+        "convolved_model": imgs["conv"],
+        "residual": obs_data - imgs["conv"],
+        "composite_ivm": 1.0 / imgs["var"],
+        "point_source_subtracted": obs_data - imgs["ps_conv"],
+    }
+
+
+def build_posterior(spec: ModelSpec, dtype=jnp.float32) -> PosteriorFns:
+    return PosteriorFns(spec, dtype=dtype)

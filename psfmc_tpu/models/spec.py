@@ -1,0 +1,207 @@
+"""Static model specification: components compiled to a flat-vector program.
+
+This is the TPU-first replacement for the reference's mutable-object
+parameter plumbing (reference models.py:174-185 + ComponentBase.py:45-74).
+A :class:`ModelSpec` captures, once at model-build time:
+
+* the canonical parameter-vector layout — components in file order with
+  the PSF selector appended last, alphabetical attribute order within a
+  component, ``xy`` spanning two slots (reference models.py:38-42,
+  ComponentBase.py:57) — as static offsets,
+* per-component static config (shift method, angle units, ...),
+* the device constants: observation image/variance/good-pixel mask and
+  the pre-FFT'd PSF + variance stacks.
+
+Everything downstream (the jitted posterior in
+:mod:`psfmc_tpu.models.posterior`) is a pure function of
+``(theta, ModelSpec)`` with no Python-object state.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .components import (
+    ComponentBase,
+    Configuration,
+    PointSource,
+    PSFSelector,
+    Sersic,
+    Sky,
+)
+
+__all__ = ["ParamSlot", "CompSpec", "ModelSpec", "build_model_spec"]
+
+
+@dataclass(frozen=True)
+class ParamSlot:
+    """One stochastic attribute's slice of the flat parameter vector."""
+
+    comp_index: int
+    attr: str
+    offset: int
+    size: int
+    name: str
+    fitsname: str
+    dist: Any  # Distribution (host object; jax_logp is pure)
+    is_discrete: bool
+
+
+@dataclass(frozen=True)
+class CompSpec:
+    """Static render rule for one component.
+
+    ``params`` maps attribute name -> ('const', value) or
+    ('theta', (offset, size)).
+    """
+
+    kind: str  # 'sky' | 'pointsource' | 'sersic' | 'psfselector'
+    params: Dict[str, Tuple[str, Any]]
+    static: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ModelSpec:
+    comp_specs: List[CompSpec]
+    slots: List[ParamSlot]
+    num_params: int
+    shape: Tuple[int, int]
+    mag_zeropoint: float
+    obs_data: np.ndarray
+    obs_var: np.ndarray
+    bad_px: np.ndarray
+    f_psf_stack: np.ndarray  # (npsf, H, W//2+1) complex
+    f_var_stack: np.ndarray
+    num_psfs: int
+
+    @property
+    def param_names(self) -> List[str]:
+        return [s.name for s in self.slots]
+
+    @property
+    def param_fits_abbrs(self) -> List[str]:
+        return [s.fitsname for s in self.slots]
+
+    @property
+    def param_lens(self) -> List[int]:
+        return [s.size for s in self.slots]
+
+
+def _resolve(component, attr, slot_map):
+    """('theta', (offset, size)) if stochastic else ('const', value)."""
+    key = (id(component), attr)
+    if key in slot_map:
+        slot = slot_map[key]
+        return ("theta", (slot.offset, slot.size))
+    return ("const", component._constants[attr])
+
+
+def build_model_spec(
+    components: List[ComponentBase],
+    config: Optional[Configuration] = None,
+) -> ModelSpec:
+    """Compile a component list (+Configuration) into a static ModelSpec.
+
+    ``components`` may include the Configuration (it is extracted, like
+    reference models.py:29-38) or it can be passed separately.
+    """
+    components = list(components)
+    if config is None:
+        configs = [c for c in components if isinstance(c, Configuration)]
+        if not configs:
+            raise ValueError(
+                "Unable to find the Configuration component, required "
+                "for setting up input images."
+            )
+        config = configs[0]
+    components = [c for c in components if not isinstance(c, Configuration)]
+    components.append(config.psf_selector)
+
+    # Assign canonical trace names (reference models.py:41-42)
+    for count, component in enumerate(components):
+        component.update_stochastic_names(count=count)
+
+    # Build the flat layout: file order, alphabetical within component.
+    slots: List[ParamSlot] = []
+    slot_map = {}
+    offset = 0
+    for ci, comp in enumerate(components):
+        for attr, prior in comp.sorted_prior_items():
+            size = int(np.asarray(prior.value).size)
+            slot = ParamSlot(
+                comp_index=ci,
+                attr=attr,
+                offset=offset,
+                size=size,
+                name=prior.name,
+                fitsname=prior.fitsname,
+                dist=prior,
+                is_discrete=getattr(prior, "is_discrete", False),
+            )
+            slots.append(slot)
+            slot_map[(id(comp), attr)] = slot
+            offset += size
+
+    comp_specs: List[CompSpec] = []
+    for comp in components:
+        if isinstance(comp, Sky):
+            comp_specs.append(
+                CompSpec("sky", {"adu": _resolve(comp, "adu", slot_map)})
+            )
+        elif isinstance(comp, PointSource):
+            comp_specs.append(
+                CompSpec(
+                    "pointsource",
+                    {
+                        "xy": _resolve(comp, "xy", slot_map),
+                        "mag": _resolve(comp, "mag", slot_map),
+                    },
+                    static={"shift_method": comp.shift_method},
+                )
+            )
+        elif isinstance(comp, Sersic):
+            comp_specs.append(
+                CompSpec(
+                    "sersic",
+                    {
+                        attr: _resolve(comp, attr, slot_map)
+                        for attr in (
+                            "xy",
+                            "mag",
+                            "reff",
+                            "reff_b",
+                            "index",
+                            "angle",
+                        )
+                    },
+                    static={"angle_degrees": comp.angle_degrees},
+                )
+            )
+        elif isinstance(comp, PSFSelector):
+            comp_specs.append(
+                CompSpec(
+                    "psfselector",
+                    {"psf_index": _resolve(comp, "psf_index", slot_map)},
+                )
+            )
+        else:
+            raise TypeError(f"Unknown component type: {type(comp).__name__}")
+
+    f_psf_stack = np.stack(config.psf_selector.psf_list)
+    f_var_stack = np.stack(config.psf_selector.var_list)
+
+    return ModelSpec(
+        comp_specs=comp_specs,
+        slots=slots,
+        num_params=offset,
+        shape=tuple(config.obs_data.shape),
+        mag_zeropoint=float(config.mag_zeropoint),
+        obs_data=np.asarray(config.obs_data, dtype=np.float64),
+        obs_var=np.asarray(config.obs_var, dtype=np.float64),
+        bad_px=np.asarray(config.bad_px, dtype=bool),
+        f_psf_stack=f_psf_stack,
+        f_var_stack=f_var_stack,
+        num_psfs=len(config.psf_selector.psf_list),
+    )

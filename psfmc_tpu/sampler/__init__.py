@@ -1,0 +1,12 @@
+"""TPU-native MCMC sampling: jitted ensemble sampler + autocorr analysis."""
+from .autocorr import AutocorrError, function, integrated_time
+from .ensemble import EnsembleSampler, EnsembleState, run_stretch_move
+
+__all__ = [
+    "AutocorrError",
+    "function",
+    "integrated_time",
+    "EnsembleSampler",
+    "EnsembleState",
+    "run_stretch_move",
+]

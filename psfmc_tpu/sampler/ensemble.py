@@ -1,0 +1,421 @@
+"""JIT-compiled affine-invariant ensemble sampler (Goodman & Weare 2010).
+
+This replaces the reference's external emcee 2.2.1 dependency (reference
+fitting.py:56-94) with a TPU-native sampler:
+
+* emcee 2.x stretch-move semantics — ``a=2`` by default, red/black
+  half-ensemble updates, ``z = ((a-1)u + 1)^2 / a``, acceptance ratio
+  ``(dim-1) ln z + lnp(Y) - lnp(X)`` — statistically identical moves,
+* the posterior is evaluated **vmapped over the whole half-ensemble**
+  per half-step: renders, FFT convolutions and likelihood reductions all
+  run as one batched XLA computation,
+* ``lax.scan`` over steps: the entire burn or sampling phase is a single
+  device program; the chain lands in device memory and is fetched once,
+* posterior-image running means accumulate **on device** in the scan
+  carry (replacing the reference's emcee "blobs" machinery,
+  models.py:74-97 / fitting.py:83), using the current state's images each
+  retained step — the same retained-sample semantics as the reference,
+* optional walker-axis sharding: positions/images carry a
+  ``NamedSharding`` over the mesh's walker axis; the complementary-half
+  partner gather becomes the one tiny ICI all-gather per half-step
+  (SURVEY.md section 5 "distributed communication backend").
+
+PRNG: ``jax.random`` throughout — reproducible given a seed, independent
+of host state.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["EnsembleState", "EnsembleSampler", "run_stretch_move"]
+
+
+@dataclass
+class EnsembleState:
+    """Device-side sampler state (a pytree)."""
+
+    positions: jax.Array  # (nwalkers, dim)
+    log_prob: jax.Array  # (nwalkers,)
+    images: Optional[Dict[str, jax.Array]]  # per-walker carry images or None
+    accum: Optional[Dict[str, jax.Array]]  # running-mean images or None
+    accum_count: jax.Array  # scalar int32: accumulated samples
+    naccept: jax.Array  # (nwalkers,) int32 accepted moves per walker
+    key: jax.Array
+
+
+jax.tree_util.register_pytree_node(
+    EnsembleState,
+    lambda s: (
+        (s.positions, s.log_prob, s.images, s.accum, s.accum_count, s.naccept, s.key),
+        None,
+    ),
+    lambda _aux, ch: EnsembleState(*ch),
+)
+
+
+def _stretch_half(
+    key,
+    active_pos,
+    active_lnp,
+    active_imgs,
+    comp_pos,
+    lnpost_fn,
+    a,
+    dim,
+    with_images,
+):
+    """Update one half-ensemble against its complement.
+
+    Returns (new_pos, new_lnp, new_imgs, accepted_count_per_walker).
+    """
+    k = active_pos.shape[0]
+    key_z, key_r, key_u = jax.random.split(key, 3)
+
+    u = jax.random.uniform(key_z, (k,), active_pos.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    partner = jax.random.randint(key_r, (k,), 0, comp_pos.shape[0])
+    c = comp_pos[partner]  # gather; all-gather over mesh when sharded
+    proposal = c + z[:, None] * (active_pos - c)
+
+    if with_images:
+        prop_lnp, prop_imgs = jax.vmap(lnpost_fn)(proposal)
+    else:
+        prop_lnp = jax.vmap(lnpost_fn)(proposal)
+        prop_imgs = None
+
+    log_ratio = (dim - 1.0) * jnp.log(z) + prop_lnp - active_lnp
+    accept = jnp.log(jax.random.uniform(key_u, (k,), active_pos.dtype)) < log_ratio
+
+    new_pos = jnp.where(accept[:, None], proposal, active_pos)
+    new_lnp = jnp.where(accept, prop_lnp, active_lnp)
+    new_imgs = None
+    if with_images:
+        new_imgs = jax.tree_util.tree_map(
+            lambda prop, cur: jnp.where(accept[:, None, None], prop, cur),
+            prop_imgs,
+            active_imgs,
+        )
+    return new_pos, new_lnp, new_imgs, accept.astype(jnp.int32)
+
+
+def _split_imgs(imgs, sl):
+    if imgs is None:
+        return None
+    return {k: v[sl] for k, v in imgs.items()}
+
+
+def _merge_imgs(first, second):
+    if first is None:
+        return None
+    return {
+        k: jnp.concatenate([first[k], second[k]], axis=0) for k in first
+    }
+
+
+def make_step_fn(
+    lnpost_fn: Callable,
+    lnpost_images_fn: Callable,
+    nwalkers: int,
+    dim: int,
+    a: float = 2.0,
+    accumulate: bool = False,
+    record: bool = True,
+):
+    """Build the one-iteration scan body (two half-ensemble updates)."""
+    half = nwalkers // 2
+    with_images = accumulate
+
+    def step(state: EnsembleState, _):
+        key, key0, key1 = jax.random.split(state.key, 3)
+        pos, lnp = state.positions, state.log_prob
+        imgs = state.images
+
+        fn = lnpost_images_fn if with_images else lnpost_fn
+
+        # First half moves against second half
+        p0, l0, i0, acc0 = _stretch_half(
+            key0,
+            pos[:half],
+            lnp[:half],
+            _split_imgs(imgs, slice(0, half)),
+            pos[half:],
+            fn,
+            a,
+            dim,
+            with_images,
+        )
+        # Second half moves against the *updated* first half (emcee 2.x order)
+        p1, l1, i1, acc1 = _stretch_half(
+            key1,
+            pos[half:],
+            lnp[half:],
+            _split_imgs(imgs, slice(half, nwalkers)),
+            p0,
+            fn,
+            a,
+            dim,
+            with_images,
+        )
+
+        new_pos = jnp.concatenate([p0, p1], axis=0)
+        new_lnp = jnp.concatenate([l0, l1], axis=0)
+        new_imgs = _merge_imgs(i0, i1)
+        naccept = state.naccept + jnp.concatenate([acc0, acc1])
+
+        accum = state.accum
+        count = state.accum_count
+        if accumulate:
+            # Running mean over retained samples: each step contributes the
+            # *current* state of every walker (reference retained-sample
+            # semantics, fitting.py:83 + models.py:74-97).
+            count = count + nwalkers
+            accum = {
+                k: accum[k]
+                + (
+                    jnp.sum(new_imgs[k].astype(accum[k].dtype), axis=0)
+                    - nwalkers * accum[k]
+                )
+                / count.astype(accum[k].dtype)
+                for k in accum
+            }
+
+        new_state = EnsembleState(
+            positions=new_pos,
+            log_prob=new_lnp,
+            images=new_imgs,
+            accum=accum,
+            accum_count=count,
+            naccept=naccept,
+            key=key,
+        )
+        out = (new_pos, new_lnp) if record else None
+        return new_state, out
+
+    return step
+
+
+def run_stretch_move(
+    lnpost_fn,
+    lnpost_images_fn,
+    state: EnsembleState,
+    nsteps: int,
+    a: float = 2.0,
+    accumulate: bool = False,
+    record: bool = True,
+    unroll: int = 1,
+):
+    """Scan ``nsteps`` ensemble iterations on device.
+
+    Returns (final_state, chain, lnprob) where chain is
+    (nsteps, nwalkers, dim) and lnprob is (nsteps, nwalkers); both are
+    None when ``record=False``.
+    """
+    nwalkers, dim = state.positions.shape
+    step = make_step_fn(
+        lnpost_fn,
+        lnpost_images_fn,
+        nwalkers,
+        dim,
+        a=a,
+        accumulate=accumulate,
+        record=record,
+    )
+    final, outs = jax.lax.scan(step, state, None, length=nsteps, unroll=unroll)
+    if record:
+        chain, lnprob = outs
+        return final, chain, lnprob
+    return final, None, None
+
+
+class EnsembleSampler:
+    """Driver-facing sampler: owns jitted phase programs + chain storage.
+
+    A near drop-in replacement for the emcee 2.x API surface the
+    reference consumes (reference fitting.py:56-103): ``chain``,
+    ``lnprobability``, ``acceptance_fraction``, ``reset()``,
+    ``run_burn()``/``run_sampling()`` phase methods and
+    ``get_autocorr_time``.
+    """
+
+    def __init__(
+        self,
+        nwalkers: int,
+        dim: int,
+        posterior_fns,
+        a: float = 2.0,
+        seed: int = 0,
+        image_shape: Optional[Tuple[int, int]] = None,
+        accum_dtype=jnp.float32,
+        sharding=None,
+    ):
+        if nwalkers % 2 != 0:
+            raise ValueError("nwalkers must be even for half-ensemble moves")
+        if nwalkers < 2 * dim + 2:
+            import warnings
+
+            warnings.warn(
+                f"nwalkers={nwalkers} is fewer than the recommended "
+                f"2*dim+2={2 * dim + 2}"
+            )
+        self.nwalkers = nwalkers
+        self.dim = dim
+        self.a = a
+        self.fns = posterior_fns
+        self.image_shape = image_shape
+        self.accum_dtype = accum_dtype
+        self.sharding = sharding
+        self._key = jax.random.PRNGKey(seed)
+
+        self._chain = None  # numpy (nwalkers, nsteps, dim), emcee layout
+        self._lnprob = None  # numpy (nwalkers, nsteps)
+        self._naccept = np.zeros(nwalkers, dtype=np.int64)
+        self._nsteps_total = 0
+        self.state: Optional[EnsembleState] = None
+
+        self._burn_prog = jax.jit(
+            partial(
+                run_stretch_move,
+                self.fns.log_posterior,
+                self.fns.log_posterior_and_images,
+                a=self.a,
+                accumulate=False,
+                record=False,
+            ),
+            static_argnames=("nsteps",),
+        )
+        self._sample_prog = jax.jit(
+            partial(
+                run_stretch_move,
+                self.fns.log_posterior,
+                self.fns.log_posterior_and_images,
+                a=self.a,
+                accumulate=True,
+                record=True,
+            ),
+            static_argnames=("nsteps",),
+        )
+
+    # -- state management -------------------------------------------------
+    def _constrain(self, arr):
+        if self.sharding is not None:
+            return jax.lax.with_sharding_constraint(arr, self.sharding)
+        return arr
+
+    def init_state(self, p0, key=None, with_images=True):
+        """Initialize device state from (nwalkers, dim) positions."""
+        p0 = jnp.asarray(p0, self.fns.dtype)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        lnp, imgs = jax.jit(jax.vmap(self.fns.log_posterior_and_images))(p0)
+        h, w = self.image_shape if self.image_shape else self.fns.spec.shape
+        accum = {
+            k: jnp.zeros((h, w), self.accum_dtype) for k in imgs
+        }
+        self.state = EnsembleState(
+            positions=p0,
+            log_prob=lnp,
+            images=imgs if with_images else None,
+            accum=accum,
+            accum_count=jnp.asarray(0, jnp.int32),
+            naccept=jnp.zeros(self.nwalkers, jnp.int32),
+            key=key,
+        )
+        return self.state
+
+    def reset(self):
+        """Clear chain storage + acceptance counts; keep current positions.
+
+        Mirrors emcee's ``sampler.reset()`` between burn-in and sampling
+        (reference fitting.py:76).
+        """
+        self._chain = None
+        self._lnprob = None
+        self._naccept = np.zeros(self.nwalkers, dtype=np.int64)
+        self._nsteps_total = 0
+        if self.state is not None:
+            self.state = replace(
+                self.state,
+                naccept=jnp.zeros(self.nwalkers, jnp.int32),
+                accum_count=jnp.asarray(0, jnp.int32),
+                accum={
+                    k: jnp.zeros_like(v) for k, v in self.state.accum.items()
+                },
+            )
+
+    # -- phases -----------------------------------------------------------
+    def run_burn(self, nsteps: int):
+        """Burn-in: no chain recording, no image accumulation."""
+        prev_naccept = np.asarray(self.state.naccept)
+        state = replace(self.state, images=None)
+        final, _, _ = self._burn_prog(state, nsteps=nsteps)
+        # restore per-walker images for the sampling phase
+        lnp, imgs = jax.jit(jax.vmap(self.fns.log_posterior_and_images))(
+            final.positions
+        )
+        self.state = replace(final, images=imgs, log_prob=lnp)
+        self._naccept += np.asarray(final.naccept) - prev_naccept
+        self._nsteps_total += nsteps
+        return self
+
+    def run_sampling(self, nsteps: int):
+        """Retained sampling: records the chain + accumulates images."""
+        prev_naccept = np.asarray(self.state.naccept)
+        final, chain, lnprob = self._sample_prog(self.state, nsteps=nsteps)
+        self.state = final
+        self._naccept += np.asarray(final.naccept) - prev_naccept
+        # emcee chain layout: (nwalkers, nsteps, dim)
+        chain = np.moveaxis(np.asarray(chain), 0, 1)
+        lnprob = np.moveaxis(np.asarray(lnprob), 0, 1)
+        if self._chain is None:
+            self._chain, self._lnprob = chain, lnprob
+        else:
+            self._chain = np.concatenate([self._chain, chain], axis=1)
+            self._lnprob = np.concatenate([self._lnprob, lnprob], axis=1)
+        self._nsteps_total += nsteps
+        return self
+
+    # -- emcee-compatible accessors ----------------------------------------
+    @property
+    def chain(self):
+        return self._chain
+
+    @property
+    def lnprobability(self):
+        return self._lnprob
+
+    @property
+    def flatchain(self):
+        c = self._chain
+        return c.reshape(-1, self.dim) if c is not None else None
+
+    @property
+    def acceptance_fraction(self):
+        total = max(self._nsteps_total, 1)
+        return self._naccept / total
+
+    @property
+    def accumulated_images(self):
+        """Running-mean carry images as numpy, or None."""
+        if self.state is None or self.state.accum is None:
+            return None
+        return {k: np.asarray(v) for k, v in self.state.accum.items()}
+
+    @property
+    def accumulated_samples(self):
+        return int(self.state.accum_count) if self.state is not None else 0
+
+    def get_autocorr_time(self, c=1):
+        from .autocorr import integrated_time
+
+        if self._chain is None:
+            raise ValueError("No chain recorded yet")
+        # emcee 2.x: autocorr of the walker-averaged chain
+        mean_chain = np.mean(self._chain, axis=0)  # (nsteps, dim)
+        return integrated_time(mean_chain, axis=0, c=c)
