@@ -1,0 +1,24 @@
+"""Posterior analysis: statistics, image products, plotting."""
+from .images import default_filetypes, save_posterior_images
+from .statistics import (
+    check_convergence_autocorr,
+    check_convergence_psrf,
+    num_effective_samples,
+    potential_scale_reduction,
+)
+
+__all__ = [
+    "default_filetypes",
+    "save_posterior_images",
+    "check_convergence_autocorr",
+    "check_convergence_psrf",
+    "num_effective_samples",
+    "potential_scale_reduction",
+]
+
+try:  # matplotlib is optional at import time
+    from .plotting import corner_plot, plot_autocorr, plot_hist, plot_trace
+
+    __all__ += ["corner_plot", "plot_autocorr", "plot_hist", "plot_trace"]
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,368 @@
+"""Trace / histogram / autocorrelation / corner plotting.
+
+Capability parity with reference analysis/plotting.py: axis-label
+templating, the four derived traces (``magdiff``, ``centerdist``,
+``axisratio``, ``sbeff`` in mag/arcsec^2 via the WCS pixel area),
+per-walker trace plots, prior overlays on histograms, autocorrelation
+plots annotated with effective sample counts, and corner plots with
+zero-variance column removal and xy label splitting.
+
+Matplotlib renders lazily (Agg-safe); the corner panel uses this
+package's native :mod:`psfmc_tpu.analysis.corner` implementation.
+"""
+from __future__ import annotations
+
+import os
+from warnings import warn
+
+import numpy as np
+
+from ..database import filter_lowp_walkers, load_database
+from ..io.wcs import MiniWCS, proj_plane_pixel_area
+from ..ops.coords import mag_to_flux
+from ..sampler import autocorr as _autocorr
+from .corner import corner as _corner
+
+__all__ = ["plot_trace", "plot_hist", "plot_autocorr", "corner_plot"]
+
+_LABELS = {
+    "lnprobability": "Model posterior log-probability",
+    "x": "{} x (pix)",
+    "y": "{} y (pix)",
+    "xy": "{} x,y (pix)",
+    "adu": "{} (adu)",
+    "mag": "{} mag",
+    "index": "{} index $n$",
+    "reff": "{} $R_e a$ (pix)",
+    "reff_b": "{} $R_e b$ (pix)",
+    "angle": "{} PA (deg)",
+    "PSF_Index": "PSF index",
+    "axisratio": "{} axis ratio $b/a$",
+    "sbeff": "{} $\\mu_e$ (mag arcsec$^2$)",
+    "magdiff": "$m_{{{}}} - m_{{{}}}$",
+    "centerdist": "{} vs. {} position difference (pixels)",
+}
+
+
+def _axis_label(trace_name):
+    """Human-readable axis label for a trace name."""
+    if trace_name in _LABELS:
+        return _LABELS[trace_name]
+    if "_" in trace_name:
+        comps = []
+        rest = trace_name
+        while rest not in _LABELS and rest != "":
+            parts = rest.split("_", 2)
+            if len(parts) < 3:
+                break
+            index, comp, rest = parts
+            comps.append(f"({index}) {comp}")
+        return _LABELS.get(rest, rest).format(*comps)
+    return trace_name
+
+
+def _sersic_sb_eff_host(flux, index, reff, reff_b):
+    """Host-side surface brightness at r_e (for the sbeff derived trace)."""
+    import scipy.special as sp
+
+    kappa = sp.gammaincinv(2 * index, 0.5)
+    return flux / (
+        np.pi
+        * reff
+        * reff_b
+        * 2
+        * index
+        * np.exp(kappa + np.log(kappa) * -2 * index)
+        * sp.gamma(2 * index)
+    )
+
+
+def _get_trace(trace_name, db, model=None):
+    """Trace array (N, D) for a column or derived quantity.
+
+    Derived names (reference plotting.py:60-109):
+    ``<c1>_<c2>_magdiff``, ``<c1>_<c2>_centerdist``,
+    ``<n>_Sersic_axisratio``, ``<n>_Sersic_sbeff``.
+    """
+    name_comps = trace_name.split("_")
+    try:
+        if "magdiff" in name_comps:
+            key1 = "_".join(name_comps[0:2] + ["mag"])
+            key2 = "_".join(name_comps[2:4] + ["mag"])
+            trace = np.asarray(db[key1]) - np.asarray(db[key2])
+        elif "centerdist" in name_comps:
+            key1 = "_".join(name_comps[0:2] + ["xy"])
+            key2 = "_".join(name_comps[2:4] + ["xy"])
+            cdiff = np.asarray(db[key1]) - np.asarray(db[key2])
+            trace = np.sqrt(np.sum(cdiff**2, axis=1))
+        elif "axisratio" in name_comps:
+            prefix = "_".join(name_comps[0:2] + [""])
+            trace = np.asarray(db[prefix + "reff_b"]) / np.asarray(
+                db[prefix + "reff"]
+            )
+        elif "sbeff" in name_comps:
+            prefix = "_".join(name_comps[0:2] + [""])
+            flux = mag_to_flux(np.asarray(db[prefix + "mag"]), 0)
+            trace = _sersic_sb_eff_host(
+                flux,
+                np.asarray(db[prefix + "index"]),
+                np.asarray(db[prefix + "reff"]),
+                np.asarray(db[prefix + "reff_b"]),
+            )
+            if model is not None and model.obs_header is not None:
+                wcs = MiniWCS(model.obs_header)
+                px_area = proj_plane_pixel_area(wcs) * 3600**2
+                trace = trace / px_area
+            trace = -2.5 * np.log10(trace)
+        else:
+            trace = np.asarray(db[trace_name])
+    except KeyError as err:
+        raise KeyError(
+            f"Unable to find trace {trace_name}. Available traces are "
+            f"{db.colnames} or magdiff, centerdist, axisratio, sbeff"
+        ) from err
+
+    trace = np.asarray(trace, dtype=np.float64)
+    if trace.ndim == 1:
+        trace = trace[:, None]
+    return trace
+
+
+def _load_db_and_model(db_file, model_file):
+    """(display name, db Table, model or None) from filenames."""
+    disp_name, _ext = os.path.splitext(os.path.basename(db_file))
+    db = load_database(db_file)
+    model = None
+    if model_file is not None:
+        from ..models.multicomponent import MultiComponentModel
+
+        try:
+            model = MultiComponentModel(model_file)
+        except IOError:
+            print(
+                f"Unable to find model file {model_file}. Priors will not "
+                "be plotted."
+            )
+    return disp_name, db, model
+
+
+def plot_trace(trace_name, db, model=None, save=False):
+    """Per-walker value-vs-sample trace plot with marginal histogram."""
+    import matplotlib.pyplot as pp
+    from matplotlib.ticker import MaxNLocator
+    from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+    disp_name, db, model = _load_db_and_model(db, model)
+
+    fig = pp.figure()
+    ax_trace = pp.subplot(111)
+    divider = make_axes_locatable(ax_trace)
+    ax_hist = divider.append_axes("right", size=1.2, pad=0.1, sharey=ax_trace)
+    ax_hist.get_xaxis().set_major_locator(MaxNLocator(nbins=3, integer=True))
+    pp.setp(ax_hist.get_yticklabels(), visible=False)
+    ax_hist.get_xaxis().tick_top()
+
+    best_row = int(np.argmax(db["lnprobability"]))
+    trace = _get_trace(trace_name, db, model=model)
+    walkers = np.asarray(db["walker"])
+    n_walkers = int(walkers.max()) + 1
+    n_samples = trace.shape[0] // n_walkers
+
+    for col in range(trace.shape[1]):
+        for walker in range(n_walkers):
+            walker_trace = trace[:, col][walkers == walker]
+            ax_trace.plot(
+                np.arange(len(walker_trace)),
+                walker_trace,
+                color="black",
+                alpha=0.3,
+                lw=0.5,
+            )
+        ax_hist.hist(
+            trace[:, col], bins=20, histtype="step", orientation="horizontal"
+        )
+        ax_hist.axhline(trace[best_row, col], color="Orange", lw=2)
+
+    ax_trace.set_xlabel("Sample")
+    ax_trace.set_ylabel(_axis_label(trace_name))
+    fig.suptitle(disp_name)
+    _show_or_save(fig, save, f"{disp_name}_{trace_name}_trace.pdf")
+    return n_samples
+
+
+def plot_hist(trace_name, db, model=None, save=False):
+    """Histogram of a traced quantity, with optional prior overlay."""
+    import matplotlib.pyplot as pp
+    from matplotlib.transforms import blended_transform_factory
+
+    disp_name, db, model = _load_db_and_model(db, model)
+
+    fig = pp.figure()
+    ax = fig.add_subplot(111)
+
+    trace = _get_trace(trace_name, db, model=model)
+    best_row = int(np.argmax(db["lnprobability"]))
+    for col in range(trace.shape[1]):
+        ax.hist(trace[:, col], bins=20, histtype="step", lw=2)
+        ax.axvline(trace[best_row, col], lw=2, ls="dashed")
+
+    fig.suptitle(disp_name)
+    ax.set_xlabel(_axis_label(trace_name))
+    ax.set_ylabel("Number of Samples")
+
+    prior = model.get_distribution(trace_name) if model is not None else None
+    if prior is not None:
+        min_xs, max_xs = prior.interval(0.99)
+        min_xs = np.atleast_1d(min_xs).astype(float)
+        max_xs = np.atleast_1d(max_xs).astype(float)
+        span = max_xs - min_xs
+        min_xs = min_xs - 0.01 * span
+        max_xs = max_xs + 0.01 * span
+        prior_x = np.column_stack(
+            [
+                np.linspace(lo, hi, 100)
+                for lo, hi in zip(min_xs, max_xs)
+            ]
+        )
+        prior_xform = blended_transform_factory(ax.transData, ax.transAxes)
+        ax.plot(
+            prior_x,
+            np.exp(prior.logp(prior_x)),
+            lw=1,
+            color="black",
+            zorder=-1,
+            transform=prior_xform,
+        )
+
+    _show_or_save(fig, save, f"{disp_name}_{trace_name}_hist.pdf")
+
+
+def plot_autocorr(trace_name, db, save=False):
+    """Autocorrelation vs lag, per walker + walker average, with n_eff."""
+    import matplotlib.pyplot as pp
+
+    disp_name, db, _model = _load_db_and_model(db, None)
+
+    trace = _get_trace(trace_name, db)
+    walkers = np.asarray(db["walker"])
+    n_walkers = int(walkers.max()) + 1
+    n_samples = trace.shape[0] // n_walkers
+
+    for col in range(trace.shape[1]):
+        fig = pp.figure()
+        ax = fig.add_subplot(111)
+
+        trace_walkers = trace[:, col].reshape((n_walkers, n_samples)).T
+        lags = np.arange(n_samples)
+        acorr_all = _autocorr.function(trace_walkers, axis=0)
+        trace_avg = np.mean(trace_walkers, axis=1)
+        acorr_avg = _autocorr.function(trace_avg)
+        try:
+            tau = float(np.max(_autocorr.integrated_time(trace_avg, c=1)))
+            eff_samples = n_samples / tau
+            neff_label = f"$n_{{eff}}$ = {eff_samples:0.1f}"
+        except _autocorr.AutocorrError:
+            neff_label = "$n_{eff}$ unavailable"
+
+        maxlag = int(np.argmin(acorr_avg > 0)) or n_samples
+
+        for walk in range(n_walkers):
+            ax.plot(
+                lags,
+                acorr_all[:, walk],
+                ls="solid",
+                lw=1,
+                color="black",
+                alpha=0.3,
+                drawstyle="steps-mid",
+            )
+        ax.plot(lags, acorr_avg, ls="solid", lw=2, drawstyle="steps-mid")
+
+        trace_label = trace_name
+        if "xy" in trace_label:
+            trace_label = trace_label.replace("xy", "xy"[col])
+        fig.suptitle(" ".join([disp_name, _axis_label(trace_label)]))
+        ax.set_xlim(0, maxlag * 1.01)
+        ax.axhline(0.0, color="black")
+        ax.set_xlabel("Lag Length (Samples)")
+        ax.set_ylabel("Autocorrelation (Normalized)")
+        ax.text(
+            0.95,
+            0.95,
+            neff_label,
+            va="top",
+            ha="right",
+            transform=ax.transAxes,
+        )
+        _show_or_save(fig, save, f"{disp_name}_{trace_name}_acorr.pdf")
+
+
+def corner_plot(
+    database,
+    disp_parameters=None,
+    save=False,
+    skip_zero_variance=True,
+    filter_walkers=10,
+    **kwargs,
+):
+    """Corner plot of sampled parameters (reference plotting.py:307-380)."""
+    import matplotlib.pyplot as pp
+
+    disp_name, db, _model = _load_db_and_model(database, None)
+    if filter_walkers is not None:
+        db = filter_lowp_walkers(db, filter_walkers)
+
+    available = db.colnames
+    if disp_parameters is None:
+        display_cols = [
+            c for c in available if c not in ("lnprobability", "walker",
+                                              "sample")
+        ]
+    else:
+        missing = set(disp_parameters) - set(available)
+        if missing:
+            raise ValueError(f"Unable to find trace(s) named: {missing}")
+        display_cols = list(disp_parameters)
+
+    traces = [_get_trace(name, db) for name in display_cols]
+    flat = np.column_stack(traces)
+
+    labels = list(display_cols)
+    xy_inds = [i for i, lab in enumerate(labels) if "xy" in lab]
+    for ind in reversed(xy_inds):
+        label = labels[ind]
+        labels[ind] = label.replace("xy", "y")
+        labels.insert(ind, label.replace("xy", "x"))
+    labels = [_axis_label(lab) for lab in labels]
+
+    if skip_zero_variance:
+        col_vars = np.var(flat, axis=0)
+        keep = np.where(col_vars != 0)[0]
+        removed = [labels[i] for i in range(flat.shape[1]) if i not in keep]
+        flat = flat[:, keep]
+        labels = [labels[i] for i in keep]
+        if removed:
+            warn(
+                "The following traces had zero variance and will not be "
+                f"displayed: {removed}"
+            )
+
+    fig = _corner(
+        flat,
+        labels=labels,
+        max_n_ticks=3,
+        range=[0.99] * len(labels),
+        label_kwargs={"fontsize": "small"},
+        **kwargs,
+    )
+    _show_or_save(fig, save, f"{disp_name}_corner.pdf")
+
+
+def _show_or_save(fig, save, filename):
+    import matplotlib.pyplot as pp
+
+    if save:
+        fig.savefig(filename)
+    else:  # pragma: no cover - interactive
+        pp.show()
+    pp.close(fig)

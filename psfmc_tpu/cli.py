@@ -1,0 +1,131 @@
+"""Command-line drivers: plot_chain and corner_plot.
+
+These back both the installed console scripts (pyproject [project.scripts])
+and the executable files in ``scripts/`` — capability parity with the
+reference's two CLI tools (reference scripts/plot_chain, scripts/corner_plot).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from ast import literal_eval
+from difflib import SequenceMatcher
+
+PLOT_CHAIN_DOC = """
+Generate diagnostic plots from psfmc_tpu trace databases. Requires (at
+least) the name of a traced variable from the model to plot.
+
+Modes:
+  hist (default) - histograms of all chains in the database; if a model
+      file with a similar name sits next to the database, priors are
+      overplotted.
+  trace - value vs. sample index plots (assess burn-in length).
+  autocorr - autocorrelation vs. lag plots with effective-sample counts.
+  save - write pdf files instead of opening windows.
+
+Derived trace names (components given as <index>_<type>):
+  <comp1>_<comp2>_magdiff     magnitude difference of two components
+  <comp1>_<comp2>_centerdist  Euclidean distance (pixels) between centers
+  <n>_Sersic_axisratio        semi-minor/semi-major axis ratio
+  <n>_Sersic_sbeff            surface brightness at reff (mag/arcsec^2)
+
+Examples:
+  plot_chain 1_PointSource_mag mydb.fits
+  plot_chain 1_PointSource_2_Sersic_magdiff trace *db.fits
+  plot_chain 2_Sersic_index autocorr save
+"""
+
+CORNER_PLOT_DOC = """
+Generate a corner plot showing covariances in the posterior distribution
+of a psfmc_tpu model. A comma-separated list of trace names selects the
+displayed parameters. The argument "save" writes pdfs instead of opening
+windows. All other arguments are trace database filenames.
+
+Examples:
+  corner_plot 1_PS_mag,2_Sersic_mag,2_Sersic_reff database.fits
+  corner_plot save *.fits
+"""
+
+
+def plot_chain_main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 2:
+        print(PLOT_CHAIN_DOC)
+        return 0
+
+    args = argv[1:]
+    mode = "hist"
+    for check_mode in ("hist", "chain", "trace", "autocorr"):
+        if check_mode in args:
+            args.remove(check_mode)
+            mode = check_mode
+    save = "save" in args
+    if save:
+        args.remove("save")
+        import matplotlib
+
+        matplotlib.use("Agg")
+
+    trace_name = args[0]
+    db_names = args[1:] or glob.glob("*db.fits")
+
+    from .analysis import plot_autocorr, plot_hist, plot_trace
+
+    for db_name in db_names:
+        # fuzzy-match the most similarly named model .py next to the db
+        db_dir = os.path.dirname(db_name)
+        py_files = sorted(
+            glob.glob(os.path.join(db_dir, "*.py")),
+            key=lambda x: SequenceMatcher(a=db_name, b=x).ratio(),
+        )
+        model_name = py_files[-1] if py_files else None
+
+        if mode == "hist":
+            if model_name is not None:
+                print(
+                    f"Found matching model file {model_name} for database "
+                    f"{db_name}"
+                )
+            plot_hist(trace_name, db_name, model=model_name, save=save)
+        elif mode in ("chain", "trace"):
+            plot_trace(trace_name, db_name, model=model_name, save=save)
+        elif mode == "autocorr":
+            plot_autocorr(trace_name, db_name, save=save)
+    return 0
+
+
+def corner_plot_main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 2:
+        print(CORNER_PLOT_DOC)
+        return 0
+
+    args = argv[1:]
+    save = "save" in args
+    if save:
+        args.remove("save")
+        import matplotlib
+
+        matplotlib.use("Agg")
+
+    from .analysis import corner_plot
+
+    disp_params = None
+    for cl_arg in [a for a in list(args) if "," in a]:
+        args.remove(cl_arg)
+        wrapped = "[" + cl_arg + "]"
+        try:
+            parsed = literal_eval(wrapped)
+        except (SyntaxError, ValueError):
+            quoted = (
+                wrapped.replace(",", "','")
+                .replace("[", "['")
+                .replace("]", "']")
+            )
+            parsed = [p for p in literal_eval(quoted) if p != ""]
+        disp_params = list(parsed)
+
+    for db_name in args:
+        corner_plot(db_name, disp_parameters=disp_params, save=save)
+    return 0

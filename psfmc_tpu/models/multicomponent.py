@@ -1,0 +1,289 @@
+"""MultiComponentModel: the user-facing composite model.
+
+API parity with the reference class (reference models.py:16-306):
+construction from a component list or model file, parameter-vector
+get/set, joint priors, posterior evaluation, the five image synthesis
+methods, prior-based walker initialization, and posterior-image
+running-mean accumulation.
+
+TPU-first split: the class is a thin host facade over
+
+* a static :class:`ModelSpec` (parameter layout + device constants),
+* :class:`PosteriorFns` — the pure jitted posterior / render programs
+  that the ensemble sampler vmaps over walkers.
+
+Host-side image methods evaluate the jitted renderer at the current
+parameter vector (used by analysis replay); the sampling hot path never
+touches this object.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .components import ComponentBase, Configuration
+from .posterior import (
+    IMAGE_TYPES,
+    build_posterior,
+    carry_to_reference_images,
+)
+from .spec import build_model_spec
+
+__all__ = ["MultiComponentModel"]
+
+
+class MultiComponentModel:
+    """Composite 2D surface-brightness model over a component list.
+
+    :param components: list of Component objects (including a
+        Configuration), or the filename of a model-definition file.
+    :param dtype: device compute dtype (float32 on TPU).
+    """
+
+    def __init__(self, components, dtype=jnp.float32):
+        if isinstance(components, str):
+            from ..model_parser import component_list_from_file
+
+            try:
+                components = component_list_from_file(components)
+            except IOError as err:
+                raise IOError(
+                    f"Unable to open model file {components}. Does it exist?"
+                ) from err
+
+        configs = [c for c in components if isinstance(c, Configuration)]
+        if not configs:
+            raise ValueError(
+                "Unable to find the Configuration component, required "
+                "for setting up input images."
+            )
+        self.config = configs[0]
+
+        self.spec = build_model_spec(list(components), config=self.config)
+        self.posterior_fns = build_posterior(self.spec, dtype=dtype)
+
+        # Component list in canonical order (file order + PSFSelector last)
+        comp_order: List[ComponentBase] = [
+            c for c in components if not isinstance(c, Configuration)
+        ]
+        comp_order.append(self.config.psf_selector)
+        self.components = comp_order
+        self.obs_header = self.config.obs_header
+
+        from .components import PointSource as _PS
+
+        self.psf_comps = [c for c in comp_order if isinstance(c, _PS)]
+
+        self._param_vector = np.zeros(self.num_params)
+        self.posterior_images: Dict[str, np.ndarray] = {}
+        self.accumulated_samples = 0
+        self.reset_images()
+
+        self._render_jit = jax.jit(self.posterior_fns.render_images)
+        self._render_batch_jit = jax.jit(
+            jax.vmap(self.posterior_fns.render_images)
+        )
+        self._lnpost_imgs_jit = jax.jit(
+            self.posterior_fns.log_posterior_and_images
+        )
+
+    # ------------------------------------------------------------------
+    # Parameter-vector plumbing (reference models.py:132-185)
+    # ------------------------------------------------------------------
+    @property
+    def num_params(self) -> int:
+        return self.spec.num_params
+
+    @property
+    def param_names(self) -> List[str]:
+        return list(self.spec.param_names)
+
+    @property
+    def param_fits_abbrs(self) -> List[str]:
+        return list(self.spec.param_fits_abbrs)
+
+    @property
+    def param_lens(self) -> List[int]:
+        return list(self.spec.param_lens)
+
+    @property
+    def param_values(self):
+        """Current values of all parameters, as a dict (debug aid)."""
+        split_indexes = np.cumsum(self.param_lens)[:-1]
+        split_values = np.split(self._param_vector, split_indexes)
+        return dict(zip(self.param_names, split_values))
+
+    @param_values.setter
+    def param_values(self, value_vector):
+        value_vector = np.asarray(value_vector, dtype=np.float64).ravel()
+        if value_vector.size != self.num_params:
+            raise ValueError(
+                f"Expected {self.num_params} parameters, got {value_vector.size}"
+            )
+        self._param_vector = value_vector
+        start = 0
+        for comp in self.components:
+            n = comp.num_stochastics()
+            comp.set_stochastic_values(value_vector[start : start + n])
+            start += n
+
+    def get_distribution(self, param_name):
+        for comp in self.components:
+            try:
+                return comp.get_distribution(param_name)
+            except KeyError:
+                pass
+        return None
+
+    # ------------------------------------------------------------------
+    # Priors and posterior
+    # ------------------------------------------------------------------
+    def log_priors(self) -> float:
+        """Joint log-prior at the current (host) parameter values."""
+        return float(np.sum([comp.log_priors() for comp in self.components]))
+
+    def log_posterior(self, param_values, **kwargs):
+        """Posterior at a parameter vector; returns (lnp, image dict).
+
+        Signature-compatible with the reference static method
+        (models.py:193-243) — a ``model=`` kwarg is accepted and ignored
+        (the model is ``self``).  For the device-side batched path use
+        ``self.posterior_fns.log_posterior`` directly.
+        """
+        kwargs.pop("model", None)
+        theta = jnp.asarray(np.asarray(param_values, dtype=np.float64))
+        lnp, imgs = self._lnpost_imgs_jit(theta)
+        self.param_values = np.asarray(param_values, dtype=np.float64)
+        obs = self.posterior_fns.constants["obs_data"]
+        ref_imgs = carry_to_reference_images(imgs, obs)
+        return float(lnp), {k: np.asarray(v) for k, v in ref_imgs.items()}
+
+    # ------------------------------------------------------------------
+    # Walker initialization (reference models.py:108-130)
+    # ------------------------------------------------------------------
+    def init_params_from_priors(self, nwalkers, random_state=None,
+                                max_tries=1000):
+        """Draw walker starting positions from the priors.
+
+        Per component, draws are rejected until the joint component
+        prior is finite (e.g. the Sersic ``reff >= reff_b`` constraint),
+        with a bounded retry count instead of the reference's possible
+        infinite loop.
+        """
+        if random_state is None:
+            random_state = np.random.RandomState()
+        initial = np.zeros((nwalkers, self.num_params))
+        for walker in range(nwalkers):
+            vec = []
+            for comp in self.components:
+                for _try in range(max_tries):
+                    comp_vals = comp.set_stochastic_values(
+                        "random", random_state=random_state
+                    )
+                    if np.isfinite(comp.log_priors()):
+                        break
+                else:
+                    raise RuntimeError(
+                        f"Could not draw valid prior sample for "
+                        f"{type(comp).__name__} after {max_tries} tries"
+                    )
+                vec.append(np.ravel(comp_vals))
+            initial[walker] = (
+                np.concatenate(vec) if vec else np.array([])
+            )
+        return initial
+
+    # ------------------------------------------------------------------
+    # Image synthesis at the current parameter vector
+    # (reference models.py:245-306)
+    # ------------------------------------------------------------------
+    def _current_images(self):
+        theta = jnp.asarray(self._param_vector)
+        return {
+            k: np.asarray(v) for k, v in self._render_jit(theta).items()
+        }
+
+    def raw_model(self):
+        """Raw model image (before PSF convolution)."""
+        return self._current_images()["raw_model"]
+
+    def convolved_model(self, raw_px=None):
+        """PSF-convolved model image."""
+        return self._current_images()["convolved_model"]
+
+    def composite_ivm(self, raw_px=None):
+        """Composite inverse-variance map (data + convolved model^2)."""
+        return self._current_images()["composite_ivm"]
+
+    def residual(self, convolved_px=None, raw_px=None):
+        """Residual image: data - convolved model."""
+        return self._current_images()["residual"]
+
+    def point_source_subtracted(self):
+        """Data minus the convolved point-source components only."""
+        return self._current_images()["point_source_subtracted"]
+
+    def render_images_batch(self, thetas):
+        """Batched renderer: (n, num_params) -> dict of (n, H, W) images.
+
+        TPU-first replacement for the reference's per-row posterior
+        replay loop (reference images.py:74-83).
+        """
+        thetas = jnp.asarray(np.asarray(thetas, dtype=np.float64))
+        return {
+            k: np.asarray(v)
+            for k, v in self._render_batch_jit(thetas).items()
+        }
+
+    # ------------------------------------------------------------------
+    # Posterior-image accumulation (reference models.py:61-97)
+    # ------------------------------------------------------------------
+    def reset_images(self):
+        shape = self.spec.shape
+        self.accumulated_samples = 0
+        self.posterior_images = {
+            img_type: np.ones(shape, dtype=np.float64)
+            for img_type in IMAGE_TYPES
+        }
+
+    def accumulate_images(self, sample_images):
+        """Accumulate running per-pixel means from a list of image dicts.
+
+        ``composite_ivm`` entries are averaged in variance space then
+        re-inverted (reference models.py:74-97).
+        """
+        post = self.posterior_images
+        post["composite_ivm"] = 1.0 / post["composite_ivm"]
+        for img_dict in sample_images:
+            self.accumulated_samples += 1
+            n = self.accumulated_samples
+            for img_type, img in img_dict.items():
+                img = np.asarray(img, dtype=np.float64)
+                if img_type == "composite_ivm":
+                    img = 1.0 / img
+                post[img_type] = post[img_type] * (n - 1) / n + img / n
+        post["composite_ivm"] = 1.0 / post["composite_ivm"]
+
+    def set_accumulated_from_sampler(self, sampler):
+        """Adopt the on-device running means from an EnsembleSampler.
+
+        Maps the sampler's independent carry basis (raw, conv, var,
+        ps_conv) to the five reference image types, exactly preserving
+        the reference's averaging semantics (IVM averaged as variance).
+        """
+        accum = sampler.accumulated_images
+        if accum is None or sampler.accumulated_samples == 0:
+            return
+        obs = np.asarray(self.spec.obs_data)
+        self.posterior_images = {
+            "raw_model": accum["raw"].astype(np.float64),
+            "convolved_model": accum["conv"].astype(np.float64),
+            "residual": obs - accum["conv"],
+            "composite_ivm": 1.0 / accum["var"].astype(np.float64),
+            "point_source_subtracted": obs - accum["ps_conv"],
+        }
+        self.accumulated_samples = sampler.accumulated_samples

@@ -39,10 +39,15 @@ def pad_and_rfft_image(img, newshape):
         raise NotImplementedError(
             "PSF images larger than observation images are not supported"
         )
+    # Place the kernel center (m//2) on the ifftshift origin (N//2).
+    # Identical to the reference's pad//2 offset when both sizes are even
+    # (the supported HST case); fixes the one-pixel shift the reference
+    # exhibits for odd sizes (its acknowledged FIXME at models.py:276).
+    off = [n // 2 - m // 2 for n, m in zip(newshape, img.shape)]
     img_pad = np.zeros(tuple(newshape), dtype=img.dtype)
     img_pad[
-        pad[0] // 2 : pad[0] // 2 + img.shape[0],
-        pad[1] // 2 : pad[1] // 2 + img.shape[1],
+        off[0] : off[0] + img.shape[0],
+        off[1] : off[1] + img.shape[1],
     ] = img
     return np.fft.rfft2(img_pad)
 

@@ -1,0 +1,63 @@
+"""Walker-ensemble sharding over a TPU device mesh.
+
+The natural parallel axis of this workload is the walker ensemble
+(SURVEY.md section 2, "parallelism inventory"): each ensemble half-step
+evaluates the posterior independently per walker, so we shard the walker
+axis of positions / log-probabilities / per-walker images over a 1-D
+mesh.  The only cross-device dependency is the stretch move's partner
+gather from the complementary half-ensemble — positions are a tiny
+(nwalkers, dim) array, so XLA lowers the gather to one small all-gather
+over ICI per half-step while the expensive batched renders and FFTs stay
+fully sharded.  Posterior-image accumulators reduce over walkers
+(``psum`` inserted by XLA at the accumulation step).
+
+Usage::
+
+    mesh = walker_mesh()                    # all local devices
+    sharding = walker_sharding(mesh)
+    sampler = EnsembleSampler(..., sharding=sharding)
+
+or pass ``mesh=`` to ``model_galaxy_mcmc``.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = [
+    "walker_mesh",
+    "walker_sharding",
+    "shard_walkers",
+    "pad_walkers_to_mesh",
+]
+
+WALKER_AXIS = "walkers"
+
+
+def walker_mesh(devices=None):
+    """1-D mesh over all (or the given) devices, axis name 'walkers'."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (WALKER_AXIS,))
+
+
+def walker_sharding(mesh: Mesh) -> NamedSharding:
+    """NamedSharding that splits the leading (walker) axis over the mesh."""
+    return NamedSharding(mesh, PartitionSpec(WALKER_AXIS))
+
+
+def shard_walkers(arr, mesh: Mesh):
+    """Place an array with leading walker axis onto the mesh."""
+    return jax.device_put(arr, walker_sharding(mesh))
+
+
+def pad_walkers_to_mesh(nwalkers: int, mesh: Mesh) -> int:
+    """Smallest even walker count >= nwalkers divisible by 2*mesh size.
+
+    Half-ensemble updates split the ensemble in two; each half must
+    shard evenly over the mesh.
+    """
+    ndev = mesh.devices.size
+    quantum = 2 * ndev
+    return int(np.ceil(nwalkers / quantum) * quantum)

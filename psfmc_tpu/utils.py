@@ -1,0 +1,40 @@
+"""Utility re-exports + progress printing (reference utils.py surface).
+
+The numeric kernels live in :mod:`psfmc_tpu.ops` and IO preprocessing in
+:mod:`psfmc_tpu.io.preprocess`; this module re-exports them under the
+reference's flat ``utils`` namespace for API familiarity.
+"""
+from __future__ import annotations
+
+from .io.preprocess import (  # noqa: F401
+    calculate_psf_variability,
+    mask_from_file,
+    norm_psf,
+    pre_fft_psf,
+    preprocess_obs,
+    preprocess_psf,
+)
+from .ops.coords import array_coords, mag_to_flux  # noqa: F401
+from .ops.fourier import convolve, pad_and_rfft_image  # noqa: F401
+
+__all__ = [
+    "calculate_psf_variability",
+    "mask_from_file",
+    "norm_psf",
+    "pre_fft_psf",
+    "preprocess_obs",
+    "preprocess_psf",
+    "array_coords",
+    "mag_to_flux",
+    "convolve",
+    "pad_and_rfft_image",
+    "print_progress",
+]
+
+
+def print_progress(sample, max_samples, stage="Burning"):
+    """Percent progress printer (reference utils.py:167-171)."""
+    next_pct = 100 * (sample + 1) // max_samples
+    curr_pct = 100 * sample // max_samples
+    if next_pct - curr_pct > 0:
+        print(f"{stage}: {next_pct:d}%")

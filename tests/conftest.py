@@ -1,0 +1,42 @@
+"""Test harness config: force CPU backend with an 8-device virtual mesh.
+
+Must run before any jax backend initialization.  Note: on this image a
+sitecustomize pre-registers a TPU PJRT plugin and shell-level
+JAX_PLATFORMS is overridden, so the platform is pinned via jax.config.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare against scipy in double precision; the device
+# compute path pins float32 explicitly regardless of this flag.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference data not available")
+    return REFERENCE_DIR
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(1234)
+
+
+@pytest.fixture(scope="session")
+def gaussian_psf():
+    yy, xx = np.mgrid[0:32, 0:32].astype(float)
+    psf = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * 1.5**2))
+    return psf / psf.sum()

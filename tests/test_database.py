@@ -1,0 +1,114 @@
+"""Trace database round-trip, walker filter, checkpoint/resume state."""
+import numpy as np
+import pytest
+
+from psfmc_tpu.database import (
+    annotate_metadata,
+    filter_lowp_walkers,
+    get_sampler_state,
+    load_checkpoint,
+    load_database,
+    row_to_param_vector,
+    save_database,
+)
+from psfmc_tpu.io.table import Table
+
+
+class FakeModel:
+    param_names = ["0_Sky_adu", "1_PointSource_xy", "1_PointSource_mag"]
+    param_lens = [1, 2, 1]
+
+
+class FakeState:
+    def __init__(self, nwalkers, dim, rng):
+        import jax.numpy as jnp
+
+        self.positions = jnp.asarray(rng.randn(nwalkers, dim))
+        self.log_prob = jnp.asarray(rng.randn(nwalkers))
+        self.naccept = jnp.asarray(rng.randint(0, 50, nwalkers))
+        import jax
+
+        self.key = jax.random.PRNGKey(99)
+
+
+class FakeSampler:
+    def __init__(self, nwalkers=6, niter=20, dim=4, seed=0):
+        rng = np.random.RandomState(seed)
+        self.chain = rng.randn(nwalkers, niter, dim)
+        self.lnprobability = rng.randn(nwalkers, niter)
+        self.state = FakeState(nwalkers, dim, rng)
+
+
+def test_save_load_roundtrip(tmp_path):
+    sampler = FakeSampler()
+    path = str(tmp_path / "db.fits")
+    db = save_database(sampler, FakeModel(), path, meta_dict={"MCITER": 20})
+    assert len(db) == 6 * 20
+    assert db.colnames == [
+        "0_Sky_adu",
+        "1_PointSource_xy",
+        "1_PointSource_mag",
+        "lnprobability",
+        "walker",
+        "sample",
+    ]
+    # walker-major row order; sample column tiles (reference bug fixed)
+    assert np.array_equal(db["walker"][:21], [0] * 20 + [1])
+    assert np.array_equal(db["sample"][:21], list(range(20)) + [0])
+    # chain values survive, row 0 of walker 1 = chain[1, 0]
+    row = db[20]
+    vec = row_to_param_vector(row[:3])
+    assert np.allclose(vec, sampler.chain[1, 0])
+    # MAP indices recorded
+    best = np.unravel_index(
+        np.argmax(sampler.lnprobability), sampler.lnprobability.shape
+    )
+    assert db.meta["MAPWLKR"] == best[0]
+    assert db.meta["MAPSAMP"] == best[1]
+
+
+def test_get_sampler_state(tmp_path):
+    sampler = FakeSampler()
+    path = str(tmp_path / "db.fits")
+    save_database(sampler, FakeModel(), path)
+    db = load_database(path)
+    pos, lnp = get_sampler_state(db)
+    assert pos.shape == (6, 4)
+    assert np.allclose(pos, sampler.chain[:, -1, :])
+    assert np.allclose(lnp, sampler.lnprobability[:, -1])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    sampler = FakeSampler()
+    path = str(tmp_path / "db.fits")
+    save_database(sampler, FakeModel(), path)
+    ckpt = load_checkpoint(path)
+    assert ckpt is not None
+    positions, lnp, naccept, key = ckpt
+    assert np.allclose(positions, np.asarray(sampler.state.positions))
+    assert np.allclose(lnp, np.asarray(sampler.state.log_prob))
+    assert np.array_equal(naccept, np.asarray(sampler.state.naccept))
+    assert np.array_equal(key, np.asarray(sampler.state.key))
+
+
+def test_filter_lowp_walkers():
+    nwalkers, niter = 10, 50
+    rng = np.random.RandomState(0)
+    lnp = rng.randn(nwalkers, niter)
+    lnp[3] -= 100  # stuck walker, all samples terrible
+    db = Table(
+        {
+            "x": rng.randn(nwalkers * niter),
+            "lnprobability": lnp.reshape(-1),
+            "walker": np.repeat(np.arange(nwalkers), niter),
+        }
+    )
+    filtered = filter_lowp_walkers(db, percentile=10)
+    assert 3 not in np.unique(filtered["walker"])
+    assert len(filtered) == 9 * niter
+
+
+def test_annotate_metadata():
+    meta = annotate_metadata({"MCITER": 100, "CUSTOM": 1.5})
+    assert meta["MCITER"] == (100, "number of retained samples")
+    assert meta["CUSTOM"][1] == "psfMC model parameter"

@@ -1,0 +1,88 @@
+"""FITS codec + Table tests, including reads of real reference files."""
+import os
+
+import numpy as np
+import pytest
+
+from psfmc_tpu.io import fits
+from psfmc_tpu.io.table import Table
+
+
+def test_image_roundtrip(tmp_path):
+    img = np.arange(35 * 21, dtype=np.float32).reshape(35, 21) / 7.0
+    hdr = fits.Header()
+    hdr.set("OBJECT", "x'y", "quoted string")
+    hdr.set("MAGZPT", 25.9463)
+    hdr.set("NITER", 12345)
+    hdr.set("CONVRG", True)
+    hdr.append(("COMMENT", "a comment card"))
+    path = str(tmp_path / "img.fits")
+    fits.writeto(path, img, header=hdr)
+
+    out = fits.getdata(path)
+    h2 = fits.getheader(path)
+    assert np.array_equal(out, img)
+    assert h2["OBJECT"] == "x'y"
+    assert h2["MAGZPT"] == pytest.approx(25.9463, abs=1e-12)
+    assert h2["NITER"] == 12345
+    assert h2["CONVRG"] is True
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.int32, np.float64])
+def test_image_dtypes(tmp_path, dtype):
+    img = (np.arange(64).reshape(8, 8) % 100).astype(dtype)
+    path = str(tmp_path / "d.fits")
+    fits.writeto(path, img)
+    out = fits.getdata(path)
+    assert np.array_equal(out, img)
+
+
+def test_read_reference_images(reference_dir):
+    sci = fits.getdata(os.path.join(reference_dir, "examples/sci_J0005-0006.fits"))
+    assert sci.shape == (128, 128)
+    assert sci.dtype == np.float32
+    psf = fits.getdata(os.path.join(reference_dir, "examples/sci_psf.fits"))
+    assert psf.shape == (64, 64)
+
+
+def test_read_gzipped_fits(reference_dir):
+    path = os.path.join(reference_dir, "tests/gfsim_n4.0.fits.gz")
+    data = fits.getdata(path)
+    hdr = fits.getheader(path)
+    assert data.shape == (128, 128)
+    assert hdr["MAGZPT"] == pytest.approx(26.2303)
+    # GALFIT result cards are strings like '6.3000 +/- 0.0000'
+    assert "+/-" in hdr["1_RE"]
+
+
+def test_table_roundtrip(tmp_path):
+    n = 50
+    tbl = Table(
+        {
+            "scalar": np.linspace(0, 1, n),
+            "vec": np.arange(2 * n, dtype=np.float64).reshape(n, 2),
+            "ints": np.arange(n),
+            "flag": np.arange(n) % 2 == 0,
+        },
+        meta={"MCITER": (n, "iterations"), "MCACCEPT": 0.25},
+    )
+    path = str(tmp_path / "t.fits")
+    tbl.write(path)
+    t2 = Table.read(path)
+    assert t2.colnames == tbl.colnames
+    assert np.allclose(t2["scalar"], tbl["scalar"])
+    assert np.allclose(t2["vec"], tbl["vec"])
+    assert np.array_equal(t2["ints"], tbl["ints"])
+    assert np.array_equal(t2["flag"], tbl["flag"])
+    assert t2.meta["MCITER"] == n
+    assert t2.meta["MCACCEPT"] == pytest.approx(0.25)
+
+
+def test_table_row_ops():
+    tbl = Table({"a": np.arange(10.0), "b": np.arange(10) % 3})
+    filtered = tbl[tbl["b"] > 0]
+    assert len(filtered) == 6
+    sub = tbl[["a"]]
+    assert sub.colnames == ["a"]
+    rows = list(sub)
+    assert rows[3] == (3.0,)

@@ -1,0 +1,130 @@
+"""End-to-end driver test: model file -> MCMC fit -> DB + image products."""
+import os
+
+import numpy as np
+import pytest
+
+from psfmc_tpu import load_database, model_galaxy_mcmc
+from psfmc_tpu.io import fits
+
+MODEL_TEMPLATE = """
+from numpy import array
+from psfMC.ModelComponents import Configuration, Sky, PointSource
+from psfMC.distributions import Normal, Uniform
+
+Configuration(obs_file='sci.fits', obsivm_file='ivm.fits',
+              psf_files='psf.fits', psfivm_files='psf_ivm.fits',
+              mag_zeropoint=25.0)
+Sky(adu=Normal(loc=0.02, scale=0.01))
+PointSource(xy=Uniform(loc=array((12., 12.)), scale=array((8., 8.))),
+            mag=Uniform(loc=19.0, scale=1.5))
+"""
+
+
+@pytest.fixture()
+def workdir(tmp_path, rng):
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * 1.5**2))
+    psf /= psf.sum()
+
+    truth = np.full((h, w), 0.02)
+    truth[15, 17] += 10 ** (-0.4 * (19.8 - 25.0))
+    conv = np.fft.irfft2(
+        np.fft.rfft2(truth) * np.fft.rfft2(np.fft.ifftshift(psf)),
+        s=truth.shape,
+    )
+    sig = 0.004
+    obs = conv + rng.randn(h, w) * sig
+
+    d = str(tmp_path)
+    fits.writeto(os.path.join(d, "sci.fits"), obs.astype(np.float32))
+    fits.writeto(
+        os.path.join(d, "ivm.fits"),
+        (np.ones_like(obs) / sig**2).astype(np.float32),
+    )
+    fits.writeto(os.path.join(d, "psf.fits"), psf.astype(np.float32))
+    fits.writeto(
+        os.path.join(d, "psf_ivm.fits"),
+        (np.ones_like(psf) * 1e8).astype(np.float32),
+    )
+    with open(os.path.join(d, "model.py"), "w") as f:
+        f.write(MODEL_TEMPLATE)
+    prev = os.getcwd()
+    os.chdir(d)
+    yield d
+    os.chdir(prev)
+
+
+def test_full_fit_and_outputs(workdir):
+    db = model_galaxy_mcmc(
+        "model.py",
+        output_name="out_e2e",
+        iterations=80,
+        burn=80,
+        chains=32,
+        seed=5,
+    )
+    assert len(db) == 32 * 80
+    assert db.meta["MCCHAINS"] == 32
+    assert 0.1 < db.meta["MCACCEPT"] < 0.9
+
+    # posterior close to the injected source
+    mag = np.asarray(db["1_PointSource_mag"], dtype=np.float64)
+    xy = np.asarray(db["1_PointSource_xy"], dtype=np.float64)
+    assert np.mean(mag) == pytest.approx(19.8, abs=0.1)
+    assert np.mean(xy[:, 0]) == pytest.approx(17.0, abs=0.3)
+    assert np.mean(xy[:, 1]) == pytest.approx(15.0, abs=0.3)
+
+    # all five posterior image products written with stats headers
+    for ftype in (
+        "raw_model",
+        "convolved_model",
+        "composite_ivm",
+        "residual",
+        "point_source_subtracted",
+    ):
+        path = f"out_e2e_{ftype}.fits"
+        assert os.path.exists(path)
+        data = fits.getdata(path)
+        assert data.shape == (32, 32)
+        assert np.all(np.isfinite(data))
+    hdr = fits.getheader("out_e2e_residual.fits")
+    assert hdr["OBJECT"] == "residual"
+    assert "1PS_mag" in hdr
+    assert hdr["MCITER"] == 80
+
+    # residual is noise-like
+    resid = fits.getdata("out_e2e_residual.fits")
+    assert np.sqrt(np.mean(resid**2)) < 0.01
+
+    # rerunning with an existing complete DB skips sampling
+    db2 = model_galaxy_mcmc(
+        "model.py",
+        output_name="out_e2e",
+        iterations=80,
+        burn=80,
+        chains=32,
+        seed=5,
+    )
+    assert len(db2) == len(db)
+
+
+def test_resume_from_checkpoint(workdir):
+    model_galaxy_mcmc(
+        "model.py", output_name="out_res", iterations=30, burn=30,
+        chains=16, seed=2,
+    )
+    db1 = load_database("out_res_db.fits")
+    assert len(db1) == 16 * 30
+    # Ask for more iterations: must resume from checkpoint, not restart
+    db2 = model_galaxy_mcmc(
+        "model.py", output_name="out_res", iterations=50, burn=30,
+        chains=16, seed=2,
+    )
+    assert len(db2) == 16 * 50
+    assert db2.meta["MCITER"] == 50
+    # first 30 iterations preserved from the original run
+    w0_old = np.asarray(db1["1_PointSource_mag"][:30])
+    w0_new = np.asarray(db2["1_PointSource_mag"][:50])
+    assert np.allclose(w0_old, w0_new[:30])

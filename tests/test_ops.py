@@ -1,0 +1,88 @@
+"""Numeric kernel parity tests: convolution, coords, gammaincinv."""
+import numpy as np
+import pytest
+import scipy.special as sp
+
+import jax.numpy as jnp
+
+from psfmc_tpu.ops import (
+    array_coords,
+    convolve,
+    coord_grids,
+    gammaincinv_half,
+    mag_to_flux,
+    pad_and_rfft_image,
+)
+
+
+def _np_reference_convolve(img, fourier_kernel):
+    """The reference's convolution semantics (utils.py:25-32) in numpy."""
+    return np.fft.ifftshift(
+        np.fft.irfft2(np.fft.rfft2(img) * fourier_kernel, s=img.shape)
+    )
+
+
+def test_pad_and_rfft_matches_numpy(rng):
+    psf = rng.rand(16, 16)
+    fk = pad_and_rfft_image(psf, (64, 64))
+    pad = np.zeros((64, 64))
+    pad[24:40, 24:40] = psf
+    assert np.allclose(fk, np.fft.rfft2(pad))
+
+
+def test_psf_larger_than_obs_rejected(rng):
+    with pytest.raises(NotImplementedError):
+        pad_and_rfft_image(rng.rand(16, 16), (8, 8))
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (31, 31), (33, 47)])
+def test_convolve_matches_reference_semantics(rng, shape):
+    img = rng.rand(*shape)
+    psf = rng.rand(9, 9)
+    fk = pad_and_rfft_image(psf, shape)
+    want = _np_reference_convolve(img, fk)
+    got = np.asarray(convolve(jnp.asarray(img), jnp.asarray(fk)))
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_convolve_delta_identity(rng):
+    """A centered delta kernel must reproduce the input (incl. odd sizes,
+    which the reference acknowledges it corrupts, models.py:276)."""
+    for shape in [(32, 32), (31, 31)]:
+        img = rng.rand(*shape)
+        delta = np.zeros((5, 5))
+        delta[2, 2] = 1.0
+        fk = pad_and_rfft_image(delta, shape)
+        out = np.asarray(convolve(jnp.asarray(img), jnp.asarray(fk)))
+        assert np.allclose(out, img, atol=1e-6)
+
+
+def test_array_coords_convention():
+    coords = array_coords((3, 5))
+    assert coords.shape == (15, 2)
+    # index i -> (x = i % W, y = i // W), matching reference utils.py:35-42
+    assert np.array_equal(coords[7], [2, 1])
+    xg, yg = coord_grids((3, 5))
+    flat = np.stack([np.asarray(xg).ravel(), np.asarray(yg).ravel()], axis=1)
+    assert np.allclose(flat, coords)
+
+
+def test_mag_to_flux():
+    assert mag_to_flux(25.0, 25.0) == pytest.approx(1.0)
+    assert mag_to_flux(20.0, 25.0) == pytest.approx(100.0)
+
+
+def test_gammaincinv_half_vs_scipy():
+    a = np.concatenate(
+        [np.linspace(0.15, 2.0, 30), np.linspace(2.0, 40.0, 40)]
+    )
+    got = np.asarray(gammaincinv_half(jnp.asarray(a, jnp.float64)))
+    want = sp.gammaincinv(a, 0.5)
+    assert np.allclose(got, want, rtol=1e-10)
+
+
+def test_gammaincinv_half_f32():
+    a = np.linspace(0.5, 20.0, 25)
+    got = np.asarray(gammaincinv_half(jnp.asarray(a, jnp.float32)))
+    want = sp.gammaincinv(a, 0.5)
+    assert np.allclose(got, want, rtol=2e-3)

@@ -1,0 +1,177 @@
+"""Posterior math: lnpost parity vs hand-computed numpy, guards, layout."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from psfmc_tpu import distributions as D
+from psfmc_tpu.models.components import Configuration, PointSource, Sersic, Sky
+from psfmc_tpu.models.posterior import build_posterior
+from psfmc_tpu.models.spec import build_model_spec
+
+
+@pytest.fixture()
+def simple_model(rng, gaussian_psf):
+    obs = 0.1 + rng.randn(32, 32) * 0.01
+    ivm = np.full((32, 32), 1e4)
+    ivm[3, 4] = 0.0  # one bad pixel
+    config = Configuration(
+        obs_file=obs,
+        obsivm_file=ivm,
+        psf_files=gaussian_psf,
+        psfivm_files=np.ones_like(gaussian_psf) * 1e6,
+        mag_zeropoint=25.0,
+    )
+    comps = [config, Sky(adu=D.Normal(loc=0.1, scale=0.05))]
+    spec = build_model_spec(comps)
+    return spec, build_posterior(spec, dtype=jnp.float64), obs, ivm
+
+
+def test_sky_only_lnpost_matches_numpy(simple_model):
+    spec, fns, obs, ivm = simple_model
+    adu = 0.105
+    theta = np.array([adu])
+
+    # Hand-computed: flat model convolved with unit-sum psf stays flat
+    f_psf = spec.f_psf_stack[0]
+    f_var = spec.f_var_stack[0]
+    raw = np.full(obs.shape, adu)
+    conv = np.fft.ifftshift(
+        np.fft.irfft2(np.fft.rfft2(raw) * f_psf, s=obs.shape)
+    )
+    model_var = np.fft.ifftshift(
+        np.fft.irfft2(np.fft.rfft2(raw**2) * f_var, s=obs.shape)
+    )
+    good = ivm > 0
+    obs_var = np.where(good, 1.0 / np.where(good, ivm, 1.0), np.inf)
+    comp_ivm = 1.0 / (model_var + obs_var)
+    resid = obs - conv
+    lnl = -0.5 * np.sum(
+        resid[good] ** 2 * comp_ivm[good]
+        - np.log(0.5 / np.pi * comp_ivm[good])
+    )
+    # prior: Normal(0.1, 0.05)
+    lnprior = -0.5 * ((adu - 0.1) / 0.05) ** 2 - np.log(
+        0.05 * np.sqrt(2 * np.pi)
+    )
+
+    got = float(fns.log_posterior(jnp.asarray(theta)))
+    assert got == pytest.approx(lnl + lnprior, rel=1e-8)
+
+
+def test_bad_pixel_excluded(simple_model):
+    spec, fns, obs, ivm = simple_model
+    assert spec.bad_px[3, 4]
+    imgs = fns.render_images(jnp.asarray([0.1]))
+    assert np.asarray(imgs["composite_ivm"])[3, 4] == 0.0
+
+
+def test_prior_violation_gives_neg_inf(rng, gaussian_psf):
+    config = Configuration(
+        obs_file=np.ones((32, 32)),
+        obsivm_file=np.ones((32, 32)),
+        psf_files=gaussian_psf,
+        psfivm_files=np.ones_like(gaussian_psf),
+        mag_zeropoint=25.0,
+    )
+    comps = [
+        config,
+        Sersic(
+            xy=D.Uniform(loc=np.array([10.0, 10.0]), scale=np.array([10.0, 10.0])),
+            mag=D.Uniform(loc=19, scale=3),
+            reff=D.Uniform(loc=2, scale=8),
+            reff_b=D.Uniform(loc=2, scale=8),
+            index=1.0,
+            angle=0.0,
+        ),
+    ]
+    spec = build_model_spec(comps)
+    fns = build_posterior(spec, dtype=jnp.float64)
+    # order: angle? angle is const; priors alphabetical: mag, reff, reff_b, xy
+    good = np.array([20.0, 5.0, 4.0, 15.0, 15.0])
+    bad = np.array([20.0, 4.0, 5.0, 15.0, 15.0])  # reff_b > reff
+    outside = np.array([20.0, 5.0, 4.0, 50.0, 15.0])  # xy outside prior
+    assert np.isfinite(float(fns.log_posterior(jnp.asarray(good))))
+    assert float(fns.log_posterior(jnp.asarray(bad))) == -np.inf
+    assert float(fns.log_posterior(jnp.asarray(outside))) == -np.inf
+    assert float(fns.log_posterior(jnp.asarray(good * np.nan))) == -np.inf
+
+
+def test_param_layout_matches_reference_convention(rng, gaussian_psf):
+    """File order between components, alphabetical within, PSF last."""
+    config = Configuration(
+        obs_file=np.ones((16, 16)),
+        obsivm_file=np.ones((16, 16)),
+        psf_files=[gaussian_psf[8:24, 8:24], gaussian_psf[8:24, 8:24] * 1.0],
+        psfivm_files=[np.ones((16, 16))] * 2,
+        mag_zeropoint=25.0,
+    )
+    comps = [
+        config,
+        Sky(adu=D.Normal(loc=0, scale=1)),
+        PointSource(
+            xy=D.Uniform(loc=np.array([2.0, 2.0]), scale=np.array([8.0, 8.0])),
+            mag=D.Uniform(loc=19, scale=3),
+        ),
+        Sersic(
+            xy=D.Uniform(loc=np.array([2.0, 2.0]), scale=np.array([8.0, 8.0])),
+            mag=D.Uniform(loc=19, scale=3),
+            reff=D.Uniform(loc=1, scale=4),
+            reff_b=D.Uniform(loc=1, scale=4),
+            index=D.WeibullMinimum(c=1.5, scale=4),
+            angle=D.Uniform(loc=0, scale=180),
+        ),
+    ]
+    spec = build_model_spec(comps)
+    assert spec.param_names == [
+        "0_Sky_adu",
+        "1_PointSource_mag",
+        "1_PointSource_xy",
+        "2_Sersic_angle",
+        "2_Sersic_index",
+        "2_Sersic_mag",
+        "2_Sersic_reff",
+        "2_Sersic_reff_b",
+        "2_Sersic_xy",
+        "PSF_Index",
+    ]
+    assert spec.param_lens == [1, 1, 2, 1, 1, 1, 1, 1, 2, 1]
+    assert spec.param_fits_abbrs[1] == "1PS_mag"
+    assert spec.param_fits_abbrs[7] == "2SER_REB"
+    assert spec.num_params == 12
+    assert spec.num_psfs == 2
+
+
+def test_psf_index_gather(rng):
+    """Multiple PSFs: the discrete index selects the right Fourier stack."""
+    psf1 = np.zeros((8, 8))
+    psf1[4, 4] = 1.0  # delta
+    psf2 = np.full((8, 8), 1.0 / 64)  # flat
+    config = Configuration(
+        obs_file=rng.rand(16, 16),
+        obsivm_file=np.ones((16, 16)) * 100,
+        psf_files=[psf1, psf2],
+        psfivm_files=[np.ones((8, 8)) * 1e8] * 2,
+        mag_zeropoint=25.0,
+    )
+    # A point source distinguishes the kernels (a flat sky cannot)
+    comps = [
+        config,
+        PointSource(xy=np.array([8.0, 8.0]), mag=D.Uniform(loc=19, scale=3)),
+    ]
+    spec = build_model_spec(comps)
+    assert spec.param_names == ["0_PointSource_mag", "PSF_Index"]
+    fns = build_posterior(spec, dtype=jnp.float64)
+    # theta = [mag, psf_index]
+    img0 = np.asarray(fns.render_images(jnp.asarray([20.0, 0.0]))["convolved_model"])
+    img1 = np.asarray(fns.render_images(jnp.asarray([20.0, 1.0]))["convolved_model"])
+    flux = 10 ** (-0.4 * (20.0 - 25.0))
+    # delta kernel concentrates the flux; the flat 8x8 kernel spreads it
+    # over an 8x8 window at flux/64 per pixel
+    assert img0.max() == pytest.approx(flux, rel=1e-6)
+    assert img1.max() == pytest.approx(flux / 64, rel=1e-6)
+    assert img1.sum() == pytest.approx(flux, rel=1e-6)
+    # fractional index rounds to the nearest PSF (reference rint semantics)
+    img_round = np.asarray(
+        fns.render_images(jnp.asarray([20.0, 0.4]))["convolved_model"]
+    )
+    assert np.allclose(img_round, img0)
