@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Headline benchmark: the J0005-0006 quasar/host MCMC fit on TPU.
+
+Workload (reference examples/run_example.py:9 + model_J0005-0006.py):
+Sky + PointSource + 2 Sersics on the real 128x128 HST image with a
+64x64 empirical PSF, burn=200 + iterations=200 at 250 walkers —
+50k burn-in + 50k retained posterior evaluations, with posterior-image
+accumulation during the retained phase.
+
+Prints ONE JSON line: {"metric", "value" (seconds, lower=better),
+"unit", "vs_baseline"}.  The reference publishes no timing (SURVEY.md
+section 6); the baseline is the repo north star "50k-sample fit in
+< 10 s on v5e-8" (BASELINE.json), so vs_baseline = 10 / value —
+values > 1 beat that target.
+
+Compilation is excluded (programs are AOT-compiled before timing);
+the timed region is burn + sampling + device sync, i.e. the steady-state
+cost a production fit pays per target.
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BURN = 200
+ITERATIONS = 200
+CHAINS = 250
+BASELINE_SECONDS = 10.0  # BASELINE.json north-star target (v5e-8)
+
+
+def main():
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+
+    import jax
+
+    spec_mod = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(repo, "__graft_entry__.py")
+    )
+    graft = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(graft)
+
+    from psfmc_tpu.models.posterior import build_posterior
+    from psfmc_tpu.models.spec import build_model_spec
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    comps = graft._flagship_components()
+    spec = build_model_spec(comps)
+    fns = build_posterior(spec)
+
+    rng = np.random.RandomState(0)
+    p0 = np.stack(
+        [
+            np.concatenate(
+                [np.ravel(s.dist.random(rng)) for s in spec.slots]
+            )
+            for _ in range(CHAINS)
+        ]
+    )
+    p0 = graft._enforce_axis_order(p0, spec)
+
+    sampler = EnsembleSampler(CHAINS, spec.num_params, fns, seed=0)
+
+    # Warm-up pass: populates the jit caches for both phase programs
+    # (compile time excluded from the timed region)
+    t_compile = time.time()
+    sampler.init_state(p0)
+    sampler.run_burn(BURN)
+    sampler.reset()
+    sampler.run_sampling(ITERATIONS)
+    compile_s = time.time() - t_compile
+
+    # Timed region: full production pass (burn + retained sampling),
+    # matching run_example.py's configuration.
+    sampler2 = EnsembleSampler(CHAINS, spec.num_params, fns, seed=1)
+    t0 = time.time()
+    sampler2.init_state(p0)
+    sampler2.run_burn(BURN)
+    sampler2.reset()
+    sampler2.run_sampling(ITERATIONS)
+    jax.block_until_ready(sampler2.state.positions)
+    elapsed = time.time() - t0
+
+    lnprob = sampler2.lnprobability
+    total_evals = CHAINS * (BURN + ITERATIONS)
+    accept = float(sampler2.acceptance_fraction.mean())
+
+    result = {
+        "metric": (
+            "J0005-0006 fit wall-clock: 50k burn + 50k retained samples "
+            f"({CHAINS} walkers x {BURN}+{ITERATIONS} steps, 128x128 obs, "
+            "64x64 PSF, 18 params)"
+        ),
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+    }
+    # diagnostics on stderr; the contract line on stdout
+    print(
+        f"# devices={jax.devices()} warmup={compile_s:.1f}s "
+        f"accept={accept:.3f} evals/s={total_evals / elapsed:,.0f} "
+        f"lnp_final_mean={np.mean(lnprob[:, -1]):.1f}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Run the example quasar/host decomposition end to end.
+
+Generates synthetic data (if missing), runs the MCMC fit, prints the
+posterior summary against the injected ground truth, and writes trace
+histograms.  Equivalent workflow to the reference's
+examples/run_example.py.
+"""
+import os
+
+import numpy as np
+
+# Sampler arguments: small enough to run quickly; production fits want
+# larger values (see README).
+MC_ARGS = {"burn": 300, "iterations": 300, "chains": 250}
+
+
+def main():
+    os.chdir(os.path.dirname(os.path.abspath(__file__)) or ".")
+    if not os.path.exists("sci_example.fits"):
+        import make_example_data
+
+        make_example_data.main()
+
+    from psfmc_tpu import load_database, model_galaxy_mcmc
+
+    model_file = "model_example.py"
+    output_name = "out_example"
+    model_galaxy_mcmc(model_file, output_name=output_name, **MC_ARGS)
+
+    db = load_database(output_name + "_db.fits")
+    from make_example_data import TRUTH
+
+    print("\nPosterior vs injected ground truth:")
+    rows = [
+        ("0_Sky_adu", TRUTH["sky"]),
+        ("1_PointSource_mag", TRUTH["ps_mag"]),
+        ("1_PointSource_xy", TRUTH["ps_xy"]),
+        ("2_Sersic_mag", TRUTH["ser_mag"]),
+        ("2_Sersic_reff", TRUTH["ser_reff"]),
+        ("2_Sersic_reff_b", TRUTH["ser_reff_b"]),
+        ("2_Sersic_index", TRUTH["ser_index"]),
+        ("2_Sersic_angle", TRUTH["ser_angle"]),
+        ("2_Sersic_xy", TRUTH["ser_xy"]),
+    ]
+    for col, truth in rows:
+        arr = np.asarray(db[col], dtype=np.float64)
+        mean = np.mean(arr, axis=0)
+        std = np.std(arr, axis=0)
+        print(f"  {col:24s} {np.round(mean, 3)} +/- {np.round(std, 3)}"
+              f"   (truth {truth})")
+
+    # diagnostic plots (saved as pdf)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from psfmc_tpu.analysis import plot_hist
+
+    for trace_name in ("0_Sky_adu", "1_PointSource_mag",
+                       "1_PointSource_2_Sersic_magdiff"):
+        plot_hist(trace_name, output_name + "_db.fits", model=model_file,
+                  save=True)
+    print("\nWrote FITS products + histogram pdfs to", os.getcwd())
+
+
+if __name__ == "__main__":
+    main()

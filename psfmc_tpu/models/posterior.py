@@ -26,7 +26,6 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.coords import coord_grids, mag_to_flux
 from ..ops.fourier import convolve
 from ..ops.likelihood import gaussian_lnlike
 from ..ops.pointsource import add_pointsource
@@ -73,17 +72,23 @@ class PosteriorFns:
     def __init__(self, spec: ModelSpec, dtype=jnp.float32):
         self.spec = spec
         self.dtype = dtype
+        import numpy as np
+
         h, w = spec.shape
-        xg, yg = coord_grids(spec.shape, dtype)
         cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        # Constants stay host-side numpy: they embed into the traced
+        # program directly (committed device arrays as closure constants
+        # require a device->host pull at trace time, which some PJRT
+        # backends — e.g. the tunneled axon TPU — don't support).
+        yg, xg = np.mgrid[0:h, 0:w]
         self.constants = {
-            "xg": xg,
-            "yg": yg,
-            "obs_data": jnp.asarray(spec.obs_data, dtype),
-            "obs_var": jnp.asarray(spec.obs_var, dtype),
-            "good_px": jnp.asarray(~spec.bad_px),
-            "f_psf": jnp.asarray(spec.f_psf_stack, cdtype),
-            "f_var": jnp.asarray(spec.f_var_stack, cdtype),
+            "xg": xg.astype(dtype),
+            "yg": yg.astype(dtype),
+            "obs_data": np.asarray(spec.obs_data, dtype),
+            "obs_var": np.asarray(spec.obs_var, dtype),
+            "good_px": np.asarray(~spec.bad_px),
+            "f_psf": np.asarray(spec.f_psf_stack, cdtype),
+            "f_var": np.asarray(spec.f_var_stack, cdtype),
         }
         self.mag_zp = float(spec.mag_zeropoint)
 
@@ -168,8 +173,10 @@ class PosteriorFns:
         """The four independent carry images (see module docstring)."""
         c = self.constants
         idx = self._psf_index(theta)
-        f_psf = c["f_psf"][idx]
-        f_var = c["f_var"][idx]
+        # jnp wrap: the stacks are host numpy (see __init__) and the index
+        # may be a tracer
+        f_psf = jnp.asarray(c["f_psf"])[idx]
+        f_var = jnp.asarray(c["f_var"])[idx]
 
         raw, ps = self._raw_and_ps(theta)
         conv = convolve(raw, f_psf)
