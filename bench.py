@@ -39,6 +39,16 @@ def main():
 
     import jax
 
+    # Persistent compile cache (harmless if the backend bypasses it)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     spec_mod = importlib.util.spec_from_file_location(
         "graft_entry", os.path.join(repo, "__graft_entry__.py")
     )

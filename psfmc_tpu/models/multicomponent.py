@@ -83,10 +83,9 @@ class MultiComponentModel:
         self.accumulated_samples = 0
         self.reset_images()
 
+        # reuse the posterior's shared program cache (avoids recompiles)
         self._render_jit = jax.jit(self.posterior_fns.render_images)
-        self._render_batch_jit = jax.jit(
-            jax.vmap(self.posterior_fns.render_images)
-        )
+        self._render_batch_jit = self.posterior_fns.batched_render
         self._lnpost_imgs_jit = jax.jit(
             self.posterior_fns.log_posterior_and_images
         )

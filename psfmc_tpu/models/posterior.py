@@ -99,6 +99,17 @@ class PosteriorFns:
         )
         self.render_images = self._render_images
 
+        # Jitted-program cache shared by every consumer of this posterior.
+        # jax.jit caches by callable identity, so ad-hoc jit wrappers (or
+        # per-sampler partials) would silently recompile these expensive
+        # programs; all compiled artifacts live here instead.
+        self.programs: Dict[Any, Any] = {}
+        self.batched_lnpost_and_images = jax.jit(
+            jax.vmap(self.log_posterior_and_images)
+        )
+        self.batched_lnpost = jax.jit(jax.vmap(self.log_posterior))
+        self.batched_render = jax.jit(jax.vmap(self._render_images))
+
     # -- prior ------------------------------------------------------------
     def _make_log_prior(self):
         spec = self.spec

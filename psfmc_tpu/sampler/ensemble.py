@@ -279,28 +279,38 @@ class EnsembleSampler:
         self._nsteps_total = 0
         self.state: Optional[EnsembleState] = None
 
-        self._burn_prog = jax.jit(
+        # Phase programs are cached on the PosteriorFns object so every
+        # sampler instance over the same posterior (and every rerun)
+        # reuses the compiled artifacts instead of silently recompiling.
+        self._burn_prog = self._phase_program(accumulate=False, record=False)
+        self._sample_prog = self._phase_program(accumulate=True, record=True)
+
+    def _phase_program(self, accumulate: bool, record: bool):
+        cache = getattr(self.fns, "programs", None)
+        key = ("phase", self.nwalkers, self.dim, self.a, accumulate, record)
+        if cache is not None and key in cache:
+            return cache[key]
+        prog = jax.jit(
             partial(
                 run_stretch_move,
                 self.fns.log_posterior,
                 self.fns.log_posterior_and_images,
                 a=self.a,
-                accumulate=False,
-                record=False,
+                accumulate=accumulate,
+                record=record,
             ),
             static_argnames=("nsteps",),
         )
-        self._sample_prog = jax.jit(
-            partial(
-                run_stretch_move,
-                self.fns.log_posterior,
-                self.fns.log_posterior_and_images,
-                a=self.a,
-                accumulate=True,
-                record=True,
-            ),
-            static_argnames=("nsteps",),
-        )
+        if cache is not None:
+            cache[key] = prog
+        return prog
+
+    def _batched_lnpost_images(self):
+        fn = getattr(self.fns, "batched_lnpost_and_images", None)
+        if fn is None:
+            fn = jax.jit(jax.vmap(self.fns.log_posterior_and_images))
+            self.fns.batched_lnpost_and_images = fn
+        return fn
 
     # -- state management -------------------------------------------------
     def _constrain(self, arr):
@@ -313,7 +323,7 @@ class EnsembleSampler:
         p0 = jnp.asarray(p0, self.fns.dtype)
         if key is None:
             self._key, key = jax.random.split(self._key)
-        lnp, imgs = jax.jit(jax.vmap(self.fns.log_posterior_and_images))(p0)
+        lnp, imgs = self._batched_lnpost_images()(p0)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
         accum = {
             k: jnp.zeros((h, w), self.accum_dtype) for k in imgs
@@ -356,9 +366,7 @@ class EnsembleSampler:
         state = replace(self.state, images=None)
         final, _, _ = self._burn_prog(state, nsteps=nsteps)
         # restore per-walker images for the sampling phase
-        lnp, imgs = jax.jit(jax.vmap(self.fns.log_posterior_and_images))(
-            final.positions
-        )
+        lnp, imgs = self._batched_lnpost_images()(final.positions)
         self.state = replace(final, images=imgs, log_prob=lnp)
         self._naccept += np.asarray(final.naccept) - prev_naccept
         self._nsteps_total += nsteps
