@@ -171,11 +171,16 @@ def _run_sampling(
         import jax.numpy as jnp
 
         key = jnp.asarray(resume_key, dtype=jnp.uint32)
-    sampler.init_state(initial_positions, key=key)
+    from .profiling import PhaseTimer, trace
+
+    timer = PhaseTimer()
+    with timer.phase("init"):
+        sampler.init_state(initial_positions, key=key)
 
     if burn > 0:
         print(f"Burning: {burn} iterations x {sampler.nwalkers} walkers")
-        sampler.run_burn(burn)
+        with timer.phase("burn"), trace("burn"):
+            sampler.run_burn(burn)
     sampler.reset()
 
     if prior_db is not None:
@@ -199,7 +204,8 @@ def _run_sampling(
         print(
             f"Sampling: {iterations} iterations x {sampler.nwalkers} walkers"
         )
-        sampler.run_sampling(iterations)
+        with timer.phase("sampling"), trace("sampling"):
+            sampler.run_sampling(iterations)
         if convergence_check(sampler):
             converged = True
             break

@@ -69,10 +69,30 @@ class PosteriorFns:
     * ``constants`` — dict of device constants (obs, var, mask, psf ffts).
     """
 
-    def __init__(self, spec: ModelSpec, dtype=jnp.float32):
+    def __init__(self, spec: ModelSpec, dtype=jnp.float32, conv_mode=None):
+        import os
+
+        import numpy as np
+
         self.spec = spec
         self.dtype = dtype
-        import numpy as np
+        # 'fft' = jnp.fft.rfft2/irfft2; 'dft' = dense-DFT matmuls on the
+        # MXU (see ops.fourier.convolve_dft) — measured faster on TPU for
+        # this workload's 128x128 images.
+        if conv_mode is None:
+            conv_mode = os.environ.get("PSFMC_CONV", "")
+        if not conv_mode:
+            # dense-DFT matmuls beat XLA's FFT lowering on TPU-class
+            # accelerators (MXU) and also compile far faster; plain FFT
+            # wins on CPU where there is no systolic array.
+            conv_mode = "fft" if jax.default_backend() == "cpu" else "dft"
+        self.conv_mode = conv_mode
+        # kappa via exact Newton or table interpolation (<3e-7 rel error;
+        # avoids serial igamma chains on the hot path — ops.gammainc)
+        self.kappa_mode = os.environ.get("PSFMC_KAPPA", "table")
+        # raw-model renderer: 'xla' (fused by the compiler) or 'pallas'
+        # (hand-fused kernel, ops.pallas.sersic_pallas)
+        self.render_mode = os.environ.get("PSFMC_RENDER", "xla")
 
         h, w = spec.shape
         cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
@@ -90,6 +110,22 @@ class PosteriorFns:
             "f_psf": np.asarray(spec.f_psf_stack, cdtype),
             "f_var": np.asarray(spec.f_var_stack, cdtype),
         }
+        if self.conv_mode == "dft":
+            from ..ops.fourier import dft_matrices
+
+            # full-spectrum kernel stacks for the matmul-DFT path,
+            # reconstructed from the stored half spectra via hermitian
+            # symmetry (equivalently: irfft2 -> fft2)
+            def full_spec(half_stack):
+                kernels = np.fft.irfft2(half_stack, s=(h, w))
+                return np.fft.fft2(kernels).astype(cdtype)
+
+            self.constants["f_psf_full"] = full_spec(spec.f_psf_stack)
+            self.constants["f_var_full"] = full_spec(spec.f_var_stack)
+            npc = np.complex64 if dtype == jnp.float32 else np.complex128
+            self.constants["dft_mats"] = tuple(
+                m.astype(npc) for m in dft_matrices((h, w), npc)
+            )
         self.mag_zp = float(spec.mag_zeropoint)
 
         self.log_prior = self._make_log_prior()
@@ -152,10 +188,12 @@ class PosteriorFns:
         c = self.constants
         raw = jnp.zeros(self.spec.shape, self.dtype)
         ps = jnp.zeros(self.spec.shape, self.dtype)
+        sky = jnp.zeros((), self.dtype)
+        packed_sersics = []
         for cs in self.spec.comp_specs:
             if cs.kind == "sky":
                 adu = _getter(cs.params, theta, "adu")
-                raw = raw + jnp.asarray(adu, self.dtype)
+                sky = sky + jnp.asarray(adu, self.dtype)
             elif cs.kind == "pointsource":
                 xy = _getter(cs.params, theta, "xy")
                 xy = jnp.asarray(xy, self.dtype)
@@ -165,9 +203,7 @@ class PosteriorFns:
                 )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
-                raw = raw + render_sersic(
-                    c["xg"],
-                    c["yg"],
+                args = (
                     xy,
                     _getter(cs.params, theta, "mag"),
                     _getter(cs.params, theta, "reff"),
@@ -177,6 +213,26 @@ class PosteriorFns:
                     self.mag_zp,
                     cs.static["angle_degrees"],
                 )
+                if self.render_mode == "pallas":
+                    from ..ops.pallas import pack_sersic_params
+
+                    packed_sersics.append(
+                        pack_sersic_params(*args, kappa_mode=self.kappa_mode)
+                    )
+                else:
+                    raw = raw + render_sersic(
+                        c["xg"], c["yg"], *args, kappa_mode=self.kappa_mode
+                    )
+        if self.render_mode == "pallas" and packed_sersics:
+            from ..ops.pallas import render_sersics_pallas_one
+
+            raw = raw + render_sersics_pallas_one(
+                jnp.stack(packed_sersics).astype(self.dtype),
+                sky,
+                self.spec.shape,
+            )
+        else:
+            raw = raw + sky
         raw = raw + ps
         return raw, ps
 
@@ -184,16 +240,27 @@ class PosteriorFns:
         """The four independent carry images (see module docstring)."""
         c = self.constants
         idx = self._psf_index(theta)
-        # jnp wrap: the stacks are host numpy (see __init__) and the index
-        # may be a tracer
-        f_psf = jnp.asarray(c["f_psf"])[idx]
-        f_var = jnp.asarray(c["f_var"])[idx]
-
         raw, ps = self._raw_and_ps(theta)
-        conv = convolve(raw, f_psf)
-        model_var = convolve(raw * raw, f_var)
+
+        if self.conv_mode == "dft":
+            from ..ops.fourier import convolve_dft
+
+            f_psf = jnp.asarray(c["f_psf_full"])[idx]
+            f_var = jnp.asarray(c["f_var_full"])[idx]
+            mats = c["dft_mats"]
+            conv = convolve_dft(raw, f_psf, mats)
+            model_var = convolve_dft(raw * raw, f_var, mats)
+            ps_conv = convolve_dft(ps, f_psf, mats)
+        else:
+            # jnp wrap: the stacks are host numpy (see __init__) and the
+            # index may be a tracer
+            f_psf = jnp.asarray(c["f_psf"])[idx]
+            f_var = jnp.asarray(c["f_var"])[idx]
+            conv = convolve(raw, f_psf)
+            model_var = convolve(raw * raw, f_var)
+            ps_conv = convolve(ps, f_psf)
+
         var_total = model_var + c["obs_var"]
-        ps_conv = convolve(ps, f_psf)
         return {"raw": raw, "conv": conv, "var": var_total, "ps_conv": ps_conv}
 
     def _lnpost_impl(self, theta, with_images=False):
@@ -230,5 +297,5 @@ def carry_to_reference_images(imgs: Dict[str, Any], obs_data):
     }
 
 
-def build_posterior(spec: ModelSpec, dtype=jnp.float32) -> PosteriorFns:
-    return PosteriorFns(spec, dtype=dtype)
+def build_posterior(spec: ModelSpec, dtype=jnp.float32, conv_mode=None) -> PosteriorFns:
+    return PosteriorFns(spec, dtype=dtype, conv_mode=conv_mode)

@@ -22,13 +22,20 @@ these initializers for a in [0.1, 200] (verified in tests vs scipy).
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import gammainc, gammaln
 
 __all__ = ["gammaincinv_half", "sersic_kappa"]
 
-_NEWTON_ITERS = 20
+# Newton converges quadratically from the ~2%-accurate initializers:
+# 4 iterations reach float32 roundoff, 6 reach ~1e-12 in float64
+# (verified against scipy in tests).  Each iteration is a full
+# XLA `igamma` evaluation — itself an internal while-loop — so the
+# count directly sets the serial depth of the hot path.
+_NEWTON_ITERS = int(os.environ.get("PSFMC_NEWTON_ITERS", "6"))
 
 
 def gammaincinv_half(a):
@@ -65,3 +72,67 @@ def gammaincinv_half(a):
 def sersic_kappa(index):
     """Sersic kappa/b_n: ``gammaincinv(2 n, 1/2)`` (exact, Ciotti & Bertin)."""
     return gammaincinv_half(2.0 * jnp.asarray(index))
+
+
+# ---------------------------------------------------------------------------
+# Table-interpolated fast path
+# ---------------------------------------------------------------------------
+#
+# Each Newton iteration is an XLA ``igamma`` — internally a long serial
+# while-loop — and the 6-deep chain measurably dominates sampler step
+# time on TPU (a ~2x step cost in practice).  Since the hot path only
+# ever needs the p=1/2 inverse as a smooth 1-D function of ``a``, we
+# precompute an exact scipy table once on the host and interpolate
+# ``log kappa`` linearly in ``log a``: 4096 knots over a in [0.01, 200]
+# give < 1e-6 relative error across the physical range (asserted in
+# tests), far below the float32 posterior's noise floor.  Out-of-range ``a`` clamps to the table edge
+# (prior mass beyond n=100 is nil; n below 0.005 is unphysical).
+
+_TABLE_SIZE = 4096
+_TABLE_RANGE = (0.01, 200.0)
+_table_cache = None
+
+
+def _kappa_table():
+    global _table_cache
+    if _table_cache is None:
+        import numpy as np
+        import scipy.special as sp
+
+        log_a = np.linspace(
+            np.log(_TABLE_RANGE[0]), np.log(_TABLE_RANGE[1]), _TABLE_SIZE
+        )
+        kappa = sp.gammaincinv(np.exp(log_a), 0.5)
+        _table_cache = (
+            log_a,
+            np.log(kappa),
+            np.float64(log_a[0]),
+            np.float64(log_a[-1]),
+        )
+    return _table_cache
+
+
+def gammaincinv_half_table(a):
+    """Fast ``gammaincinv(a, 1/2)`` via log-log Catmull-Rom interpolation.
+
+    Cubic interpolation on the uniform log-grid keeps the relative error
+    < 1e-7 across the whole tabulated range, including the strongly
+    curved small-a end."""
+    _log_a_grid, log_k_grid, lo, hi = _kappa_table()
+    a = jnp.asarray(a)
+    la = jnp.clip(jnp.log(jnp.maximum(a, 1e-30)), lo, hi)
+    # uniform grid -> direct index computation (no searchsorted)
+    step = (hi - lo) / (_TABLE_SIZE - 1)
+    pos = (la - lo) / step
+    i1 = jnp.clip(pos.astype(jnp.int32), 1, _TABLE_SIZE - 3)
+    t = pos - i1.astype(pos.dtype)
+    g = jnp.asarray(log_k_grid, a.dtype)
+    p0, p1, p2, p3 = g[i1 - 1], g[i1], g[i1 + 1], g[i1 + 2]
+    # Catmull-Rom spline through (p0..p3), parameter t in [0, 1)
+    log_k = 0.5 * (
+        (2.0 * p1)
+        + (-p0 + p2) * t
+        + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * t * t
+        + (-p0 + 3.0 * p1 - 3.0 * p2 + p3) * t * t * t
+    )
+    return jnp.exp(log_k)

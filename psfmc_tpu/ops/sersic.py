@@ -36,16 +36,25 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from .coords import mag_to_flux
-from .gammainc import gammaincinv_half
+from .gammainc import gammaincinv_half, gammaincinv_half_table
 
 __all__ = ["sersic_kappa", "sersic_sb_eff", "sersic_sq_radii", "render_sersic"]
 
 _TINY = 1e-30
 
 
-def sersic_kappa(index):
-    """Exact Sersic scaling constant b_n (reference Sersic.py:47-53)."""
-    return gammaincinv_half(2.0 * jnp.asarray(index))
+def sersic_kappa(index, mode="exact"):
+    """Sersic scaling constant b_n (reference Sersic.py:47-53).
+
+    ``mode='exact'`` solves ``gammaincinv(2n, 1/2)`` by Newton iteration;
+    ``mode='table'`` interpolates a precomputed exact table (<3e-7 rel
+    error) and avoids the serial ``igamma`` chain on the sampling hot
+    path (see ops.gammainc).
+    """
+    a = 2.0 * jnp.asarray(index)
+    if mode == "table":
+        return gammaincinv_half_table(a)
+    return gammaincinv_half(a)
 
 
 def sersic_sb_eff(flux_tot, index, reff, reff_b, kappa=None):
@@ -101,27 +110,43 @@ def render_sersic(
     angle,
     mag_zp,
     angle_degrees=False,
+    kappa_mode="exact",
 ):
     """Render one Sersic profile over the (H, W) grid (jittable, vmappable).
 
     ``xy`` is a length-2 array ``(x, y)``.  Returns the profile image; the
     caller accumulates it into the composite raw model.
     """
-    kappa = sersic_kappa(index)
+    kappa = sersic_kappa(index, mode=kappa_mode)
     flux_tot = mag_to_flux(mag, mag_zp)
     sbeff = sersic_sb_eff(flux_tot, index, reff, reff_b, kappa)
 
-    sq_r, sq_dr = sersic_sq_radii(
-        xg, yg, xy[0], xy[1], reff, reff_b, angle, angle_degrees
-    )
+    ang = jnp.deg2rad(angle) if angle_degrees else angle
+    ang = ang + 0.5 * jnp.pi
+    sin_a, cos_a = jnp.sin(ang), jnp.cos(ang)
+    dx = xg - xy[0]
+    dy = yg - xy[1]
+    u = (cos_a * dx + sin_a * dy) / reff
+    v = (-sin_a * dx + cos_a * dy) / reff_b
+    sq_r = jnp.maximum(u * u + v * v, _TINY)
+    # The first-order centroid correction diverges as the pixel-center
+    # distance -> 0 for n > 1 (the reference NaNs at exact hits —
+    # its acknowledged cusp weakness, models.py:239).  Clamping the
+    # square offset at the half-pixel corner distance (0.5^2/2) saturates
+    # the correction at its largest *valid* value: the nearest pixel
+    # center of any legitimate sub-pixel position is >= 0.354 px away in
+    # the worst case, where measured corrections stay < 3x.
+    sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
 
+    # Algebraic form of the reference math (Sersic.py:111-153) minimizing
+    # transcendental count on the VPU.  With p = (r^2)^(1/2n):
+    #   sb   = exp(-kappa * (p - 1))
+    #   corr = 1 + grad^2 * (r^2 / off^2) / 12
+    # and grad = -2 kappa rp p / r, so grad^2 * r^2 cancels the sqrt:
+    #   corr = 1 + (kappa * rp * p)^2 / (3 * off^2)
     radius_pow = 0.5 / index
-    log_sq_r = jnp.log(sq_r)
-    sb = jnp.exp(-kappa * jnp.expm1(log_sq_r * radius_pow))
-    # Normalized radial gradient (negative): reference Sersic.py:136-153
-    normed_grad = -kappa * 2.0 * radius_pow * jnp.exp(
-        log_sq_r * (radius_pow - 0.5)
-    )
-    # 1-D trapezoid centroid offset: reference Sersic.py:129-133
-    cent_offset = sq_dr / 12.0 * normed_grad
-    return sbeff * sb * (1.0 + normed_grad * cent_offset)
+    p = jnp.exp(jnp.log(sq_r) * radius_pow)
+    sb = jnp.exp(-kappa * (p - 1.0))
+    krp_p = kappa * radius_pow * p
+    corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
+    return sbeff * sb * corr

