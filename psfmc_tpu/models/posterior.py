@@ -111,21 +111,24 @@ class PosteriorFns:
             "f_var": np.asarray(spec.f_var_stack, cdtype),
         }
         if self.conv_mode == "dft":
-            from ..ops.fourier import dft_matrices
+            from ..ops.fourier import rdft_matrices
 
-            # full-spectrum kernel stacks for the matmul-DFT path,
-            # reconstructed from the stored half spectra via hermitian
-            # symmetry (equivalently: irfft2 -> fft2)
-            def full_spec(half_stack):
-                kernels = np.fft.irfft2(half_stack, s=(h, w))
-                return np.fft.fft2(kernels).astype(cdtype)
-
-            self.constants["f_psf_full"] = full_spec(spec.f_psf_stack)
-            self.constants["f_var_full"] = full_spec(spec.f_var_stack)
-            npc = np.complex64 if dtype == jnp.float32 else np.complex128
-            self.constants["dft_mats"] = tuple(
-                m.astype(npc) for m in dft_matrices((h, w), npc)
+            # real/imag kernel half-spectrum stacks + real DFT operator
+            # matrices for the half-spectrum matmul path (convolve_rdft)
+            rdtype = np.float32 if dtype == jnp.float32 else np.float64
+            self.constants["psf_r"] = np.asarray(
+                spec.f_psf_stack.real, rdtype
             )
+            self.constants["psf_i"] = np.asarray(
+                spec.f_psf_stack.imag, rdtype
+            )
+            self.constants["var_r"] = np.asarray(
+                spec.f_var_stack.real, rdtype
+            )
+            self.constants["var_i"] = np.asarray(
+                spec.f_var_stack.imag, rdtype
+            )
+            self.constants["rdft_mats"] = rdft_matrices((h, w), rdtype)
         self.mag_zp = float(spec.mag_zeropoint)
 
         self.log_prior = self._make_log_prior()
@@ -243,14 +246,16 @@ class PosteriorFns:
         raw, ps = self._raw_and_ps(theta)
 
         if self.conv_mode == "dft":
-            from ..ops.fourier import convolve_dft
+            from ..ops.fourier import convolve_rdft
 
-            f_psf = jnp.asarray(c["f_psf_full"])[idx]
-            f_var = jnp.asarray(c["f_var_full"])[idx]
-            mats = c["dft_mats"]
-            conv = convolve_dft(raw, f_psf, mats)
-            model_var = convolve_dft(raw * raw, f_var, mats)
-            ps_conv = convolve_dft(ps, f_psf, mats)
+            psf_r = jnp.asarray(c["psf_r"])[idx]
+            psf_i = jnp.asarray(c["psf_i"])[idx]
+            var_r = jnp.asarray(c["var_r"])[idx]
+            var_i = jnp.asarray(c["var_i"])[idx]
+            mats = c["rdft_mats"]
+            conv = convolve_rdft(raw, psf_r, psf_i, mats)
+            model_var = convolve_rdft(raw * raw, var_r, var_i, mats)
+            ps_conv = convolve_rdft(ps, psf_r, psf_i, mats)
         else:
             # jnp wrap: the stacks are host numpy (see __init__) and the
             # index may be a tracer

@@ -119,3 +119,24 @@ def test_convolve_dft_matches_fft(rng):
         convolve_dft(jnp.asarray(img), jnp.asarray(full), mats)
     )
     assert np.allclose(got, want, atol=1e-10)
+
+
+def test_convolve_rdft_matches_fft(rng):
+    from psfmc_tpu.ops.fourier import convolve_rdft, rdft_matrices
+
+    # even, odd, and rectangular shapes; batched input
+    for shape, kshape in [((48, 48), (15, 15)), ((31, 33), (7, 5))]:
+        img = rng.rand(3, *shape)
+        psf = rng.rand(*kshape)
+        fk = pad_and_rfft_image(psf, shape)
+        want = np.asarray(convolve(jnp.asarray(img), jnp.asarray(fk)))
+        mats = rdft_matrices(shape, np.float64)
+        got = np.asarray(
+            convolve_rdft(
+                jnp.asarray(img),
+                jnp.asarray(fk.real),
+                jnp.asarray(fk.imag),
+                mats,
+            )
+        )
+        assert np.allclose(got, want, atol=1e-10)

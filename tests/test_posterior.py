@@ -141,6 +141,50 @@ def test_param_layout_matches_reference_convention(rng, gaussian_psf):
     assert spec.num_psfs == 2
 
 
+def test_conv_modes_agree(rng, gaussian_psf):
+    """The matmul-DFT posterior matches the FFT posterior end to end."""
+    obs = 0.1 + rng.randn(32, 32) * 0.01
+    config = Configuration(
+        obs_file=obs,
+        obsivm_file=np.full((32, 32), 1e4),
+        psf_files=gaussian_psf,
+        psfivm_files=np.ones_like(gaussian_psf) * 1e6,
+        mag_zeropoint=25.0,
+    )
+
+    def make(conv_mode):
+        comps = [
+            config,
+            Sky(adu=D.Normal(loc=0.1, scale=0.05)),
+            Sersic(
+                xy=D.Uniform(
+                    loc=np.array([10.0, 10.0]), scale=np.array([12.0, 12.0])
+                ),
+                mag=D.Uniform(loc=19, scale=3),
+                reff=D.Uniform(loc=2, scale=8),
+                reff_b=D.Uniform(loc=2, scale=8),
+                index=1.5,
+                angle=30.0,
+                angle_degrees=True,
+            ),
+        ]
+        spec = build_model_spec(comps)
+        return build_posterior(spec, dtype=jnp.float64, conv_mode=conv_mode)
+
+    fns_fft = make("fft")
+    fns_dft = make("dft")
+    theta = np.array([0.105, 20.0, 5.0, 4.0, 16.0, 15.0])
+    lp_fft = float(fns_fft.log_posterior(jnp.asarray(theta)))
+    lp_dft = float(fns_dft.log_posterior(jnp.asarray(theta)))
+    assert lp_fft == pytest.approx(lp_dft, rel=1e-10)
+    imgs_fft = fns_fft.render_images(jnp.asarray(theta))
+    imgs_dft = fns_dft.render_images(jnp.asarray(theta))
+    for k in imgs_fft:
+        assert np.allclose(
+            np.asarray(imgs_fft[k]), np.asarray(imgs_dft[k]), rtol=1e-9
+        ), k
+
+
 def test_psf_index_gather(rng):
     """Multiple PSFs: the discrete index selects the right Fourier stack."""
     psf1 = np.zeros((8, 8))
