@@ -27,9 +27,9 @@ import time
 
 import numpy as np
 
-BURN = 200
-ITERATIONS = 200
-CHAINS = 250
+BURN = int(os.environ.get("BENCH_BURN", "200"))
+ITERATIONS = int(os.environ.get("BENCH_ITER", "200"))
+CHAINS = int(os.environ.get("BENCH_WALKERS", "250"))
 BASELINE_SECONDS = 10.0  # BASELINE.json north-star target (v5e-8)
 
 

@@ -47,8 +47,14 @@ def _pooled_posterior_variance(traces):
 
 
 def potential_scale_reduction(traces):
-    """Gelman-Rubin R-hat over a list of 1-D chains."""
-    all_samps = np.column_stack(traces)
+    """Gelman-Rubin R-hat over a list of 1-D chains.
+
+    Chains are promoted to float64 before any reduction: summing tens of
+    thousands of float32 samples sequentially accumulates rounding drift
+    of order 1e-3 on O(10) values — enough to visibly corrupt means and
+    (through the two-pass variance) inflate stds.
+    """
+    all_samps = np.column_stack(traces).astype(np.float64)
     nsamples, nchains = all_samps.shape
     psrf_scale = (nchains + 1) / nchains
     psrf_offset = (1 - nsamples) / (nchains * nsamples)
@@ -61,7 +67,7 @@ def potential_scale_reduction(traces):
 
 def num_effective_samples(traces):
     """Effective sample count corrected for chain autocorrelation."""
-    all_samps = np.column_stack(traces)
+    all_samps = np.column_stack(traces).astype(np.float64)
     nsamples, nchains = all_samps.shape
     pooled_var = _pooled_posterior_variance(all_samps)
     between_var = _between_variance(all_samps)

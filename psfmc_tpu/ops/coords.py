@@ -44,10 +44,21 @@ def coord_grids(shape, dtype=jnp.float32):
     return xg, yg
 
 
+_LN10 = 2.302585092994046
+
+
 def mag_to_flux(mag, mag_zp):
     """Total flux for a magnitude relative to zeropoint.
 
     Matches reference utils.py:160-164: ``10 ** (-0.4 * (mag - mag_zp))``.
-    Works on numpy or jax inputs.
+    Works on numpy or jax inputs; under a jax trace the power runs
+    through the accurate software exp (TPU's hw f32 exp is ~6e-6 rel,
+    see ops.fastmath).
     """
-    return 10.0 ** (-0.4 * (mag - mag_zp))
+    arg = -0.4 * (mag - mag_zp)
+    if isinstance(arg, (np.ndarray, np.generic, float, int)):
+        return 10.0**arg  # host-side numpy path (spec building, tests)
+    from .fastmath import exp_log_fns
+
+    exp_, _ = exp_log_fns()
+    return exp_(_LN10 * arg)

@@ -197,13 +197,21 @@ def convolve_rdft(img, kernel_r, kernel_i, mats):
     boundary + trailing ifftshift), at ~2.6x fewer MXU FLOPs than
     :func:`convolve_dft`.
     """
+    import os
+
     import jax
 
     cw, sw, ch, sh, ich, ish, ica, isa = mats
-    # Full f32 matmul precision is mandatory (see convolve_dft's note):
-    # bf16 multiplies inject ~1e-3 error that the inverse-variance
-    # likelihood amplifies until acceptance collapses.
-    hi = jax.lax.Precision.HIGHEST
+    # Matmul precision floor: single-pass bf16 (DEFAULT) injects ~1e-3
+    # relative error that the inverse-variance likelihood amplifies until
+    # acceptance collapses (measured 0.28 -> 0.08), so the minimum viable
+    # setting is HIGH (3-pass bf16, ~f32 accuracy at half the MXU cost of
+    # HIGHEST's 6 passes).  PSFMC_CONV_PRECISION=highest restores full
+    # 6-pass f32 for paranoid numerics.
+    hi = {
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[os.environ.get("PSFMC_CONV_PRECISION", "high")]
 
     def lmat(m, x):  # (H,H) @ (..., H, W2)
         return jnp.einsum("kh,...hw->...kw", m, x, precision=hi)

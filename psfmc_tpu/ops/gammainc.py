@@ -118,9 +118,12 @@ def gammaincinv_half_table(a):
     Cubic interpolation on the uniform log-grid keeps the relative error
     < 1e-7 across the whole tabulated range, including the strongly
     curved small-a end."""
+    from .fastmath import exp_log_fns
+
+    exp_, log_ = exp_log_fns()
     _log_a_grid, log_k_grid, lo, hi = _kappa_table()
     a = jnp.asarray(a)
-    la = jnp.clip(jnp.log(jnp.maximum(a, 1e-30)), lo, hi)
+    la = jnp.clip(log_(jnp.maximum(a, 1e-30)), lo, hi)
     # uniform grid -> direct index computation (no searchsorted)
     step = (hi - lo) / (_TABLE_SIZE - 1)
     pos = (la - lo) / step
@@ -135,4 +138,4 @@ def gammaincinv_half_table(a):
         + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * t * t
         + (-p0 + 3.0 * p1 - 3.0 * p2 + p3) * t * t * t
     )
-    return jnp.exp(log_k)
+    return exp_(log_k)

@@ -26,6 +26,9 @@ def gaussian_lnlike(resid, ivm, good_px):
     ``ivm == 0`` (infinite variance), so the ``where`` both excludes them
     from the sum and keeps ``log(0)`` out of the reduction.
     """
-    term = resid * resid * ivm - jnp.log(0.5 / jnp.pi * jnp.where(good_px, ivm, 1.0))
+    from .fastmath import exp_log_fns
+
+    _, log_ = exp_log_fns()  # TPU hw f32 log: ~1e-4 abs err (fastmath)
+    term = resid * resid * ivm - log_(0.5 / jnp.pi * jnp.where(good_px, ivm, 1.0))
     lnl = -0.5 * jnp.sum(jnp.where(good_px, term, 0.0))
     return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf)

@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..fastmath import accurate_exp, accurate_log
+
 __all__ = ["render_sersics_pallas", "pack_sersic_params", "pallas_available"]
 
 _TINY = 1e-30
@@ -81,8 +83,9 @@ def pack_sersic_params(xy, mag, reff, reff_b, index, angle, mag_zp,
 
 def _make_kernel(num_sersics, h, w, dtype):
     def kernel(params_ref, sky_ref, out_ref):
-        xg = jax.lax.broadcasted_iota(dtype, (h, w), 1)
-        yg = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+        # Mosaic's tpu.iota is integer-only; generate int32 and convert.
+        xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(dtype)
+        yg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(dtype)
         acc = jnp.full((h, w), sky_ref[0, 0], dtype)
         for s in range(num_sersics):
             x = params_ref[s, 0]
@@ -102,8 +105,11 @@ def _make_kernel(num_sersics, h, w, dtype):
             sq_r = jnp.maximum(u * u + v * v, _TINY)
             # half-pixel-corner clamp: see ops.sersic.render_sersic
             sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
-            p = jnp.exp(jnp.log(sq_r) * rp)
-            sb = jnp.exp(-kappa * (p - 1.0))
+            # accurate software exp/log (TPU hw f32 versions are too
+            # coarse for the likelihood — see ops.fastmath); these are
+            # bitcast+polynomial recipes that lower in Mosaic directly
+            p = accurate_exp(accurate_log(sq_r) * rp)
+            sb = accurate_exp(-kappa * (p - 1.0))
             krp_p = kappa * rp * p
             corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
             acc = acc + sbeff * sb * corr

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from .coords import mag_to_flux
+from .fastmath import exp_log_fns
 from .gammainc import gammaincinv_half, gammaincinv_half_table
 
 __all__ = ["sersic_kappa", "sersic_sb_eff", "sersic_sq_radii", "render_sersic"]
@@ -65,14 +66,15 @@ def sersic_sb_eff(flux_tot, index, reff, reff_b, kappa=None):
     """
     if kappa is None:
         kappa = sersic_kappa(index)
+    exp_, log_ = exp_log_fns()
     two_n = 2.0 * index
-    gamma_2n = jnp.exp(gammaln(two_n))
+    gamma_2n = exp_(gammaln(two_n))
     return flux_tot / (
         jnp.pi
         * reff
         * reff_b
         * two_n
-        * jnp.exp(kappa - jnp.log(kappa) * two_n)
+        * exp_(kappa - log_(kappa) * two_n)
         * gamma_2n
     )
 
@@ -144,9 +146,13 @@ def render_sersic(
     #   corr = 1 + grad^2 * (r^2 / off^2) / 12
     # and grad = -2 kappa rp p / r, so grad^2 * r^2 cancels the sqrt:
     #   corr = 1 + (kappa * rp * p)^2 / (3 * off^2)
+    # TPU hardware f32 log/exp are too coarse for this likelihood
+    # (~1e-4 abs / ~6e-6 rel — see ops.fastmath); the accurate software
+    # versions keep posterior moments at f64 parity on real hardware.
+    exp_, log_ = exp_log_fns()
     radius_pow = 0.5 / index
-    p = jnp.exp(jnp.log(sq_r) * radius_pow)
-    sb = jnp.exp(-kappa * (p - 1.0))
+    p = exp_(log_(sq_r) * radius_pow)
+    sb = exp_(-kappa * (p - 1.0))
     krp_p = kappa * radius_pow * p
     corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
     return sbeff * sb * corr

@@ -1,0 +1,49 @@
+"""Convergence statistics + float32-chain moment safety."""
+import numpy as np
+
+from psfmc_tpu.analysis.statistics import (
+    num_effective_samples,
+    potential_scale_reduction,
+)
+
+
+def test_psrf_converged_chains():
+    rng = np.random.RandomState(0)
+    traces = [10.0 + 0.01 * rng.randn(5000) for _ in range(8)]
+    assert abs(potential_scale_reduction(traces) - 1.0) < 0.01
+    assert num_effective_samples(traces) > 1000
+
+
+def test_psrf_diverged_chains():
+    rng = np.random.RandomState(0)
+    # chains at different levels -> R-hat far above 1
+    traces = [i * 1.0 + 0.01 * rng.randn(5000) for i in range(8)]
+    assert potential_scale_reduction(traces) > 2.0
+
+
+def test_float32_chain_moments_not_corrupted():
+    """Sequential f32 summation of ~1e5 large-offset samples drifts by
+    ~1e-3; the statistics must promote to f64 internally.
+
+    Regression: this artifact once inflated apparent posterior stds by
+    2.4x (sqrt(sigma^2 + drift^2)) and was misdiagnosed as a sampler
+    numerics bug on TPU.
+    """
+    rng = np.random.RandomState(1)
+    true_mean, true_std = 11.3, 0.0027
+    traces32 = [
+        (true_mean + true_std * rng.randn(96000)).astype(np.float32)
+        for _ in range(4)
+    ]
+    # raw f32 full-array mean drifts (the hazard being guarded against);
+    # if numpy ever makes this accurate the guard is moot but harmless
+    psrf = potential_scale_reduction(traces32)
+    assert abs(psrf - 1.0) < 0.01
+    neff = num_effective_samples(traces32)
+    assert neff > 10000
+    # the pooled variance implied by the statistics stays at truth:
+    # reconstruct via _within_variance on the promoted stack
+    from psfmc_tpu.analysis.statistics import _within_variance
+
+    wv = _within_variance(np.column_stack(traces32).astype(np.float64))
+    assert abs(np.sqrt(wv) - true_std) / true_std < 0.02
