@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.fourier import convolve
 from ..ops.likelihood import gaussian_lnlike
-from ..ops.pointsource import add_pointsource
+from ..ops.pointsource import render_pointsource_dense
 from ..ops.sersic import render_sersic
 from .spec import ModelSpec
 
@@ -201,8 +201,13 @@ class PosteriorFns:
                 xy = _getter(cs.params, theta, "xy")
                 xy = jnp.asarray(xy, self.dtype)
                 mag = _getter(cs.params, theta, "mag")
-                ps = add_pointsource(
-                    ps, xy, mag, self.mag_zp, cs.static["shift_method"]
+                ps = ps + render_pointsource_dense(
+                    self.spec.shape,
+                    xy,
+                    mag,
+                    self.mag_zp,
+                    cs.static["shift_method"],
+                    self.dtype,
                 )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)

@@ -38,7 +38,10 @@ import jax.numpy as jnp
 __all__ = [
     "accurate_log",
     "accurate_exp",
+    "accurate_log_unsafe",
+    "accurate_exp_unsafe",
     "exp_log_fns",
+    "exp_log_fns_unsafe",
     "needs_accurate_transcendentals",
 ]
 
@@ -72,6 +75,15 @@ def exp_log_fns():
     """
     if needs_accurate_transcendentals():
         return accurate_exp, accurate_log
+    return jnp.exp, jnp.log
+
+
+def exp_log_fns_unsafe():
+    """Like :func:`exp_log_fns` but with the guard-free hot-path
+    variants — for per-pixel code whose inputs are clamped positive and
+    whose callers gate pathological thetas upstream."""
+    if needs_accurate_transcendentals():
+        return accurate_exp_unsafe, accurate_log_unsafe
     return jnp.exp, jnp.log
 
 
@@ -116,6 +128,53 @@ def accurate_log(x):
     result = jnp.where(jnp.isinf(x) & (x > 0), jnp.inf, result)
     result = jnp.where(jnp.isnan(x), jnp.nan, result)
     return result
+
+
+def accurate_log_unsafe(x):
+    """:func:`accurate_log` minus the edge-case selects (~6 VPU ops/px).
+
+    Contract: ``x`` is a positive NORMAL float (caller clamps).  Any
+    non-finite/zero/negative/subnormal input produces garbage, NOT NaN —
+    only use where an upstream guard (e.g. the prior's finiteness gate)
+    already rejects pathological parameter vectors.
+    """
+    x = _f32(x)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 126
+    m = jax.lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | 0x3F000000, jnp.float32
+    )
+    small = m < _SQRT_HALF
+    m = jnp.where(small, m + m, m)
+    e = jnp.where(small, e - 1, e).astype(jnp.float32)
+    s = (m - 1.0) / (m + 1.0)
+    z = s * s
+    poly = np.float32(2 / 9.0)
+    poly = poly * z + np.float32(2 / 7.0)
+    poly = poly * z + np.float32(2 / 5.0)
+    poly = poly * z + np.float32(2 / 3.0)
+    poly = poly * z * s
+    return e * _LN2_HI + ((e * _LN2_LO + poly) + (s + s))
+
+
+def accurate_exp_unsafe(a):
+    """:func:`accurate_exp` minus NaN propagation (keeps the under/
+    overflow clamps — those double as the 2^k bit-range guard)."""
+    a = _f32(a)
+    a_clamped = jnp.clip(a, -87.0, 88.0)
+    k = jnp.round(a_clamped * _INV_LN2)
+    r = (a_clamped - k * _LN2_HI) - k * _LN2_LO
+    p = np.float32(1 / 5040.0)
+    p = p * r + np.float32(1 / 720.0)
+    p = p * r + np.float32(1 / 120.0)
+    p = p * r + np.float32(1 / 24.0)
+    p = p * r + np.float32(1 / 6.0)
+    p = p * r + np.float32(0.5)
+    p = p * r + np.float32(1.0)
+    p = p * r + np.float32(1.0)
+    ki = k.astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+    return jnp.where(a < -87.0, 0.0, p * scale)
 
 
 def accurate_exp(a):

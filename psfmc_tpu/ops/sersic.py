@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from .coords import mag_to_flux
-from .fastmath import exp_log_fns
+from .fastmath import exp_log_fns, exp_log_fns_unsafe
 from .gammainc import gammaincinv_half, gammaincinv_half_table
 
 __all__ = ["sersic_kappa", "sersic_sb_eff", "sersic_sq_radii", "render_sersic"]
@@ -126,10 +126,16 @@ def render_sersic(
     ang = jnp.deg2rad(angle) if angle_degrees else angle
     ang = ang + 0.5 * jnp.pi
     sin_a, cos_a = jnp.sin(ang), jnp.cos(ang)
+    # inverse scale+rotation folded into four per-walker scalars so the
+    # per-pixel path is pure fma (divisions are many-cycle VPU ops)
+    m00 = cos_a / reff
+    m01 = sin_a / reff
+    m10 = -sin_a / reff_b
+    m11 = cos_a / reff_b
     dx = xg - xy[0]
     dy = yg - xy[1]
-    u = (cos_a * dx + sin_a * dy) / reff
-    v = (-sin_a * dx + cos_a * dy) / reff_b
+    u = m00 * dx + m01 * dy
+    v = m10 * dx + m11 * dy
     sq_r = jnp.maximum(u * u + v * v, _TINY)
     # The first-order centroid correction diverges as the pixel-center
     # distance -> 0 for n > 1 (the reference NaNs at exact hits —
@@ -149,7 +155,9 @@ def render_sersic(
     # TPU hardware f32 log/exp are too coarse for this likelihood
     # (~1e-4 abs / ~6e-6 rel — see ops.fastmath); the accurate software
     # versions keep posterior moments at f64 parity on real hardware.
-    exp_, log_ = exp_log_fns()
+    # Guard-free variants: sq_r is clamped positive-normal and the
+    # prior's finiteness gate rejects NaN/out-of-support thetas upstream.
+    exp_, log_ = exp_log_fns_unsafe()
     radius_pow = 0.5 / index
     p = exp_(log_(sq_r) * radius_pow)
     sb = exp_(-kappa * (p - 1.0))

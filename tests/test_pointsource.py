@@ -77,3 +77,24 @@ def test_add_accumulates():
                               "bilinear", dtype=jnp.float64)
     both = add_pointsource(base, jnp.asarray([4.0, 4.0]), 0.0, 0.0, "bilinear")
     assert np.asarray(both).sum() == pytest.approx(2.0, abs=1e-12)
+
+
+def test_dense_matches_scatter():
+    """The rank-1 dense renderer equals the windowed scatter everywhere,
+    including positions near (and clipped at) the image edge."""
+    from psfmc_tpu.ops.pointsource import render_pointsource_dense
+
+    shape = (32, 24)
+    for method in ("lanczos3", "bilinear"):
+        for xy in [(11.3, 7.8), (0.4, 0.2), (23.1, 31.6), (12.0, 16.0),
+                   (2.5, 29.5)]:
+            a = np.asarray(
+                render_pointsource(shape, jnp.asarray(xy), 20.0, 25.0,
+                                   method)
+            )
+            b = np.asarray(
+                render_pointsource_dense(shape, jnp.asarray(xy), 20.0,
+                                         25.0, method)
+            )
+            assert np.allclose(a, b, atol=1e-5), (method, xy)
+            assert abs(float(a.sum() - b.sum())) < 1e-4  # f32 reduce

@@ -132,8 +132,20 @@ def main():
 
     mean_np, mean_jx = flat_np.mean(0), flat_jax.mean(0)
     std_np, std_jx = flat_np.std(0), flat_jax.std(0)
-    tau = 25.0
-    se = std_np * np.sqrt(tau / flat_np.shape[0])
+    # Proper MC error: measure the integrated autocorrelation time of the
+    # walker-averaged reference chain per parameter, and combine BOTH
+    # chains' standard errors (each run is an independent estimate).
+    from psfmc_tpu.sampler.autocorr import integrated_time
+
+    nsteps = flat_np.shape[0] // nwalkers
+    mean_chain = flat_np.reshape(nsteps, nwalkers, 8).mean(axis=1)
+    try:
+        tau = np.atleast_1d(integrated_time(mean_chain, axis=0, c=1))
+    except Exception:
+        tau = np.full(8, 25.0)
+    tau = np.clip(tau, 1.0, nsteps / 10)
+    se_one = std_np * np.sqrt(tau / flat_np.shape[0])
+    se = np.sqrt(2.0) * se_one
     names = ["adu", "angle", "index", "mag", "reff", "reff_b", "x", "y"]
 
     print(f"\n{'param':>8} {'mean_np':>10} {'mean_tpu':>10} {'dev/se':>7} "
