@@ -136,6 +136,10 @@ class PosteriorFns:
         self.log_posterior_and_images = partial(
             self._lnpost_impl, with_images=True
         )
+        # images-only path: the sampler's retained-phase accumulation
+        # renders the current ensemble without re-evaluating the prior
+        # or likelihood
+        self.carry_images = self._images_impl
         self.render_images = self._render_images
 
         # Jitted-program cache shared by every consumer of this posterior.

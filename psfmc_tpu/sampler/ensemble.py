@@ -7,18 +7,22 @@ fitting.py:56-94) with a TPU-native sampler:
   half-ensemble updates, ``z = ((a-1)u + 1)^2 / a``, acceptance ratio
   ``(dim-1) ln z + lnp(Y) - lnp(X)`` — statistically identical moves,
 * the posterior is evaluated **vmapped over the whole half-ensemble**
-  per half-step: renders, FFT convolutions and likelihood reductions all
+  per half-step: renders, convolutions and likelihood reductions all
   run as one batched XLA computation,
 * ``lax.scan`` over steps: the entire burn or sampling phase is a single
   device program; the chain lands in device memory and is fetched once,
 * posterior-image running means accumulate **on device** in the scan
   carry (replacing the reference's emcee "blobs" machinery,
-  models.py:74-97 / fitting.py:83), using the current state's images each
-  retained step — the same retained-sample semantics as the reference,
-* optional walker-axis sharding: positions/images carry a
-  ``NamedSharding`` over the mesh's walker axis; the complementary-half
-  partner gather becomes the one tiny ICI all-gather per half-step
-  (SURVEY.md section 5 "distributed communication backend").
+  models.py:74-97 / fitting.py:83).  Because the carry images are
+  deterministic functions of the positions, they are *recomputed* from
+  the current ensemble once per retained step rather than carried
+  per-walker through the accept/reject selects — same retained-sample
+  semantics as the reference, at a fraction of the HBM traffic (the
+  per-walker image carry was 0.5 GB of scan state at 2000 walkers),
+* optional walker-axis sharding: positions carry a ``NamedSharding``
+  over the mesh's walker axis; the complementary-half partner gather
+  becomes the one tiny ICI all-gather per half-step (SURVEY.md section 5
+  "distributed communication backend").
 
 PRNG: ``jax.random`` throughout — reproducible given a seed, independent
 of host state.
@@ -43,7 +47,6 @@ class EnsembleState:
 
     positions: jax.Array  # (nwalkers, dim)
     log_prob: jax.Array  # (nwalkers,)
-    images: Optional[Dict[str, jax.Array]]  # per-walker carry images or None
     accum: Optional[Dict[str, jax.Array]]  # running-mean images or None
     accum_count: jax.Array  # scalar int32: accumulated samples
     naccept: jax.Array  # (nwalkers,) int32 accepted moves per walker
@@ -53,27 +56,17 @@ class EnsembleState:
 jax.tree_util.register_pytree_node(
     EnsembleState,
     lambda s: (
-        (s.positions, s.log_prob, s.images, s.accum, s.accum_count, s.naccept, s.key),
+        (s.positions, s.log_prob, s.accum, s.accum_count, s.naccept, s.key),
         None,
     ),
     lambda _aux, ch: EnsembleState(*ch),
 )
 
 
-def _stretch_half(
-    key,
-    active_pos,
-    active_lnp,
-    active_imgs,
-    comp_pos,
-    lnpost_fn,
-    a,
-    dim,
-    with_images,
-):
+def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_fn, a, dim):
     """Update one half-ensemble against its complement.
 
-    Returns (new_pos, new_lnp, new_imgs, accepted_count_per_walker).
+    Returns (new_pos, new_lnp, accepted_count_per_walker).
     """
     k = active_pos.shape[0]
     key_z, key_r, key_u = jax.random.split(key, 3)
@@ -84,102 +77,61 @@ def _stretch_half(
     c = comp_pos[partner]  # gather; all-gather over mesh when sharded
     proposal = c + z[:, None] * (active_pos - c)
 
-    if with_images:
-        prop_lnp, prop_imgs = jax.vmap(lnpost_fn)(proposal)
-    else:
-        prop_lnp = jax.vmap(lnpost_fn)(proposal)
-        prop_imgs = None
+    prop_lnp = jax.vmap(lnpost_fn)(proposal)
 
     log_ratio = (dim - 1.0) * jnp.log(z) + prop_lnp - active_lnp
     accept = jnp.log(jax.random.uniform(key_u, (k,), active_pos.dtype)) < log_ratio
 
     new_pos = jnp.where(accept[:, None], proposal, active_pos)
     new_lnp = jnp.where(accept, prop_lnp, active_lnp)
-    new_imgs = None
-    if with_images:
-        new_imgs = jax.tree_util.tree_map(
-            lambda prop, cur: jnp.where(accept[:, None, None], prop, cur),
-            prop_imgs,
-            active_imgs,
-        )
-    return new_pos, new_lnp, new_imgs, accept.astype(jnp.int32)
-
-
-def _split_imgs(imgs, sl):
-    if imgs is None:
-        return None
-    return {k: v[sl] for k, v in imgs.items()}
-
-
-def _merge_imgs(first, second):
-    if first is None:
-        return None
-    return {
-        k: jnp.concatenate([first[k], second[k]], axis=0) for k in first
-    }
+    return new_pos, new_lnp, accept.astype(jnp.int32)
 
 
 def make_step_fn(
     lnpost_fn: Callable,
-    lnpost_images_fn: Callable,
+    images_fn: Optional[Callable],
     nwalkers: int,
     dim: int,
     a: float = 2.0,
     accumulate: bool = False,
     record: bool = True,
 ):
-    """Build the one-iteration scan body (two half-ensemble updates)."""
+    """Build the one-iteration scan body (two half-ensemble updates).
+
+    ``images_fn(theta) -> dict of (H, W) images`` is only consumed when
+    ``accumulate`` is set: after both half-updates it renders the
+    *current* state of every walker and folds the ensemble mean into the
+    running accumulators (reference retained-sample semantics,
+    fitting.py:83 + models.py:74-97).
+    """
     half = nwalkers // 2
-    with_images = accumulate
 
     def step(state: EnsembleState, _):
         key, key0, key1 = jax.random.split(state.key, 3)
         pos, lnp = state.positions, state.log_prob
-        imgs = state.images
-
-        fn = lnpost_images_fn if with_images else lnpost_fn
 
         # First half moves against second half
-        p0, l0, i0, acc0 = _stretch_half(
-            key0,
-            pos[:half],
-            lnp[:half],
-            _split_imgs(imgs, slice(0, half)),
-            pos[half:],
-            fn,
-            a,
-            dim,
-            with_images,
+        p0, l0, acc0 = _stretch_half(
+            key0, pos[:half], lnp[:half], pos[half:], lnpost_fn, a, dim
         )
-        # Second half moves against the *updated* first half (emcee 2.x order)
-        p1, l1, i1, acc1 = _stretch_half(
-            key1,
-            pos[half:],
-            lnp[half:],
-            _split_imgs(imgs, slice(half, nwalkers)),
-            p0,
-            fn,
-            a,
-            dim,
-            with_images,
+        # Second half moves against the *updated* first half (emcee 2.x)
+        p1, l1, acc1 = _stretch_half(
+            key1, pos[half:], lnp[half:], p0, lnpost_fn, a, dim
         )
 
         new_pos = jnp.concatenate([p0, p1], axis=0)
         new_lnp = jnp.concatenate([l0, l1], axis=0)
-        new_imgs = _merge_imgs(i0, i1)
         naccept = state.naccept + jnp.concatenate([acc0, acc1])
 
         accum = state.accum
         count = state.accum_count
         if accumulate:
-            # Running mean over retained samples: each step contributes the
-            # *current* state of every walker (reference retained-sample
-            # semantics, fitting.py:83 + models.py:74-97).
+            imgs = jax.vmap(images_fn)(new_pos)
             count = count + nwalkers
             accum = {
                 k: accum[k]
                 + (
-                    jnp.sum(new_imgs[k].astype(accum[k].dtype), axis=0)
+                    jnp.sum(imgs[k].astype(accum[k].dtype), axis=0)
                     - nwalkers * accum[k]
                 )
                 / count.astype(accum[k].dtype)
@@ -189,7 +141,6 @@ def make_step_fn(
         new_state = EnsembleState(
             positions=new_pos,
             log_prob=new_lnp,
-            images=new_imgs,
             accum=accum,
             accum_count=count,
             naccept=naccept,
@@ -203,7 +154,7 @@ def make_step_fn(
 
 def run_stretch_move(
     lnpost_fn,
-    lnpost_images_fn,
+    images_fn,
     state: EnsembleState,
     nsteps: int,
     a: float = 2.0,
@@ -220,7 +171,7 @@ def run_stretch_move(
     nwalkers, dim = state.positions.shape
     step = make_step_fn(
         lnpost_fn,
-        lnpost_images_fn,
+        images_fn,
         nwalkers,
         dim,
         a=a,
@@ -285,6 +236,14 @@ class EnsembleSampler:
         self._burn_prog = self._phase_program(accumulate=False, record=False)
         self._sample_prog = self._phase_program(accumulate=True, record=True)
 
+    def _images_fn(self):
+        """theta -> dict of carry images (for retained-phase accumulation)."""
+        fn = getattr(self.fns, "carry_images", None)
+        if fn is not None:
+            return fn
+        pair = self.fns.log_posterior_and_images
+        return lambda theta: pair(theta)[1]
+
     def _phase_program(self, accumulate: bool, record: bool):
         cache = getattr(self.fns, "programs", None)
         key = ("phase", self.nwalkers, self.dim, self.a, accumulate, record)
@@ -294,7 +253,7 @@ class EnsembleSampler:
             partial(
                 run_stretch_move,
                 self.fns.log_posterior,
-                self.fns.log_posterior_and_images,
+                self._images_fn(),
                 a=self.a,
                 accumulate=accumulate,
                 record=record,
@@ -305,11 +264,11 @@ class EnsembleSampler:
             cache[key] = prog
         return prog
 
-    def _batched_lnpost_images(self):
-        fn = getattr(self.fns, "batched_lnpost_and_images", None)
+    def _batched_lnpost(self):
+        fn = getattr(self.fns, "batched_lnpost", None)
         if fn is None:
-            fn = jax.jit(jax.vmap(self.fns.log_posterior_and_images))
-            self.fns.batched_lnpost_and_images = fn
+            fn = jax.jit(jax.vmap(self.fns.log_posterior))
+            self.fns.batched_lnpost = fn
         return fn
 
     # -- state management -------------------------------------------------
@@ -318,20 +277,19 @@ class EnsembleSampler:
             return jax.lax.with_sharding_constraint(arr, self.sharding)
         return arr
 
-    def init_state(self, p0, key=None, with_images=True):
+    def init_state(self, p0, key=None):
         """Initialize device state from (nwalkers, dim) positions."""
         p0 = jnp.asarray(p0, self.fns.dtype)
         if key is None:
             self._key, key = jax.random.split(self._key)
-        lnp, imgs = self._batched_lnpost_images()(p0)
+        lnp = self._batched_lnpost()(p0)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
-        accum = {
-            k: jnp.zeros((h, w), self.accum_dtype) for k in imgs
-        }
+        # accumulator keys discovered from a shape-only trace (no compute)
+        img_keys = jax.eval_shape(self._images_fn(), p0[0]).keys()
+        accum = {k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys}
         self.state = EnsembleState(
             positions=p0,
             log_prob=lnp,
-            images=imgs if with_images else None,
             accum=accum,
             accum_count=jnp.asarray(0, jnp.int32),
             naccept=jnp.zeros(self.nwalkers, jnp.int32),
@@ -363,11 +321,8 @@ class EnsembleSampler:
     def run_burn(self, nsteps: int):
         """Burn-in: no chain recording, no image accumulation."""
         prev_naccept = np.asarray(self.state.naccept)
-        state = replace(self.state, images=None)
-        final, _, _ = self._burn_prog(state, nsteps=nsteps)
-        # restore per-walker images for the sampling phase
-        lnp, imgs = self._batched_lnpost_images()(final.positions)
-        self.state = replace(final, images=imgs, log_prob=lnp)
+        final, _, _ = self._burn_prog(self.state, nsteps=nsteps)
+        self.state = final
         self._naccept += np.asarray(final.naccept) - prev_naccept
         self._nsteps_total += nsteps
         return self

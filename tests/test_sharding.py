@@ -57,3 +57,33 @@ def test_positions_actually_sharded():
     p0 = np.random.RandomState(1).randn(16, 3)
     arr = shard_walkers(jnp.asarray(p0), mesh)
     assert len(arr.sharding.device_set) == 8
+
+
+def test_large_ensemble_sharded():
+    """BASELINE.json scaling config: 2000 walkers sharded over the mesh.
+
+    Checks the full sampling step (stretch move + chain record + image
+    accumulation) executes with the production walker count and that the
+    accumulators reduce across shards correctly.
+    """
+    post = GaussianPosterior()
+    nwalkers, dim = 2000, 3
+    rng = np.random.RandomState(2)
+    p0 = rng.randn(nwalkers, dim) * 0.1 + np.asarray(post.mean)
+
+    mesh = walker_mesh()
+    s = EnsembleSampler(
+        nwalkers, dim, post, seed=7, image_shape=(2, 2),
+        sharding=walker_sharding(mesh),
+    )
+    s.init_state(shard_walkers(jnp.asarray(p0), mesh))
+    s.run_burn(5)
+    s.reset()
+    s.run_sampling(10)
+    assert s.chain.shape == (nwalkers, 10, dim)
+    assert np.all(np.isfinite(s.lnprobability))
+    acc = s.accumulated_images["img"]
+    # accumulated mean of theta[0] over all walkers/steps stays near the
+    # posterior mean of the first component
+    assert abs(float(acc.mean()) - 1.0) < 0.2
+    assert s.accumulated_samples == nwalkers * 10
