@@ -77,7 +77,7 @@ class PosteriorFns:
         self.spec = spec
         self.dtype = dtype
         # 'fft' = jnp.fft.rfft2/irfft2; 'dft' = dense-DFT matmuls on the
-        # MXU (see ops.fourier.convolve_dft) — measured faster on TPU for
+        # MXU (see ops.fourier.convolve_rdft) — measured faster on TPU for
         # this workload's 128x128 images.
         if conv_mode is None:
             conv_mode = os.environ.get("PSFMC_CONV", "")

@@ -24,7 +24,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pad_and_rfft_image", "convolve", "fft_convolve_direct"]
+__all__ = [
+    "pad_and_rfft_image",
+    "convolve",
+    "fft_convolve_direct",
+    "rdft_matrices",
+    "convolve_rdft",
+]
 
 
 def pad_and_rfft_image(img, newshape):
@@ -72,61 +78,17 @@ def fft_convolve_direct(img, kernel_padded):
 
 
 # ---------------------------------------------------------------------------
-# Matmul-DFT convolution (MXU path)
+# Half-spectrum real-matmul convolution (the MXU path)
 # ---------------------------------------------------------------------------
 #
-# For the 128x128 images of this workload, a dense DFT expressed as two
-# complex matmuls per transform maps onto the TPU MXU (systolic array)
-# instead of XLA's generic FFT lowering.  More raw FLOPs than an FFT,
-# but they are *matmul* FLOPs — the one thing the hardware does at full
-# rate — and the batched einsum over the walker ensemble feeds the MXU
-# perfectly.  Numerics: f32 DFT of a 128-point signal has ~1e-6 relative
-# error — far below the likelihood's noise floor.
-
-
-def dft_matrices(shape, dtype=np.complex64):
-    """(F_h, F_w, iF_h, iF_w) dense DFT/IDFT matrices for a 2-D shape."""
-    h, w = shape
-    f_h = np.fft.fft(np.eye(h)).astype(dtype)
-    f_w = np.fft.fft(np.eye(w)).astype(dtype)
-    if_h = np.fft.ifft(np.eye(h)).astype(dtype)
-    if_w = np.fft.ifft(np.eye(w)).astype(dtype)
-    return f_h, f_w, if_h, if_w
-
-
-def convolve_dft(img, full_kernel_spec, mats):
-    """Matmul-DFT circular convolution (jittable; (..., H, W) input).
-
-    ``full_kernel_spec`` is the FULL complex spectrum of the padded
-    kernel (``np.fft.fft2``, not rfft2); ``mats`` from
-    :func:`dft_matrices`.  Matches :func:`convolve`'s semantics
-    (wrap boundary + trailing ifftshift).
-    """
-    import jax
-
-    f_h, f_w, if_h, if_w = mats
-    cdtype = f_h.dtype if hasattr(f_h, "dtype") else jnp.complex64
-    x = img.astype(cdtype)
-    # Full f32 matmul precision is mandatory: the TPU MXU's default
-    # (bfloat16 multiplies) injects ~1e-3 relative error into the
-    # convolution, which the inverse-variance likelihood amplifies into
-    # hundreds of log-posterior units and the sampler's acceptance
-    # collapses (measured: 0.28 -> 0.08).
-    hi = jax.lax.Precision.HIGHEST
-    # spec = F_h @ x @ F_w^T  (DFT along both axes), batched over leading dims
-    spec = jnp.einsum("hj,...jw->...hw", f_h, x, precision=hi)
-    spec = jnp.einsum("...hw,kw->...hk", spec, f_w, precision=hi)
-    spec = spec * full_kernel_spec
-    out = jnp.einsum("hj,...jw->...hw", if_h, spec, precision=hi)
-    out = jnp.einsum("...hw,kw->...hk", out, if_w, precision=hi)
-    return jnp.fft.ifftshift(out.real.astype(img.dtype), axes=(-2, -1))
-
-
-# ---------------------------------------------------------------------------
-# Half-spectrum real-matmul convolution (the fast MXU path)
-# ---------------------------------------------------------------------------
+# For the 128x128 images of this workload, a dense DFT expressed as
+# matmuls maps onto the TPU MXU (systolic array) instead of XLA's
+# generic FFT lowering: more raw FLOPs than an FFT, but they are
+# *matmul* FLOPs — the one thing the hardware does at full rate — and
+# the batched einsum over the walker ensemble feeds the MXU perfectly.
+# It also compiles ~3x faster than the FFT lowering over the tunnel.
 #
-# ``convolve_dft`` above casts the real input to complex, so each of its
+# A naive complex-spectrum matmul DFT casts the real input to complex, so each of its
 # four einsums lowers to four full-size real matmuls (~16 units total).
 # Exploiting that the input AND output are real and the spectrum is
 # hermitian (rfft2's W//2+1 half spectrum) cuts this to twelve half-width
@@ -195,7 +157,7 @@ def convolve_rdft(img, kernel_r, kernel_i, mats):
     ``rfft2`` half spectrum (shape (H, W2)); ``mats`` from
     :func:`rdft_matrices`.  Matches :func:`convolve` exactly (circular
     boundary + trailing ifftshift), at ~2.6x fewer MXU FLOPs than
-    :func:`convolve_dft`.
+    a complex-spectrum formulation.
     """
     import os
 
@@ -235,19 +197,3 @@ def convolve_rdft(img, kernel_r, kernel_i, mats):
     return rmat(s4r, ica) - rmat(s4i, isa)
 
 
-def pad_and_fft_image_full(img, newshape):
-    """Center-pad like :func:`pad_and_rfft_image` but return the full
-    fft2 spectrum (for the matmul-DFT path)."""
-    img = np.asarray(img)
-    pad = np.asarray(newshape) - np.asarray(img.shape)
-    if np.any(pad < 0):
-        raise NotImplementedError(
-            "PSF images larger than observation images are not supported"
-        )
-    off = [n // 2 - m // 2 for n, m in zip(newshape, img.shape)]
-    img_pad = np.zeros(tuple(newshape), dtype=np.float64)
-    img_pad[
-        off[0] : off[0] + img.shape[0],
-        off[1] : off[1] + img.shape[1],
-    ] = img
-    return np.fft.fft2(img_pad)

@@ -102,56 +102,6 @@ def test_gammaincinv_table_accuracy():
     assert np.allclose(edge, sp.gammaincinv(0.02, 0.5), rtol=1e-6)
 
 
-def test_convolve_dft_matches_fft(rng):
-    from psfmc_tpu.ops.fourier import (
-        convolve_dft,
-        dft_matrices,
-        pad_and_fft_image_full,
-    )
-
-    img = rng.rand(48, 48)
-    psf = rng.rand(15, 15)
-    fk = pad_and_rfft_image(psf, (48, 48))
-    want = np.asarray(convolve(jnp.asarray(img), jnp.asarray(fk)))
-    full = pad_and_fft_image_full(psf, (48, 48))
-    mats = dft_matrices((48, 48), np.complex128)
-    got = np.asarray(
-        convolve_dft(jnp.asarray(img), jnp.asarray(full), mats)
-    )
-    assert np.allclose(got, want, atol=1e-10)
-
-
-def test_accurate_transcendentals():
-    """Software exp/log reach ~1 ulp (TPU hw f32 log is ~1e-4 abs)."""
-    from psfmc_tpu.ops.fastmath import accurate_exp, accurate_log
-
-    x = np.concatenate(
-        [np.logspace(-30, 30, 50000), np.linspace(0.5, 2.0, 20000)]
-    ).astype(np.float32)
-    got = np.asarray(accurate_log(jnp.asarray(x)), np.float64)
-    want = np.log(np.asarray(x, np.float64))
-    assert np.abs(got - want).max() < 5e-6  # ~1 ulp of |log| <= 70
-    big = np.abs(want) > 0.1
-    assert (np.abs(got - want)[big] / np.abs(want)[big]).max() < 3e-7
-
-    a = np.linspace(-87, 88, 50000).astype(np.float32)
-    got = np.asarray(accurate_exp(jnp.asarray(a)), np.float64)
-    want = np.exp(np.asarray(a, np.float64))
-    assert (np.abs(got - want) / want).max() < 2e-7
-
-    # edge semantics match jnp.log / jnp.exp
-    edges = np.asarray(
-        accurate_log(jnp.asarray([0.0, -1.0, np.inf, np.nan], jnp.float32))
-    )
-    assert edges[0] == -np.inf and np.isnan(edges[1])
-    assert edges[2] == np.inf and np.isnan(edges[3])
-    eedges = np.asarray(
-        accurate_exp(jnp.asarray([-200.0, 200.0, np.nan, 0.0], jnp.float32))
-    )
-    assert eedges[0] == 0.0 and eedges[1] == np.inf
-    assert np.isnan(eedges[2]) and eedges[3] == 1.0
-
-
 def test_convolve_rdft_matches_fft(rng):
     from psfmc_tpu.ops.fourier import convolve_rdft, rdft_matrices
 
