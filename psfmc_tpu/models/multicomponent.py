@@ -83,12 +83,20 @@ class MultiComponentModel:
         self.accumulated_samples = 0
         self.reset_images()
 
-        # reuse the posterior's shared program cache (avoids recompiles)
-        self._render_jit = jax.jit(self.posterior_fns.render_images)
+        # Compiled singles live in the posterior's shared program cache —
+        # jax.jit caches by callable identity, so per-instance wrappers
+        # would silently recompile for every MultiComponentModel over an
+        # equivalent posterior.
+        progs = self.posterior_fns.programs
+        if "render_one" not in progs:
+            progs["render_one"] = jax.jit(self.posterior_fns.render_images)
+        if "lnpost_imgs_one" not in progs:
+            progs["lnpost_imgs_one"] = jax.jit(
+                self.posterior_fns.log_posterior_and_images
+            )
+        self._render_jit = progs["render_one"]
         self._render_batch_jit = self.posterior_fns.batched_render
-        self._lnpost_imgs_jit = jax.jit(
-            self.posterior_fns.log_posterior_and_images
-        )
+        self._lnpost_imgs_jit = progs["lnpost_imgs_one"]
 
     # ------------------------------------------------------------------
     # Parameter-vector plumbing (reference models.py:132-185)

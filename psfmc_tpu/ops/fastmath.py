@@ -17,8 +17,15 @@ the classic Cody & Waite argument-reduction recipes:
   [sqrt(1/2), sqrt(2)) -> atanh series (degree 9, relative truncation
   < 1e-9) -> e*ln2 re-added in hi/lo split arithmetic.
 * ``accurate_exp``: k = round(a/ln2), r = a - k*ln2 in hi/lo split,
-  degree-7 Taylor on r in [-0.35, 0.35] (truncation < 5e-9), exact
-  2^k scaling through the exponent bits.
+  degree-7 Taylor on r (truncation < 5e-9 for |r| <= ln2/2; the clip
+  of k to the exponent-bit range stretches r up to 0.72 only in the
+  last representable octave near exp(88.7), where truncation grows to
+  ~1e-4 — still finite and monotone), exact 2^k scaling through the
+  exponent bits.
+
+The recipes are float32-specific (they manipulate f32 exponent bits):
+float64 inputs fall through to the hardware ops, whose f64 variants are
+accurate on TPU (~1e-8, good enough for any f64 run).
 
 Measured end-to-end effect (tools/check_tpu_moments.py): restores
 posterior-moment parity with the f64 reference pipeline on real TPU.
@@ -51,6 +58,8 @@ _LN2_HI = np.float32(0.693145751953125)
 _LN2_LO = np.float32(1.428606765330187045e-06)
 _INV_LN2 = np.float32(1.4426950408889634)
 _SQRT_HALF = np.float32(0.7071067811865476)
+_EXP_HI = np.float32(88.72)  # log(f32 max) = 88.7228
+_EXP_LO = np.float32(-87.0)  # below log(f32 min normal): flush to 0
 
 
 def needs_accurate_transcendentals() -> bool:
@@ -87,19 +96,22 @@ def exp_log_fns_unsafe():
     return jnp.exp, jnp.log
 
 
-def _f32(x):
-    return jnp.asarray(x, jnp.float32)
+def _is_f32(x):
+    return jnp.asarray(x).dtype == jnp.float32
 
 
-def accurate_log(x):
-    """~1-ulp float32 natural log for positive normal inputs.
+def accurate_log_unsafe(x):
+    """~1-ulp f32 natural log, no edge-case selects (~6 VPU ops saved).
 
-    Matches ``jnp.log`` edge behavior: log(0) = -inf, log(neg) = nan,
-    log(inf) = inf.  Subnormal inputs are flushed through the normal
-    path (treated as the smallest normal), which is harmless for this
-    package's callers (radii are clamped >= 1e-30).
+    Contract: ``x`` is a positive NORMAL float32 (caller clamps).  Any
+    non-finite/zero/negative/subnormal input produces garbage, NOT NaN —
+    only use where an upstream guard (e.g. the prior's finiteness gate)
+    already rejects pathological parameter vectors.  Non-f32 dtypes fall
+    through to the hardware op (the bit recipe is f32-specific).
     """
-    x = _f32(x)
+    x = jnp.asarray(x)
+    if not _is_f32(x):
+        return jnp.log(x)
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     # exponent such that x = m * 2^e with m in [0.5, 1)
     e = ((bits >> 23) & 0xFF) - 126
@@ -121,8 +133,21 @@ def accurate_log(x):
     poly = poly * z + np.float32(2 / 3.0)
     poly = poly * z * s
     # assemble in an order that keeps the small terms together
-    result = e * _LN2_HI + ((e * _LN2_LO + poly) + (s + s))
+    return e * _LN2_HI + ((e * _LN2_LO + poly) + (s + s))
 
+
+def accurate_log(x):
+    """~1-ulp float32 natural log for positive inputs.
+
+    Matches ``jnp.log`` edge behavior: log(0) = -inf, log(neg) = nan,
+    log(inf) = inf, log(nan) = nan.  Subnormal inputs flush to -inf
+    (XLA backends flush subnormals to zero anyway), which is harmless
+    for this package's callers (radii are clamped >= 1e-30).
+    """
+    x = jnp.asarray(x)
+    if not _is_f32(x):
+        return jnp.log(x)
+    result = accurate_log_unsafe(x)
     result = jnp.where(x == 0.0, -jnp.inf, result)
     result = jnp.where(x < 0.0, jnp.nan, result)
     result = jnp.where(jnp.isinf(x) & (x > 0), jnp.inf, result)
@@ -130,82 +155,64 @@ def accurate_log(x):
     return result
 
 
-def accurate_log_unsafe(x):
-    """:func:`accurate_log` minus the edge-case selects (~6 VPU ops/px).
+def _exp_poly(r):
+    """Degree-7 Taylor for exp on the reduced argument (<5e-9 rel for
+    |r| <= ln2/2; ~1e-4 at |r| ~ 0.72, the safe path's top octave)."""
+    p = np.float32(1 / 5040.0)
+    p = p * r + np.float32(1 / 720.0)
+    p = p * r + np.float32(1 / 120.0)
+    p = p * r + np.float32(1 / 24.0)
+    p = p * r + np.float32(1 / 6.0)
+    p = p * r + np.float32(0.5)
+    p = p * r + np.float32(1.0)
+    return p * r + np.float32(1.0)
 
-    Contract: ``x`` is a positive NORMAL float (caller clamps).  Any
-    non-finite/zero/negative/subnormal input produces garbage, NOT NaN —
-    only use where an upstream guard (e.g. the prior's finiteness gate)
-    already rejects pathological parameter vectors.
-    """
-    x = _f32(x)
-    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-    e = ((bits >> 23) & 0xFF) - 126
-    m = jax.lax.bitcast_convert_type(
-        (bits & 0x007FFFFF) | 0x3F000000, jnp.float32
-    )
-    small = m < _SQRT_HALF
-    m = jnp.where(small, m + m, m)
-    e = jnp.where(small, e - 1, e).astype(jnp.float32)
-    s = (m - 1.0) / (m + 1.0)
-    z = s * s
-    poly = np.float32(2 / 9.0)
-    poly = poly * z + np.float32(2 / 7.0)
-    poly = poly * z + np.float32(2 / 5.0)
-    poly = poly * z + np.float32(2 / 3.0)
-    poly = poly * z * s
-    return e * _LN2_HI + ((e * _LN2_LO + poly) + (s + s))
+
+def _pow2i(ki):
+    """Exact 2^ki via exponent bits; ki must be in [-126, 127]."""
+    return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
 
 
 def accurate_exp_unsafe(a):
-    """:func:`accurate_exp` minus NaN propagation (keeps the under/
-    overflow clamps — those double as the 2^k bit-range guard)."""
-    a = _f32(a)
-    a_clamped = jnp.clip(a, -87.0, 88.0)
+    """~1-ulp f32 exp for the hot path: NaN in -> garbage finite out,
+    and the result SATURATES at exp(88) for a > 88 (instead of going to
+    inf at f32 max like :func:`accurate_exp`) — the [-87, 88] clamp is
+    what keeps the 2^k exponent bits in range without a second integer
+    clip.  Callers' arguments are bounded far below +88 (Sersic
+    exponents are <= ~0.5*log(r^2) ~ 35).  Non-f32 dtypes fall through
+    to the hardware op.
+    """
+    a = jnp.asarray(a)
+    if not _is_f32(a):
+        return jnp.exp(a)
+    # |k| <= round(88 * 1.4427) = 127: the exponent bits stay valid
+    a_clamped = jnp.clip(a, _EXP_LO, np.float32(88.0))
     k = jnp.round(a_clamped * _INV_LN2)
-    r = (a_clamped - k * _LN2_HI) - k * _LN2_LO
-    p = np.float32(1 / 5040.0)
-    p = p * r + np.float32(1 / 720.0)
-    p = p * r + np.float32(1 / 120.0)
-    p = p * r + np.float32(1 / 24.0)
-    p = p * r + np.float32(1 / 6.0)
-    p = p * r + np.float32(0.5)
-    p = p * r + np.float32(1.0)
-    p = p * r + np.float32(1.0)
-    ki = k.astype(jnp.int32)
-    scale = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
-    return jnp.where(a < -87.0, 0.0, p * scale)
+    r = (a_clamped - k * _LN2_HI) - k * _LN2_LO  # |r| <= ln2/2
+    result = _exp_poly(r) * _pow2i(k.astype(jnp.int32))
+    return jnp.where(a < _EXP_LO, 0.0, result)
 
 
 def accurate_exp(a):
-    """~1-ulp float32 exp.
+    """~1-ulp float32 exp with full edge behavior.
 
-    Underflows to 0 below exp(-87.3) (the f32 subnormal range is
-    flushed — invisible to any likelihood term) and overflows to inf
-    above exp(88.7), matching hardware behavior at the extremes.
+    Underflows to 0 below exp(-87) (f32 subnormals flush), stays finite
+    through the top octave up to exp(88.72) ~ f32 max (~1e-4 accurate
+    there — the 2^k clip stretches the polynomial argument), overflows
+    to inf beyond, and propagates NaN.  Non-f32 dtypes fall through to
+    the hardware op.
     """
-    a = _f32(a)
-    # clamp so the 2^k bit construction below stays in the normal range
-    a_clamped = jnp.clip(a, -87.0, 88.0)
+    a = jnp.asarray(a)
+    if not _is_f32(a):
+        return jnp.exp(a)
+    a_clamped = jnp.clip(a, _EXP_LO, _EXP_HI)
     k = jnp.round(a_clamped * _INV_LN2)
-    r = (a_clamped - k * _LN2_HI) - k * _LN2_LO  # |r| <= ln2/2 = 0.347
-
-    # degree-7 Taylor, truncation < 5e-9 relative on [-0.35, 0.35]
-    p = np.float32(1 / 5040.0)
-    p = p * r + np.float32(1 / 720.0)
-    p = p * r + np.float32(1 / 120.0)
-    p = p * r + np.float32(1 / 24.0)
-    p = p * r + np.float32(1 / 6.0)
-    p = p * r + np.float32(0.5)
-    p = p * r + np.float32(1.0)
-    p = p * r + np.float32(1.0)
-
-    # exact 2^k via exponent bits (k in [-126, 127] after the clamp)
-    ki = k.astype(jnp.int32)
-    scale = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
-    result = p * scale
-
-    result = jnp.where(a < -87.0, 0.0, result)
-    result = jnp.where(a > 88.0, jnp.inf, result)
-    result = jnp.where(jnp.isnan(a), jnp.nan, result)
-    return result
+    # keep 2^k representable; the residual r absorbs the difference in
+    # the top octave (|r| up to ~0.72 there)
+    ki = jnp.clip(k.astype(jnp.int32), -126, 127)
+    kf = ki.astype(jnp.float32)
+    r = (a_clamped - kf * _LN2_HI) - kf * _LN2_LO
+    result = _exp_poly(r) * _pow2i(ki)
+    result = jnp.where(a < _EXP_LO, 0.0, result)
+    result = jnp.where(a > _EXP_HI, jnp.inf, result)
+    return jnp.where(jnp.isnan(a), jnp.nan, result)

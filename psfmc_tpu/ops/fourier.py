@@ -170,10 +170,17 @@ def convolve_rdft(img, kernel_r, kernel_i, mats):
     # setting is HIGH (3-pass bf16, ~f32 accuracy at half the MXU cost of
     # HIGHEST's 6 passes).  PSFMC_CONV_PRECISION=highest restores full
     # 6-pass f32 for paranoid numerics.
-    hi = {
+    choice = os.environ.get("PSFMC_CONV_PRECISION", "high")
+    precisions = {
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
-    }[os.environ.get("PSFMC_CONV_PRECISION", "high")]
+    }
+    if choice not in precisions:
+        raise ValueError(
+            f"PSFMC_CONV_PRECISION={choice!r}: expected one of "
+            f"{sorted(precisions)}"
+        )
+    hi = precisions[choice]
 
     def lmat(m, x):  # (H,H) @ (..., H, W2)
         return jnp.einsum("kh,...hw->...kw", m, x, precision=hi)

@@ -116,16 +116,25 @@ def gammaincinv_half_table(a):
     """Fast ``gammaincinv(a, 1/2)`` via log-log Catmull-Rom interpolation.
 
     Cubic interpolation on the uniform log-grid keeps the relative error
-    < 1e-7 across the whole tabulated range, including the strongly
-    curved small-a end."""
+    < 1e-7 over the interior of the tabulated range (a in [0.02, 190]
+    covers every physical Sersic index with margin); within the first/
+    last grid cell the spline extrapolates its edge segment and the
+    error grows to ~1e-6.  The result dtype follows the input dtype.
+    """
     from .fastmath import exp_log_fns
 
     exp_, log_ = exp_log_fns()
-    _log_a_grid, log_k_grid, lo, hi = _kappa_table()
+    _log_a_grid, log_k_grid, lo64, hi64 = _kappa_table()
     a = jnp.asarray(a)
+    # keep all scalars in the input dtype: the f64 table bounds would
+    # otherwise silently promote the whole downstream render chain when
+    # x64 is enabled
+    lo = jnp.asarray(lo64, a.dtype)
+    hi = jnp.asarray(hi64, a.dtype)
     la = jnp.clip(log_(jnp.maximum(a, 1e-30)), lo, hi)
     # uniform grid -> direct index computation (no searchsorted)
-    step = (hi - lo) / (_TABLE_SIZE - 1)
+    step = (hi64 - lo64) / (_TABLE_SIZE - 1)
+    step = jnp.asarray(step, a.dtype)
     pos = (la - lo) / step
     i1 = jnp.clip(pos.astype(jnp.int32), 1, _TABLE_SIZE - 3)
     t = pos - i1.astype(pos.dtype)

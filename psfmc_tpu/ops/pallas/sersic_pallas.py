@@ -3,20 +3,23 @@
 One kernel invocation renders a whole walker's raw model image —
 sky offset plus every Sersic component — in a single VMEM pass: the
 coordinate grids are generated in-register (``broadcasted_iota``), the
-per-component math (identical to :func:`psfmc_tpu.ops.sersic.render_sersic`'s
-algebraic form) accumulates into one (H, W) block, and the image is
-written to HBM exactly once.  Grid = (nwalkers,); the per-walker scalar
-parameters ride in as a small VMEM block.
+per-component math (:func:`psfmc_tpu.ops.sersic.sersic_profile_core`,
+the same single definition the XLA renderer uses) accumulates into one
+(H, W) block, and the image is written to HBM exactly once.
+Grid = (nwalkers,); the per-walker scalar parameters ride in as a small
+VMEM block.
 
-Point sources stay outside the kernel: their 7x7 scatter is a trivial
-XLA dynamic-update-slice, while a dense in-kernel evaluation would add
-four ``sin`` evaluations per pixel per source — more transcendental work
-than the Sersic profiles themselves.
+Point sources stay outside the kernel: they render as separable rank-1
+outer products (ops.pointsource.render_pointsource_dense), which XLA
+already fuses well.
 
-The pure-XLA path remains the default (XLA already fuses this chain
-well); the kernel is selected with ``PSFMC_RENDER=pallas`` or
-``render_mode='pallas'`` and is validated against the XLA renderer in
-tests (exact same arithmetic, same tolerances).
+The pure-XLA path remains the default — measured end-to-end it wins
+because the pallas_call boundary blocks XLA from fusing the render into
+the downstream convolution stages (bench: 1.13 s pallas vs 1.10 s XLA
+at the time of measurement).  The kernel is selected with
+``PSFMC_RENDER=pallas`` or ``render_mode='pallas'`` and is validated
+against the XLA renderer in tests and on hardware (1.7e-8 relative
+parity on v5e).
 """
 from __future__ import annotations
 
@@ -25,28 +28,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..fastmath import accurate_exp, accurate_log
+from ..fastmath import exp_log_fns_unsafe
+from ..sersic import sersic_profile_core, sersic_scalar_params
 
 __all__ = ["render_sersics_pallas", "pack_sersic_params", "pallas_available"]
 
-_TINY = 1e-30
 # packed parameter layout per Sersic:
 # [x, y, m00, m01, m10, m11, kappa, radius_pow, sbeff]
 PARAMS_PER_SERSIC = 9
 
 
 def pallas_available():
+    """True where the kernel can actually run: TPU (compiled) or CPU
+    (interpret mode).  Other backends (GPU) cannot lower Mosaic kernels
+    and get False."""
     try:
         from jax.experimental import pallas as pl  # noqa: F401
         from jax.experimental.pallas import tpu as pltpu  # noqa: F401
     except ImportError:  # pragma: no cover
         return False
-    return jax.default_backend() != "cpu" or _interpret_ok()
-
-
-def _interpret_ok():
-    # CPU runs use interpret mode (tests); always available.
-    return True
+    return jax.default_backend() in ("tpu", "cpu")
 
 
 def pack_sersic_params(xy, mag, reff, reff_b, index, angle, mag_zp,
@@ -56,32 +57,22 @@ def pack_sersic_params(xy, mag, reff, reff_b, index, angle, mag_zp,
     All the scalar-heavy work (kappa inversion, flux normalization,
     inverse scale+rotation matrix) happens here in plain XLA, once per
     walker per component — the kernel sees only cheap per-pixel math.
+    Same scalar definitions as the XLA renderer
+    (:func:`..sersic.sersic_scalar_params`).
     """
-    from ..coords import mag_to_flux
-    from ..sersic import sersic_kappa, sersic_sb_eff
-
-    kappa = sersic_kappa(index, mode=kappa_mode)
-    flux = mag_to_flux(mag, mag_zp)
-    sbeff = sersic_sb_eff(flux, index, reff, reff_b, kappa)
-    ang = jnp.deg2rad(angle) if angle_degrees else angle
-    ang = ang + 0.5 * jnp.pi
-    sin_a, cos_a = jnp.sin(ang), jnp.cos(ang)
     return jnp.stack(
-        [
-            xy[0],
-            xy[1],
-            cos_a / reff,
-            sin_a / reff,
-            -sin_a / reff_b,
-            cos_a / reff_b,
-            kappa,
-            0.5 / index,
-            sbeff,
-        ]
+        sersic_scalar_params(
+            xy, mag, reff, reff_b, index, angle, mag_zp, angle_degrees,
+            kappa_mode,
+        )
     )
 
 
 def _make_kernel(num_sersics, h, w, dtype):
+    # trace-time selection, identical to the XLA renderer's choice:
+    # accurate software exp/log on TPU, hardware ops on CPU/interpret
+    exp_, log_ = exp_log_fns_unsafe()
+
     def kernel(params_ref, sky_ref, out_ref):
         # Mosaic's tpu.iota is integer-only; generate int32 and convert.
         xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(dtype)
@@ -90,29 +81,19 @@ def _make_kernel(num_sersics, h, w, dtype):
         for s in range(num_sersics):
             x = params_ref[s, 0]
             y = params_ref[s, 1]
-            m00 = params_ref[s, 2]
-            m01 = params_ref[s, 3]
-            m10 = params_ref[s, 4]
-            m11 = params_ref[s, 5]
-            kappa = params_ref[s, 6]
-            rp = params_ref[s, 7]
-            sbeff = params_ref[s, 8]
-
-            dx = xg - x
-            dy = yg - y
-            u = m00 * dx + m01 * dy
-            v = m10 * dx + m11 * dy
-            sq_r = jnp.maximum(u * u + v * v, _TINY)
-            # half-pixel-corner clamp: see ops.sersic.render_sersic
-            sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
-            # accurate software exp/log (TPU hw f32 versions are too
-            # coarse for the likelihood — see ops.fastmath); these are
-            # bitcast+polynomial recipes that lower in Mosaic directly
-            p = accurate_exp(accurate_log(sq_r) * rp)
-            sb = accurate_exp(-kappa * (p - 1.0))
-            krp_p = kappa * rp * p
-            corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
-            acc = acc + sbeff * sb * corr
+            acc = acc + sersic_profile_core(
+                xg - x,
+                yg - y,
+                params_ref[s, 2],
+                params_ref[s, 3],
+                params_ref[s, 4],
+                params_ref[s, 5],
+                params_ref[s, 6],
+                params_ref[s, 7],
+                params_ref[s, 8],
+                exp_,
+                log_,
+            )
         out_ref[...] = acc
 
     return kernel

@@ -39,7 +39,14 @@ from .coords import mag_to_flux
 from .fastmath import exp_log_fns, exp_log_fns_unsafe
 from .gammainc import gammaincinv_half, gammaincinv_half_table
 
-__all__ = ["sersic_kappa", "sersic_sb_eff", "sersic_sq_radii", "render_sersic"]
+__all__ = [
+    "sersic_kappa",
+    "sersic_sb_eff",
+    "sersic_sq_radii",
+    "sersic_scalar_params",
+    "sersic_profile_core",
+    "render_sersic",
+]
 
 _TINY = 1e-30
 
@@ -48,9 +55,10 @@ def sersic_kappa(index, mode="exact"):
     """Sersic scaling constant b_n (reference Sersic.py:47-53).
 
     ``mode='exact'`` solves ``gammaincinv(2n, 1/2)`` by Newton iteration;
-    ``mode='table'`` interpolates a precomputed exact table (<3e-7 rel
-    error) and avoids the serial ``igamma`` chain on the sampling hot
-    path (see ops.gammainc).
+    ``mode='table'`` interpolates a precomputed exact table (<1e-7 rel
+    error over the physical index range, ~1e-6 at the table edges) and
+    avoids the serial ``igamma`` chain on the sampling hot path (see
+    ops.gammainc).
     """
     a = 2.0 * jnp.asarray(index)
     if mode == "table":
@@ -101,6 +109,84 @@ def sersic_sq_radii(xg, yg, x, y, reff, reff_b, angle, angle_degrees=False):
     return jnp.maximum(sq_r, _TINY), sq_dr
 
 
+def sersic_scalar_params(
+    xy,
+    mag,
+    reff,
+    reff_b,
+    index,
+    angle,
+    mag_zp,
+    angle_degrees=False,
+    kappa_mode="exact",
+):
+    """The nine per-component scalars the per-pixel profile consumes.
+
+    ``(x, y, m00, m01, m10, m11, kappa, radius_pow, sbeff)`` — the
+    inverse scale+rotation matrix folded into four scalars so the
+    per-pixel path is pure fma (divisions are many-cycle VPU ops).
+    Shared by the XLA renderer and the Pallas kernel's host-side packer.
+    """
+    kappa = sersic_kappa(index, mode=kappa_mode)
+    flux_tot = mag_to_flux(mag, mag_zp)
+    sbeff = sersic_sb_eff(flux_tot, index, reff, reff_b, kappa)
+    ang = jnp.deg2rad(angle) if angle_degrees else angle
+    ang = ang + 0.5 * jnp.pi
+    sin_a, cos_a = jnp.sin(ang), jnp.cos(ang)
+    return (
+        xy[0],
+        xy[1],
+        cos_a / reff,
+        sin_a / reff,
+        -sin_a / reff_b,
+        cos_a / reff_b,
+        kappa,
+        0.5 / index,
+        sbeff,
+    )
+
+
+def sersic_profile_core(dx, dy, m00, m01, m10, m11, kappa, rp, sbeff,
+                        exp_, log_):
+    """Per-pixel Sersic surface brightness from pixel offsets + scalars.
+
+    The single definition of the profile math, consumed by both the XLA
+    renderer (:func:`render_sersic`) and the Pallas kernel
+    (:mod:`..pallas.sersic_pallas`).
+
+    Algebraic form of the reference math (Sersic.py:111-153) minimizing
+    transcendental count on the VPU.  With ``p = (r^2)^(1/2n)``::
+
+        sb   = exp(-kappa * (p - 1))
+        corr = 1 + grad^2 * (r^2 / off^2) / 12
+
+    and ``grad = -2 kappa rp p / r``, so ``grad^2 r^2`` cancels the
+    sqrt: ``corr = 1 + (kappa rp p)^2 / (3 off^2)``.
+
+    The first-order centroid correction diverges as the pixel-center
+    distance -> 0 for n > 1 (the reference NaNs at exact hits — its
+    acknowledged cusp weakness, models.py:239).  Clamping the square
+    offset at the half-pixel corner distance (0.5^2/2) saturates the
+    correction at its largest *valid* value: the nearest pixel center of
+    any legitimate sub-pixel position is >= 0.354 px away in the worst
+    case (documented divergence, README "Differences from the
+    reference").
+
+    ``exp_``/``log_`` are injected so each caller picks the
+    backend-appropriate implementations once at trace time (TPU hardware
+    f32 log/exp are too coarse for this likelihood — see ops.fastmath).
+    """
+    u = m00 * dx + m01 * dy
+    v = m10 * dx + m11 * dy
+    sq_r = jnp.maximum(u * u + v * v, _TINY)
+    sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
+    p = exp_(log_(sq_r) * rp)
+    sb = exp_(-kappa * (p - 1.0))
+    krp_p = kappa * rp * p
+    corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
+    return sbeff * sb * corr
+
+
 def render_sersic(
     xg,
     yg,
@@ -119,48 +205,13 @@ def render_sersic(
     ``xy`` is a length-2 array ``(x, y)``.  Returns the profile image; the
     caller accumulates it into the composite raw model.
     """
-    kappa = sersic_kappa(index, mode=kappa_mode)
-    flux_tot = mag_to_flux(mag, mag_zp)
-    sbeff = sersic_sb_eff(flux_tot, index, reff, reff_b, kappa)
-
-    ang = jnp.deg2rad(angle) if angle_degrees else angle
-    ang = ang + 0.5 * jnp.pi
-    sin_a, cos_a = jnp.sin(ang), jnp.cos(ang)
-    # inverse scale+rotation folded into four per-walker scalars so the
-    # per-pixel path is pure fma (divisions are many-cycle VPU ops)
-    m00 = cos_a / reff
-    m01 = sin_a / reff
-    m10 = -sin_a / reff_b
-    m11 = cos_a / reff_b
-    dx = xg - xy[0]
-    dy = yg - xy[1]
-    u = m00 * dx + m01 * dy
-    v = m10 * dx + m11 * dy
-    sq_r = jnp.maximum(u * u + v * v, _TINY)
-    # The first-order centroid correction diverges as the pixel-center
-    # distance -> 0 for n > 1 (the reference NaNs at exact hits —
-    # its acknowledged cusp weakness, models.py:239).  Clamping the
-    # square offset at the half-pixel corner distance (0.5^2/2) saturates
-    # the correction at its largest *valid* value: the nearest pixel
-    # center of any legitimate sub-pixel position is >= 0.354 px away in
-    # the worst case, where measured corrections stay < 3x.
-    sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
-
-    # Algebraic form of the reference math (Sersic.py:111-153) minimizing
-    # transcendental count on the VPU.  With p = (r^2)^(1/2n):
-    #   sb   = exp(-kappa * (p - 1))
-    #   corr = 1 + grad^2 * (r^2 / off^2) / 12
-    # and grad = -2 kappa rp p / r, so grad^2 * r^2 cancels the sqrt:
-    #   corr = 1 + (kappa * rp * p)^2 / (3 * off^2)
-    # TPU hardware f32 log/exp are too coarse for this likelihood
-    # (~1e-4 abs / ~6e-6 rel — see ops.fastmath); the accurate software
-    # versions keep posterior moments at f64 parity on real hardware.
-    # Guard-free variants: sq_r is clamped positive-normal and the
+    x, y, m00, m01, m10, m11, kappa, rp, sbeff = sersic_scalar_params(
+        xy, mag, reff, reff_b, index, angle, mag_zp, angle_degrees,
+        kappa_mode,
+    )
+    # Guard-free transcendentals: sq_r is clamped positive-normal and the
     # prior's finiteness gate rejects NaN/out-of-support thetas upstream.
     exp_, log_ = exp_log_fns_unsafe()
-    radius_pow = 0.5 / index
-    p = exp_(log_(sq_r) * radius_pow)
-    sb = exp_(-kappa * (p - 1.0))
-    krp_p = kappa * radius_pow * p
-    corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
-    return sbeff * sb * corr
+    return sersic_profile_core(
+        xg - x, yg - y, m00, m01, m10, m11, kappa, rp, sbeff, exp_, log_
+    )

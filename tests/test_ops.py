@@ -121,3 +121,64 @@ def test_convolve_rdft_matches_fft(rng):
             )
         )
         assert np.allclose(got, want, atol=1e-10)
+
+
+def test_accurate_transcendentals():
+    """Software exp/log reach ~1 ulp (TPU hw f32 log is ~1e-4 abs)."""
+    import jax as _jax
+
+    from psfmc_tpu.ops.fastmath import accurate_exp, accurate_log
+
+    x = np.concatenate(
+        [np.logspace(-30, 30, 50000), np.linspace(0.5, 2.0, 20000)]
+    ).astype(np.float32)
+    got = np.asarray(accurate_log(jnp.asarray(x)), np.float64)
+    want = np.log(np.asarray(x, np.float64))
+    assert np.abs(got - want).max() < 5e-6  # ~1 ulp of |log| <= 70
+    big = np.abs(want) > 0.1
+    assert (np.abs(got - want)[big] / np.abs(want)[big]).max() < 3e-7
+
+    a = np.linspace(-87, 88, 50000).astype(np.float32)
+    got = np.asarray(accurate_exp(jnp.asarray(a)), np.float64)
+    want = np.exp(np.asarray(a, np.float64))
+    assert (np.abs(got - want) / want).max() < 2e-7
+
+    # edge semantics match jnp.log / jnp.exp
+    edges = np.asarray(
+        accurate_log(jnp.asarray([0.0, -1.0, np.inf, np.nan], jnp.float32))
+    )
+    assert edges[0] == -np.inf and np.isnan(edges[1])
+    assert edges[2] == np.inf and np.isnan(edges[3])
+    eedges = np.asarray(
+        accurate_exp(jnp.asarray([-200.0, 200.0, np.nan, 0.0], jnp.float32))
+    )
+    assert eedges[0] == 0.0 and eedges[1] == np.inf
+    assert np.isnan(eedges[2]) and eedges[3] == 1.0
+
+    # top octave (88, 88.72]: still finite and ~1e-4 accurate (the 2^k
+    # clip stretches the polynomial argument there); inf only past f32 max
+    top = np.array([88.3, 88.6, 88.72], np.float32)
+    got = np.asarray(accurate_exp(jnp.asarray(top)), np.float64)
+    want = np.exp(np.asarray(top, np.float64))
+    assert np.all(np.isfinite(got))
+    assert (np.abs(got - want) / want).max() < 5e-4
+    assert np.asarray(accurate_exp(jnp.float32(88.8))) == np.inf
+
+    # float64 inputs fall through to the hardware ops (bit recipes are
+    # f32-specific); dtype is preserved
+    if _jax.config.jax_enable_x64:
+        x64 = jnp.asarray([0.5, 2.0, 100.0], jnp.float64)
+        assert accurate_log(x64).dtype == jnp.float64
+        assert np.allclose(
+            np.asarray(accurate_log(x64)), np.log(np.asarray(x64))
+        )
+        assert accurate_exp(x64).dtype == jnp.float64
+
+
+def test_kappa_table_dtype_preserved():
+    """The table path must not promote f32 inputs to f64 under x64
+    (it would silently upcast the whole render chain)."""
+    from psfmc_tpu.ops.gammainc import gammaincinv_half_table
+
+    out = gammaincinv_half_table(jnp.asarray([2.0, 8.0], jnp.float32))
+    assert out.dtype == jnp.float32
