@@ -108,11 +108,11 @@ def save_database(sampler, model, db_name, meta_dict=None):
 
 def _checkpoint_hdu(sampler):
     """Build the CHECKPOINT bintable HDU from sampler state."""
-    state = sampler.state
-    pos = np.asarray(state.positions, dtype=np.float64)
-    lnp = np.asarray(state.log_prob, dtype=np.float64)
-    key = np.asarray(state.key).astype(np.int64)
-    naccept = np.asarray(state.naccept, dtype=np.int64)
+    positions, log_prob, naccept_, key_ = sampler.checkpoint_state()
+    pos = np.asarray(positions, dtype=np.float64)
+    lnp = np.asarray(log_prob, dtype=np.float64)
+    key = np.asarray(key_).astype(np.int64)
+    naccept = np.asarray(naccept_, dtype=np.int64)
     nw = pos.shape[0]
     cols = OrderedDict(
         [

@@ -45,6 +45,7 @@ def model_galaxy_mcmc(
     convergence_check=check_convergence_autocorr,
     seed=0,
     mesh=None,
+    ntemps=1,
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -66,6 +67,11 @@ def model_galaxy_mcmc(
     :param seed: PRNG seed for reproducible sampling.
     :param mesh: optional jax.sharding.Mesh to shard the walker axis
         over devices (see psfmc_tpu.parallel).
+    :param ntemps: number of parallel-tempering rungs (1 = plain
+        ensemble).  Tempering helps the genuinely multimodal posteriors
+        of quasar/host decomposition (component flux/position swaps);
+        the recorded chain is the cold rung.  On resume, hot rungs
+        restart from the checkpointed cold-rung positions.
     """
     if output_name is None:
         name = model_file if isinstance(model_file, str) else "model"
@@ -85,13 +91,25 @@ def model_galaxy_mcmc(
 
         sharding = walker_sharding(mesh)
 
-    sampler = EnsembleSampler(
-        nwalkers=chains,
-        dim=mc_model.num_params,
-        posterior_fns=mc_model.posterior_fns,
-        seed=seed,
-        sharding=sharding,
-    )
+    if ntemps > 1:
+        from .sampler.tempered import PTEnsembleSampler
+
+        sampler = PTEnsembleSampler(
+            nwalkers=chains,
+            dim=mc_model.num_params,
+            posterior_fns=mc_model.posterior_fns,
+            ntemps=ntemps,
+            seed=seed,
+            sharding=sharding,
+        )
+    else:
+        sampler = EnsembleSampler(
+            nwalkers=chains,
+            dim=mc_model.num_params,
+            posterior_fns=mc_model.posterior_fns,
+            seed=seed,
+            sharding=sharding,
+        )
 
     db_name = output_name.format("db") + ".fits"
 

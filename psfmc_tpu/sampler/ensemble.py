@@ -344,6 +344,11 @@ class EnsembleSampler:
         self._nsteps_total += nsteps
         return self
 
+    def checkpoint_state(self):
+        """(positions, log_prob, naccept, key) for resume checkpoints."""
+        s = self.state
+        return s.positions, s.log_prob, s.naccept, s.key
+
     # -- emcee-compatible accessors ----------------------------------------
     @property
     def chain(self):

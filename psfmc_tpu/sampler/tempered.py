@@ -1,0 +1,457 @@
+"""Parallel-tempered ensemble sampler (replica exchange over rungs).
+
+A capability beyond the reference: quasar/host decompositions have
+genuinely multimodal posteriors (point-source/Sersic flux swaps,
+position exchanges between components, discrete PSF choices), where a
+single affine-invariant ensemble can take arbitrarily long to cross
+between modes.  Parallel tempering runs ``ntemps`` replicas of the
+ensemble at inverse temperatures ``1 = beta_0 > beta_1 > ... > 0``
+(each sampling ``prior * likelihood^beta``), and exchanges
+configurations between adjacent rungs with the standard replica-swap
+Metropolis rule — hot rungs roam freely between modes and feed the cold
+chain.
+
+TPU-first design: the rung axis is one more vmapped batch dimension —
+every stretch-move half-step evaluates ``ntemps * nwalkers/2``
+posteriors in a single batched XLA computation, and the whole phase is
+one ``lax.scan``.  The marginal cost of tempering is therefore ~linear
+in ``ntemps`` with no extra dispatches, and the walker axis can still
+shard over a device mesh.
+
+Tempering applies to the LIKELIHOOD only (priors stay cold), the
+standard choice so hot rungs still respect the prior's support:
+``lnpost_beta(theta) = lnprior(theta) + beta * lnlike(theta)``.
+Posteriors whose log-density does not decompose (a bare callable) are
+tempered as ``beta * lnpost`` instead — correct for improper/flat
+priors, documented fallback otherwise.
+
+Only the cold (beta=1) rung's chain is recorded and accumulated; it is
+a draw from the true posterior by construction.
+
+The emcee-2.x-compatible surface matches :class:`EnsembleSampler`, so
+``model_galaxy_mcmc(..., ntemps=K)`` swaps samplers transparently.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ensemble import EnsembleSampler
+
+__all__ = ["default_beta_ladder", "PTEnsembleSampler"]
+
+
+def default_beta_ladder(ntemps: int, tmax: float = 64.0):
+    """Geometric inverse-temperature ladder 1 ... 1/tmax.
+
+    Geometric spacing equalizes swap-acceptance rates for roughly
+    Gaussian posteriors (the standard default).
+    """
+    if ntemps == 1:
+        return np.ones(1)
+    return np.exp(np.linspace(0.0, -np.log(tmax), ntemps))
+
+
+@dataclass
+class PTState:
+    """Device-side tempered-sampler state (a pytree)."""
+
+    positions: jax.Array  # (ntemps, nwalkers, dim)
+    log_like: jax.Array  # (ntemps, nwalkers) untempered log-likelihood
+    log_prior: jax.Array  # (ntemps, nwalkers)
+    accum: Optional[Dict[str, jax.Array]]
+    accum_count: jax.Array
+    naccept: jax.Array  # (ntemps, nwalkers) move acceptances
+    nswap: jax.Array  # (ntemps - 1,) accepted swaps per rung pair
+    key: jax.Array
+
+
+jax.tree_util.register_pytree_node(
+    PTState,
+    lambda s: (
+        (
+            s.positions,
+            s.log_like,
+            s.log_prior,
+            s.accum,
+            s.accum_count,
+            s.naccept,
+            s.nswap,
+            s.key,
+        ),
+        None,
+    ),
+    lambda _aux, ch: PTState(*ch),
+)
+
+
+def _pt_stretch_half(key, betas, active, comp, lnlike_fn, lnprior_fn, a, dim):
+    """One tempered half-ensemble update, vmapped over rungs.
+
+    ``active``/``comp`` are (pos, lnl, lnp) tuples with leading rung
+    axis; acceptance uses ``lnprior + beta * lnlike``.
+    """
+    pos, lnl, lnp = active
+    ntemps, k, _ = pos.shape
+    key_z, key_r, key_u = jax.random.split(key, 3)
+
+    u = jax.random.uniform(key_z, (ntemps, k), pos.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    partner = jax.random.randint(key_r, (ntemps, k), 0, comp.shape[1])
+    c = jnp.take_along_axis(comp, partner[..., None], axis=1)
+    proposal = c + z[..., None] * (pos - c)
+
+    flat = proposal.reshape(ntemps * k, -1)
+    prop_lnl = jax.vmap(lnlike_fn)(flat).reshape(ntemps, k)
+    prop_lnp = jax.vmap(lnprior_fn)(flat).reshape(ntemps, k)
+
+    b = betas[:, None]
+    log_ratio = (
+        (dim - 1.0) * jnp.log(z)
+        + (prop_lnp + b * prop_lnl)
+        - (lnp + b * lnl)
+    )
+    accept = (
+        jnp.log(jax.random.uniform(key_u, (ntemps, k), pos.dtype)) < log_ratio
+    )
+    new_pos = jnp.where(accept[..., None], proposal, pos)
+    new_lnl = jnp.where(accept, prop_lnl, lnl)
+    new_lnp = jnp.where(accept, prop_lnp, lnp)
+    return new_pos, new_lnl, new_lnp, accept.astype(jnp.int32)
+
+
+def _swap_move(key, betas, pos, lnl, lnp, nswap):
+    """Deterministic-sweep replica exchange between adjacent rungs.
+
+    Sweeps from the hottest pair down to the coldest (the standard
+    order, so a good configuration can migrate all the way to beta=1 in
+    one sweep); each walker index swaps independently.
+    """
+    ntemps = pos.shape[0]
+    keys = jax.random.split(key, ntemps - 1)
+
+    def body(carry, t):
+        pos, lnl, lnp, nswap = carry
+        # pair (i, i+1), from hottest (ntemps-2, ntemps-1) downward
+        i = ntemps - 2 - t
+        db = betas[i] - betas[i + 1]
+        log_ratio = db * (lnl[i + 1] - lnl[i])
+        u = jax.random.uniform(keys[t], log_ratio.shape, lnl.dtype)
+        do = jnp.log(u) < log_ratio
+
+        pi = jnp.where(do[:, None], pos[i + 1], pos[i])
+        pj = jnp.where(do[:, None], pos[i], pos[i + 1])
+        li = jnp.where(do, lnl[i + 1], lnl[i])
+        lj = jnp.where(do, lnl[i], lnl[i + 1])
+        qi = jnp.where(do, lnp[i + 1], lnp[i])
+        qj = jnp.where(do, lnp[i], lnp[i + 1])
+        pos = pos.at[i].set(pi).at[i + 1].set(pj)
+        lnl = lnl.at[i].set(li).at[i + 1].set(lj)
+        lnp = lnp.at[i].set(qi).at[i + 1].set(qj)
+        nswap = nswap.at[i].add(jnp.sum(do.astype(jnp.int32)))
+        return (pos, lnl, lnp, nswap), None
+
+    (pos, lnl, lnp, nswap), _ = jax.lax.scan(
+        body, (pos, lnl, lnp, nswap), jnp.arange(ntemps - 1)
+    )
+    return pos, lnl, lnp, nswap
+
+
+def make_pt_step_fn(
+    lnlike_fn: Callable,
+    lnprior_fn: Callable,
+    images_fn: Optional[Callable],
+    betas,
+    nwalkers: int,
+    dim: int,
+    a: float = 2.0,
+    accumulate: bool = False,
+    record: bool = True,
+):
+    """One tempered iteration: two half-updates per rung + a swap sweep."""
+    half = nwalkers // 2
+    betas = jnp.asarray(betas)
+    ntemps = betas.shape[0]
+
+    def step(state: PTState, _):
+        key, key0, key1, key_s = jax.random.split(state.key, 4)
+        pos, lnl, lnp = state.positions, state.log_like, state.log_prior
+
+        p0, l0, q0, acc0 = _pt_stretch_half(
+            key0,
+            betas,
+            (pos[:, :half], lnl[:, :half], lnp[:, :half]),
+            pos[:, half:],
+            lnlike_fn,
+            lnprior_fn,
+            a,
+            dim,
+        )
+        p1, l1, q1, acc1 = _pt_stretch_half(
+            key1,
+            betas,
+            (pos[:, half:], lnl[:, half:], lnp[:, half:]),
+            p0,
+            lnlike_fn,
+            lnprior_fn,
+            a,
+            dim,
+        )
+        pos = jnp.concatenate([p0, p1], axis=1)
+        lnl = jnp.concatenate([l0, l1], axis=1)
+        lnp = jnp.concatenate([q0, q1], axis=1)
+        naccept = state.naccept + jnp.concatenate([acc0, acc1], axis=1)
+
+        pos, lnl, lnp, nswap = _swap_move(
+            key_s, betas, pos, lnl, lnp, state.nswap
+        )
+
+        accum = state.accum
+        count = state.accum_count
+        if accumulate:
+            imgs = jax.vmap(images_fn)(pos[0])  # cold rung only
+            count = count + nwalkers
+            accum = {
+                k: accum[k]
+                + (
+                    jnp.sum(imgs[k].astype(accum[k].dtype), axis=0)
+                    - nwalkers * accum[k]
+                )
+                / count.astype(accum[k].dtype)
+                for k in accum
+            }
+
+        new_state = PTState(
+            positions=pos,
+            log_like=lnl,
+            log_prior=lnp,
+            accum=accum,
+            accum_count=count,
+            naccept=naccept,
+            nswap=nswap,
+            key=key,
+        )
+        out = (pos[0], lnp[0] + lnl[0]) if record else None
+        return new_state, out
+
+    return step
+
+
+def run_pt(
+    lnlike_fn,
+    lnprior_fn,
+    images_fn,
+    betas,
+    state: PTState,
+    nsteps: int,
+    a: float = 2.0,
+    accumulate: bool = False,
+    record: bool = True,
+):
+    ntemps, nwalkers, dim = state.positions.shape
+    step = make_pt_step_fn(
+        lnlike_fn,
+        lnprior_fn,
+        images_fn,
+        betas,
+        nwalkers,
+        dim,
+        a=a,
+        accumulate=accumulate,
+        record=record,
+    )
+    final, outs = jax.lax.scan(step, state, None, length=nsteps)
+    if record:
+        chain, lnprob = outs
+        return final, chain, lnprob
+    return final, None, None
+
+
+class PTEnsembleSampler(EnsembleSampler):
+    """Tempered drop-in for :class:`EnsembleSampler` (``ntemps`` rungs).
+
+    The recorded ``chain``/``lnprobability`` and the image accumulators
+    are the cold (beta=1) rung — true posterior draws.  Extra
+    diagnostics: ``swap_acceptance_fraction`` per adjacent rung pair and
+    ``tempered_acceptance_fraction`` per rung.
+    """
+
+    def __init__(
+        self,
+        nwalkers: int,
+        dim: int,
+        posterior_fns,
+        ntemps: int = 4,
+        betas=None,
+        a: float = 2.0,
+        seed: int = 0,
+        image_shape=None,
+        accum_dtype=jnp.float32,
+        sharding=None,
+    ):
+        self.ntemps = int(ntemps)
+        self.betas = np.asarray(
+            default_beta_ladder(self.ntemps) if betas is None else betas,
+            np.float64,
+        )
+        if self.betas[0] != 1.0:
+            raise ValueError("betas[0] must be 1.0 (the cold chain)")
+        super().__init__(
+            nwalkers,
+            dim,
+            posterior_fns,
+            a=a,
+            seed=seed,
+            image_shape=image_shape,
+            accum_dtype=accum_dtype,
+            sharding=sharding,
+        )
+
+    # -- likelihood/prior split --------------------------------------------
+    def _lnlike_lnprior_fns(self):
+        """(lnlike, lnprior) pair; falls back to (lnpost, 0) when the
+        posterior object exposes no decomposition."""
+        lnprior = getattr(self.fns, "log_prior", None)
+        lnpost = self.fns.log_posterior
+        if lnprior is None:
+            return lnpost, lambda theta: jnp.asarray(0.0, theta.dtype)
+
+        def lnlike(theta):
+            # lnpost = lnprior + lnlike; recover lnlike by subtraction
+            # (both -inf outside support; where() keeps -inf dominant)
+            lp = lnprior(theta)
+            post = lnpost(theta)
+            return jnp.where(jnp.isfinite(lp), post - lp, -jnp.inf)
+
+        return lnlike, lnprior
+
+    def _phase_program(self, accumulate: bool, record: bool):
+        cache = getattr(self.fns, "programs", None)
+        key = (
+            "pt_phase",
+            self.ntemps,
+            tuple(np.round(self.betas, 12)),
+            self.nwalkers,
+            self.dim,
+            self.a,
+            accumulate,
+            record,
+        )
+        if cache is not None and key in cache:
+            return cache[key]
+        lnlike, lnprior = self._lnlike_lnprior_fns()
+        prog = jax.jit(
+            partial(
+                run_pt,
+                lnlike,
+                lnprior,
+                self._images_fn(),
+                jnp.asarray(self.betas, self.fns.dtype),
+                a=self.a,
+                accumulate=accumulate,
+                record=record,
+            ),
+            static_argnames=("nsteps",),
+        )
+        if cache is not None:
+            cache[key] = prog
+        return prog
+
+    # -- state management ---------------------------------------------------
+    def init_state(self, p0, key=None):
+        """Initialize from (nwalkers, dim) or (ntemps, nwalkers, dim)."""
+        p0 = jnp.asarray(p0, self.fns.dtype)
+        if p0.ndim == 2:
+            p0 = jnp.broadcast_to(
+                p0, (self.ntemps, self.nwalkers, self.dim)
+            )
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        lnlike, lnprior = self._lnlike_lnprior_fns()
+        flat = p0.reshape(self.ntemps * self.nwalkers, self.dim)
+        lnl = jax.vmap(lnlike)(flat).reshape(self.ntemps, self.nwalkers)
+        lnp = jax.vmap(lnprior)(flat).reshape(self.ntemps, self.nwalkers)
+        h, w = self.image_shape if self.image_shape else self.fns.spec.shape
+        img_keys = jax.eval_shape(self._images_fn(), p0[0, 0]).keys()
+        accum = {k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys}
+        self.state = PTState(
+            positions=p0,
+            log_like=lnl,
+            log_prior=lnp,
+            accum=accum,
+            accum_count=jnp.asarray(0, jnp.int32),
+            naccept=jnp.zeros((self.ntemps, self.nwalkers), jnp.int32),
+            nswap=jnp.zeros(self.ntemps - 1, jnp.int32),
+            key=key,
+        )
+        self._naccept = np.zeros(self.nwalkers, dtype=np.int64)
+        return self.state
+
+    def reset(self):
+        self._chain = None
+        self._lnprob = None
+        self._naccept = np.zeros(self.nwalkers, dtype=np.int64)
+        self._nsteps_total = 0
+        if self.state is not None:
+            self.state = replace(
+                self.state,
+                naccept=jnp.zeros_like(self.state.naccept),
+                nswap=jnp.zeros_like(self.state.nswap),
+                accum_count=jnp.asarray(0, jnp.int32),
+                accum={
+                    k: jnp.zeros_like(v) for k, v in self.state.accum.items()
+                },
+            )
+
+    def run_burn(self, nsteps: int):
+        prev = np.asarray(self.state.naccept[0])
+        final, _, _ = self._burn_prog(self.state, nsteps=nsteps)
+        self.state = final
+        self._naccept += np.asarray(final.naccept[0]) - prev
+        self._nsteps_total += nsteps
+        return self
+
+    def run_sampling(self, nsteps: int):
+        prev = np.asarray(self.state.naccept[0])
+        final, chain, lnprob = self._sample_prog(self.state, nsteps=nsteps)
+        self.state = final
+        self._naccept += np.asarray(final.naccept[0]) - prev
+        chain = np.moveaxis(np.asarray(chain), 0, 1)
+        lnprob = np.moveaxis(np.asarray(lnprob), 0, 1)
+        if self._chain is None:
+            self._chain, self._lnprob = chain, lnprob
+        else:
+            self._chain = np.concatenate([self._chain, chain], axis=1)
+            self._lnprob = np.concatenate([self._lnprob, lnprob], axis=1)
+        self._nsteps_total += nsteps
+        return self
+
+    def checkpoint_state(self):
+        """Cold-rung resume state; hot rungs restart from it on resume
+        (documented in model_galaxy_mcmc)."""
+        s = self.state
+        return (
+            s.positions[0],
+            s.log_prior[0] + s.log_like[0],
+            s.naccept[0],
+            s.key,
+        )
+
+    # -- diagnostics ---------------------------------------------------------
+    @property
+    def tempered_acceptance_fraction(self):
+        """(ntemps, nwalkers) move acceptance per rung."""
+        total = max(self._nsteps_total, 1)
+        return np.asarray(self.state.naccept) / total
+
+    @property
+    def swap_acceptance_fraction(self):
+        """(ntemps-1,) replica-swap acceptance per adjacent rung pair."""
+        total = max(self._nsteps_total, 1) * self.nwalkers
+        return np.asarray(self.state.nswap) / total

@@ -38,6 +38,10 @@ class FakeSampler:
         self.lnprobability = rng.randn(nwalkers, niter)
         self.state = FakeState(nwalkers, dim, rng)
 
+    def checkpoint_state(self):
+        s = self.state
+        return s.positions, s.log_prob, s.naccept, s.key
+
 
 def test_save_load_roundtrip(tmp_path):
     sampler = FakeSampler()
