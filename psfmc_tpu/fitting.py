@@ -217,31 +217,36 @@ def _run_sampling(
         ).reshape(nwalkers, niter)
         sampler._nsteps_total = niter
 
-    converged = False
+    def save_round(converged):
+        mc_model.set_accumulated_from_sampler(sampler)
+        db_metadata = OrderedDict(
+            [
+                ("MCITER", sampler.chain.shape[1]),
+                ("MCBURN", burn_total),
+                ("MCCHAINS", sampler.nwalkers),
+                ("MCCONVRG", bool(converged)),
+                ("MCACCEPT", float(sampler.acceptance_fraction.mean())),
+            ]
+        )
+        return save_database(sampler, mc_model, db_name, meta_dict=db_metadata)
+
+    database = None
     for sampling_iter in range(max_iterations):
         print(
             f"Sampling: {iterations} iterations x {sampler.nwalkers} walkers"
         )
         with timer.phase("sampling"), trace("sampling"):
             sampler.run_sampling(iterations)
-        if convergence_check(sampler):
-            converged = True
+        converged = bool(convergence_check(sampler))
+        # Persist the chain + resume checkpoint after EVERY round: a
+        # crash mid-retry-loop resumes from the last completed round
+        # instead of losing the whole run.
+        database = save_round(converged)
+        if converged:
             break
         warn(
             "Not yet converged after "
             f"{(sampling_iter + 1) * iterations:d} iterations:"
         )
         convergence_check(sampler, verbose=1)
-
-    mc_model.set_accumulated_from_sampler(sampler)
-
-    db_metadata = OrderedDict(
-        [
-            ("MCITER", sampler.chain.shape[1]),
-            ("MCBURN", burn_total),
-            ("MCCHAINS", sampler.nwalkers),
-            ("MCCONVRG", bool(converged)),
-            ("MCACCEPT", float(sampler.acceptance_fraction.mean())),
-        ]
-    )
-    return save_database(sampler, mc_model, db_name, meta_dict=db_metadata)
+    return database
