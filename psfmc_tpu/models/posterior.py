@@ -277,6 +277,79 @@ class PosteriorFns:
         var_total = model_var + c["obs_var"]
         return {"raw": raw, "conv": conv, "var": var_total, "ps_conv": ps_conv}
 
+    def _convolve_pair(self, raw_like, ps_like, sq_like, idx):
+        """(conv, model_var, ps_conv) for one image triple + PSF index."""
+        c = self.constants
+        if self.conv_mode == "dft":
+            from ..ops.fourier import convolve_rdft
+
+            psf_r = jnp.asarray(c["psf_r"])[idx]
+            psf_i = jnp.asarray(c["psf_i"])[idx]
+            var_r = jnp.asarray(c["var_r"])[idx]
+            var_i = jnp.asarray(c["var_i"])[idx]
+            mats = c["rdft_mats"]
+            return (
+                convolve_rdft(raw_like, psf_r, psf_i, mats),
+                convolve_rdft(sq_like, var_r, var_i, mats),
+                convolve_rdft(ps_like, psf_r, psf_i, mats),
+            )
+        f_psf = jnp.asarray(c["f_psf"])[idx]
+        f_var = jnp.asarray(c["f_var"])[idx]
+        return (
+            convolve(raw_like, f_psf),
+            convolve(sq_like, f_var),
+            convolve(ps_like, f_psf),
+        )
+
+    def ensemble_carry_means(self, thetas):
+        """Walker-mean carry images, computed with per-PSF-group sums.
+
+        Exploits that convolution is LINEAR: the ensemble mean of
+        ``conv(raw_w)``, ``conv(raw_w^2)`` and ``conv(ps_w)`` equals the
+        convolution of the ensemble means (grouped by each walker's
+        discrete PSF index), so the sampler's per-step accumulation
+        costs ``num_psfs`` convolution triples instead of ``nwalkers``
+        (3 convs vs 750 at 250 walkers).  Renders still run per walker.
+        Exactly equal (up to f32 summation order) to averaging
+        ``carry_images`` over walkers — asserted in tests.
+        """
+        thetas = jnp.asarray(thetas, self.dtype)
+        nwalkers = thetas.shape[0]
+        raws, pss = jax.vmap(self._raw_and_ps)(thetas)
+        inv_n = 1.0 / nwalkers
+
+        if self.spec.num_psfs == 1:
+            group_raw = jnp.sum(raws, axis=0)[None] * inv_n
+            group_sq = jnp.sum(raws * raws, axis=0)[None] * inv_n
+            group_ps = jnp.sum(pss, axis=0)[None] * inv_n
+        else:
+            idxs = jax.vmap(self._psf_index)(thetas)
+            onehot = jax.nn.one_hot(
+                idxs, self.spec.num_psfs, dtype=self.dtype
+            )  # (nwalkers, num_psfs)
+            # per-PSF-group sums via one einsum each
+            group_raw = jnp.einsum("wk,whx->khx", onehot, raws) * inv_n
+            group_sq = (
+                jnp.einsum("wk,whx->khx", onehot, raws * raws) * inv_n
+            )
+            group_ps = jnp.einsum("wk,whx->khx", onehot, pss) * inv_n
+
+        all_idx = jnp.arange(group_raw.shape[0], dtype=jnp.int32)
+        conv_g, var_g, psc_g = jax.vmap(
+            self._convolve_pair, in_axes=(0, 0, 0, 0)
+        )(group_raw, group_ps, group_sq, all_idx)
+
+        mean_raw = jnp.sum(group_raw, axis=0)
+        mean_conv = jnp.sum(conv_g, axis=0)
+        mean_var = jnp.sum(var_g, axis=0) + self.constants["obs_var"]
+        mean_psc = jnp.sum(psc_g, axis=0)
+        return {
+            "raw": mean_raw,
+            "conv": mean_conv,
+            "var": mean_var,
+            "ps_conv": mean_psc,
+        }
+
     def _lnpost_impl(self, theta, with_images=False):
         theta = jnp.asarray(theta, self.dtype)
         c = self.constants

@@ -87,6 +87,20 @@ def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_fn, a, dim):
     return new_pos, new_lnp, accept.astype(jnp.int32)
 
 
+def ensemble_image_means(images_fn, ensemble_means_fn, positions):
+    """Mean carry images over the ensemble's current positions.
+
+    Prefers the posterior's linearity-exploiting batch path
+    (``ensemble_carry_means``: convolve the walker-mean renders once per
+    PSF instead of per walker); falls back to vmapping the per-walker
+    ``images_fn`` for posterior objects without one.
+    """
+    if ensemble_means_fn is not None:
+        return ensemble_means_fn(positions)
+    imgs = jax.vmap(images_fn)(positions)
+    return {k: jnp.mean(v, axis=0) for k, v in imgs.items()}
+
+
 def make_step_fn(
     lnpost_fn: Callable,
     images_fn: Optional[Callable],
@@ -95,14 +109,14 @@ def make_step_fn(
     a: float = 2.0,
     accumulate: bool = False,
     record: bool = True,
+    ensemble_means_fn: Optional[Callable] = None,
 ):
     """Build the one-iteration scan body (two half-ensemble updates).
 
-    ``images_fn(theta) -> dict of (H, W) images`` is only consumed when
-    ``accumulate`` is set: after both half-updates it renders the
-    *current* state of every walker and folds the ensemble mean into the
-    running accumulators (reference retained-sample semantics,
-    fitting.py:83 + models.py:74-97).
+    When ``accumulate`` is set, after both half-updates the *current*
+    state of every walker contributes its carry images to the running
+    accumulators (reference retained-sample semantics, fitting.py:83 +
+    models.py:74-97) — see :func:`ensemble_image_means`.
     """
     half = nwalkers // 2
 
@@ -126,14 +140,14 @@ def make_step_fn(
         accum = state.accum
         count = state.accum_count
         if accumulate:
-            imgs = jax.vmap(images_fn)(new_pos)
+            means = ensemble_image_means(
+                images_fn, ensemble_means_fn, new_pos
+            )
             count = count + nwalkers
             accum = {
                 k: accum[k]
-                + (
-                    jnp.sum(imgs[k].astype(accum[k].dtype), axis=0)
-                    - nwalkers * accum[k]
-                )
+                + nwalkers
+                * (means[k].astype(accum[k].dtype) - accum[k])
                 / count.astype(accum[k].dtype)
                 for k in accum
             }
@@ -161,6 +175,7 @@ def run_stretch_move(
     accumulate: bool = False,
     record: bool = True,
     unroll: int = 1,
+    ensemble_means_fn=None,
 ):
     """Scan ``nsteps`` ensemble iterations on device.
 
@@ -177,6 +192,7 @@ def run_stretch_move(
         a=a,
         accumulate=accumulate,
         record=record,
+        ensemble_means_fn=ensemble_means_fn,
     )
     final, outs = jax.lax.scan(step, state, None, length=nsteps, unroll=unroll)
     if record:
@@ -257,6 +273,9 @@ class EnsembleSampler:
                 a=self.a,
                 accumulate=accumulate,
                 record=record,
+                ensemble_means_fn=getattr(
+                    self.fns, "ensemble_carry_means", None
+                ),
             ),
             static_argnames=("nsteps",),
         )

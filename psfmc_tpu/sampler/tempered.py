@@ -173,6 +173,7 @@ def make_pt_step_fn(
     a: float = 2.0,
     accumulate: bool = False,
     record: bool = True,
+    ensemble_means_fn: Optional[Callable] = None,
 ):
     """One tempered iteration: two half-updates per rung + a swap sweep."""
     half = nwalkers // 2
@@ -215,14 +216,16 @@ def make_pt_step_fn(
         accum = state.accum
         count = state.accum_count
         if accumulate:
-            imgs = jax.vmap(images_fn)(pos[0])  # cold rung only
+            from .ensemble import ensemble_image_means
+
+            means = ensemble_image_means(
+                images_fn, ensemble_means_fn, pos[0]  # cold rung only
+            )
             count = count + nwalkers
             accum = {
                 k: accum[k]
-                + (
-                    jnp.sum(imgs[k].astype(accum[k].dtype), axis=0)
-                    - nwalkers * accum[k]
-                )
+                + nwalkers
+                * (means[k].astype(accum[k].dtype) - accum[k])
                 / count.astype(accum[k].dtype)
                 for k in accum
             }
@@ -253,6 +256,7 @@ def run_pt(
     a: float = 2.0,
     accumulate: bool = False,
     record: bool = True,
+    ensemble_means_fn=None,
 ):
     ntemps, nwalkers, dim = state.positions.shape
     step = make_pt_step_fn(
@@ -265,6 +269,7 @@ def run_pt(
         a=a,
         accumulate=accumulate,
         record=record,
+        ensemble_means_fn=ensemble_means_fn,
     )
     final, outs = jax.lax.scan(step, state, None, length=nsteps)
     if record:
@@ -356,6 +361,9 @@ class PTEnsembleSampler(EnsembleSampler):
                 a=self.a,
                 accumulate=accumulate,
                 record=record,
+                ensemble_means_fn=getattr(
+                    self.fns, "ensemble_carry_means", None
+                ),
             ),
             static_argnames=("nsteps",),
         )

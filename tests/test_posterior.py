@@ -1,6 +1,7 @@
 """Posterior math: lnpost parity vs hand-computed numpy, guards, layout."""
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from psfmc_tpu import distributions as D
@@ -219,3 +220,58 @@ def test_psf_index_gather(rng):
         fns.render_images(jnp.asarray([20.0, 0.4]))["convolved_model"]
     )
     assert np.allclose(img_round, img0)
+
+
+def test_ensemble_carry_means_match_per_walker(rng):
+    """Linearity shortcut: mean carry images over walkers computed with
+    per-PSF-group convolutions must equal the naive per-walker average
+    (single- and multi-PSF)."""
+    psf1 = np.zeros((8, 8)); psf1[4, 4] = 1.0
+    psf2 = np.full((8, 8), 1.0 / 64)
+    for psfs, ivms in [
+        (psf1, np.ones((8, 8)) * 1e8),
+        ([psf1, psf2], [np.ones((8, 8)) * 1e8] * 2),
+    ]:
+        config = Configuration(
+            obs_file=rng.rand(16, 16),
+            obsivm_file=np.ones((16, 16)) * 100,
+            psf_files=psfs,
+            psfivm_files=ivms,
+            mag_zeropoint=25.0,
+        )
+        comps = [
+            config,
+            Sky(adu=D.Normal(loc=0.1, scale=0.05)),
+            PointSource(
+                xy=D.Uniform(loc=np.array([4.0, 4.0]),
+                             scale=np.array([8.0, 8.0])),
+                mag=D.Uniform(loc=19, scale=3),
+            ),
+            Sersic(
+                xy=D.Uniform(loc=np.array([4.0, 4.0]),
+                             scale=np.array([8.0, 8.0])),
+                mag=D.Uniform(loc=20, scale=2),
+                reff=D.Uniform(loc=1, scale=4),
+                reff_b=D.Uniform(loc=1, scale=4),
+                index=1.5,
+                angle=20.0,
+                angle_degrees=True,
+            ),
+        ]
+        spec = build_model_spec(comps)
+        fns = build_posterior(spec, dtype=jnp.float64)
+        nw = 12
+        thetas = []
+        rs = np.random.RandomState(3)
+        for _ in range(nw):
+            thetas.append(np.concatenate([
+                np.ravel(s.dist.random(rs)) for s in spec.slots
+            ]))
+        thetas = np.stack(thetas)
+        # enforce reff >= reff_b (not required for rendering, tidy anyway)
+        got = fns.ensemble_carry_means(jnp.asarray(thetas))
+        per_walker = jax.vmap(fns.carry_images)(jnp.asarray(thetas))
+        for k in got:
+            want = np.mean(np.asarray(per_walker[k]), axis=0)
+            assert np.allclose(np.asarray(got[k]), want, rtol=1e-9,
+                               atol=1e-12), k
