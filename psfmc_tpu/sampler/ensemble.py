@@ -297,8 +297,15 @@ class EnsembleSampler:
         return arr
 
     def init_state(self, p0, key=None):
-        """Initialize device state from (nwalkers, dim) positions."""
+        """Initialize device state from (nwalkers, dim) positions.
+
+        When the sampler was built with a ``sharding``, the positions
+        are placed onto the mesh here — callers (e.g. the fitting
+        driver) can pass plain host arrays.
+        """
         p0 = jnp.asarray(p0, self.fns.dtype)
+        if self.sharding is not None:
+            p0 = jax.device_put(p0, self.sharding)
         if key is None:
             self._key, key = jax.random.split(self._key)
         lnp = self._batched_lnpost()(p0)

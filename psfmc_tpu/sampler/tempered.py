@@ -372,6 +372,16 @@ class PTEnsembleSampler(EnsembleSampler):
         return prog
 
     # -- state management ---------------------------------------------------
+    def _pt_sharding(self):
+        """Walker-axis sharding lifted to the (ntemps, nwalkers, dim)
+        layout: temps replicated, walkers split."""
+        if self.sharding is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = self.sharding.spec
+        return NamedSharding(self.sharding.mesh, PartitionSpec(None, *spec))
+
     def init_state(self, p0, key=None):
         """Initialize from (nwalkers, dim) or (ntemps, nwalkers, dim)."""
         p0 = jnp.asarray(p0, self.fns.dtype)
@@ -379,6 +389,9 @@ class PTEnsembleSampler(EnsembleSampler):
             p0 = jnp.broadcast_to(
                 p0, (self.ntemps, self.nwalkers, self.dim)
             )
+        pt_sharding = self._pt_sharding()
+        if pt_sharding is not None:
+            p0 = jax.device_put(p0, pt_sharding)
         if key is None:
             self._key, key = jax.random.split(self._key)
         lnlike, lnprior = self._lnlike_lnprior_fns()

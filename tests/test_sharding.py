@@ -87,3 +87,34 @@ def test_large_ensemble_sharded():
     # posterior mean of the first component
     assert abs(float(acc.mean()) - 1.0) < 0.2
     assert s.accumulated_samples == nwalkers * 10
+
+
+def test_init_state_applies_sharding():
+    """The driver path passes plain host arrays; init_state must place
+    them on the mesh itself (regression: mesh= was silently unsharded)."""
+    post = GaussianPosterior()
+    mesh = walker_mesh()
+    s = EnsembleSampler(
+        16, 3, post, seed=5, image_shape=(2, 2),
+        sharding=walker_sharding(mesh),
+    )
+    s.init_state(np.random.RandomState(0).randn(16, 3))  # host numpy
+    assert len(s.state.positions.sharding.device_set) == 8
+    s.run_sampling(3)
+    assert s.chain.shape == (16, 3, 3)
+
+
+def test_pt_init_state_applies_sharding():
+    from psfmc_tpu.sampler.tempered import PTEnsembleSampler
+
+    post = GaussianPosterior()
+    mesh = walker_mesh()
+    s = PTEnsembleSampler(
+        16, 3, post, ntemps=3, seed=5, image_shape=(2, 2),
+        sharding=walker_sharding(mesh),
+    )
+    s.init_state(np.random.RandomState(0).randn(16, 3))
+    assert s.state.positions.shape == (3, 16, 3)
+    assert len(s.state.positions.sharding.device_set) == 8
+    s.run_sampling(3)
+    assert s.chain.shape == (16, 3, 3)
