@@ -1,0 +1,91 @@
+"""MiniWCS: TAN projection + pixel area vs hand-computed geometry."""
+import numpy as np
+
+from psfmc_tpu.io.wcs import MiniWCS, proj_plane_pixel_area
+
+# 0.05"/px HST-like CD matrix with a 30-degree rotation
+SCALE = 0.05 / 3600.0
+ANG = np.deg2rad(30.0)
+HDR_CD = {
+    "CRPIX1": 64.0,
+    "CRPIX2": 64.0,
+    "CRVAL1": 150.1,
+    "CRVAL2": 2.2,
+    "CD1_1": -SCALE * np.cos(ANG),
+    "CD1_2": SCALE * np.sin(ANG),
+    "CD2_1": SCALE * np.sin(ANG),
+    "CD2_2": SCALE * np.cos(ANG),
+}
+
+
+def test_pixel_area_cd_matrix():
+    w = MiniWCS(HDR_CD)
+    # |det CD| = scale^2 regardless of rotation/flip
+    assert np.isclose(proj_plane_pixel_area(w), SCALE**2, rtol=1e-12)
+
+
+def test_pixel_area_cdelt_crota():
+    hdr = {
+        "CRPIX1": 1.0,
+        "CRPIX2": 1.0,
+        "CRVAL1": 10.0,
+        "CRVAL2": -5.0,
+        "CDELT1": -SCALE,
+        "CDELT2": SCALE,
+        "CROTA2": 25.0,
+    }
+    w = MiniWCS(hdr)
+    assert np.isclose(w.pixel_area_deg2(), SCALE**2, rtol=1e-12)
+
+
+def test_pixel_area_pc_matrix():
+    hdr = {
+        "CRPIX1": 1.0,
+        "CRPIX2": 1.0,
+        "CRVAL1": 0.0,
+        "CRVAL2": 0.0,
+        "PC1_1": np.cos(ANG),
+        "PC1_2": -np.sin(ANG),
+        "PC2_1": np.sin(ANG),
+        "PC2_2": np.cos(ANG),
+        "CDELT1": -SCALE,
+        "CDELT2": SCALE,
+    }
+    w = MiniWCS(hdr)
+    assert np.isclose(w.pixel_area_deg2(), SCALE**2, rtol=1e-12)
+
+
+def test_sky_to_pixel_reference_point():
+    w = MiniWCS(HDR_CD)
+    x, y = w.sky_to_pixel(150.1, 2.2)
+    assert np.isclose(x, 64.0, atol=1e-9)
+    assert np.isclose(y, 64.0, atol=1e-9)
+
+
+def test_sky_to_pixel_offset_geometry():
+    """1 pixel along the CD matrix's first axis lands 1 px from CRPIX."""
+    w = MiniWCS(HDR_CD)
+    # world offset corresponding to pixel offset (+10, +3): TAN is
+    # locally linear, so xi/eta ~ CD @ dpix for small offsets
+    dpix = np.array([10.0, 3.0])
+    xi, eta = w.cd @ dpix  # degrees in the tangent plane
+    dec0 = np.deg2rad(2.2)
+    # invert the small-angle gnomonic relations for the world coords
+    dec = np.rad2deg(
+        np.arctan(
+            (np.sin(dec0) + np.deg2rad(eta) * np.cos(dec0))
+            / np.sqrt(
+                np.deg2rad(xi) ** 2
+                + (np.cos(dec0) - np.deg2rad(eta) * np.sin(dec0)) ** 2
+            )
+        )
+    )
+    ra = 150.1 + np.rad2deg(
+        np.arctan2(
+            np.deg2rad(xi),
+            np.cos(dec0) - np.deg2rad(eta) * np.sin(dec0),
+        )
+    )
+    x, y = w.sky_to_pixel(ra, dec)
+    assert np.isclose(x, 64.0 + 10.0, atol=1e-6)
+    assert np.isclose(y, 64.0 + 3.0, atol=1e-6)
