@@ -138,11 +138,16 @@ def _load_db_and_model(db_file, model_file):
 
         try:
             model = MultiComponentModel(model_file)
-        except IOError:
+        except Exception as exc:  # fuzzy-matched file may not be a model
+            # plot_chain guesses the model file by filename similarity
+            # (reference scripts/plot_chain:72-78); the nearest .py can
+            # be an unrelated script — degrade to no prior overlay
+            # instead of crashing the plotting tool.
             print(
-                f"Unable to find model file {model_file}. Priors will not "
-                "be plotted."
+                f"Unable to load model file {model_file} ({exc}). "
+                "Priors will not be plotted."
             )
+            model = None
     return disp_name, db, model
 
 
