@@ -86,3 +86,31 @@ def test_table_row_ops():
     assert sub.colnames == ["a"]
     rows = list(sub)
     assert rows[3] == (3.0,)
+
+
+def test_bscale_bzero_image(tmp_path):
+    """Scaled-integer images (BSCALE/BZERO, the classic HST int16
+    convention) must decode to physical values."""
+    import struct
+
+    from psfmc_tpu.io.fits import read_hdus
+
+    h = w = 4
+    raw = np.arange(h * w, dtype=">i2").reshape(h, w)
+    bscale, bzero = 0.25, 100.0
+    cards = [
+        ("SIMPLE", "T"), ("BITPIX", "16"), ("NAXIS", "2"),
+        ("NAXIS1", str(w)), ("NAXIS2", str(h)),
+        ("BSCALE", repr(bscale)), ("BZERO", repr(bzero)),
+    ]
+    hdr = b"".join(
+        f"{k:<8}= {v:>20}".ljust(80).encode() for k, v in cards
+    ) + b"END".ljust(80)
+    hdr = hdr.ljust(2880, b" ")
+    payload = raw.tobytes().ljust(2880, b"\x00")
+    path = tmp_path / "scaled.fits"
+    path.write_bytes(hdr + payload)
+
+    (header, data), = read_hdus(str(path))
+    want = raw.astype(np.float64) * bscale + bzero
+    assert np.allclose(np.asarray(data, np.float64), want)
