@@ -46,6 +46,7 @@ def model_galaxy_mcmc(
     seed=0,
     mesh=None,
     ntemps=1,
+    betas=None,
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -72,6 +73,12 @@ def model_galaxy_mcmc(
         of quasar/host decomposition (component flux/position swaps);
         the recorded chain is the cold rung.  On resume, hot rungs
         restart from the checkpointed cold-rung positions.
+    :param betas: explicit inverse-temperature ladder (ntemps values,
+        betas[0] == 1).  IMPORTANT for high-S/N imaging likelihoods:
+        replica swaps only accept when adjacent rungs' likelihood
+        distributions overlap, which for a 16k-pixel likelihood needs a
+        much finer ladder than the weak-data default (geometric to
+        1/64) — e.g. np.linspace(1.0, 0.9, ntemps)-like spacing.
     """
     if output_name is None:
         name = model_file if isinstance(model_file, str) else "model"
@@ -99,6 +106,7 @@ def model_galaxy_mcmc(
             dim=mc_model.num_params,
             posterior_fns=mc_model.posterior_fns,
             ntemps=ntemps,
+            betas=betas,
             seed=seed,
             sharding=sharding,
         )

@@ -51,7 +51,15 @@ def default_beta_ladder(ntemps: int, tmax: float = 64.0):
     """Geometric inverse-temperature ladder 1 ... 1/tmax.
 
     Geometric spacing equalizes swap-acceptance rates for roughly
-    Gaussian posteriors (the standard default).
+    Gaussian posteriors (the standard default for weak-data problems).
+
+    CAVEAT for high-S/N imaging likelihoods: swaps accept only when
+    adjacent rungs' log-likelihood distributions overlap, and the
+    per-rung lnL spread scales like sqrt(n_eff_pixels/2) — ~90 units
+    for a 16k-pixel image.  A ladder reaching 1/64 in a few rungs then
+    swaps at ~0.1% (measured on the flagship fit).  For such targets
+    pass an explicit near-unity ladder (e.g. ``1 - 0.02*k`` style
+    spacing) sized so ``|dbeta| * std(lnL) ~ 1``.
     """
     if ntemps == 1:
         return np.ones(1)
