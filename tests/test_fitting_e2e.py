@@ -128,3 +128,27 @@ def test_resume_from_checkpoint(workdir):
     w0_old = np.asarray(db1["1_PointSource_mag"][:30])
     w0_new = np.asarray(db2["1_PointSource_mag"][:50])
     assert np.allclose(w0_old, w0_new[:30])
+
+
+def test_map_mode_images(workdir):
+    """MAP ('maximum') posterior images — the mode the reference's
+    lnprobablity typo broke (reference images.py:60)."""
+    from psfmc_tpu.analysis.images import save_posterior_images
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    model_galaxy_mcmc(
+        "model.py", output_name="map", iterations=30, burn=30,
+        chains=16, max_iterations=1,
+    )
+    db = load_database("map_db.fits")
+    model = MultiComponentModel("model.py")
+    save_posterior_images(
+        model, db, output_name="mapimg_{}", mode="maximum"
+    )
+    hdr, raw = fits.read_hdus("mapimg_raw_model.fits")[0]
+    assert np.all(np.isfinite(raw))
+    # the MAP raw model contains the point source's flux
+    flux = 10 ** (-0.4 * (19.8 - 25.0))
+    assert 0.2 * flux < float(raw.max()) < 5 * flux
+    hdr2, conv = fits.read_hdus("mapimg_convolved_model.fits")[0]
+    assert np.isclose(float(np.sum(conv)), float(np.sum(raw)), rtol=0.05)
