@@ -131,10 +131,21 @@ def model_galaxy_mcmc(
             )
         else:
             ckpt = load_checkpoint(db_name)
+            db_chains = int(database.meta.get("MCCHAINS", chains))
             if ckpt is None:
                 warn(
                     "Existing database has no checkpoint; re-running "
                     "sampling from scratch"
+                )
+                database = None
+            elif db_chains != sampler.nwalkers:
+                # Resuming with a different chains= would silently
+                # interleave samples across the wrong walkers on the
+                # (nwalkers, niter, dim) reshape below.
+                warn(
+                    f"Existing database was sampled with {db_chains} "
+                    f"walkers but chains={sampler.nwalkers} was requested; "
+                    "re-running sampling from scratch"
                 )
                 database = None
             else:

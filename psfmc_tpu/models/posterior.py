@@ -327,12 +327,22 @@ class PosteriorFns:
             onehot = jax.nn.one_hot(
                 idxs, self.spec.num_psfs, dtype=self.dtype
             )  # (nwalkers, num_psfs)
-            # per-PSF-group sums via one einsum each
-            group_raw = jnp.einsum("wk,whx->khx", onehot, raws) * inv_n
-            group_sq = (
-                jnp.einsum("wk,whx->khx", onehot, raws * raws) * inv_n
+            # Per-PSF-group sums via one einsum each.  These feed the
+            # posterior-mean science images, so force full f32 matmul
+            # precision — the TPU default is bf16 and would cost ~2-3
+            # significant digits (cost here is negligible: the contracted
+            # axis is only nwalkers x num_psfs).
+            hi = jax.lax.Precision.HIGHEST
+            group_raw = (
+                jnp.einsum("wk,whx->khx", onehot, raws, precision=hi) * inv_n
             )
-            group_ps = jnp.einsum("wk,whx->khx", onehot, pss) * inv_n
+            group_sq = (
+                jnp.einsum("wk,whx->khx", onehot, raws * raws, precision=hi)
+                * inv_n
+            )
+            group_ps = (
+                jnp.einsum("wk,whx->khx", onehot, pss, precision=hi) * inv_n
+            )
 
         all_idx = jnp.arange(group_raw.shape[0], dtype=jnp.int32)
         conv_g, var_g, psc_g = jax.vmap(

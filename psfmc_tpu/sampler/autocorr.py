@@ -60,8 +60,13 @@ def integrated_time(x, axis=0, low=10, high=None, step=1, c=10):
         sl = [slice(None)] * x.ndim
         sl[axis] = slice(1, m)
         tau = 1.0 + 2.0 * np.sum(f[tuple(sl)], axis=axis)
+        # Near-white or slightly anticorrelated chains can estimate
+        # tau <= 1; clamp rather than reject (matching emcee's window
+        # criterion M > c * tau alone) so well-mixed chains are not
+        # declared unconverged forever.
+        tau = np.maximum(tau, 1.0)
         tau_max = float(np.max(tau))
-        if np.all(tau > 1.0) and m > c * tau_max:
+        if m > c * tau_max:
             return tau
         if c * tau_max >= m and m + step >= high:
             break

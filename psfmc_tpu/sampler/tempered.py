@@ -162,7 +162,10 @@ def _swap_move(key, betas, pos, lnl, lnp, nswap):
         pos = pos.at[i].set(pi).at[i + 1].set(pj)
         lnl = lnl.at[i].set(li).at[i + 1].set(lj)
         lnp = lnp.at[i].set(qi).at[i + 1].set(qj)
-        nswap = nswap.at[i].add(jnp.sum(do.astype(jnp.int32)))
+        # keep the scatter operand int32: under x64 a bare sum promotes
+        # to int64 and the at[].add into int32 nswap raises a
+        # FutureWarning (error in future JAX releases)
+        nswap = nswap.at[i].add(jnp.sum(do, dtype=jnp.int32))
         return (pos, lnl, lnp, nswap), None
 
     (pos, lnl, lnp, nswap), _ = jax.lax.scan(
