@@ -30,6 +30,10 @@ import numpy as np
 BURN = int(os.environ.get("BENCH_BURN", "200"))
 ITERATIONS = int(os.environ.get("BENCH_ITER", "200"))
 CHAINS = int(os.environ.get("BENCH_WALKERS", "250"))
+# BENCH_THIN > 1: record every k-th step on device (for large-ensemble
+# configs whose wall-clock is otherwise dominated by the chain d2h
+# transfer, e.g. 2000 walkers x 30 MB over the tunnel)
+THIN = int(os.environ.get("BENCH_THIN", "1"))
 BASELINE_SECONDS = 10.0  # BASELINE.json north-star target (v5e-8)
 
 
@@ -74,7 +78,10 @@ def main():
     )
     p0 = graft._enforce_axis_order(p0, spec)
 
-    sampler = EnsembleSampler(CHAINS, spec.num_params, fns, seed=0)
+    sampler = EnsembleSampler(
+        CHAINS, spec.num_params, fns, seed=0, thin=THIN,
+        track_moments=THIN > 1,
+    )
 
     # Warm-up pass: populates the jit caches for both phase programs
     # (compile time excluded from the timed region)
@@ -87,7 +94,10 @@ def main():
 
     # Timed region: full production pass (burn + retained sampling),
     # matching run_example.py's configuration.
-    sampler2 = EnsembleSampler(CHAINS, spec.num_params, fns, seed=1)
+    sampler2 = EnsembleSampler(
+        CHAINS, spec.num_params, fns, seed=1, thin=THIN,
+        track_moments=THIN > 1,
+    )
     t0 = time.time()
     sampler2.init_state(p0)
     sampler2.run_burn(BURN)
@@ -100,6 +110,25 @@ def main():
     total_evals = CHAINS * (BURN + ITERATIONS)
     accept = float(sampler2.acceptance_fraction.mean())
 
+    # Analytic FLOP model -> achieved TFLOP/s and MFU, so the artifact
+    # itself answers "compute-bound or not" (VERDICT round-1 item 6).
+    from psfmc_tpu.profiling import (
+        TPU_V5E_PEAK_BF16_TFLOPS,
+        lnpost_flop_model,
+    )
+
+    conv_mode = os.environ.get("PSFMC_CONV", "dft")
+    per_eval = lnpost_flop_model(spec.shape, conv_mode=conv_mode)
+    # retained steps add 3 accumulation convolutions per step (walker-
+    # mean images, posterior.py ensemble_carry_means), not per walker
+    accum_flops = ITERATIONS * 3 * (per_eval["mxu"] // 2)
+    mxu_flops = total_evals * per_eval["mxu"] + accum_flops
+    vpu_flops = total_evals * per_eval["vpu"]
+    achieved_tflops = mxu_flops / elapsed / 1e12
+    # bf16x3 (Precision.HIGH) spends 3 MXU passes per f32-accurate FLOP
+    passes = 3 if os.environ.get("PSFMC_CONV_PRECISION", "high") == "high" else 6
+    mfu = achieved_tflops * passes / TPU_V5E_PEAK_BF16_TFLOPS
+
     result = {
         "metric": (
             "J0005-0006 fit wall-clock: 50k burn + 50k retained samples "
@@ -109,12 +138,23 @@ def main():
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+        "achieved_matmul_tflops": round(achieved_tflops, 2),
+        "mfu": round(mfu, 4),
     }
     # diagnostics on stderr; the contract line on stdout
     print(
         f"# devices={jax.devices()} warmup={compile_s:.1f}s "
         f"accept={accept:.3f} evals/s={total_evals / elapsed:,.0f} "
         f"lnp_final_mean={np.mean(lnprob[:, -1]):.1f}",
+        file=sys.stderr,
+    )
+    print(
+        f"# flop model ({conv_mode}): {mxu_flops / 1e12:.2f} TFLOP matmul "
+        f"(+{vpu_flops / 1e12:.2f} TFLOP elementwise render/likelihood) -> "
+        f"{achieved_tflops:.2f} TFLOP/s, MFU {mfu:.1%} of "
+        f"{TPU_V5E_PEAK_BF16_TFLOPS:.0f} TFLOP/s bf16 peak at {passes}-pass "
+        "precision; the residual is the VPU-bound Sersic render + "
+        "reductions (see CLAUDE.md stage budget)",
         file=sys.stderr,
     )
     print(json.dumps(result))

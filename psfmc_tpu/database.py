@@ -74,10 +74,17 @@ def save_database(sampler, model, db_name, meta_dict=None):
     """Write the trace database + checkpoint extension; returns the Table.
 
     ``sampler`` is a :class:`psfmc_tpu.sampler.EnsembleSampler` (chain
-    layout (nwalkers, niter, dim) — same as emcee's).
+    layout (nwalkers, niter, dim) — same as emcee's).  A sampler with no
+    recorded chain yet (mid-burn checkpoint) writes a zero-row trace
+    table whose CHECKPOINT extension still enables resume.
     """
-    chain = np.asarray(sampler.chain, dtype=np.float64)
-    lnprobability = np.asarray(sampler.lnprobability, dtype=np.float64)
+    if sampler.chain is None:
+        dim = sum(model.param_lens)
+        chain = np.zeros((getattr(sampler, "nwalkers", 0), 0, dim))
+        lnprobability = np.zeros(chain.shape[:2])
+    else:
+        chain = np.asarray(sampler.chain, dtype=np.float64)
+        lnprobability = np.asarray(sampler.lnprobability, dtype=np.float64)
     nwalkers, niter, dim = chain.shape
 
     flat = chain.reshape(nwalkers * niter, dim)
@@ -90,9 +97,10 @@ def save_database(sampler, model, db_name, meta_dict=None):
     columns["sample"] = sample_col
 
     meta = OrderedDict(meta_dict or {})
-    map_row = int(np.argmax(columns["lnprobability"]))
-    meta["MAPWLKR"] = int(walker_col[map_row])
-    meta["MAPSAMP"] = int(sample_col[map_row])
+    if niter > 0:
+        map_row = int(np.argmax(columns["lnprobability"]))
+        meta["MAPWLKR"] = int(walker_col[map_row])
+        meta["MAPSAMP"] = int(sample_col[map_row])
     meta = annotate_metadata(meta)
 
     tbl = Table(columns, meta=meta)
@@ -100,34 +108,76 @@ def save_database(sampler, model, db_name, meta_dict=None):
     extra_hdus = []
     state = getattr(sampler, "state", None)
     if state is not None:
-        extra_hdus.append(_checkpoint_hdu(sampler))
+        extra_hdus.extend(_checkpoint_hdus(sampler.checkpoint_payload()))
 
     tbl.write(db_name, format="fits", extname="TRACE", extra_hdus=extra_hdus)
     return load_database(db_name)
 
 
-def _checkpoint_hdu(sampler):
-    """Build the CHECKPOINT bintable HDU from sampler state."""
-    positions, log_prob, naccept_, key_ = sampler.checkpoint_state()
-    pos = np.asarray(positions, dtype=np.float64)
-    lnp = np.asarray(log_prob, dtype=np.float64)
-    key = np.asarray(key_).astype(np.int64)
-    naccept = np.asarray(naccept_, dtype=np.int64)
-    nw = pos.shape[0]
+def _checkpoint_hdus(payload):
+    """Serialize a sampler checkpoint payload (v2) to bintable HDUs.
+
+    CHECKPOINT holds the per-walker state — for tempered samplers every
+    rung, row-major ``(ntemps * nwalkers)`` rows with CKPTTEMP in the
+    header.  CKPTIMGS holds the running posterior-image accumulators
+    (one (h, w) column per image type, CKPTACCN samples), so a resumed
+    run keeps streaming means instead of replaying the chain.
+    """
+    ntemps = int(payload.get("ntemps", 1))
+    pos = np.asarray(payload["positions"], dtype=np.float64)
+    if pos.ndim == 3:
+        pos = pos.reshape(-1, pos.shape[-1])
+    nrows = pos.shape[0]
+    lnp = np.asarray(payload["log_prob"], dtype=np.float64).reshape(-1)
+    if lnp.shape[0] != nrows:  # cold-rung lnp with multi-rung positions
+        lnp = np.concatenate([lnp, np.zeros(nrows - lnp.shape[0])])
+    naccept = np.asarray(payload["naccept"], dtype=np.int64).reshape(-1)
+    key = np.asarray(payload["key"]).astype(np.int64)
     cols = OrderedDict(
         [
             ("position", pos),
             ("log_prob", lnp),
             ("naccept", naccept),
             # PRNG key replicated per row for rectangular storage
-            ("prng_key", np.tile(key[None, :], (nw, 1))),
+            ("prng_key", np.tile(key[None, :], (nrows, 1))),
         ]
     )
-    meta = [("CKPTVERS", (1, "checkpoint format version"))]
+    meta = [
+        ("CKPTVERS", (2, "checkpoint format version")),
+        ("CKPTTEMP", (ntemps, "parallel-tempering rungs in checkpoint")),
+        ("CKPTACCN", (int(payload.get("accum_count", 0)),
+                      "samples in image accumulators")),
+        ("CKPTSTEP", (int(payload.get("nsteps", 0)),
+                      "steps since last sampler reset")),
+    ]
+    nswap = payload.get("nswap")
+    if nswap is not None:
+        meta.append(
+            ("CKPTNSWP", (",".join(str(int(v)) for v in np.ravel(nswap)),
+                          "accepted swaps per rung pair"))
+        )
+    betas = payload.get("betas")
+    if betas is not None and ntemps > 1:
+        # per-row rung beta (a header CSV would overflow the 68-char
+        # FITS card limit for long ladders)
+        cols["beta"] = np.repeat(
+            np.asarray(betas, np.float64), nrows // ntemps
+        )
     hdr, raw = fits.make_bintable_hdu(
         list(cols.keys()), cols, meta=meta, extname="CHECKPOINT"
     )
-    return (hdr, raw)
+    hdus = [(hdr, raw)]
+
+    accum = payload.get("accum")
+    if accum and int(payload.get("accum_count", 0)) > 0:
+        img_cols = OrderedDict(
+            (name, np.asarray(img, dtype=np.float64)) for name, img in accum.items()
+        )
+        img_hdr, img_raw = fits.make_bintable_hdu(
+            list(img_cols.keys()), img_cols, extname="CKPTIMGS"
+        )
+        hdus.append((img_hdr, img_raw))
+    return hdus
 
 
 def load_database(db_name):
@@ -136,19 +186,56 @@ def load_database(db_name):
 
 
 def load_checkpoint(db_name):
-    """Load sampler resume state: (positions, log_prob, naccept, key).
-
-    Returns None if the database has no CHECKPOINT extension.
+    """Load sampler resume state as a payload dict (see
+    ``EnsembleSampler.checkpoint_payload``), or None if the database has
+    no CHECKPOINT extension.  Reads both v1 (cold state only) and v2
+    (tempering rungs + image accumulators) checkpoints.
     """
     try:
         ckpt = Table.read(db_name, format="fits", extname="CHECKPOINT")
     except IOError:
         return None
+    version = int(ckpt.meta.get("CKPTVERS", 1))
+    ntemps = int(ckpt.meta.get("CKPTTEMP", 1))
     positions = np.asarray(ckpt["position"], dtype=np.float64)
     lnp = np.asarray(ckpt["log_prob"], dtype=np.float64)
     naccept = np.asarray(ckpt["naccept"], dtype=np.int64)
     key = np.asarray(ckpt["prng_key"][0], dtype=np.uint32)
-    return positions, lnp, naccept, key
+    payload = {
+        "version": version,
+        "ntemps": ntemps,
+        "positions": positions,
+        "log_prob": lnp,
+        "naccept": naccept,
+        "key": key,
+        "accum": None,
+        "accum_count": int(ckpt.meta.get("CKPTACCN", 0)),
+        "nsteps": int(ckpt.meta.get("CKPTSTEP", 0)),
+    }
+    if ntemps > 1:
+        dim = positions.shape[-1]
+        payload["positions"] = positions.reshape(ntemps, -1, dim)
+        payload["naccept"] = naccept.reshape(ntemps, -1)
+        payload["log_prob"] = lnp.reshape(ntemps, -1)[0]
+        nswap = ckpt.meta.get("CKPTNSWP")
+        if nswap is not None:
+            payload["nswap"] = np.array(
+                [int(v) for v in str(nswap).split(",")], dtype=np.int64
+            )
+        if "beta" in ckpt:
+            payload["betas"] = np.asarray(
+                ckpt["beta"], dtype=np.float64
+            ).reshape(ntemps, -1)[:, 0]
+    if payload["accum_count"] > 0:
+        try:
+            imgs = Table.read(db_name, format="fits", extname="CKPTIMGS")
+            payload["accum"] = {
+                name: np.asarray(imgs[name], dtype=np.float64)
+                for name in imgs.colnames
+            }
+        except IOError:
+            payload["accum_count"] = 0
+    return payload
 
 
 def get_sampler_state(database):

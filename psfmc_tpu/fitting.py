@@ -47,6 +47,7 @@ def model_galaxy_mcmc(
     mesh=None,
     ntemps=1,
     betas=None,
+    checkpoint_interval=None,
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -71,14 +72,22 @@ def model_galaxy_mcmc(
     :param ntemps: number of parallel-tempering rungs (1 = plain
         ensemble).  Tempering helps the genuinely multimodal posteriors
         of quasar/host decomposition (component flux/position swaps);
-        the recorded chain is the cold rung.  On resume, hot rungs
-        restart from the checkpointed cold-rung positions.
+        the recorded chain is the cold rung.  Checkpoints persist every
+        rung, so a resumed run (same ntemps) continues hot rungs
+        without re-paying their burn-in.
     :param betas: explicit inverse-temperature ladder (ntemps values,
-        betas[0] == 1).  IMPORTANT for high-S/N imaging likelihoods:
-        replica swaps only accept when adjacent rungs' likelihood
-        distributions overlap, which for a 16k-pixel likelihood needs a
-        much finer ladder than the weak-data default (geometric to
-        1/64) — e.g. np.linspace(1.0, 0.9, ntemps)-like spacing.
+        betas[0] == 1).  Default None AUTO-SIZES the ladder during
+        burn-in: pilot spacing from the measured per-rung std(lnL)
+        (so |dbeta| * std(lnL) ~ 1 even for high-S/N imaging
+        likelihoods where the classic geometric ladder swaps at ~0.1%),
+        then a proportional controller steering every rung pair toward
+        ~30% swap acceptance; the ladder freezes for the retained
+        phase.  Pass explicit betas to pin the ladder.
+    :param checkpoint_interval: steps between progress lines and
+        mid-phase resume checkpoints (both burn and sampling phases are
+        chunked into scans of this length).  Default: automatic —
+        ~10%% of the phase, at least 25 steps; short phases (<=50
+        steps) run as one scan.  Pass 0 to disable chunking entirely.
     """
     if output_name is None:
         name = model_file if isinstance(model_file, str) else "model"
@@ -125,7 +134,7 @@ def model_galaxy_mcmc(
     if os.path.exists(db_name):
         database = load_database(db_name)
         existing_iter = int(database.meta.get("MCITER", 0))
-        if existing_iter >= iterations:
+        if existing_iter >= iterations and iterations > 0:
             print(
                 "Database already contains sampled chains, skipping sampling"
             )
@@ -149,23 +158,28 @@ def model_galaxy_mcmc(
                 )
                 database = None
             else:
+                burn_total = max(burn, int(database.meta.get("MCBURN", 0)))
+                burn_done = int(database.meta.get("MCBURNDN", burn_total))
                 print(
-                    f"Resuming from checkpoint at {existing_iter} retained "
-                    f"iterations"
+                    f"Resuming from checkpoint: {burn_done}/{burn_total} "
+                    f"burn-in + {existing_iter} retained iterations done"
                 )
-                positions, _lnp, _naccept, key = ckpt
                 database = _run_sampling(
                     sampler,
                     mc_model,
-                    positions,
-                    burn=0,
+                    None,
+                    burn=max(0, burn_total - burn_done),
                     iterations=iterations - existing_iter,
                     max_iterations=max_iterations,
                     convergence_check=convergence_check,
                     db_name=db_name,
-                    burn_total=int(database.meta.get("MCBURN", burn)),
-                    resume_key=key,
-                    prior_db=(database, mc_model),
+                    burn_total=burn_total,
+                    burn_done=burn_done,
+                    resume_payload=ckpt,
+                    prior_db=(
+                        (database, mc_model) if existing_iter > 0 else None
+                    ),
+                    checkpoint_interval=checkpoint_interval,
                 )
 
     if database is None:
@@ -181,12 +195,27 @@ def model_galaxy_mcmc(
             convergence_check=convergence_check,
             db_name=db_name,
             burn_total=burn,
+            checkpoint_interval=checkpoint_interval,
         )
 
     save_posterior_images(
         mc_model, database, output_name=output_name, filetypes=write_fits
     )
     return database
+
+
+def _auto_segment(nsteps, checkpoint_interval):
+    """Scan segment length for a phase (None = single scan).
+
+    Auto mode chunks long phases into ~10 segments (at least 25 steps
+    each) so progress prints and mid-phase checkpoints happen without
+    measurably adding dispatches; short phases stay a single program.
+    """
+    if checkpoint_interval is not None:
+        return None if checkpoint_interval <= 0 else int(checkpoint_interval)
+    if nsteps <= 50:
+        return None
+    return max(25, min(2500, nsteps // 10))
 
 
 def _run_sampling(
@@ -199,26 +228,64 @@ def _run_sampling(
     convergence_check,
     db_name,
     burn_total,
-    resume_key=None,
+    burn_done=0,
+    resume_payload=None,
     prior_db=None,
+    checkpoint_interval=None,
 ):
-    """Burn + retained sampling with convergence retries; saves the DB."""
-    key = None
-    if resume_key is not None:
-        import jax.numpy as jnp
+    """Burn + retained sampling with convergence retries; saves the DB.
 
-        key = jnp.asarray(resume_key, dtype=jnp.uint32)
+    Both phases are chunked (see ``_auto_segment``): each segment
+    prints reference-style percent progress (utils.py:167-171) and
+    persists a resume checkpoint, so a killed long run restarts from
+    the last segment rather than from scratch.
+    """
     from .profiling import PhaseTimer, trace
+    from .utils import print_progress
 
     timer = PhaseTimer()
     with timer.phase("init"):
-        sampler.init_state(initial_positions, key=key)
+        if resume_payload is not None:
+            sampler.restore_state(resume_payload)
+        else:
+            sampler.init_state(initial_positions)
+
+    def checkpoint_meta(converged=False):
+        niter = 0 if sampler.chain is None else sampler.chain.shape[1]
+        return OrderedDict(
+            [
+                ("MCITER", niter),
+                ("MCBURN", burn_total),
+                ("MCBURNDN", min(burn_done + sampler._nsteps_total
+                                 if niter == 0 else burn_total, burn_total)),
+                ("MCCHAINS", sampler.nwalkers),
+                ("MCCONVRG", bool(converged)),
+                ("MCACCEPT", float(sampler.acceptance_fraction.mean())),
+            ]
+        )
 
     if burn > 0:
         print(f"Burning: {burn} iterations x {sampler.nwalkers} walkers")
+
+        def burn_cb(done, total):
+            print_progress(burn_done + done - 1, burn_total, "Burning")
+            if done < total:  # final state is checkpointed by save_round
+                save_database(
+                    sampler, mc_model, db_name, meta_dict=checkpoint_meta()
+                )
+
         with timer.phase("burn"), trace("burn"):
-            sampler.run_burn(burn)
-    sampler.reset()
+            sampler.run_burn(
+                burn,
+                segment=_auto_segment(burn, checkpoint_interval),
+                callback=burn_cb,
+            )
+
+    if resume_payload is None or burn > 0 or prior_db is None:
+        # Fresh retained phase: zero accumulators + accept counts.  A
+        # mid-sampling resume (burn complete, retained samples exist)
+        # skips this so the restored image accumulators keep streaming.
+        sampler.reset()
 
     if prior_db is not None:
         # Preload the already-retained chain so the saved database holds
@@ -238,16 +305,16 @@ def _run_sampling(
 
     def save_round(converged):
         mc_model.set_accumulated_from_sampler(sampler)
-        db_metadata = OrderedDict(
-            [
-                ("MCITER", sampler.chain.shape[1]),
-                ("MCBURN", burn_total),
-                ("MCCHAINS", sampler.nwalkers),
-                ("MCCONVRG", bool(converged)),
-                ("MCACCEPT", float(sampler.acceptance_fraction.mean())),
-            ]
+        return save_database(
+            sampler, mc_model, db_name, meta_dict=checkpoint_meta(converged)
         )
-        return save_database(sampler, mc_model, db_name, meta_dict=db_metadata)
+
+    def sample_cb(done, total):
+        print_progress(done - 1, total, "Sampling")
+        if done < total:
+            save_database(
+                sampler, mc_model, db_name, meta_dict=checkpoint_meta()
+            )
 
     database = None
     for sampling_iter in range(max_iterations):
@@ -255,7 +322,11 @@ def _run_sampling(
             f"Sampling: {iterations} iterations x {sampler.nwalkers} walkers"
         )
         with timer.phase("sampling"), trace("sampling"):
-            sampler.run_sampling(iterations)
+            sampler.run_sampling(
+                iterations,
+                segment=_auto_segment(iterations, checkpoint_interval),
+                callback=sample_cb,
+            )
         converged = bool(convergence_check(sampler))
         # Persist the chain + resume checkpoint after EVERY round: a
         # crash mid-retry-loop resumes from the last completed round

@@ -490,6 +490,7 @@ def read_bintable(header, raw):
 
     columns = {}
     offset = 0
+    raw = raw if raw is not None else b""  # zero-row tables have no data
     buf = np.frombuffer(raw[: nrows * rowlen], dtype=np.uint8).reshape(
         nrows, rowlen
     )
@@ -559,7 +560,9 @@ def make_bintable_hdu(names, columns, meta=None, extname=None):
     parts = []
     rowlen = 0
     for col in encoded:
-        col2d = col.reshape(nrows, -1)
+        # explicit width (reshape(nrows, -1) is ambiguous for 0 rows)
+        width = 1 if col.ndim == 1 else int(np.prod(col.shape[1:]))
+        col2d = col.reshape(nrows, width)
         if col2d.dtype.kind == "b":
             bytecol = np.where(col2d, ord("T"), ord("F")).astype(np.uint8)
         elif col2d.dtype.kind == "S":
@@ -570,7 +573,7 @@ def make_bintable_hdu(names, columns, meta=None, extname=None):
         else:
             be = col2d.astype(col2d.dtype.newbyteorder(">"))
             bytecol = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(
-                nrows, -1
+                nrows, width * be.dtype.itemsize
             )
         parts.append(bytecol)
         rowlen += bytecol.shape[1]

@@ -51,16 +51,50 @@ class EnsembleState:
     accum_count: jax.Array  # scalar int32: accumulated samples
     naccept: jax.Array  # (nwalkers,) int32 accepted moves per walker
     key: jax.Array
+    # optional on-device posterior moments: {"mean","m2","n"} (Welford);
+    # cover EVERY retained step even under chain thinning
+    moments: Optional[Dict[str, jax.Array]] = None
 
 
 jax.tree_util.register_pytree_node(
     EnsembleState,
     lambda s: (
-        (s.positions, s.log_prob, s.accum, s.accum_count, s.naccept, s.key),
+        (
+            s.positions,
+            s.log_prob,
+            s.accum,
+            s.accum_count,
+            s.naccept,
+            s.key,
+            s.moments,
+        ),
         None,
     ),
     lambda _aux, ch: EnsembleState(*ch),
 )
+
+
+def welford_batch_update(moments, batch):
+    """Merge a (nbatch, dim) sample batch into Welford running moments.
+
+    Chan et al. parallel-merge form: the batch's own mean/M2 are
+    computed first (a single f32 reduction over walkers is exact
+    enough), then merged into the carry — so carry error grows with the
+    number of STEPS, not samples.  Final statistics should still be
+    computed in f64 from the chain when bit-accuracy matters (the
+    analysis layer does); these on-device moments exist so production-
+    scale runs can monitor posteriors without shipping the chain d2h.
+    """
+    nb = batch.shape[0]
+    bmean = jnp.mean(batch, axis=0)
+    bm2 = jnp.sum((batch - bmean) ** 2, axis=0)
+    n = moments["n"]
+    n_new = n + nb
+    delta = bmean - moments["mean"]
+    ratio = (n.astype(batch.dtype) * nb) / n_new.astype(batch.dtype)
+    mean = moments["mean"] + delta * (nb / n_new.astype(batch.dtype))
+    m2 = moments["m2"] + bm2 + delta * delta * ratio
+    return {"mean": mean, "m2": m2, "n": n_new}
 
 
 def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_fn, a, dim):
@@ -152,6 +186,10 @@ def make_step_fn(
                 for k in accum
             }
 
+        moments = state.moments
+        if accumulate and moments is not None:
+            moments = welford_batch_update(moments, new_pos)
+
         new_state = EnsembleState(
             positions=new_pos,
             log_prob=new_lnp,
@@ -159,6 +197,7 @@ def make_step_fn(
             accum_count=count,
             naccept=naccept,
             key=key,
+            moments=moments,
         )
         out = (new_pos, new_lnp) if record else None
         return new_state, out
@@ -176,12 +215,19 @@ def run_stretch_move(
     record: bool = True,
     unroll: int = 1,
     ensemble_means_fn=None,
+    thin: int = 1,
 ):
     """Scan ``nsteps`` ensemble iterations on device.
 
     Returns (final_state, chain, lnprob) where chain is
-    (nsteps, nwalkers, dim) and lnprob is (nsteps, nwalkers); both are
-    None when ``record=False``.
+    (nsteps // thin, nwalkers, dim) and lnprob is
+    (nsteps // thin, nwalkers); both are None when ``record=False``.
+
+    ``thin > 1`` records only every thin-th state ON DEVICE — the scan
+    output (and hence the device->host chain transfer) shrinks by the
+    thinning factor while image accumulation still sees every retained
+    step.  This is what makes large ensembles (2000 walkers) hardware-
+    limited instead of d2h-transfer-limited.
     """
     nwalkers, dim = state.positions.shape
     step = make_step_fn(
@@ -191,9 +237,21 @@ def run_stretch_move(
         dim,
         a=a,
         accumulate=accumulate,
-        record=record,
+        record=record and thin == 1,
         ensemble_means_fn=ensemble_means_fn,
     )
+    if record and thin > 1:
+        if nsteps % thin:
+            raise ValueError(f"nsteps={nsteps} not divisible by thin={thin}")
+
+        def outer(st, _):
+            st, _ = jax.lax.scan(step, st, None, length=thin, unroll=unroll)
+            return st, (st.positions, st.log_prob)
+
+        final, (chain, lnprob) = jax.lax.scan(
+            outer, state, None, length=nsteps // thin
+        )
+        return final, chain, lnprob
     final, outs = jax.lax.scan(step, state, None, length=nsteps, unroll=unroll)
     if record:
         chain, lnprob = outs
@@ -221,9 +279,22 @@ class EnsembleSampler:
         image_shape: Optional[Tuple[int, int]] = None,
         accum_dtype=jnp.float32,
         sharding=None,
+        thin: int = 1,
+        track_moments: bool = False,
     ):
+        """``thin`` records every thin-th retained step on device (the
+        chain and its d2h transfer shrink by that factor; image
+        accumulation and acceptance statistics still cover every step).
+
+        ``track_moments`` maintains on-device Welford running moments of
+        the parameter vector over EVERY retained step (see
+        :attr:`posterior_moments`), so thinned production runs keep
+        full-accuracy posterior mean/std without shipping the chain.
+        """
         if nwalkers % 2 != 0:
             raise ValueError("nwalkers must be even for half-ensemble moves")
+        if thin < 1:
+            raise ValueError("thin must be >= 1")
         if nwalkers < 2 * dim + 2:
             import warnings
 
@@ -238,6 +309,8 @@ class EnsembleSampler:
         self.image_shape = image_shape
         self.accum_dtype = accum_dtype
         self.sharding = sharding
+        self.thin = int(thin)
+        self.track_moments = bool(track_moments)
         self._key = jax.random.PRNGKey(seed)
 
         self._chain = None  # numpy (nwalkers, nsteps, dim), emcee layout
@@ -262,7 +335,10 @@ class EnsembleSampler:
 
     def _phase_program(self, accumulate: bool, record: bool):
         cache = getattr(self.fns, "programs", None)
-        key = ("phase", self.nwalkers, self.dim, self.a, accumulate, record)
+        thin = self.thin if record else 1
+        key = (
+            "phase", self.nwalkers, self.dim, self.a, accumulate, record, thin,
+        )
         if cache is not None and key in cache:
             return cache[key]
         prog = jax.jit(
@@ -273,6 +349,7 @@ class EnsembleSampler:
                 a=self.a,
                 accumulate=accumulate,
                 record=record,
+                thin=thin,
                 ensemble_means_fn=getattr(
                     self.fns, "ensemble_carry_means", None
                 ),
@@ -320,8 +397,18 @@ class EnsembleSampler:
             accum_count=jnp.asarray(0, jnp.int32),
             naccept=jnp.zeros(self.nwalkers, jnp.int32),
             key=key,
+            moments=self._fresh_moments(),
         )
         return self.state
+
+    def _fresh_moments(self):
+        if not self.track_moments:
+            return None
+        return {
+            "mean": jnp.zeros(self.dim, self.fns.dtype),
+            "m2": jnp.zeros(self.dim, self.fns.dtype),
+            "n": jnp.asarray(0, jnp.int32),
+        }
 
     def reset(self):
         """Clear chain storage + acceptance counts; keep current positions.
@@ -341,39 +428,158 @@ class EnsembleSampler:
                 accum={
                     k: jnp.zeros_like(v) for k, v in self.state.accum.items()
                 },
+                moments=self._fresh_moments(),
             )
 
     # -- phases -----------------------------------------------------------
-    def run_burn(self, nsteps: int):
-        """Burn-in: no chain recording, no image accumulation."""
-        prev_naccept = np.asarray(self.state.naccept)
-        final, _, _ = self._burn_prog(self.state, nsteps=nsteps)
-        self.state = final
-        self._naccept += np.asarray(final.naccept) - prev_naccept
-        self._nsteps_total += nsteps
-        return self
+    @staticmethod
+    def _segments(nsteps: int, segment):
+        """Split ``nsteps`` into scan segment lengths.
 
-    def run_sampling(self, nsteps: int):
-        """Retained sampling: records the chain + accumulates images."""
-        prev_naccept = np.asarray(self.state.naccept)
-        final, chain, lnprob = self._sample_prog(self.state, nsteps=nsteps)
+        ``segment=None`` keeps the whole phase as one device program (at
+        most one extra compile for a remainder segment otherwise, since
+        the scan length is a static argument).
+        """
+        if segment is None or segment >= nsteps:
+            return [nsteps]
+        segment = max(1, int(segment))
+        out = [segment] * (nsteps // segment)
+        if nsteps % segment:
+            out.append(nsteps % segment)
+        return out
+
+    def _cold_naccept(self, state):
+        """Per-walker accept counts of the recorded (cold) ensemble."""
+        return np.asarray(state.naccept)
+
+    def _burn_segment(self, n: int):
+        final, _, _ = self._burn_prog(self.state, nsteps=n)
         self.state = final
-        self._naccept += np.asarray(final.naccept) - prev_naccept
+
+    def _sample_segment(self, n: int):
+        """Run n retained steps; returns (chain, lnprob) in emcee layout."""
+        final, chain, lnprob = self._sample_prog(self.state, nsteps=n)
+        self.state = final
         # emcee chain layout: (nwalkers, nsteps, dim)
-        chain = np.moveaxis(np.asarray(chain), 0, 1)
-        lnprob = np.moveaxis(np.asarray(lnprob), 0, 1)
-        if self._chain is None:
-            self._chain, self._lnprob = chain, lnprob
-        else:
-            self._chain = np.concatenate([self._chain, chain], axis=1)
-            self._lnprob = np.concatenate([self._lnprob, lnprob], axis=1)
-        self._nsteps_total += nsteps
+        return (
+            np.moveaxis(np.asarray(chain), 0, 1),
+            np.moveaxis(np.asarray(lnprob), 0, 1),
+        )
+
+    def run_burn(self, nsteps: int, segment=None, callback=None):
+        """Burn-in: no chain recording, no image accumulation.
+
+        ``segment`` chunks the on-device scan so ``callback(done,
+        total)`` can report progress / write mid-phase checkpoints
+        (restores the reference's print_progress behavior,
+        utils.py:167-171, lost to the single opaque scan).
+        """
+        done = 0
+        for n in self._segments(nsteps, segment):
+            prev_naccept = self._cold_naccept(self.state)
+            self._burn_segment(n)
+            self._naccept += self._cold_naccept(self.state) - prev_naccept
+            self._nsteps_total += n
+            done += n
+            if callback is not None:
+                callback(done, nsteps)
         return self
 
-    def checkpoint_state(self):
-        """(positions, log_prob, naccept, key) for resume checkpoints."""
+    def run_sampling(self, nsteps: int, segment=None, callback=None):
+        """Retained sampling: records the chain + accumulates images."""
+        if nsteps % self.thin:
+            raise ValueError(
+                f"nsteps={nsteps} not divisible by thin={self.thin}"
+            )
+        if segment is not None and self.thin > 1:
+            # segments must land on thinning boundaries
+            segment = max(self.thin, (segment // self.thin) * self.thin)
+        done = 0
+        for n in self._segments(nsteps, segment):
+            prev_naccept = self._cold_naccept(self.state)
+            chain, lnprob = self._sample_segment(n)
+            self._naccept += self._cold_naccept(self.state) - prev_naccept
+            if self._chain is None:
+                self._chain, self._lnprob = chain, lnprob
+            else:
+                self._chain = np.concatenate([self._chain, chain], axis=1)
+                self._lnprob = np.concatenate([self._lnprob, lnprob], axis=1)
+            self._nsteps_total += n
+            done += n
+            if callback is not None:
+                callback(done, nsteps)
+        return self
+
+    # -- checkpoint / resume -------------------------------------------------
+    def checkpoint_payload(self):
+        """Full resume state as a dict of host arrays (checkpoint v2).
+
+        Includes the posterior-image accumulators so a resumed run keeps
+        its fast streaming means instead of falling back to a full chain
+        replay in save_posterior_images.
+        """
         s = self.state
-        return s.positions, s.log_prob, s.naccept, s.key
+        return {
+            "version": 2,
+            "ntemps": 1,
+            "positions": np.asarray(s.positions, np.float64),
+            "log_prob": np.asarray(s.log_prob, np.float64),
+            "naccept": np.asarray(s.naccept, np.int64),
+            "nsteps": int(self._nsteps_total),
+            "key": np.asarray(s.key).astype(np.uint32),
+            "accum": (
+                {k: np.asarray(v) for k, v in s.accum.items()}
+                if s.accum is not None
+                else None
+            ),
+            "accum_count": int(s.accum_count),
+        }
+
+    def restore_state(self, payload):
+        """Rebuild device state from a :meth:`checkpoint_payload` dict.
+
+        Log-probabilities are recomputed (deterministic, one batched
+        eval) rather than trusted from the file; accumulators, accept
+        counts and the PRNG key are restored exactly.
+        """
+        positions = np.asarray(payload["positions"], np.float64)
+        if positions.ndim == 3:  # tempered checkpoint into a plain sampler
+            positions = positions[0]
+        key = jnp.asarray(payload["key"], jnp.uint32)
+        self.init_state(positions, key=key)
+        self._restore_accum(payload)
+        naccept = payload.get("naccept")
+        if naccept is not None and np.ndim(naccept) == 1:
+            self.state = replace(
+                self.state, naccept=jnp.asarray(naccept, jnp.int32)
+            )
+        self._restore_counters(payload)
+        return self.state
+
+    def _restore_counters(self, payload):
+        """Continue acceptance-fraction bookkeeping across the resume."""
+        naccept = np.asarray(payload.get("naccept", 0), np.int64)
+        if naccept.ndim == 2:  # tempered payload: cold rung
+            naccept = naccept[0]
+        if naccept.shape == (self.nwalkers,):
+            self._naccept = naccept.copy()
+            self._nsteps_total = int(payload.get("nsteps", 0))
+
+    def _restore_accum(self, payload):
+        accum = payload.get("accum")
+        count = int(payload.get("accum_count", 0))
+        if not accum or count <= 0 or self.state.accum is None:
+            return
+        if set(accum) != set(self.state.accum):
+            return  # different image basis; keep fresh accumulators
+        self.state = replace(
+            self.state,
+            accum={
+                k: jnp.asarray(accum[k], self.accum_dtype)
+                for k in self.state.accum
+            },
+            accum_count=jnp.asarray(count, jnp.int32),
+        )
 
     # -- emcee-compatible accessors ----------------------------------------
     @property
@@ -404,6 +610,19 @@ class EnsembleSampler:
     @property
     def accumulated_samples(self):
         return int(self.state.accum_count) if self.state is not None else 0
+
+    @property
+    def posterior_moments(self):
+        """(mean, std) per parameter from the on-device Welford carry,
+        covering every retained step (including steps a ``thin`` factor
+        dropped from the chain).  None unless ``track_moments=True``."""
+        if self.state is None or self.state.moments is None:
+            return None
+        m = self.state.moments
+        n = max(int(m["n"]), 1)
+        mean = np.asarray(m["mean"], np.float64)
+        var = np.asarray(m["m2"], np.float64) / max(n - 1, 1)
+        return mean, np.sqrt(var)
 
     def get_autocorr_time(self, c=1):
         from .autocorr import integrated_time

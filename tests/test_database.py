@@ -32,15 +32,27 @@ class FakeState:
 
 
 class FakeSampler:
-    def __init__(self, nwalkers=6, niter=20, dim=4, seed=0):
+    def __init__(self, nwalkers=6, niter=20, dim=4, seed=0, accum=None):
         rng = np.random.RandomState(seed)
-        self.chain = rng.randn(nwalkers, niter, dim)
-        self.lnprobability = rng.randn(nwalkers, niter)
+        self.nwalkers = nwalkers
+        self.chain = rng.randn(nwalkers, niter, dim) if niter else None
+        self.lnprobability = rng.randn(nwalkers, niter) if niter else None
         self.state = FakeState(nwalkers, dim, rng)
+        self.accum = accum
 
-    def checkpoint_state(self):
+    def checkpoint_payload(self):
         s = self.state
-        return s.positions, s.log_prob, s.naccept, s.key
+        return {
+            "version": 2,
+            "ntemps": 1,
+            "positions": np.asarray(s.positions, np.float64),
+            "log_prob": np.asarray(s.log_prob, np.float64),
+            "naccept": np.asarray(s.naccept, np.int64),
+            "nsteps": 17,
+            "key": np.asarray(s.key).astype(np.uint32),
+            "accum": self.accum,
+            "accum_count": 0 if self.accum is None else 120,
+        }
 
 
 def test_save_load_roundtrip(tmp_path):
@@ -88,11 +100,46 @@ def test_checkpoint_roundtrip(tmp_path):
     save_database(sampler, FakeModel(), path)
     ckpt = load_checkpoint(path)
     assert ckpt is not None
-    positions, lnp, naccept, key = ckpt
-    assert np.allclose(positions, np.asarray(sampler.state.positions))
-    assert np.allclose(lnp, np.asarray(sampler.state.log_prob))
-    assert np.array_equal(naccept, np.asarray(sampler.state.naccept))
-    assert np.array_equal(key, np.asarray(sampler.state.key))
+    assert ckpt["version"] == 2
+    assert ckpt["ntemps"] == 1
+    assert np.allclose(ckpt["positions"], np.asarray(sampler.state.positions))
+    assert np.allclose(ckpt["log_prob"], np.asarray(sampler.state.log_prob))
+    assert np.array_equal(ckpt["naccept"], np.asarray(sampler.state.naccept))
+    assert np.array_equal(ckpt["key"], np.asarray(sampler.state.key))
+    assert ckpt["nsteps"] == 17
+    assert ckpt["accum"] is None and ckpt["accum_count"] == 0
+
+
+def test_checkpoint_accumulators_roundtrip(tmp_path):
+    """v2 checkpoints persist the posterior-image running means."""
+    rng = np.random.RandomState(3)
+    accum = {
+        "raw": rng.rand(16, 16).astype(np.float32),
+        "conv": rng.rand(16, 16).astype(np.float32),
+    }
+    sampler = FakeSampler(accum=accum)
+    path = str(tmp_path / "db.fits")
+    save_database(sampler, FakeModel(), path)
+    ckpt = load_checkpoint(path)
+    assert ckpt["accum_count"] == 120
+    assert set(ckpt["accum"]) == {"raw", "conv"}
+    for k in accum:
+        assert np.allclose(ckpt["accum"][k], accum[k])
+
+
+def test_burn_phase_checkpoint_zero_row_trace(tmp_path):
+    """A sampler with no recorded chain yet still checkpoints (mid-burn)."""
+    sampler = FakeSampler(niter=0)
+    path = str(tmp_path / "db.fits")
+    db = save_database(
+        sampler, FakeModel(), path,
+        meta_dict={"MCITER": 0, "MCBURNDN": 40, "MCBURN": 100},
+    )
+    assert len(db) == 0
+    assert db.meta["MCITER"] == 0
+    assert db.meta["MCBURNDN"] == 40
+    ckpt = load_checkpoint(path)
+    assert np.allclose(ckpt["positions"], np.asarray(sampler.state.positions))
 
 
 def test_filter_lowp_walkers():

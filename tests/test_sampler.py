@@ -114,3 +114,73 @@ def test_autocorr_error_on_short_chain():
     x = np.cumsum(np.random.RandomState(0).randn(40))  # random walk
     with pytest.raises(AutocorrError):
         integrated_time(x, c=10)
+
+
+def test_thinned_chain_matches_unthinned_subsample():
+    """thin=k records exactly every k-th state of the identical chain,
+    and image accumulation still covers every step."""
+    post = GaussianPosterior()
+    nwalkers, dim = 32, 3
+    rng = np.random.RandomState(3)
+    p0 = rng.randn(nwalkers, dim) * 0.1 + np.asarray(post.mean)
+
+    full = EnsembleSampler(nwalkers, dim, post, seed=8, image_shape=(2, 2))
+    full.init_state(p0)
+    full.run_sampling(40)
+
+    thinned = EnsembleSampler(
+        nwalkers, dim, post, seed=8, image_shape=(2, 2), thin=4
+    )
+    thinned.init_state(p0)
+    thinned.run_sampling(40)
+
+    assert thinned.chain.shape == (nwalkers, 10, dim)
+    # every recorded state equals the corresponding unthinned state
+    assert np.allclose(thinned.chain, full.chain[:, 3::4], atol=1e-12)
+    assert np.allclose(thinned.lnprobability, full.lnprobability[:, 3::4])
+    # accumulators saw all 40 steps, identical to the full run
+    assert thinned.accumulated_samples == full.accumulated_samples
+    assert np.allclose(
+        thinned.accumulated_images["img"], full.accumulated_images["img"]
+    )
+    # segmented + thinned runs stay consistent
+    seg = EnsembleSampler(
+        nwalkers, dim, post, seed=8, image_shape=(2, 2), thin=4
+    )
+    seg.init_state(p0)
+    seg.run_sampling(40, segment=18)  # rounded down to 16, remainder 8
+    assert np.allclose(seg.chain, thinned.chain, atol=1e-12)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        thinned.run_sampling(41)
+
+
+def test_on_device_moments_match_chain():
+    """track_moments=True maintains Welford mean/std over every retained
+    step that matches f64 statistics of the full chain."""
+    post = GaussianPosterior()
+    nwalkers, dim = 32, 3
+    rng = np.random.RandomState(4)
+    p0 = rng.randn(nwalkers, dim) * 0.1 + np.asarray(post.mean)
+
+    s = EnsembleSampler(
+        nwalkers, dim, post, seed=9, image_shape=(2, 2),
+        thin=10, track_moments=True,
+    )
+    s.init_state(p0)
+    s.run_burn(100)
+    s.reset()
+    s.run_sampling(400)
+
+    mean, std = s.posterior_moments
+    # reference: full-chain f64 statistics from an unthinned twin
+    twin = EnsembleSampler(nwalkers, dim, post, seed=9, image_shape=(2, 2))
+    twin.init_state(p0)
+    twin.run_burn(100)
+    twin.reset()
+    twin.run_sampling(400)
+    flat = np.asarray(twin.flatchain, np.float64)
+    assert np.allclose(mean, flat.mean(0), rtol=1e-5, atol=1e-7)
+    assert np.allclose(std, flat.std(0, ddof=1), rtol=1e-4)
+    # the thinned chain shipped 10x less data
+    assert s.chain.shape[1] == 40

@@ -118,3 +118,109 @@ def test_pt_init_state_applies_sharding():
     assert len(s.state.positions.sharding.device_set) == 8
     s.run_sampling(3)
     assert s.chain.shape == (16, 3, 3)
+
+
+def _flagship_shaped_components(rng, tmp_path=None):
+    """Small but full-featured model: Sky + PointSource + 2 Sersics with
+    TWO candidate PSFs (discrete PSF-index parameter + mismatch
+    variance) — the flagship posterior's every code path."""
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import (
+        Configuration, PointSource, Sersic, Sky,
+    )
+
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf1 = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * 1.5**2))
+    psf1 /= psf1.sum()
+    psf2 = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * 2.0**2))
+    psf2 /= psf2.sum()
+    obs = 0.05 + rng.randn(h, w) * 0.01
+    obs[14:18, 14:18] += 0.5  # bright center so the fit has signal
+    config = Configuration(
+        obs_file=obs,
+        obsivm_file=np.ones_like(obs) / 0.01**2,
+        psf_files=[psf1, psf2],
+        psfivm_files=[np.ones_like(psf1) * 1e8, np.ones_like(psf2) * 1e8],
+        mag_zeropoint=25.0,
+    )
+    center = np.array([16.0, 16.0])
+    return [
+        config,
+        Sky(adu=D.Normal(loc=0.05, scale=0.02)),
+        PointSource(
+            xy=D.Uniform(loc=center - 4, scale=np.array([8.0, 8.0])),
+            mag=D.Uniform(loc=19.5, scale=2.0),
+        ),
+        Sersic(
+            xy=D.Uniform(loc=center - 4, scale=np.array([8.0, 8.0])),
+            mag=D.Uniform(loc=20.5, scale=2.0),
+            reff=D.Uniform(loc=1.0, scale=5.0),
+            reff_b=D.Uniform(loc=1.0, scale=5.0),
+            index=D.WeibullMinimum(c=1.5, scale=4),
+            angle=D.Uniform(loc=0.0, scale=180.0),
+            angle_degrees=True,
+        ),
+        Sersic(
+            xy=D.Uniform(loc=np.array([8.0, 20.0]), scale=np.array([6.0, 6.0])),
+            mag=D.Uniform(loc=22.0, scale=2.0),
+            reff=D.Uniform(loc=1.0, scale=4.0),
+            reff_b=D.Uniform(loc=1.0, scale=4.0),
+            index=D.WeibullMinimum(c=1.5, scale=4),
+            angle=D.Uniform(loc=0.0, scale=180.0),
+            angle_degrees=True,
+        ),
+    ]
+
+
+def test_real_model_sharded_fit_matches_unsharded(tmp_path, rng):
+    """model_galaxy_mcmc(mesh=...) on the flagship-shaped posterior
+    (renders + convolutions + multi-PSF gather) produces the SAME chain
+    as the unsharded run (VERDICT round-1 item 2)."""
+    import os
+
+    from psfmc_tpu import load_database, model_galaxy_mcmc
+
+    comps = _flagship_shaped_components(rng)
+    prev = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        db_plain = model_galaxy_mcmc(
+            comps, output_name="plain", iterations=15, burn=15,
+            chains=32, seed=9,
+        )
+        db_shard = model_galaxy_mcmc(
+            comps, output_name="shard", iterations=15, burn=15,
+            chains=32, seed=9, mesh=walker_mesh(),
+        )
+    finally:
+        os.chdir(prev)
+    assert len(db_shard) == len(db_plain) == 32 * 15
+    for col in db_plain.colnames:
+        a = np.asarray(db_plain[col], np.float64)
+        b = np.asarray(db_shard[col], np.float64)
+        assert np.allclose(a, b, atol=1e-5), col
+    # posterior image products agree too (accumulators psum across shards)
+    from psfmc_tpu.io import fits
+
+    for ftype in ("raw_model", "convolved_model", "composite_ivm"):
+        ap = fits.getdata(str(tmp_path / f"plain_{ftype}.fits"))
+        bs = fits.getdata(str(tmp_path / f"shard_{ftype}.fits"))
+        assert np.allclose(ap, bs, rtol=1e-4, atol=1e-7), ftype
+
+
+def test_dryrun_multichip_in_suite():
+    """The driver's multichip dry run must pass under pytest so entry-
+    path regressions surface before the driver does."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_test",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    # backend already initialized by conftest with 8 CPU devices; the
+    # self-provisioning path must detect that and proceed
+    graft.dryrun_multichip(8)

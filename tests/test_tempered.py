@@ -106,9 +106,10 @@ def test_pt_matches_plain_on_unimodal(rng):
     assert pt.chain.shape == (nwalkers, 800, 3)
     assert pt.lnprobability.shape == (nwalkers, 800)
     assert 0.1 < pt.acceptance_fraction.mean() < 0.9
-    pos, lnp, nacc, key = pt.checkpoint_state()
-    assert np.asarray(pos).shape == (nwalkers, 3)
-    assert np.asarray(lnp).shape == (nwalkers,)
+    payload = pt.checkpoint_payload()
+    assert payload["positions"].shape == (4, nwalkers, 3)
+    assert payload["log_prob"].shape == (nwalkers,)
+    assert payload["nswap"].shape == (3,)
     # accumulators track the cold rung's mean of theta[0]
     acc = pt.accumulated_images["img"]
     assert abs(float(acc.mean()) - 1.0) < 0.15
@@ -162,3 +163,152 @@ def test_pt_with_real_posterior_prior_split(rng, gaussian_psf):
     # hot rungs respect the prior: every stored position is in-support
     hot_pos = np.asarray(pt.state.positions[-1])
     assert np.all(hot_pos[:, 2] >= hot_pos[:, 3])  # reff >= reff_b
+
+
+def test_pt_checkpoint_restores_all_rungs(rng, tmp_path):
+    """Checkpoint v2 persists every rung: a resumed tempered sampler
+    continues hot rungs exactly instead of re-burning them from the
+    cold positions (VERDICT round-1 weak item 6)."""
+    from psfmc_tpu.database import load_checkpoint, save_database
+
+    post = BimodalPosterior()
+    nwalkers, dim, ntemps = 16, 2, 4
+    p0 = rng.randn(nwalkers, dim) * 0.3 + 5.0
+
+    pt = PTEnsembleSampler(nwalkers, dim, post, ntemps=ntemps, seed=7,
+                           image_shape=(2, 2))
+    pt.init_state(p0)
+    pt.run_burn(50)
+    pt.reset()
+    pt.run_sampling(30)
+
+    class _Model:
+        param_names = ["0_X_xy"]
+        param_lens = [2]
+
+    path = str(tmp_path / "pt_db.fits")
+    save_database(pt, _Model(), path, meta_dict={"MCITER": 30})
+    ckpt = load_checkpoint(path)
+    assert ckpt["ntemps"] == ntemps
+    assert ckpt["positions"].shape == (ntemps, nwalkers, dim)
+
+    pt2 = PTEnsembleSampler(nwalkers, dim, post, ntemps=ntemps, seed=99,
+                            image_shape=(2, 2))
+    pt2.restore_state(ckpt)
+    # every rung's positions restored exactly (hot rungs too)
+    assert np.allclose(
+        np.asarray(pt2.state.positions), np.asarray(pt.state.positions)
+    )
+    assert np.array_equal(
+        np.asarray(pt2.state.nswap), np.asarray(pt.state.nswap)
+    )
+    assert np.array_equal(np.asarray(pt2.state.key), np.asarray(pt.state.key))
+    assert pt2.accumulated_samples == pt.accumulated_samples
+    acc1, acc2 = pt.accumulated_images, pt2.accumulated_images
+    assert all(np.allclose(acc1[k], acc2[k], atol=1e-6) for k in acc1)
+    # the resumed sampler keeps sampling from the exact state
+    pt2.run_sampling(5)
+    assert np.all(np.isfinite(pt2.lnprobability))
+
+
+def test_pt_checkpoint_ntemps_mismatch_falls_back(rng, tmp_path):
+    """Restoring a checkpoint with different ntemps broadcasts the cold
+    rung (with a warning) instead of crashing."""
+    import warnings
+
+    post = BimodalPosterior()
+    pt = PTEnsembleSampler(16, 2, post, ntemps=4, seed=1, image_shape=(2, 2))
+    pt.init_state(rng.randn(16, 2) + 5.0)
+    pt.run_burn(10)
+    payload = pt.checkpoint_payload()
+
+    pt2 = PTEnsembleSampler(16, 2, post, ntemps=3, seed=2, image_shape=(2, 2))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pt2.restore_state(payload)
+    assert any("rungs" in str(r.message) for r in rec)
+    # all rungs start from the checkpointed cold positions
+    pos = np.asarray(pt2.state.positions)
+    assert np.allclose(pos[1], pos[0]) and np.allclose(pos[2], pos[0])
+
+
+class HighSNPosterior:
+    """Gaussian likelihood whose lnL spread mimics a 16k-pixel imaging
+    fit: std(lnL) ~ sqrt(d/2) * scale with a large curvature scale, so
+    the geometric default ladder's swaps collapse to ~0 (the flagship
+    failure mode, CLAUDE.md measured 0.1%)."""
+
+    dtype = jnp.float64
+
+    def __init__(self, dim=8, sigma=0.01):
+        class _Spec:
+            shape = (2, 2)
+
+        self.spec = _Spec()
+        self.dim = dim
+        self.inv_var = 1.0 / sigma**2
+
+    def log_posterior(self, theta):
+        return -0.5 * self.inv_var * jnp.sum(theta * theta)
+
+    def log_posterior_and_images(self, theta):
+        return self.log_posterior(theta), {
+            "img": jnp.ones((2, 2), self.dtype) * theta[0]
+        }
+
+
+def test_adaptive_ladder_fixes_high_sn_swaps(rng):
+    """betas=None must auto-size the ladder so a high-S/N likelihood
+    swaps in a healthy range without hand tuning (VERDICT item 3).
+    The pinned geometric default on the same target swaps at ~0."""
+    # std(lnL) at rung beta is sqrt(d/2)/beta: dim=32 makes the default
+    # geometric ladder's swap log-ratio mean ~ -d/2*(db)^2/(bh*bc) = -36
+    # for the first pair — effectively zero swaps, like the flagship
+    post = HighSNPosterior(dim=32, sigma=0.01)
+    nwalkers, dim, ntemps = 80, 32, 4
+    p0 = rng.randn(nwalkers, dim) * 0.01
+
+    pinned = PTEnsembleSampler(
+        nwalkers, dim, post, ntemps=ntemps, seed=3, image_shape=(2, 2),
+        betas=default_beta_ladder(ntemps), adapt_ladder=False,
+    )
+    pinned.init_state(p0)
+    pinned.run_burn(300)
+    assert pinned.swap_acceptance_fraction.mean() < 0.02  # the footgun
+
+    auto = PTEnsembleSampler(
+        nwalkers, dim, post, ntemps=ntemps, seed=3, image_shape=(2, 2),
+    )
+    assert auto.adapt_ladder
+    auto.init_state(p0)
+    auto.run_burn(300)
+    # ladder moved off the geometric default and tightened toward 1
+    assert auto.betas[-1] > 0.2
+    # swap acceptance measured over a post-adaptation frozen phase
+    auto.reset()
+    auto.run_sampling(200)
+    acc = auto.swap_acceptance_fraction
+    assert np.all(acc > 0.05), acc
+    assert np.all(acc < 0.8), acc
+    # cold chain statistics are still correct (sigma = 0.01 Gaussian)
+    flat = np.asarray(auto.flatchain, np.float64)
+    assert np.allclose(flat.std(0), 0.01, rtol=0.2)
+
+
+def test_adaptive_ladder_keeps_weak_data_behavior(rng):
+    """On the weak-data bimodal target the auto ladder must still span
+    enough temperature range to hop modes."""
+    post = BimodalPosterior()
+    nwalkers = 64
+    p0 = 5.0 + rng.randn(nwalkers, 2) * 0.3
+    pt = PTEnsembleSampler(
+        nwalkers, 2, post, ntemps=6, seed=1, image_shape=(2, 2)
+    )
+    assert pt.adapt_ladder
+    pt.init_state(p0)
+    pt.run_burn(300)
+    pt.reset()
+    pt.run_sampling(700)
+    frac_neg = float(np.mean(pt.flatchain[:, 0] < 0))
+    assert 0.2 < frac_neg < 0.8
+    assert np.all(pt.swap_acceptance_fraction > 0.03)
