@@ -1,0 +1,209 @@
+"""Unconstraining reparameterization of the model parameter vector.
+
+Gradient-based samplers (HMC/NUTS, :mod:`psfmc_tpu.sampler.nuts`) need
+an unconstrained space: the priors have hard supports (Uniform
+intervals, Weibull lower bounds, ...) and the Sersic components carry
+the joint constraint ``reff >= reff_b`` (reference Sersic.py:41-45).
+This module compiles a :class:`~psfmc_tpu.models.spec.ModelSpec` into a
+smooth bijection ``z in R^m  <->  theta_continuous`` with a tractable
+log-Jacobian:
+
+* interval support ``(a, b)``     -> ``x = a + (b-a) * sigmoid(z)``
+* lower-bounded support ``(a, inf)`` -> ``x = a + softplus(z)``
+* upper-bounded support ``(-inf, b)`` -> ``x = b - softplus(z)``
+* unbounded                        -> identity
+* Sersic ``reff_b`` gets the DEPENDENT upper bound ``min(b, reff)``:
+  the interval transform's upper edge follows the (already transformed)
+  ``reff`` value, so the joint constraint holds by construction and the
+  posterior keeps the reference's exact unnormalized density (the
+  constraint indicator is always 1; only the Jacobian changes, which is
+  accounted for).  Without this, the constraint would be a hard wall
+  mid-space that HMC trajectories crash into.
+* discrete slots (the PSF index, reference PSFSelector.py:27-30) are
+  EXCLUDED from z — the sampler marginalizes or Gibbs-samples them.
+
+The target density in z-space is
+``lnpost_u(z) = lnpost(theta(z)) + log|d theta / d z|``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .spec import ModelSpec
+
+__all__ = ["UnconstrainingTransform", "build_transform"]
+
+_IDENTITY, _INTERVAL, _LOWER, _UPPER = 0, 1, 2, 3
+
+
+def _log_sigmoid(z):
+    return -jnp.logaddexp(0.0, -z)
+
+
+def _softplus(z):
+    return jnp.logaddexp(0.0, z)
+
+
+def _softplus_inv(x):
+    # log(expm1(x)), stable for large x
+    x = np.asarray(x, np.float64)
+    return x + np.log(-np.expm1(-x))
+
+
+class UnconstrainingTransform:
+    """Bijection between unconstrained z and the continuous part of theta.
+
+    ``theta`` is the sampler's full flat vector (``spec.num_params``);
+    ``z`` has one element per CONTINUOUS scalar slot element
+    (``self.num_unconstrained``).  Discrete slot offsets are listed in
+    ``self.discrete_offsets`` and are left at a placeholder value by
+    :meth:`to_constrained` — callers substitute / marginalize them.
+    """
+
+    def __init__(self, spec: ModelSpec, dtype=jnp.float32):
+        self.spec = spec
+        self.dtype = dtype
+
+        kinds: List[int] = []
+        lo: List[float] = []
+        hi: List[float] = []
+        offsets: List[int] = []  # theta offset per z element
+        discrete: List[int] = []
+        # z index of each theta offset (for the dependent reff_b bound)
+        z_index_of_offset: Dict[int, int] = {}
+
+        for slot in spec.slots:
+            if slot.is_discrete:
+                for j in range(slot.size):
+                    discrete.append(slot.offset + j)
+                continue
+            a, b = slot.dist.rv_frozen.support()
+            a = np.broadcast_to(np.asarray(a, np.float64), (slot.size,))
+            b = np.broadcast_to(np.asarray(b, np.float64), (slot.size,))
+            for j in range(slot.size):
+                aj, bj = float(a[j]), float(b[j])
+                if np.isfinite(aj) and np.isfinite(bj):
+                    kinds.append(_INTERVAL)
+                elif np.isfinite(aj):
+                    kinds.append(_LOWER)
+                elif np.isfinite(bj):
+                    kinds.append(_UPPER)
+                else:
+                    kinds.append(_IDENTITY)
+                lo.append(aj if np.isfinite(aj) else 0.0)
+                hi.append(bj if np.isfinite(bj) else 0.0)
+                z_index_of_offset[slot.offset + j] = len(offsets)
+                offsets.append(slot.offset + j)
+
+        self.kinds = np.asarray(kinds, np.int32)
+        self.lo = np.asarray(lo, np.float64)
+        self.hi = np.asarray(hi, np.float64)
+        self.offsets = np.asarray(offsets, np.int32)
+        self.discrete_offsets = np.asarray(discrete, np.int32)
+        self.num_unconstrained = len(offsets)
+
+        # Sersic (reff, reff_b) pairs, as z indices, where BOTH the
+        # constrained pair members exist.  When reff is a constant the
+        # bound is static and folded into hi directly.
+        self.reffb_pairs: List[Tuple[int, Any]] = []
+        for cs in spec.comp_specs:
+            if cs.kind != "sersic":
+                continue
+            kind_b, payload_b = cs.params["reff_b"]
+            if kind_b != "theta":
+                continue
+            zb = z_index_of_offset[payload_b[0]]
+            kind_a, payload_a = cs.params["reff"]
+            if kind_a == "theta":
+                self.reffb_pairs.append((zb, z_index_of_offset[payload_a[0]]))
+            else:
+                # constant reff: tighten the static upper bound
+                self.hi[zb] = min(self.hi[zb], float(payload_a))
+        self._reffb_z = frozenset(zb for zb, _ in self.reffb_pairs)
+
+    # -- z -> theta ---------------------------------------------------------
+    def to_constrained(self, z):
+        """(theta, log|J|): full theta vector + transform log-Jacobian.
+
+        Discrete slots are filled with 0; substitute before use.
+        """
+        z = jnp.asarray(z, self.dtype)
+        kinds = self.kinds
+        lo = jnp.asarray(self.lo, self.dtype)
+        hi = jnp.asarray(self.hi, self.dtype)
+
+        # safe width: jnp.select evaluates every branch, and a log(0) or
+        # 0*inf in an unselected branch still poisons gradients (NaN
+        # backprop through select) — mask before, not after
+        width = jnp.where(kinds == _INTERVAL, hi - lo, 1.0)
+        x_interval = lo + width * jax.nn.sigmoid(z)
+        ld_interval = jnp.log(width) + _log_sigmoid(z) + _log_sigmoid(-z)
+        x_lower = lo + _softplus(z)
+        ld_lower = _log_sigmoid(z)
+        x_upper = hi - _softplus(z)
+        ld_upper = _log_sigmoid(z)
+
+        x = jnp.select(
+            [kinds == _INTERVAL, kinds == _LOWER, kinds == _UPPER],
+            [x_interval, x_lower, x_upper],
+            z,
+        )
+        ld = jnp.select(
+            [kinds == _INTERVAL, kinds == _LOWER, kinds == _UPPER],
+            [ld_interval, ld_lower, ld_upper],
+            jnp.zeros_like(z),
+        )
+
+        # dependent reff_b upper bound: b_eff = min(hi, reff)
+        for zb, za in self.reffb_pairs:
+            reff = x[za]
+            b_eff = jnp.minimum(hi[zb], reff)
+            w = b_eff - lo[zb]
+            ok = w > 0
+            w_safe = jnp.where(ok, w, 1.0)
+            xb = lo[zb] + w_safe * jax.nn.sigmoid(z[zb])
+            ldb = jnp.where(
+                ok,
+                jnp.log(w_safe) + _log_sigmoid(z[zb]) + _log_sigmoid(-z[zb]),
+                -jnp.inf,
+            )
+            x = x.at[zb].set(xb)
+            ld = ld.at[zb].set(ldb)
+
+        theta = jnp.zeros(self.spec.num_params, self.dtype)
+        theta = theta.at[jnp.asarray(self.offsets)].set(x)
+        return theta, jnp.sum(ld)
+
+    # -- theta -> z (host-side; initialization only) --------------------------
+    def to_unconstrained(self, theta):
+        """Inverse map (numpy, f64).  theta may be (dim,) or (n, dim)."""
+        theta = np.asarray(theta, np.float64)
+        squeeze = theta.ndim == 1
+        theta = np.atleast_2d(theta)
+        x = theta[:, self.offsets]
+        z = np.array(x)  # identity default
+        eps = 1e-9
+        for i in range(self.num_unconstrained):
+            k = self.kinds[i]
+            if k == _INTERVAL:
+                b = self.hi[i]
+                for zb, za in self.reffb_pairs:
+                    if zb == i:
+                        b = np.minimum(b, x[:, za])
+                w = b - self.lo[i]
+                p = np.clip((x[:, i] - self.lo[i]) / w, eps, 1 - eps)
+                z[:, i] = np.log(p) - np.log1p(-p)
+            elif k == _LOWER:
+                z[:, i] = _softplus_inv(np.maximum(x[:, i] - self.lo[i], eps))
+            elif k == _UPPER:
+                z[:, i] = _softplus_inv(np.maximum(self.hi[i] - x[:, i], eps))
+        return z[0] if squeeze else z
+
+
+def build_transform(spec: ModelSpec, dtype=jnp.float32) -> UnconstrainingTransform:
+    return UnconstrainingTransform(spec, dtype=dtype)
