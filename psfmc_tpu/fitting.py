@@ -48,6 +48,7 @@ def model_galaxy_mcmc(
     ntemps=1,
     betas=None,
     checkpoint_interval=None,
+    sampler="ensemble",
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -88,6 +89,13 @@ def model_galaxy_mcmc(
         chunked into scans of this length).  Default: automatic —
         ~10%% of the phase, at least 25 steps; short phases (<=50
         steps) run as one scan.  Pass 0 to disable chunking entirely.
+    :param sampler: 'ensemble' (affine-invariant stretch moves, the
+        reference's emcee semantics — default) or 'nuts' (gradient-
+        based No-U-Turn sampler over the autodiff'd posterior; `chains`
+        becomes the number of independent NUTS chains and `burn` the
+        adaptation length — typically needs ~10x fewer posterior
+        evaluations per effective sample).  ntemps only applies to the
+        ensemble sampler.
     """
     if output_name is None:
         name = model_file if isinstance(model_file, str) else "model"
@@ -96,9 +104,12 @@ def model_galaxy_mcmc(
 
     mc_model = MultiComponentModel(components=model_file)
 
+    sampler_name = sampler
     if chains is None:
-        chains = 2 * mc_model.num_params + 2
-    if chains % 2 != 0:
+        # ensemble: emcee-style 2*dim+2 walkers; NUTS: independent
+        # chains, a handful suffices
+        chains = 8 if sampler_name == "nuts" else 2 * mc_model.num_params + 2
+    if sampler_name != "nuts" and chains % 2 != 0:
         chains += 1  # half-ensemble moves need an even walker count
 
     sharding = None
@@ -107,25 +118,42 @@ def model_galaxy_mcmc(
 
         sharding = walker_sharding(mesh)
 
-    if ntemps > 1:
-        from .sampler.tempered import PTEnsembleSampler
+    if sampler == "nuts":
+        from .sampler.nuts import NUTSSampler
 
-        sampler = PTEnsembleSampler(
+        if ntemps > 1:
+            warn("ntemps is ignored with sampler='nuts'")
+        sampler = NUTSSampler(
             nwalkers=chains,
             dim=mc_model.num_params,
             posterior_fns=mc_model.posterior_fns,
-            ntemps=ntemps,
-            betas=betas,
             seed=seed,
             sharding=sharding,
         )
+    elif sampler == "ensemble":
+        if ntemps > 1:
+            from .sampler.tempered import PTEnsembleSampler
+
+            sampler = PTEnsembleSampler(
+                nwalkers=chains,
+                dim=mc_model.num_params,
+                posterior_fns=mc_model.posterior_fns,
+                ntemps=ntemps,
+                betas=betas,
+                seed=seed,
+                sharding=sharding,
+            )
+        else:
+            sampler = EnsembleSampler(
+                nwalkers=chains,
+                dim=mc_model.num_params,
+                posterior_fns=mc_model.posterior_fns,
+                seed=seed,
+                sharding=sharding,
+            )
     else:
-        sampler = EnsembleSampler(
-            nwalkers=chains,
-            dim=mc_model.num_params,
-            posterior_fns=mc_model.posterior_fns,
-            seed=seed,
-            sharding=sharding,
+        raise ValueError(
+            f"Unknown sampler {sampler!r}: expected 'ensemble' or 'nuts'"
         )
 
     db_name = output_name.format("db") + ".fits"
@@ -184,7 +212,10 @@ def model_galaxy_mcmc(
 
     if database is None:
         rng = np.random.RandomState(seed)
-        param_vec = mc_model.init_params_from_priors(chains, random_state=rng)
+        # NUTS chains start from the best of a larger prior pool (see
+        # NUTSSampler.init_state); the ensemble uses one draw per walker
+        n_init = max(32 * chains, 256) if sampler_name == "nuts" else chains
+        param_vec = mc_model.init_params_from_priors(n_init, random_state=rng)
         database = _run_sampling(
             sampler,
             mc_model,

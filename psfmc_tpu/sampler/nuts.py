@@ -1,0 +1,798 @@
+"""No-U-Turn Sampler (NUTS) over the autodiff'd posterior.
+
+A capability beyond the reference (which is tied to emcee's
+gradient-free ensemble): the whole render -> convolve -> likelihood
+chain is differentiable under JAX, so Hamiltonian Monte Carlo explores
+the 18+-dimensional posterior with O(1) effective samples per few dozen
+gradient evaluations instead of the ensemble sampler's random-walk
+scaling.
+
+Design (TPU-first):
+
+* sampling runs in the UNCONSTRAINED space of
+  :class:`psfmc_tpu.models.transforms.UnconstrainingTransform` — hard
+  prior bounds and the Sersic ``reff >= reff_b`` constraint become
+  smooth bijections, so trajectories never hit -inf walls,
+* the discrete PSF index (reference PSFSelector.py:27-30) is
+  MARGINALIZED out of the Hamiltonian (``logsumexp`` over the pre-FFT'd
+  PSF stack — a batched axis, cheap on TPU) and Gibbs-sampled per
+  retained draw for the trace database,
+* iterative multinomial NUTS (Hoffman & Gelman 2014; iterative
+  tree building with a checkpoint stack as in Phan et al. 2019 /
+  numpyro, memory O(max_depth) instead of O(2^max_depth)) — all
+  ``lax.while_loop``, fully jittable and vmapped over chains,
+* Stan-style warmup: dual-averaging step size (target accept 0.8)
+  with a windowed diagonal mass-matrix estimate, the whole warmup one
+  ``lax.scan`` program,
+* chains are the batch axis (vmap), exactly like the ensemble
+  sampler's walkers — renders/convolutions/likelihoods stay batched.
+
+Wired through ``model_galaxy_mcmc(..., sampler='nuts')``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["NUTSSampler", "nuts_kernel"]
+
+_MAX_DELTA = 1000.0  # divergence threshold on the Hamiltonian error
+
+
+# ---------------------------------------------------------------------------
+# Hamiltonian pieces
+# ---------------------------------------------------------------------------
+
+
+def _kinetic(r, inv_mass):
+    return 0.5 * jnp.sum(r * r * inv_mass)
+
+
+def _leapfrog(u_vg, eps, inv_mass, z, r, grad):
+    """One leapfrog step of the Hamiltonian flow; U = -lnpost_u."""
+    r = r - 0.5 * eps * grad
+    z = z + eps * r * inv_mass
+    u, grad = u_vg(z)
+    r = r - 0.5 * eps * grad
+    return z, r, grad, u
+
+
+def _is_turning(r_left, r_right, r_sum, inv_mass):
+    """Generalized U-turn criterion on a (sub)trajectory."""
+    v_left = r_left * inv_mass
+    v_right = r_right * inv_mass
+    return (jnp.dot(v_left, r_sum) <= 0) | (jnp.dot(v_right, r_sum) <= 0)
+
+
+def _popcount(n, bits):
+    c = jnp.zeros((), jnp.int32)
+    for b in range(bits):
+        c = c + ((n >> b) & 1)
+    return c
+
+
+def _trailing_ones(n, bits):
+    t = jnp.zeros((), jnp.int32)
+    done = jnp.zeros((), bool)
+    for b in range(bits):
+        bit = ((n >> b) & 1) == 1
+        t = t + (bit & ~done).astype(jnp.int32)
+        done = done | ~bit
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Iterative subtree construction (checkpoint-stack U-turn checks)
+# ---------------------------------------------------------------------------
+#
+# A trajectory doubling simulates 2^depth new leapfrog "leaves".  NUTS
+# must reject the doubling if ANY dyadic subtree of the new half makes a
+# U-turn (this is what keeps the doubling procedure reversible).  The
+# subtree [l, i] of size 2^j completes at leaf i with (i+1) % 2^j == 0;
+# its left endpoint l = i+1-2^j is always an even leaf.  Storing each
+# even leaf's state at checkpoint-stack position popcount(leaf) makes
+# every needed left endpoint available when leaf i (odd) completes its
+# popcount(i)-trailing_ones(i) .. popcount(i)-1 subtrees — O(max_depth)
+# memory for the whole 2^max_depth trajectory.
+
+
+class _SubtreeResult(NamedTuple):
+    key: Any
+    z_end: Any
+    r_end: Any
+    g_end: Any
+    r_sum: Any
+    logw: Any
+    z_prop: Any
+    u_prop: Any
+    g_prop: Any
+    turning: Any
+    diverging: Any
+    sum_ap: Any
+    n_ap: Any
+    n_leapfrog: Any
+
+
+def _build_subtree(
+    key, z0, r0, g0, num_leaves, eps_d, inv_mass, u_vg, h0, max_bits
+):
+    dim = z0.shape[0]
+    dt = z0.dtype
+
+    z_ck = jnp.zeros((max_bits, dim), dt)
+    r_ck = jnp.zeros((max_bits, dim), dt)
+    rs_ck = jnp.zeros((max_bits, dim), dt)
+
+    init = (
+        key,
+        jnp.zeros((), jnp.int32),  # leaf
+        z0,
+        r0,
+        g0,
+        jnp.zeros(dim, dt),  # r_sum within subtree
+        jnp.asarray(-jnp.inf, dt),  # logw within subtree
+        z0,
+        jnp.zeros((), dt),  # u_prop placeholder
+        g0,
+        jnp.zeros((), bool),  # turning
+        jnp.zeros((), bool),  # diverging
+        jnp.zeros((), dt),  # sum accept prob
+        jnp.zeros((), jnp.int32),  # n accept prob
+        z_ck,
+        r_ck,
+        rs_ck,
+    )
+
+    def cond(c):
+        leaf, turning, diverging = c[1], c[10], c[11]
+        return (leaf < num_leaves) & ~turning & ~diverging
+
+    def body(c):
+        (key, leaf, z, r, g, r_sum, logw, zp, up, gp, _t, _d, s_ap, n_ap,
+         z_ck, r_ck, rs_ck) = c
+        key, k_take = jax.random.split(key)
+
+        z, r, g, u = _leapfrog(u_vg, eps_d, inv_mass, z, r, g)
+        h = u + _kinetic(r, inv_mass)
+        dh = h - h0
+        ok = dh <= _MAX_DELTA  # NaN compares False => divergence
+        diverging = ~ok
+        logw_leaf = jnp.where(ok, -dh, -jnp.inf).astype(dt)
+
+        # progressive multinomial sampling within the subtree
+        logw_new = jnp.logaddexp(logw, logw_leaf)
+        p_take = jnp.exp(logw_leaf - jnp.where(
+            jnp.isfinite(logw_new), logw_new, 0.0
+        ))
+        take = (jax.random.uniform(k_take, (), dt) < p_take) & ok
+        zp = jnp.where(take, z, zp)
+        up = jnp.where(take, u, up)
+        gp = jnp.where(take, g, gp)
+
+        s_ap = s_ap + jnp.where(ok, jnp.minimum(1.0, jnp.exp(-dh)), 0.0)
+        n_ap = n_ap + 1
+
+        # checkpoint store (even leaves): left endpoints of future subtrees
+        is_even = (leaf % 2) == 0
+        ck_idx = _popcount(leaf, max_bits)
+        z_ck = jnp.where(is_even, z_ck.at[ck_idx].set(z), z_ck)
+        r_ck = jnp.where(is_even, r_ck.at[ck_idx].set(r), r_ck)
+        rs_ck = jnp.where(is_even, rs_ck.at[ck_idx].set(r_sum), rs_ck)
+
+        r_sum = r_sum + r
+
+        # U-turn checks (odd leaves): all dyadic subtrees ending here
+        idx_max = _popcount(leaf, max_bits) - 1
+        idx_min = idx_max - _trailing_ones(leaf, max_bits) + 1
+        turning = jnp.zeros((), bool)
+        is_odd = (leaf % 2) == 1
+        for j in range(max_bits):
+            active = is_odd & (idx_min <= j) & (j <= idx_max)
+            rs_sub = r_sum - rs_ck[j]
+            turn_j = _is_turning(r_ck[j], r, rs_sub, inv_mass)
+            turning = turning | (active & turn_j)
+
+        return (
+            key, leaf + 1, z, r, g, r_sum, logw_new, zp, up, gp,
+            turning, diverging, s_ap, n_ap, z_ck, r_ck, rs_ck,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    (key, leaf, z, r, g, r_sum, logw, zp, up, gp, turning, diverging,
+     s_ap, n_ap, _zc, _rc, _rsc) = out
+    return _SubtreeResult(
+        key, z, r, g, r_sum, logw, zp, up, gp, turning, diverging,
+        s_ap, n_ap, leaf,
+    )
+
+
+# ---------------------------------------------------------------------------
+# One NUTS transition
+# ---------------------------------------------------------------------------
+
+
+def nuts_kernel(u_vg, max_depth: int = 8):
+    """Build the per-chain NUTS transition ``step(key, z, u, grad, eps,
+    inv_mass) -> (z', u', grad', stats)``.
+
+    ``u_vg(z) -> (U, dU/dz)`` is the potential (-lnpost in the
+    unconstrained space).  ``stats``: mean accept probability,
+    leapfrog count, tree depth reached, divergence flag.
+    """
+    max_bits = max_depth + 1
+
+    def step(key, z, u, grad, eps, inv_mass):
+        dt = z.dtype
+        key, k_mom = jax.random.split(key)
+        r0 = jax.random.normal(k_mom, z.shape, dt) / jnp.sqrt(inv_mass)
+        h0 = u + _kinetic(r0, inv_mass)
+
+        init = (
+            key,
+            z, r0, grad,  # left end
+            z, r0, grad,  # right end
+            z, u, grad,  # proposal
+            jnp.zeros((), dt),  # logw of tree (root leaf weight = 1)
+            r0,  # r_sum
+            jnp.zeros((), jnp.int32),  # depth
+            jnp.zeros((), bool),  # turning
+            jnp.zeros((), bool),  # diverging
+            jnp.zeros((), dt),  # sum_ap
+            jnp.zeros((), jnp.int32),  # n_ap
+            jnp.zeros((), jnp.int32),  # n_leapfrog
+        )
+
+        def cond(c):
+            depth, turning, diverging = c[12], c[13], c[14]
+            return (depth < max_depth) & ~turning & ~diverging
+
+        def body(c):
+            (key, zl, rl, gl, zr, rr, gr, zp, up, gp, logw, r_sum,
+             depth, _t, _d, s_ap, n_ap, n_lf) = c
+            key, k_dir, k_sub, k_switch = jax.random.split(key, 4)
+            go_right = jax.random.bernoulli(k_dir)
+
+            z0 = jnp.where(go_right, zr, zl)
+            r0_ = jnp.where(go_right, rr, rl)
+            g0 = jnp.where(go_right, gr, gl)
+            eps_d = jnp.where(go_right, eps, -eps).astype(dt)
+            num_leaves = jnp.left_shift(1, depth)
+
+            sub = _build_subtree(
+                k_sub, z0, r0_, g0, num_leaves, eps_d, inv_mass, u_vg,
+                h0, max_bits,
+            )
+            ok = ~sub.turning & ~sub.diverging
+
+            # biased progressive sampling between old tree and new subtree
+            p_switch = jnp.minimum(1.0, jnp.exp(sub.logw - logw))
+            switch = ok & (jax.random.uniform(k_switch, (), dt) < p_switch)
+            zp = jnp.where(switch, sub.z_prop, zp)
+            up = jnp.where(switch, sub.u_prop, up)
+            gp = jnp.where(switch, sub.g_prop, gp)
+            logw = jnp.where(ok, jnp.logaddexp(logw, sub.logw), logw)
+
+            # extend the moved endpoint
+            upd = ok & go_right
+            zr = jnp.where(upd, sub.z_end, zr)
+            rr = jnp.where(upd, sub.r_end, rr)
+            gr = jnp.where(upd, sub.g_end, gr)
+            upd = ok & ~go_right
+            zl = jnp.where(upd, sub.z_end, zl)
+            rl = jnp.where(upd, sub.r_end, rl)
+            gl = jnp.where(upd, sub.g_end, gl)
+
+            r_sum_new = jnp.where(ok, r_sum + sub.r_sum, r_sum)
+            full_turn = _is_turning(rl, rr, r_sum_new, inv_mass)
+            turning = sub.turning | (ok & full_turn)
+
+            return (
+                sub.key, zl, rl, gl, zr, rr, gr, zp, up, gp, logw,
+                r_sum_new, depth + 1, turning, sub.diverging,
+                s_ap + sub.sum_ap, n_ap + sub.n_ap, n_lf + sub.n_leapfrog,
+            )
+
+        out = jax.lax.while_loop(cond, body, init)
+        (key, _zl, _rl, _gl, _zr, _rr, _gr, zp, up, gp, _logw, _rs,
+         depth, _turn, diverging, s_ap, n_ap, n_lf) = out
+        mean_ap = s_ap / jnp.maximum(n_ap, 1).astype(z.dtype)
+        stats = {
+            "accept_prob": mean_ap,
+            "n_leapfrog": n_lf,
+            "depth": depth,
+            "diverging": diverging,
+        }
+        return zp, up, gp, stats
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Dual-averaging step-size adaptation (Hoffman & Gelman 2014, sec 3.2)
+# ---------------------------------------------------------------------------
+
+_DA_GAMMA, _DA_T0, _DA_KAPPA, _DA_TARGET = 0.05, 10.0, 0.75, 0.8
+
+
+def _da_init(eps0, dt):
+    return {
+        "log_eps": jnp.log(jnp.asarray(eps0, dt)),
+        "log_eps_bar": jnp.log(jnp.asarray(eps0, dt)),
+        "h_bar": jnp.zeros((), dt),
+        "mu": jnp.log(10.0 * jnp.asarray(eps0, dt)),
+        "t": jnp.zeros((), dt),
+    }
+
+
+def _da_update(da, alpha):
+    t = da["t"] + 1.0
+    eta = 1.0 / (t + _DA_T0)
+    h_bar = (1.0 - eta) * da["h_bar"] + eta * (_DA_TARGET - alpha)
+    log_eps = da["mu"] - jnp.sqrt(t) / _DA_GAMMA * h_bar
+    w = t ** (-_DA_KAPPA)
+    log_eps_bar = w * log_eps + (1.0 - w) * da["log_eps_bar"]
+    return {
+        "log_eps": log_eps,
+        "log_eps_bar": log_eps_bar,
+        "h_bar": h_bar,
+        "mu": da["mu"],
+        "t": t,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Driver-facing sampler
+# ---------------------------------------------------------------------------
+
+
+class NUTSSampler:
+    """NUTS over the model posterior, API-compatible with
+    :class:`psfmc_tpu.sampler.ensemble.EnsembleSampler` where it matters
+    to the fitting driver: ``init_state / run_burn (= warmup) / reset /
+    run_sampling / chain / lnprobability / acceptance_fraction /
+    get_autocorr_time / checkpoint_payload / restore_state`` plus the
+    on-device posterior-image accumulators.
+
+    ``nwalkers`` plays the role of independent vmapped chains.
+    """
+
+    def __init__(
+        self,
+        nwalkers: int,
+        dim: int,
+        posterior_fns,
+        seed: int = 0,
+        max_depth: int = 8,
+        image_shape=None,
+        accum_dtype=jnp.float32,
+        transform=None,
+        sharding=None,
+    ):
+        from ..models.transforms import build_transform
+
+        self.nwalkers = int(nwalkers)  # = number of chains
+        self.dim = int(dim)
+        self.fns = posterior_fns
+        self.max_depth = int(max_depth)
+        self.image_shape = image_shape
+        self.accum_dtype = accum_dtype
+        self.sharding = sharding
+        self._key = jax.random.PRNGKey(seed)
+
+        self.transform = transform or build_transform(
+            posterior_fns.spec, dtype=posterior_fns.dtype
+        )
+        self.zdim = self.transform.num_unconstrained
+        self.num_psfs = getattr(posterior_fns.spec, "num_psfs", 1)
+        self._has_discrete = len(self.transform.discrete_offsets) > 0
+
+        self._chain = None  # (nchains, nsteps, dim) constrained, emcee layout
+        self._lnprob = None
+        self._nsteps_total = 0
+        self._sum_accept = 0.0
+        self._n_leapfrog_total = 0
+        self._n_divergent = 0
+        self.state = None  # dict carry
+
+        self._u_vg = jax.value_and_grad(self._potential)
+        self._kernel = nuts_kernel(self._u_vg, max_depth=self.max_depth)
+
+    # -- target ---------------------------------------------------------------
+    def _theta_at_index(self, theta, k):
+        off = self.transform.discrete_offsets
+        if len(off) == 0:
+            return theta
+        return theta.at[int(off[0])].set(
+            jnp.asarray(k, theta.dtype)
+        )
+
+    def _marginal_lnpost(self, theta):
+        """lnpost with the discrete PSF index marginalized (logsumexp)."""
+        if not self._has_discrete:
+            return self.fns.log_posterior(theta)
+        lps = jnp.stack(
+            [
+                self.fns.log_posterior(self._theta_at_index(theta, k))
+                for k in range(self.num_psfs)
+            ]
+        )
+        return jax.scipy.special.logsumexp(lps)
+
+    def _potential(self, z):
+        theta, ld = self.transform.to_constrained(z)
+        # pin the dtype: the prior's frozen numpy-f64 hyperparameters
+        # promote lnpost to f64 under x64, which would break the
+        # while_loop carry's type invariance
+        return (-(self._marginal_lnpost(theta) + ld)).astype(z.dtype)
+
+    # -- state ------------------------------------------------------------------
+    def init_state(self, p0, key=None):
+        """p0: (n, dim) CONSTRAINED positions (prior draws).
+
+        When more rows than chains are given, the chains start from the
+        HIGHEST-POSTERIOR rows ("best of prior" initialization).  This
+        matters for gradient-based sampling of imaging posteriors: far
+        from the source the likelihood gradient is ~0, so a chain
+        initialized at a random prior draw may never feel the data —
+        whereas the ensemble sampler's population effectively performs
+        this selection on its own.  Warmup discards any init bias.
+        """
+        p0 = np.asarray(p0, np.float64)
+        if p0.shape[0] > self.nwalkers:
+            lnp = np.asarray(
+                self.fns.batched_lnpost(jnp.asarray(p0, self.fns.dtype))
+            )
+            lnp = np.where(np.isfinite(lnp), lnp, -np.inf)
+            best = np.argsort(lnp)[::-1][: self.nwalkers]
+            p0 = p0[best]
+        z0 = self.transform.to_unconstrained(p0)
+        z0 = jnp.asarray(z0, self.fns.dtype)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        u0, g0 = jax.vmap(self._u_vg)(z0)
+        h, w = self.image_shape if self.image_shape else self.fns.spec.shape
+        img_keys = jax.eval_shape(self._images_fn(), jnp.zeros(
+            self.dim, self.fns.dtype
+        )).keys()
+        self.state = {
+            "z": z0,
+            "u": u0,
+            "grad": g0,
+            "key": key,
+            "eps": jnp.asarray(0.1 / max(self.zdim, 1) ** 0.25, self.fns.dtype),
+            "inv_mass": jnp.ones(self.zdim, self.fns.dtype),
+            "accum": {
+                k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys
+            },
+            "accum_count": jnp.asarray(0, jnp.int32),
+        }
+        return self.state
+
+    def _images_fn(self):
+        fn = getattr(self.fns, "carry_images", None)
+        if fn is not None:
+            return fn
+        pair = self.fns.log_posterior_and_images
+        return lambda theta: pair(theta)[1]
+
+    def reset(self):
+        self._chain = None
+        self._lnprob = None
+        self._nsteps_total = 0
+        self._sum_accept = 0.0
+        self._n_leapfrog_total = 0
+        self._n_divergent = 0
+        if self.state is not None:
+            self.state["accum"] = {
+                k: jnp.zeros_like(v) for k, v in self.state["accum"].items()
+            }
+            self.state["accum_count"] = jnp.asarray(0, jnp.int32)
+
+    # -- warmup ("burn") ----------------------------------------------------------
+    def _warmup_program(self, nsteps: int):
+        cache = getattr(self.fns, "programs", None)
+        pkey = ("nuts_warmup", self.nwalkers, self.zdim, self.max_depth, nsteps)
+        if cache is not None and pkey in cache:
+            return cache[pkey]
+        kernel = self._kernel
+        dt = self.fns.dtype
+        # Stan-like schedule: 15% eps-only, then mass-estimation window
+        # to 90%, final 10% eps-only with the new metric
+        m_start = max(1, int(0.15 * nsteps))
+        m_end = max(m_start + 1, int(0.9 * nsteps))
+
+        def program(z, u, g, key, eps0):
+            nchains, zdim = z.shape
+
+            def body(carry, t):
+                z, u, g, key, da, inv_mass, wf = carry
+                key, k_step = jax.random.split(key)
+                keys = jax.random.split(k_step, nchains)
+                eps = jnp.exp(da["log_eps"])
+                z, u, g, stats = jax.vmap(
+                    kernel, in_axes=(0, 0, 0, 0, None, None)
+                )(keys, z, u, g, eps, inv_mass)
+                alpha = jnp.mean(stats["accept_prob"])
+                da = _da_update(da, alpha)
+
+                # pooled Welford over chains for the diagonal metric
+                bmean = jnp.mean(z, axis=0)
+                bm2 = jnp.sum((z - bmean) ** 2, axis=0)
+                n, mean, m2 = wf
+                nb = nchains
+                n_new = n + nb
+                delta = bmean - mean
+                mean = mean + delta * (nb / n_new.astype(dt))
+                m2 = m2 + bm2 + delta * delta * (
+                    n.astype(dt) * nb / n_new.astype(dt)
+                )
+                in_window = (t >= m_start) & (t < m_end)
+                wf = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(in_window, new, old),
+                    (n_new, mean, m2),
+                    (n, mean, m2),
+                )
+
+                # end of the mass window: set metric, restart step size
+                def switch(args):
+                    da, inv_mass, wf = args
+                    n, mean, m2 = wf
+                    nf = jnp.maximum(n, 2).astype(dt)
+                    var = m2 / (nf - 1.0)
+                    # Stan regularization toward unit metric
+                    var = (nf / (nf + 5.0)) * var + 1e-3 * (5.0 / (nf + 5.0))
+                    inv_mass = jnp.maximum(var, 1e-10)
+                    eps_now = jnp.exp(da["log_eps_bar"])
+                    da = _da_init(eps_now, dt)
+                    wf = (
+                        jnp.zeros((), jnp.int32),
+                        jnp.zeros(zdim, dt),
+                        jnp.zeros(zdim, dt),
+                    )
+                    return da, inv_mass, wf
+
+                da, inv_mass, wf = jax.lax.cond(
+                    t == m_end, switch, lambda a: a, (da, inv_mass, wf)
+                )
+
+                out = (
+                    alpha,
+                    jnp.sum(stats["n_leapfrog"]),
+                    jnp.sum(stats["diverging"].astype(jnp.int32)),
+                )
+                return (z, u, g, key, da, inv_mass, wf), out
+
+            da = _da_init(eps0, dt)
+            wf = (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros(zdim, dt),
+                jnp.zeros(zdim, dt),
+            )
+            carry, outs = jax.lax.scan(
+                body,
+                (z, u, g, key, da, jnp.ones(zdim, dt), wf),
+                jnp.arange(nsteps),
+            )
+            z, u, g, key, da, inv_mass, _wf = carry
+            eps_final = jnp.exp(da["log_eps_bar"])
+            return z, u, g, key, eps_final, inv_mass, outs
+
+        prog = jax.jit(program)
+        if cache is not None:
+            cache[pkey] = prog
+        return prog
+
+    def run_burn(self, nsteps: int, segment=None, callback=None):
+        """Warmup: step-size + mass adaptation (adapting draws are
+        discarded, like burn-in)."""
+        if nsteps <= 0:
+            return self
+        s = self.state
+        prog = self._warmup_program(int(nsteps))
+        z, u, g, key, eps, inv_mass, outs = prog(
+            s["z"], s["u"], s["grad"], s["key"], s["eps"]
+        )
+        alphas, n_lf, n_div = outs
+        s.update(z=z, u=u, grad=g, key=key, eps=eps, inv_mass=inv_mass)
+        self._n_leapfrog_total += int(np.sum(np.asarray(n_lf)))
+        self._n_divergent += int(np.sum(np.asarray(n_div)))
+        if callback is not None:
+            callback(nsteps, nsteps)
+        return self
+
+    # -- retained sampling ---------------------------------------------------------
+    def _sampling_program(self, nsteps: int):
+        cache = getattr(self.fns, "programs", None)
+        pkey = ("nuts_sample", self.nwalkers, self.zdim, self.max_depth, nsteps)
+        if cache is not None and pkey in cache:
+            return cache[pkey]
+        kernel = self._kernel
+        transform = self.transform
+        images_fn = self._images_fn()
+        ens_means = getattr(self.fns, "ensemble_carry_means", None)
+        lnpost = self.fns.log_posterior
+        has_discrete = self._has_discrete
+        num_psfs = self.num_psfs
+        theta_at = self._theta_at_index
+        nchains = self.nwalkers
+
+        def record_theta(key, z):
+            """Constrained theta (+ Gibbs-sampled PSF index) and lnpost."""
+            theta, _ld = transform.to_constrained(z)
+            if not has_discrete:
+                return theta, lnpost(theta)
+            lps = jnp.stack(
+                [lnpost(theta_at(theta, k)) for k in range(num_psfs)]
+            )
+            k_smp = jax.random.categorical(key, lps)
+            theta = theta_at(theta, k_smp)
+            return theta, lps[k_smp]
+
+        def program(z, u, g, key, eps, inv_mass, accum, count):
+            from .ensemble import ensemble_image_means
+
+            def body(carry, _):
+                z, u, g, key, accum, count = carry
+                key, k_step, k_gibbs = jax.random.split(key, 3)
+                keys = jax.random.split(k_step, nchains)
+                z, u, g, stats = jax.vmap(
+                    kernel, in_axes=(0, 0, 0, 0, None, None)
+                )(keys, z, u, g, eps, inv_mass)
+                gkeys = jax.random.split(k_gibbs, nchains)
+                thetas, lnps = jax.vmap(record_theta)(gkeys, z)
+
+                means = ensemble_image_means(images_fn, ens_means, thetas)
+                count = count + nchains
+                accum = {
+                    k: accum[k]
+                    + nchains
+                    * (means[k].astype(accum[k].dtype) - accum[k])
+                    / count.astype(accum[k].dtype)
+                    for k in accum
+                }
+                out = (
+                    thetas,
+                    lnps,
+                    jnp.mean(stats["accept_prob"]),
+                    jnp.sum(stats["n_leapfrog"]),
+                    jnp.sum(stats["diverging"].astype(jnp.int32)),
+                )
+                return (z, u, g, key, accum, count), out
+
+            carry, outs = jax.lax.scan(
+                body, (z, u, g, key, accum, count), None, length=nsteps
+            )
+            return carry, outs
+
+        prog = jax.jit(program, static_argnames=())
+        if cache is not None:
+            cache[pkey] = prog
+        return prog
+
+    def run_sampling(self, nsteps: int, segment=None, callback=None):
+        if nsteps <= 0:
+            return self
+        s = self.state
+        prog = self._sampling_program(int(nsteps))
+        carry, outs = prog(
+            s["z"], s["u"], s["grad"], s["key"], s["eps"], s["inv_mass"],
+            s["accum"], s["accum_count"],
+        )
+        z, u, g, key, accum, count = carry
+        s.update(z=z, u=u, grad=g, key=key, accum=accum, accum_count=count)
+        thetas, lnps, alphas, n_lf, n_div = outs
+        chain = np.moveaxis(np.asarray(thetas), 0, 1)  # (nchains, nsteps, dim)
+        lnprob = np.moveaxis(np.asarray(lnps), 0, 1)
+        if self._chain is None:
+            self._chain, self._lnprob = chain, lnprob
+        else:
+            self._chain = np.concatenate([self._chain, chain], axis=1)
+            self._lnprob = np.concatenate([self._lnprob, lnprob], axis=1)
+        self._nsteps_total += nsteps
+        self._sum_accept += float(np.sum(np.asarray(alphas)))
+        self._n_leapfrog_total += int(np.sum(np.asarray(n_lf)))
+        self._n_divergent += int(np.sum(np.asarray(n_div)))
+        if callback is not None:
+            callback(nsteps, nsteps)
+        return self
+
+    # -- emcee-compatible surface -------------------------------------------------
+    @property
+    def chain(self):
+        return self._chain
+
+    @property
+    def lnprobability(self):
+        return self._lnprob
+
+    @property
+    def flatchain(self):
+        c = self._chain
+        return c.reshape(-1, self.dim) if c is not None else None
+
+    @property
+    def acceptance_fraction(self):
+        """Mean NUTS accept-statistic, broadcast per chain (for the
+        MCACCEPT metadata; HMC 'acceptance' is a step-size diagnostic,
+        not a move count)."""
+        mean = self._sum_accept / max(self._nsteps_total, 1)
+        return np.full(self.nwalkers, mean)
+
+    @property
+    def accumulated_images(self):
+        if self.state is None:
+            return None
+        return {k: np.asarray(v) for k, v in self.state["accum"].items()}
+
+    @property
+    def accumulated_samples(self):
+        return int(self.state["accum_count"]) if self.state else 0
+
+    @property
+    def n_leapfrog_total(self):
+        """Total posterior-gradient evaluations (the HMC cost metric)."""
+        return self._n_leapfrog_total
+
+    @property
+    def n_divergent(self):
+        return self._n_divergent
+
+    def get_autocorr_time(self, c=1):
+        from .autocorr import integrated_time
+
+        if self._chain is None:
+            raise ValueError("No chain recorded yet")
+        mean_chain = np.mean(self._chain, axis=0)
+        return integrated_time(mean_chain, axis=0, c=c)
+
+    # -- checkpoint ---------------------------------------------------------------
+    def checkpoint_payload(self):
+        s = self.state
+        theta = np.stack(
+            [
+                np.asarray(self.transform.to_constrained(z)[0], np.float64)
+                for z in np.asarray(s["z"], np.float64)
+            ]
+        )
+        return {
+            "version": 2,
+            "ntemps": 1,
+            "positions": theta,
+            "log_prob": -np.asarray(s["u"], np.float64),
+            "naccept": np.zeros(self.nwalkers, np.int64),
+            "nsteps": int(self._nsteps_total),
+            "key": np.asarray(s["key"]).astype(np.uint32),
+            "accum": {k: np.asarray(v) for k, v in s["accum"].items()},
+            "accum_count": int(s["accum_count"]),
+            "nuts_eps": float(s["eps"]),
+            "nuts_inv_mass": np.asarray(s["inv_mass"], np.float64),
+        }
+
+    def restore_state(self, payload):
+        positions = np.asarray(payload["positions"], np.float64)
+        if positions.ndim == 3:
+            positions = positions[0]
+        key = jnp.asarray(payload["key"], jnp.uint32)
+        self.init_state(positions, key=key)
+        if payload.get("nuts_eps"):
+            self.state["eps"] = jnp.asarray(
+                payload["nuts_eps"], self.fns.dtype
+            )
+        im = payload.get("nuts_inv_mass")
+        if im is not None and np.shape(im) == (self.zdim,):
+            self.state["inv_mass"] = jnp.asarray(im, self.fns.dtype)
+        accum = payload.get("accum")
+        count = int(payload.get("accum_count", 0))
+        if accum and count > 0 and set(accum) == set(self.state["accum"]):
+            self.state["accum"] = {
+                k: jnp.asarray(accum[k], self.accum_dtype)
+                for k in self.state["accum"]
+            }
+            self.state["accum_count"] = jnp.asarray(count, jnp.int32)
+        self._nsteps_total = int(payload.get("nsteps", 0))
+        return self.state

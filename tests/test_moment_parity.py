@@ -222,3 +222,83 @@ def test_posterior_moments_match_numpy_reference(workload):
         assert abs(mean_jx[i] - truth_vec[i]) < 6 * std_jx[i] + 0.05, (
             name, mean_jx[i], truth_vec[i], std_jx[i]
         )
+
+
+@pytest.mark.slow
+def test_nuts_posterior_moments_match_numpy_reference(workload):
+    """The gradient-based NUTS sampler recovers the SAME posterior as
+    the independent numpy reference pipeline, with far fewer posterior
+    evaluations than the ensemble run above (VERDICT round-1 item 5)."""
+    from psfmc_tpu.sampler.nuts import NUTSSampler
+
+    obs, ivm, psf, grids = workload
+    rng = np.random.RandomState(5)
+    pri = _priors()
+
+    nwalkers = 32
+    t = TRUTH
+    base = np.array([t["adu"], t["angle"], t["index"], t["mag"], t["reff"],
+                     t["reff_b"], t["x"], t["y"]])
+    scatter = np.array([0.01, 5.0, 0.1, 0.05, 0.15, 0.15, 0.2, 0.2])
+    p0 = base + rng.randn(nwalkers, 8) * scatter
+    p0[:, 4:6] = np.sort(p0[:, 4:6], axis=1)[:, ::-1]
+
+    # reference pipeline (identical to the ensemble parity test)
+    f_psf = np.fft.rfft2(np.fft.ifftshift(psf))
+    f_var = np.fft.rfft2(np.zeros_like(psf))
+
+    def lnpost(theta):
+        return _np_log_posterior(theta, obs, ivm, f_psf, f_var, grids)
+
+    burn = _np_stretch_sampler(lnpost, p0, 200, np.random.RandomState(7))
+    chain_np = _np_stretch_sampler(
+        lnpost, burn[-1], 600, np.random.RandomState(8)
+    )
+    flat_np = chain_np.reshape(-1, 8)
+
+    config = Configuration(
+        obs_file=obs, obsivm_file=ivm,
+        psf_files=psf, psfivm_files=np.full_like(psf, 1e12),
+        mag_zeropoint=ZP,
+    )
+    comps = [
+        config,
+        Sky(adu=D.Uniform(loc=pri["adu"][0], scale=pri["adu"][1])),
+        Sersic(
+            xy=D.Uniform(loc=np.array([pri["x"][0], pri["y"][0]]),
+                         scale=np.array([pri["x"][1], pri["y"][1]])),
+            mag=D.Uniform(loc=pri["mag"][0], scale=pri["mag"][1]),
+            reff=D.Uniform(loc=pri["reff"][0], scale=pri["reff"][1]),
+            reff_b=D.Uniform(loc=pri["reff_b"][0], scale=pri["reff_b"][1]),
+            index=D.Uniform(loc=pri["index"][0], scale=pri["index"][1]),
+            angle=D.Uniform(loc=pri["angle"][0], scale=pri["angle"][1]),
+            angle_degrees=True,
+        ),
+    ]
+    spec = build_model_spec(comps)
+    fns = build_posterior(spec, dtype=jnp.float64)
+
+    nuts = NUTSSampler(4, 8, fns, seed=11)
+    nuts.init_state(p0)  # best-of-pool selection picks 4 chains
+    nuts.run_burn(150)
+    nuts.reset()
+    nuts.run_sampling(200)
+    flat_nuts = np.asarray(nuts.flatchain, np.float64)
+
+    # fewer evaluations than the ensemble's 32 * 800 = 25,600
+    assert nuts.n_leapfrog_total + nwalkers < 32 * 800
+
+    mean_np = flat_np.mean(axis=0)
+    std_np = flat_np.std(axis=0)
+    mean_nu = flat_nuts.mean(axis=0)
+    std_nu = flat_nuts.std(axis=0)
+    tau = 25.0
+    se = std_np * np.sqrt(tau / flat_np.shape[0])
+    names = ["adu", "angle", "index", "mag", "reff", "reff_b", "x", "y"]
+    for i, name in enumerate(names):
+        assert abs(mean_nu[i] - mean_np[i]) < 5 * se[i] + 1e-3, (
+            name, mean_nu[i], mean_np[i], se[i]
+        )
+        assert std_nu[i] == pytest.approx(std_np[i], rel=0.35), (
+            name, std_nu[i], std_np[i]
+        )
