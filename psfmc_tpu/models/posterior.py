@@ -133,6 +133,41 @@ class PosteriorFns:
 
         self.log_prior = self._make_log_prior()
         self.log_posterior = partial(self._lnpost_impl, with_images=False)
+        # Optional fully-fused Pallas likelihood (render + DFT convs +
+        # reduction in one VMEM pass per walker).  Samplers that see a
+        # ``log_posterior_batch`` attribute use it for the half-ensemble
+        # evaluation instead of vmapping log_posterior.
+        self.lnpost_mode = os.environ.get("PSFMC_LNPOST", "xla")
+        if self.lnpost_mode == "pallas":
+            from ..ops.pallas.lnpost_pallas import (
+                fused_lnl_supported,
+                make_fused_lnl_batch,
+            )
+
+            if fused_lnl_supported(spec, self.conv_mode):
+                lnl_batch = make_fused_lnl_batch(
+                    self.constants,
+                    spec,
+                    spec.comp_specs,
+                    self.mag_zp,
+                    dtype,
+                    kappa_mode=self.kappa_mode,
+                )
+                log_prior = self.log_prior
+
+                def log_posterior_batch(thetas):
+                    lp = jax.vmap(log_prior)(thetas).astype(dtype)
+                    lnl = lnl_batch(thetas)
+                    return jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
+
+                self.log_posterior_batch = log_posterior_batch
+            else:
+                import warnings
+
+                warnings.warn(
+                    "PSFMC_LNPOST=pallas requires the dft convolution "
+                    "mode and a single PSF; falling back to the XLA path"
+                )
         self.log_posterior_and_images = partial(
             self._lnpost_impl, with_images=True
         )

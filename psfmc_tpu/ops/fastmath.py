@@ -100,6 +100,13 @@ def _is_f32(x):
     return jnp.asarray(x).dtype == jnp.float32
 
 
+# All four recipes get EXACT analytic derivative rules.  Autodiff
+# through the raw implementations is silently wrong: the exponent
+# contribution flows through integer bitcasts (zero cotangent), so e.g.
+# d/dx accurate_log(x) would miss the e*ln2 term entirely.  This broke
+# gradient-based sampling on TPU (NUTS step size collapsed to ~1e-8)
+# while CPU — which uses the hardware ops — was fine.
+@jax.custom_jvp
 def accurate_log_unsafe(x):
     """~1-ulp f32 natural log, no edge-case selects (~6 VPU ops saved).
 
@@ -136,6 +143,13 @@ def accurate_log_unsafe(x):
     return e * _LN2_HI + ((e * _LN2_LO + poly) + (s + s))
 
 
+@accurate_log_unsafe.defjvp
+def _accurate_log_unsafe_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return accurate_log_unsafe(x), t / x
+
+
+@jax.custom_jvp
 def accurate_log(x):
     """~1-ulp float32 natural log for positive inputs.
 
@@ -153,6 +167,12 @@ def accurate_log(x):
     result = jnp.where(jnp.isinf(x) & (x > 0), jnp.inf, result)
     result = jnp.where(jnp.isnan(x), jnp.nan, result)
     return result
+
+
+@accurate_log.defjvp
+def _accurate_log_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return accurate_log(x), t / x
 
 
 def _exp_poly(r):
@@ -173,6 +193,7 @@ def _pow2i(ki):
     return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
 
 
+@jax.custom_jvp
 def accurate_exp_unsafe(a):
     """~1-ulp f32 exp for the hot path: NaN in -> garbage finite out,
     and the result SATURATES at exp(88) for a > 88 (instead of going to
@@ -193,6 +214,14 @@ def accurate_exp_unsafe(a):
     return jnp.where(a < _EXP_LO, 0.0, result)
 
 
+@accurate_exp_unsafe.defjvp
+def _accurate_exp_unsafe_jvp(primals, tangents):
+    (a,), (t,) = primals, tangents
+    y = accurate_exp_unsafe(a)
+    return y, y * t
+
+
+@jax.custom_jvp
 def accurate_exp(a):
     """~1-ulp float32 exp with full edge behavior.
 
@@ -216,3 +245,10 @@ def accurate_exp(a):
     result = jnp.where(a < _EXP_LO, 0.0, result)
     result = jnp.where(a > _EXP_HI, jnp.inf, result)
     return jnp.where(jnp.isnan(a), jnp.nan, result)
+
+
+@accurate_exp.defjvp
+def _accurate_exp_jvp(primals, tangents):
+    (a,), (t,) = primals, tangents
+    y = accurate_exp(a)
+    return y, y * t

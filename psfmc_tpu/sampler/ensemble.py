@@ -97,9 +97,11 @@ def welford_batch_update(moments, batch):
     return {"mean": mean, "m2": m2, "n": n_new}
 
 
-def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_fn, a, dim):
+def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_batch, a, dim):
     """Update one half-ensemble against its complement.
 
+    ``lnpost_batch`` evaluates the whole half-ensemble at once — either
+    a vmapped log_posterior or the posterior's fused Pallas batch path.
     Returns (new_pos, new_lnp, accepted_count_per_walker).
     """
     k = active_pos.shape[0]
@@ -111,7 +113,7 @@ def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_fn, a, dim):
     c = comp_pos[partner]  # gather; all-gather over mesh when sharded
     proposal = c + z[:, None] * (active_pos - c)
 
-    prop_lnp = jax.vmap(lnpost_fn)(proposal)
+    prop_lnp = lnpost_batch(proposal)
 
     log_ratio = (dim - 1.0) * jnp.log(z) + prop_lnp - active_lnp
     accept = jnp.log(jax.random.uniform(key_u, (k,), active_pos.dtype)) < log_ratio
@@ -136,7 +138,7 @@ def ensemble_image_means(images_fn, ensemble_means_fn, positions):
 
 
 def make_step_fn(
-    lnpost_fn: Callable,
+    lnpost_batch: Callable,
     images_fn: Optional[Callable],
     nwalkers: int,
     dim: int,
@@ -160,11 +162,11 @@ def make_step_fn(
 
         # First half moves against second half
         p0, l0, acc0 = _stretch_half(
-            key0, pos[:half], lnp[:half], pos[half:], lnpost_fn, a, dim
+            key0, pos[:half], lnp[:half], pos[half:], lnpost_batch, a, dim
         )
         # Second half moves against the *updated* first half (emcee 2.x)
         p1, l1, acc1 = _stretch_half(
-            key1, pos[half:], lnp[half:], p0, lnpost_fn, a, dim
+            key1, pos[half:], lnp[half:], p0, lnpost_batch, a, dim
         )
 
         new_pos = jnp.concatenate([p0, p1], axis=0)
@@ -206,7 +208,7 @@ def make_step_fn(
 
 
 def run_stretch_move(
-    lnpost_fn,
+    lnpost_batch,
     images_fn,
     state: EnsembleState,
     nsteps: int,
@@ -231,7 +233,7 @@ def run_stretch_move(
     """
     nwalkers, dim = state.positions.shape
     step = make_step_fn(
-        lnpost_fn,
+        lnpost_batch,
         images_fn,
         nwalkers,
         dim,
@@ -344,7 +346,7 @@ class EnsembleSampler:
         prog = jax.jit(
             partial(
                 run_stretch_move,
-                self.fns.log_posterior,
+                self._batched_lnpost_unjitted(),
                 self._images_fn(),
                 a=self.a,
                 accumulate=accumulate,
@@ -360,7 +362,25 @@ class EnsembleSampler:
             cache[key] = prog
         return prog
 
+    def _batched_lnpost_unjitted(self):
+        """Half-ensemble evaluator: the posterior's fused Pallas batch
+        path when built (PSFMC_LNPOST=pallas), else vmapped lnpost."""
+        fused = getattr(self.fns, "log_posterior_batch", None)
+        if fused is not None:
+            return fused
+        return jax.vmap(self.fns.log_posterior)
+
     def _batched_lnpost(self):
+        fused = getattr(self.fns, "log_posterior_batch", None)
+        if fused is not None:
+            key = "jitted_log_posterior_batch"
+            cache = getattr(self.fns, "programs", None)
+            if cache is not None and key in cache:
+                return cache[key]
+            fn = jax.jit(fused)
+            if cache is not None:
+                cache[key] = fn
+            return fn
         fn = getattr(self.fns, "batched_lnpost", None)
         if fn is None:
             fn = jax.jit(jax.vmap(self.fns.log_posterior))

@@ -182,3 +182,31 @@ def test_kappa_table_dtype_preserved():
 
     out = gammaincinv_half_table(jnp.asarray([2.0, 8.0], jnp.float32))
     assert out.dtype == jnp.float32
+
+
+def test_accurate_transcendental_gradients():
+    """The fastmath recipes carry EXACT custom derivative rules.
+
+    Plain autodiff through the bit-twiddling implementations is
+    silently wrong (the exponent term flows through integer bitcasts,
+    zero cotangent) — this collapsed NUTS step-size adaptation on TPU.
+    """
+    import jax
+    from psfmc_tpu.ops.fastmath import (
+        accurate_exp,
+        accurate_exp_unsafe,
+        accurate_log,
+        accurate_log_unsafe,
+    )
+
+    xs = np.asarray([1e-6, 0.1, 1.0, 7.3, 1e4, 1e30], np.float32)
+    for fn in (accurate_log, accurate_log_unsafe):
+        g = jax.vmap(jax.grad(fn))(jnp.asarray(xs))
+        assert np.allclose(np.asarray(g), 1.0 / xs, rtol=1e-6), fn.__name__
+    a = np.asarray([-40.0, -1.0, 0.0, 1.0, 30.0], np.float32)
+    for fn in (accurate_exp, accurate_exp_unsafe):
+        g = jax.vmap(jax.grad(fn))(jnp.asarray(a))
+        assert np.allclose(
+            np.asarray(g, np.float64), np.exp(a.astype(np.float64)),
+            rtol=1e-5,
+        ), fn.__name__

@@ -103,3 +103,75 @@ def test_pallas_posterior_mode(rng, gaussian_psf):
     lp = np.asarray(jax.vmap(fp.log_posterior)(thetas))
     assert np.all(np.isfinite(lx))
     assert np.allclose(lp, lx, rtol=1e-4)
+
+
+def test_fused_lnpost_matches_xla(rng, gaussian_psf, monkeypatch):
+    """The fused Pallas render+DFT+likelihood kernel matches the XLA
+    posterior to f32 roundoff (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import (
+        Configuration, PointSource, Sersic, Sky,
+    )
+    from psfmc_tpu.models.posterior import build_posterior
+    from psfmc_tpu.models.spec import build_model_spec
+
+    obs = 0.1 + rng.randn(32, 32) * 0.01
+    comps = [
+        Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((32, 32), 1e4),
+            psf_files=gaussian_psf,
+            psfivm_files=np.ones_like(gaussian_psf) * 1e6,
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=D.Normal(loc=0.1, scale=0.05)),
+        PointSource(
+            xy=D.Uniform(loc=np.array([10.0, 10.0]), scale=np.array([12.0, 12.0])),
+            mag=D.Uniform(loc=19.0, scale=3.0),
+        ),
+        Sersic(
+            xy=D.Uniform(loc=np.array([10.0, 10.0]), scale=np.array([12.0, 12.0])),
+            mag=D.Uniform(loc=20.0, scale=3.0),
+            reff=D.Uniform(loc=1.0, scale=6.0),
+            reff_b=D.Uniform(loc=1.0, scale=6.0),
+            index=D.WeibullMinimum(c=1.5, scale=4),
+            angle=D.Uniform(loc=0.0, scale=180.0),
+            angle_degrees=True,
+        ),
+    ]
+    spec = build_model_spec(comps)
+
+    monkeypatch.setenv("PSFMC_CONV", "dft")
+    monkeypatch.setenv("PSFMC_LNPOST", "pallas")
+    fns_fused = build_posterior(spec)
+    assert hasattr(fns_fused, "log_posterior_batch")
+    monkeypatch.setenv("PSFMC_LNPOST", "xla")
+    fns_xla = build_posterior(spec)
+
+    thetas = np.stack([
+        np.concatenate([np.ravel(s.dist.random(rng)) for s in spec.slots])
+        for _ in range(6)
+    ])
+    thetas[:, :] = thetas  # reff>=reff_b not enforced: priors gate it
+    import jax
+
+    a = np.asarray(fns_fused.log_posterior_batch(jnp.asarray(thetas, jnp.float32)))
+    b = np.asarray(jax.vmap(fns_xla.log_posterior)(jnp.asarray(thetas, jnp.float32)))
+    finite = np.isfinite(b)
+    assert np.array_equal(finite, np.isfinite(a))
+    assert np.allclose(a[finite], b[finite], rtol=2e-6, atol=2e-2)
+
+    # the ensemble sampler picks up the fused path transparently
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    s = EnsembleSampler(8, spec.num_params, fns_fused, seed=0)
+    good = thetas[np.isfinite(b)]
+    p0 = np.concatenate([good] * 3)[:8]
+    off = {sl.name: sl.offset for sl in spec.slots}
+    ra, rb = off["2_Sersic_reff"], off["2_Sersic_reff_b"]
+    p0[:, ra] = np.maximum(p0[:, ra], p0[:, rb] + 1e-3)  # in-support
+    s.init_state(p0)
+    s.run_sampling(3)
+    assert np.all(np.isfinite(s.lnprobability))
