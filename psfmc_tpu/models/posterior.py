@@ -161,6 +161,9 @@ class PosteriorFns:
                     return jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
 
                 self.log_posterior_batch = log_posterior_batch
+                # the kernel's scalar IS the Gaussian log-likelihood —
+                # the tempered sampler consumes it directly
+                self.log_likelihood_batch = lnl_batch
             else:
                 import warnings
 

@@ -41,12 +41,39 @@ __all__ = ["UnconstrainingTransform", "build_transform"]
 _IDENTITY, _INTERVAL, _LOWER, _UPPER = 0, 1, 2, 3
 
 
-def _log_sigmoid(z):
-    return -jnp.logaddexp(0.0, -z)
+def _accurate_nn_fns():
+    """(sigmoid, softplus, log_sigmoid) at trace time.
 
+    On TPU the hardware f32 exp inside ``jax.nn.sigmoid`` carries ~6e-6
+    relative error; through a 16-px prior width and a sharp imaging
+    likelihood (|dlnL/dtheta| ~ 1e5) that surfaces as O(1)
+    log-posterior noise — enough to destabilize leapfrog integration.
+    Build the transforms from the ~1-ulp fastmath recipes instead
+    (CPU keeps the correctly-rounded hardware ops).
+    """
+    from ..ops.fastmath import exp_log_fns, needs_accurate_transcendentals
 
-def _softplus(z):
-    return jnp.logaddexp(0.0, z)
+    if not needs_accurate_transcendentals():
+        return (
+            jax.nn.sigmoid,
+            lambda z: jnp.logaddexp(0.0, z),
+            lambda z: -jnp.logaddexp(0.0, -z),
+        )
+    exp_, log_ = exp_log_fns()
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + exp_(-z))
+
+    def softplus(z):
+        # stable both tails: z>0 -> z + log1p(exp(-z)), else log1p(exp(z))
+        a = jnp.where(z > 0, -z, z)
+        l1p = log_(1.0 + exp_(a))
+        return jnp.where(z > 0, z + l1p, l1p)
+
+    def log_sigmoid(z):
+        return -softplus(-z)
+
+    return sigmoid, softplus, log_sigmoid
 
 
 def _softplus_inv(x):
@@ -136,17 +163,18 @@ class UnconstrainingTransform:
         kinds = self.kinds
         lo = jnp.asarray(self.lo, self.dtype)
         hi = jnp.asarray(self.hi, self.dtype)
+        sigmoid_, softplus_, log_sigmoid_ = _accurate_nn_fns()
 
         # safe width: jnp.select evaluates every branch, and a log(0) or
         # 0*inf in an unselected branch still poisons gradients (NaN
         # backprop through select) — mask before, not after
         width = jnp.where(kinds == _INTERVAL, hi - lo, 1.0)
-        x_interval = lo + width * jax.nn.sigmoid(z)
-        ld_interval = jnp.log(width) + _log_sigmoid(z) + _log_sigmoid(-z)
-        x_lower = lo + _softplus(z)
-        ld_lower = _log_sigmoid(z)
-        x_upper = hi - _softplus(z)
-        ld_upper = _log_sigmoid(z)
+        x_interval = lo + width * sigmoid_(z)
+        ld_interval = jnp.log(width) + log_sigmoid_(z) + log_sigmoid_(-z)
+        x_lower = lo + softplus_(z)
+        ld_lower = log_sigmoid_(z)
+        x_upper = hi - softplus_(z)
+        ld_upper = log_sigmoid_(z)
 
         x = jnp.select(
             [kinds == _INTERVAL, kinds == _LOWER, kinds == _UPPER],
@@ -166,10 +194,12 @@ class UnconstrainingTransform:
             w = b_eff - lo[zb]
             ok = w > 0
             w_safe = jnp.where(ok, w, 1.0)
-            xb = lo[zb] + w_safe * jax.nn.sigmoid(z[zb])
+            xb = lo[zb] + w_safe * sigmoid_(z[zb])
             ldb = jnp.where(
                 ok,
-                jnp.log(w_safe) + _log_sigmoid(z[zb]) + _log_sigmoid(-z[zb]),
+                jnp.log(w_safe)
+                + log_sigmoid_(z[zb])
+                + log_sigmoid_(-z[zb]),
                 -jnp.inf,
             )
             x = x.at[zb].set(xb)

@@ -141,11 +141,14 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _pt_stretch_half(key, betas, active, comp, lnlike_fn, lnprior_fn, a, dim):
+def _pt_stretch_half(key, betas, active, comp, lnlike_batch, lnprior_batch,
+                     a, dim):
     """One tempered half-ensemble update, vmapped over rungs.
 
     ``active``/``comp`` are (pos, lnl, lnp) tuples with leading rung
-    axis; acceptance uses ``lnprior + beta * lnlike``.
+    axis; acceptance uses ``lnprior + beta * lnlike``.  The batched
+    likelihood/prior evaluate a flat (n, dim) batch — vmapped scalars
+    or the posterior's fused Pallas batch path.
     """
     pos, lnl, lnp = active
     ntemps, k, _ = pos.shape
@@ -158,8 +161,8 @@ def _pt_stretch_half(key, betas, active, comp, lnlike_fn, lnprior_fn, a, dim):
     proposal = c + z[..., None] * (pos - c)
 
     flat = proposal.reshape(ntemps * k, -1)
-    prop_lnl = jax.vmap(lnlike_fn)(flat).reshape(ntemps, k)
-    prop_lnp = jax.vmap(lnprior_fn)(flat).reshape(ntemps, k)
+    prop_lnl = lnlike_batch(flat).reshape(ntemps, k)
+    prop_lnp = lnprior_batch(flat).reshape(ntemps, k)
 
     b = betas[:, None]
     log_ratio = (
@@ -217,8 +220,8 @@ def _swap_move(key, betas, pos, lnl, lnp, nswap):
 
 
 def make_pt_step_fn(
-    lnlike_fn: Callable,
-    lnprior_fn: Callable,
+    lnlike_batch: Callable,
+    lnprior_batch: Callable,
     images_fn: Optional[Callable],
     betas,
     nwalkers: int,
@@ -246,8 +249,8 @@ def make_pt_step_fn(
             betas,
             (pos[:, :half], lnl[:, :half], lnp[:, :half]),
             pos[:, half:],
-            lnlike_fn,
-            lnprior_fn,
+            lnlike_batch,
+            lnprior_batch,
             a,
             dim,
         )
@@ -256,8 +259,8 @@ def make_pt_step_fn(
             betas,
             (pos[:, half:], lnl[:, half:], lnp[:, half:]),
             p0,
-            lnlike_fn,
-            lnprior_fn,
+            lnlike_batch,
+            lnprior_batch,
             a,
             dim,
         )
@@ -304,8 +307,8 @@ def make_pt_step_fn(
 
 
 def run_pt(
-    lnlike_fn,
-    lnprior_fn,
+    lnlike_batch,
+    lnprior_batch,
     images_fn,
     state: PTState,
     betas,
@@ -317,8 +320,8 @@ def run_pt(
 ):
     ntemps, nwalkers, dim = state.positions.shape
     step = make_pt_step_fn(
-        lnlike_fn,
-        lnprior_fn,
+        lnlike_batch,
+        lnprior_batch,
         images_fn,
         betas,
         nwalkers,
@@ -408,6 +411,14 @@ class PTEnsembleSampler(EnsembleSampler):
 
         return lnlike, lnprior
 
+    def _batched_like_prior(self):
+        """Flat-batch (n, dim) likelihood + prior evaluators; uses the
+        posterior's fused Pallas likelihood when built."""
+        lnlike, lnprior = self._lnlike_lnprior_fns()
+        fused = getattr(self.fns, "log_likelihood_batch", None)
+        like_b = fused if fused is not None else jax.vmap(lnlike)
+        return like_b, jax.vmap(lnprior)
+
     def _phase_program(self, accumulate: bool, record: bool):
         # betas is a RUNTIME argument of the program (not baked in), so
         # burn-in ladder adaptation reuses one compiled artifact.
@@ -423,12 +434,12 @@ class PTEnsembleSampler(EnsembleSampler):
         )
         if cache is not None and key in cache:
             return cache[key]
-        lnlike, lnprior = self._lnlike_lnprior_fns()
+        like_b, prior_b = self._batched_like_prior()
         prog = jax.jit(
             partial(
                 run_pt,
-                lnlike,
-                lnprior,
+                like_b,
+                prior_b,
                 self._images_fn(),
                 a=self.a,
                 accumulate=accumulate,
@@ -485,10 +496,10 @@ class PTEnsembleSampler(EnsembleSampler):
             p0 = jax.device_put(p0, pt_sharding)
         if key is None:
             self._key, key = jax.random.split(self._key)
-        lnlike, lnprior = self._lnlike_lnprior_fns()
+        like_b, prior_b = self._batched_like_prior()
         flat = p0.reshape(self.ntemps * self.nwalkers, self.dim)
-        lnl = jax.vmap(lnlike)(flat).reshape(self.ntemps, self.nwalkers)
-        lnp = jax.vmap(lnprior)(flat).reshape(self.ntemps, self.nwalkers)
+        lnl = like_b(flat).reshape(self.ntemps, self.nwalkers)
+        lnp = prior_b(flat).reshape(self.ntemps, self.nwalkers)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
         img_keys = jax.eval_shape(self._images_fn(), p0[0, 0]).keys()
         accum = {k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys}
