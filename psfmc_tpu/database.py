@@ -43,6 +43,8 @@ _HEADER_COMMENTS = {
     "MCWALKRS": "number of walkers run",
     "MCCONVRG": "Has MCMC sampler converged?",
     "MCACCEPT": "Acceptance fraction (avg of all walkers)",
+    "MCLNZ": "ln marginal likelihood (tempered-run estimate)",
+    "MCLNZERR": "ln evidence error (estimator spread)",
     "MAPWLKR": "Walker index of maximum posterior model",
     "MAPSAMP": "Sample index of maximum posterior model",
     "PSFIMG": "PSF image of maximum posterior model",

@@ -283,7 +283,7 @@ def _run_sampling(
 
     def checkpoint_meta(converged=False):
         niter = 0 if sampler.chain is None else sampler.chain.shape[1]
-        return OrderedDict(
+        meta = OrderedDict(
             [
                 ("MCITER", niter),
                 ("MCBURN", burn_total),
@@ -294,6 +294,16 @@ def _run_sampling(
                 ("MCACCEPT", float(sampler.acceptance_fraction.mean())),
             ]
         )
+        if niter > 0 and getattr(sampler, "ntemps", 1) >= 3:
+            # tempered runs get a marginal-likelihood estimate for free
+            try:
+                lnz, dlnz = sampler.log_evidence()
+            except (RuntimeError, ValueError):
+                pass
+            else:
+                meta["MCLNZ"] = float(lnz)
+                meta["MCLNZERR"] = float(dlnz)
+        return meta
 
     if burn > 0:
         print(f"Burning: {burn} iterations x {sampler.nwalkers} walkers")

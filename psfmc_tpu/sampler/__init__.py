@@ -1,6 +1,11 @@
 """TPU-native MCMC sampling: jitted ensemble sampler + autocorr analysis."""
 from .autocorr import AutocorrError, function, integrated_time
 from .ensemble import EnsembleSampler, EnsembleState, run_stretch_move
+from .tempered import (
+    PTEnsembleSampler,
+    default_beta_ladder,
+    evidence_beta_ladder,
+)
 
 __all__ = [
     "AutocorrError",
@@ -9,4 +14,7 @@ __all__ = [
     "EnsembleSampler",
     "EnsembleState",
     "run_stretch_move",
+    "PTEnsembleSampler",
+    "default_beta_ladder",
+    "evidence_beta_ladder",
 ]

@@ -44,7 +44,11 @@ import jax.numpy as jnp
 
 from .ensemble import EnsembleSampler
 
-__all__ = ["default_beta_ladder", "PTEnsembleSampler"]
+__all__ = [
+    "default_beta_ladder",
+    "evidence_beta_ladder",
+    "PTEnsembleSampler",
+]
 
 
 def default_beta_ladder(ntemps: int, tmax: float = 64.0):
@@ -68,6 +72,24 @@ def default_beta_ladder(ntemps: int, tmax: float = 64.0):
     if ntemps == 1:
         return np.ones(1)
     return np.exp(np.linspace(0.0, -np.log(tmax), ntemps))
+
+
+def evidence_beta_ladder(ntemps: int, bmin: float = 1e-3):
+    """Beta ladder for marginal-likelihood (evidence) estimation.
+
+    Geometric rungs from 1 down to ``bmin`` plus an explicit ``beta=0``
+    rung that samples the bare prior.  Evidence estimators integrate
+    the tempered path from the prior (beta=0, Z=1 for proper priors) to
+    the posterior (beta=1), so the ladder must span the whole interval —
+    unlike the mixing-oriented default/adaptive ladders, which only
+    need enough temperature contrast to hop modes.  Pass the result as
+    ``betas=`` (this pins the ladder; burn-in adaptation is for mixing
+    ladders, not quadrature grids).
+    """
+    if ntemps < 3:
+        raise ValueError("evidence ladder needs >= 3 rungs (1 ... bmin, 0)")
+    geo = np.exp(np.linspace(0.0, np.log(bmin), ntemps - 1))
+    return np.concatenate([geo, [0.0]])
 
 
 def ladder_from_sigma(sigmas, betas_old, ntemps: int, delta: float = 1.0):
@@ -120,6 +142,14 @@ class PTState:
     naccept: jax.Array  # (ntemps, nwalkers) move acceptances
     nswap: jax.Array  # (ntemps - 1,) accepted swaps per rung pair
     key: jax.Array
+    # -- evidence accumulators (retained phase only; tiny: O(ntemps)) --
+    lnl_mean: jax.Array  # (ntemps,) streaming mean of per-walker lnL
+    lnl_sq_mean: jax.Array  # (ntemps,) streaming mean of lnL^2
+    evid_steps: jax.Array  # scalar int32: retained steps accumulated
+    # streaming logsumexp of dbeta*lnL at the hotter rung of each pair
+    # (stepping-stone importance ratios)
+    ss_max: jax.Array  # (ntemps - 1,)
+    ss_sum: jax.Array  # (ntemps - 1,)
 
 
 jax.tree_util.register_pytree_node(
@@ -134,11 +164,31 @@ jax.tree_util.register_pytree_node(
             s.naccept,
             s.nswap,
             s.key,
+            s.lnl_mean,
+            s.lnl_sq_mean,
+            s.evid_steps,
+            s.ss_max,
+            s.ss_sum,
         ),
         None,
     ),
     lambda _aux, ch: PTState(*ch),
 )
+
+
+def _temper(b, lnl):
+    """``b * lnl`` with the beta=0 (prior) rung handled exactly.
+
+    At beta=0 a bare ``0 * (-inf)`` is nan and would poison the
+    acceptance ratio; out-of-support proposals must still reject (the
+    prior term carries -inf when a decomposition exists, and when it
+    does not — the beta*lnpost fallback — the -inf must survive here).
+    """
+    return jnp.where(
+        b > 0,
+        b * lnl,
+        jnp.where(jnp.isfinite(lnl), jnp.zeros_like(lnl), -jnp.inf),
+    )
 
 
 def _pt_stretch_half(key, betas, active, comp, lnlike_batch, lnprior_batch,
@@ -167,8 +217,8 @@ def _pt_stretch_half(key, betas, active, comp, lnlike_batch, lnprior_batch,
     b = betas[:, None]
     log_ratio = (
         (dim - 1.0) * jnp.log(z)
-        + (prop_lnp + b * prop_lnl)
-        - (lnp + b * lnl)
+        + (prop_lnp + _temper(b, prop_lnl))
+        - (lnp + _temper(b, lnl))
     )
     accept = (
         jnp.log(jax.random.uniform(key_u, (ntemps, k), pos.dtype)) < log_ratio
@@ -273,6 +323,36 @@ def make_pt_step_fn(
             key_s, betas, pos, lnl, lnp, state.nswap
         )
 
+        lnl_mean = state.lnl_mean
+        lnl_sq_mean = state.lnl_sq_mean
+        evid_steps = state.evid_steps
+        ss_max, ss_sum = state.ss_max, state.ss_sum
+        if record:
+            # Evidence accumulators (retained phase only). Per-rung
+            # streaming means of lnL and lnL^2 feed thermodynamic
+            # integration; a streaming logsumexp of dbeta*lnL at the
+            # HOTTER rung of each adjacent pair feeds stepping-stone.
+            # Cost: O(ntemps) scalars per step — free next to the
+            # batched posterior evaluations.
+            evid_steps = evid_steps + 1
+            t = evid_steps.astype(lnl.dtype)
+            step_mean = jnp.mean(lnl, axis=1)
+            step_sq = jnp.mean(lnl * lnl, axis=1)
+            lnl_mean = lnl_mean + (step_mean - lnl_mean) / t
+            lnl_sq_mean = lnl_sq_mean + (step_sq - lnl_sq_mean) / t
+            dbeta = betas[:-1] - betas[1:]  # (ntemps-1,) > 0
+            v = dbeta[:, None] * lnl[1:]  # at the hotter rung
+            vmax = jnp.max(v, axis=1)
+            new_max = jnp.maximum(ss_max, vmax)
+            # exp(-inf - -inf) guard: empty accumulator contributes 0
+            scale = jnp.where(
+                jnp.isfinite(ss_max), jnp.exp(ss_max - new_max), 0.0
+            )
+            ss_sum = ss_sum * scale + jnp.sum(
+                jnp.exp(v - new_max[:, None]), axis=1
+            )
+            ss_max = new_max
+
         accum = state.accum
         count = state.accum_count
         if accumulate:
@@ -299,6 +379,11 @@ def make_pt_step_fn(
             naccept=naccept,
             nswap=nswap,
             key=key,
+            lnl_mean=lnl_mean,
+            lnl_sq_mean=lnl_sq_mean,
+            evid_steps=evid_steps,
+            ss_max=ss_max,
+            ss_sum=ss_sum,
         )
         out = (pos[0], lnp[0] + lnl[0]) if record else None
         return new_state, out
@@ -503,6 +588,7 @@ class PTEnsembleSampler(EnsembleSampler):
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
         img_keys = jax.eval_shape(self._images_fn(), p0[0, 0]).keys()
         accum = {k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys}
+        dt = self.fns.dtype
         self.state = PTState(
             positions=p0,
             log_like=lnl,
@@ -512,6 +598,11 @@ class PTEnsembleSampler(EnsembleSampler):
             naccept=jnp.zeros((self.ntemps, self.nwalkers), jnp.int32),
             nswap=jnp.zeros(self.ntemps - 1, jnp.int32),
             key=key,
+            lnl_mean=jnp.zeros(self.ntemps, dt),
+            lnl_sq_mean=jnp.zeros(self.ntemps, dt),
+            evid_steps=jnp.asarray(0, jnp.int32),
+            ss_max=jnp.full(self.ntemps - 1, -jnp.inf, dt),
+            ss_sum=jnp.zeros(self.ntemps - 1, dt),
         )
         self._naccept = np.zeros(self.nwalkers, dtype=np.int64)
         return self.state
@@ -530,6 +621,11 @@ class PTEnsembleSampler(EnsembleSampler):
                 accum={
                     k: jnp.zeros_like(v) for k, v in self.state.accum.items()
                 },
+                lnl_mean=jnp.zeros_like(self.state.lnl_mean),
+                lnl_sq_mean=jnp.zeros_like(self.state.lnl_sq_mean),
+                evid_steps=jnp.asarray(0, jnp.int32),
+                ss_max=jnp.full_like(self.state.ss_max, -jnp.inf),
+                ss_sum=jnp.zeros_like(self.state.ss_sum),
             )
 
     def _cold_naccept(self, state):
@@ -610,6 +706,11 @@ class PTEnsembleSampler(EnsembleSampler):
                 else None
             ),
             "accum_count": int(s.accum_count),
+            "lnl_mean": np.asarray(s.lnl_mean, np.float64),
+            "lnl_sq_mean": np.asarray(s.lnl_sq_mean, np.float64),
+            "evid_steps": int(s.evid_steps),
+            "ss_max": np.asarray(s.ss_max, np.float64),
+            "ss_sum": np.asarray(s.ss_sum, np.float64),
         }
 
     def restore_state(self, payload):
@@ -654,6 +755,17 @@ class PTEnsembleSampler(EnsembleSampler):
         nswap = payload.get("nswap")
         if full and nswap is not None and np.shape(nswap) == (self.ntemps - 1,):
             extra["nswap"] = jnp.asarray(nswap, jnp.int32)
+        if full and payload.get("lnl_mean") is not None and np.shape(
+            payload["lnl_mean"]
+        ) == (self.ntemps,):
+            dt = self.fns.dtype
+            extra["lnl_mean"] = jnp.asarray(payload["lnl_mean"], dt)
+            extra["lnl_sq_mean"] = jnp.asarray(payload["lnl_sq_mean"], dt)
+            extra["evid_steps"] = jnp.asarray(
+                int(payload.get("evid_steps", 0)), jnp.int32
+            )
+            extra["ss_max"] = jnp.asarray(payload["ss_max"], dt)
+            extra["ss_sum"] = jnp.asarray(payload["ss_sum"], dt)
         if extra:
             self.state = replace(self.state, **extra)
         self._restore_counters(payload)
@@ -671,3 +783,113 @@ class PTEnsembleSampler(EnsembleSampler):
         """(ntemps-1,) replica-swap acceptance per adjacent rung pair."""
         total = max(self._nsteps_total, 1) * self.nwalkers
         return np.asarray(self.state.nswap) / total
+
+    # -- evidence (marginal likelihood) --------------------------------------
+    @property
+    def rung_log_like_mean(self):
+        """(ntemps,) mean untempered lnL per rung over the retained phase."""
+        return np.asarray(self.state.lnl_mean, np.float64)
+
+    @property
+    def rung_log_like_std(self):
+        """(ntemps,) std of untempered lnL per rung (retained phase)."""
+        m = np.asarray(self.state.lnl_mean, np.float64)
+        sq = np.asarray(self.state.lnl_sq_mean, np.float64)
+        return np.sqrt(np.maximum(sq - m * m, 0.0))
+
+    def log_evidence(self, method: str = "auto"):
+        """Marginal-likelihood estimate ``(lnZ, dlnZ)`` from tempering.
+
+        The evidence Z = ∫ prior(θ) · L(θ) dθ is what Bayesian model
+        comparison needs (e.g. "does this quasar image require a host
+        galaxy component?") — a capability the reference lacks
+        entirely.  Estimated from the retained sampling phase's
+        per-rung accumulators; the ladder should be
+        :func:`evidence_beta_ladder` (spanning β = 1 … 0) — a
+        mixing-oriented ladder that stops well short of β=0 leaves most
+        of the integral to an extrapolated tail and the error bar says
+        so.
+
+        Methods:
+
+        * ``'stepping-stone'`` — Xie et al. (2011): lnZ = Σ_k ln
+          E_{β_{k+1}}[ L^{β_k − β_{k+1}} ], each expectation a streaming
+          logsumexp over the hotter rung's retained samples.  Lower
+          variance than quadrature; needs β to reach 0.
+        * ``'ti'`` — thermodynamic integration, trapezoid of the
+          per-rung mean lnL over β (plus a rectangle tail when the
+          ladder stops at β_min > 0).
+        * ``'auto'`` — stepping-stone when the ladder reaches β=0,
+          else TI.
+
+        The error estimate is the spread between independent
+        estimators: |SS − TI| when both are valid, else the TI
+        half-ladder quadrature difference.
+        """
+        if self.ntemps < 3:
+            raise ValueError("evidence estimation needs ntemps >= 3")
+        nsteps = int(self.state.evid_steps)
+        if nsteps == 0:
+            raise RuntimeError(
+                "no retained samples accumulated; run_sampling() first "
+                "(burn-in does not feed the evidence accumulators)"
+            )
+        betas = np.asarray(self.betas, np.float64)
+        mean_lnl = np.asarray(self.state.lnl_mean, np.float64)
+        reaches_prior = betas[-1] == 0.0
+
+        def _ti(bs, ms):
+            # betas descend, so the trapezoid comes out negated; close
+            # the [0, beta_min] tail with a rectangle at the hottest
+            # rung's mean when the ladder stops short of the prior
+            trapezoid = getattr(np, "trapezoid", np.trapz)
+            lnz = -float(trapezoid(ms, bs))
+            if bs[-1] > 0:
+                lnz += float(bs[-1] * ms[-1])
+            return lnz
+
+        idx = list(range(0, len(betas), 2))
+        if idx[-1] != len(betas) - 1:
+            idx.append(len(betas) - 1)
+        lnz_ti = _ti(betas, mean_lnl)
+        err_ti = abs(lnz_ti - _ti(betas[idx], mean_lnl[idx]))
+        if betas[-1] > 0:
+            # the [0, beta_min] rectangle is an EXTRAPOLATION (nothing
+            # was sampled there); count its full magnitude as error so
+            # mixing-ladder evidence numbers carry an honest bar
+            err_ti += abs(float(betas[-1] * mean_lnl[-1]))
+
+        # Resolution check: both estimators assume adjacent tempered
+        # lnL distributions overlap, i.e. |dbeta| * std(lnL) = O(1) per
+        # pair.  High-S/N imaging likelihoods (std(lnL) ~ sqrt(npix/2))
+        # need correspondingly many rungs; warn instead of returning a
+        # silently-biased number.
+        sig = self.rung_log_like_std
+        pair_width = np.abs(np.diff(betas)) * np.maximum(sig[:-1], sig[1:])
+        if np.max(pair_width) > 4.0:
+            from warnings import warn
+
+            warn(
+                "evidence ladder under-resolved: max |dbeta|*std(lnL) = "
+                f"{np.max(pair_width):.1f} (want O(1)); increase ntemps "
+                f"to ~{int(np.ceil(np.sum(pair_width))) + 2} rungs "
+                "(rungs are a vmapped batch axis — cost is ~linear)"
+            )
+
+        if method == "auto":
+            method = "stepping-stone" if reaches_prior else "ti"
+        if method in ("stepping-stone", "ss"):
+            if not reaches_prior:
+                raise ValueError(
+                    "stepping-stone needs a ladder reaching beta=0; use "
+                    "betas=evidence_beta_ladder(ntemps) (or method='ti')"
+                )
+            n = nsteps * self.nwalkers
+            ss_max = np.asarray(self.state.ss_max, np.float64)
+            ss_sum = np.asarray(self.state.ss_sum, np.float64)
+            ln_r = ss_max + np.log(ss_sum) - np.log(n)
+            lnz = float(np.sum(ln_r))
+            return lnz, abs(lnz - lnz_ti)
+        if method == "ti":
+            return lnz_ti, err_ti
+        raise ValueError(f"unknown evidence method {method!r}")

@@ -1,0 +1,150 @@
+"""Marginal-likelihood estimation via parallel tempering.
+
+Analytic anchor: a 2-D Uniform([-a, a]^2) prior with a standard-normal
+likelihood has evidence
+
+    Z = (2a)^{-2} * erf(a / sqrt(2))^2  ~  (2a)^{-2}   for a >> 1,
+
+so lnZ = -2 ln(2a) up to ~1e-6 at a = 5.  Both estimators (stepping
+stone and thermodynamic integration) must recover it.  The reference
+has no evidence capability at all — this tests a beyond-reference
+feature (SURVEY.md section 2 item 17 is the sampler family it extends).
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from psfmc_tpu.sampler.tempered import (
+    PTEnsembleSampler,
+    evidence_beta_ladder,
+)
+
+
+class BoxGaussianPosterior:
+    """Uniform([-a, a]^2) prior x N(0, I_2) likelihood."""
+
+    dtype = jnp.float64
+    a = 5.0
+
+    def __init__(self):
+        class _Spec:
+            shape = (2, 2)
+
+        self.spec = _Spec()
+
+    def log_prior(self, theta):
+        inside = jnp.all(jnp.abs(theta) <= self.a)
+        return jnp.where(
+            inside,
+            jnp.asarray(-2.0 * np.log(2 * self.a), self.dtype),
+            -jnp.inf,
+        )
+
+    def _log_like(self, theta):
+        return -0.5 * jnp.sum(theta * theta) - jnp.log(2 * jnp.pi)
+
+    def log_posterior(self, theta):
+        return self.log_prior(theta) + self._log_like(theta)
+
+    def log_posterior_and_images(self, theta):
+        lnp = self.log_posterior(theta)
+        return lnp, {"img": jnp.ones((2, 2), self.dtype) * theta[0]}
+
+
+TRUTH = -2.0 * np.log(10.0)  # -4.60517...
+
+
+def test_evidence_beta_ladder():
+    b = evidence_beta_ladder(6, bmin=1e-3)
+    assert b[0] == 1.0 and b[-1] == 0.0 and len(b) == 6
+    assert np.all(np.diff(b) < 0)
+    assert np.isclose(b[-2], 1e-3)
+
+
+def _run_pt(nwalkers=64, ntemps=10, burn=300, steps=1200, seed=3):
+    post = BoxGaussianPosterior()
+    pt = PTEnsembleSampler(
+        nwalkers,
+        2,
+        post,
+        ntemps=ntemps,
+        betas=evidence_beta_ladder(ntemps),
+        seed=seed,
+        image_shape=(2, 2),
+    )
+    rng = np.random.RandomState(0)
+    pt.init_state(rng.uniform(-5, 5, (nwalkers, 2)))
+    pt.run_burn(burn)
+    pt.reset()
+    pt.run_sampling(steps)
+    return pt
+
+
+def test_evidence_recovers_analytic_lnz():
+    pt = _run_pt()
+
+    lnz_ss, err_ss = pt.log_evidence("stepping-stone")
+    lnz_ti, err_ti = pt.log_evidence("ti")
+
+    # stepping stone is the precise one; TI pays trapezoid error on the
+    # ~1/beta region of the mean-lnL curve
+    assert abs(lnz_ss - TRUTH) < 0.15, (lnz_ss, TRUTH)
+    assert abs(lnz_ti - TRUTH) < 0.6, (lnz_ti, TRUTH)
+    # auto prefers stepping stone when the ladder reaches beta=0
+    assert pt.log_evidence() == (lnz_ss, err_ss)
+    # error bars are honest order-of-magnitude statements
+    assert err_ss < 1.0 and err_ti < 1.5
+
+    # per-rung diagnostics: mean lnL decreases towards the prior rung
+    m = pt.rung_log_like_mean
+    assert m[0] > m[-1]
+    # cold rung: E[lnL] = -ln(2 pi) - d/2 = -2.838
+    assert abs(m[0] - (-np.log(2 * np.pi) - 1.0)) < 0.1
+    assert np.all(pt.rung_log_like_std >= 0)
+
+
+def test_evidence_survives_checkpoint_roundtrip():
+    pt = _run_pt(steps=400)
+    lnz, err = pt.log_evidence()
+
+    payload = pt.checkpoint_payload()
+    fresh = PTEnsembleSampler(
+        pt.nwalkers,
+        2,
+        BoxGaussianPosterior(),
+        ntemps=pt.ntemps,
+        betas=evidence_beta_ladder(pt.ntemps),
+        seed=99,
+        image_shape=(2, 2),
+    )
+    fresh.restore_state(payload)
+    fresh._nsteps_total = payload["nsteps"]
+    lnz2, err2 = fresh.log_evidence()
+    assert np.isclose(lnz, lnz2) and np.isclose(err, err2)
+
+
+def test_evidence_requires_retained_samples():
+    import pytest
+
+    post = BoxGaussianPosterior()
+    pt = PTEnsembleSampler(
+        16, 2, post, ntemps=4, betas=evidence_beta_ladder(4),
+        seed=0, image_shape=(2, 2),
+    )
+    rng = np.random.RandomState(1)
+    pt.init_state(rng.uniform(-5, 5, (16, 2)))
+    pt.run_burn(20)
+    with pytest.raises(RuntimeError):
+        pt.log_evidence()
+    # mixing-oriented ladder (no beta=0 rung): stepping stone refuses,
+    # TI integrates with an extrapolated tail
+    pt2 = PTEnsembleSampler(
+        16, 2, post, ntemps=4, seed=0, image_shape=(2, 2),
+        adapt_ladder=False,
+    )
+    pt2.init_state(rng.uniform(-5, 5, (16, 2)))
+    pt2.run_sampling(50)
+    with pytest.raises(ValueError):
+        pt2.log_evidence("stepping-stone")
+    lnz, _err = pt2.log_evidence()  # auto falls back to TI
+    assert np.isfinite(lnz)
