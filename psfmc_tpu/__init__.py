@@ -41,3 +41,9 @@ try:  # pragma: no cover
     __all__.append("model_galaxy_mcmc")
 except ImportError:
     pass
+try:  # pragma: no cover
+    from .optimize import fit_map  # noqa: F401
+
+    __all__.append("fit_map")
+except ImportError:
+    pass

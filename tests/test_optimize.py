@@ -1,0 +1,165 @@
+"""Gradient MAP fit: parameter recovery on synthetic imaging data.
+
+Beyond-reference capability (the reference relies on hand-run GALFIT
+fits for warm starts).  The MAP of a high-S/N synthetic Sersic+Sky
+image must land near the generating parameters, and ``init='map'``
+must produce in-support walker clouds through the driver.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from psfmc_tpu import distributions as D
+from psfmc_tpu.models.components import Configuration, Sersic, Sky
+from psfmc_tpu.models.multicomponent import MultiComponentModel
+from psfmc_tpu.optimize import fit_map, scatter_around
+
+
+TRUE = dict(x=16.3, y=15.7, mag=20.0, reff=3.0, reff_b=2.2, index=1.5,
+            angle=40.0, sky=0.05)
+
+
+def _make_components(rng, noise=0.01, psf_files=None, psfivm_files=None):
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    psf = np.exp(-((xx - w / 2) ** 2 + (yy - h / 2) ** 2) / (2 * 1.2**2))
+    psf /= psf.sum()
+    if psf_files is None:
+        psf_files = psf
+        psfivm_files = np.ones_like(psf) * 1e8
+
+    # render the ground truth through the model itself at high S/N
+    comps_clean = [
+        Configuration(
+            obs_file=np.zeros((h, w)),
+            obsivm_file=np.full((h, w), 1.0 / noise**2),
+            psf_files=psf_files,
+            psfivm_files=psfivm_files,
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=TRUE["sky"]),
+        Sersic(
+            xy=np.array([TRUE["x"], TRUE["y"]]),
+            mag=TRUE["mag"],
+            reff=TRUE["reff"],
+            reff_b=TRUE["reff_b"],
+            index=TRUE["index"],
+            angle=TRUE["angle"],
+            angle_degrees=True,
+        ),
+    ]
+    mcm_clean = MultiComponentModel(components=comps_clean)
+    fns = mcm_clean.posterior_fns
+    images = jax.jit(fns._render_images)(
+        jnp.zeros(mcm_clean.num_params, fns.dtype)
+    )
+    clean = np.asarray(images["convolved_model"], np.float64)
+    obs = clean + rng.randn(h, w) * noise
+
+    comps = [
+        Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((h, w), 1.0 / noise**2),
+            psf_files=psf_files,
+            psfivm_files=psfivm_files,
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=D.Normal(loc=0.0, scale=0.2)),
+        Sersic(
+            xy=D.Uniform(loc=np.array([10.0, 10.0]),
+                         scale=np.array([12.0, 12.0])),
+            mag=D.Uniform(loc=18.0, scale=4.0),
+            reff=D.Uniform(loc=0.5, scale=7.5),
+            reff_b=D.Uniform(loc=0.5, scale=7.5),
+            index=D.Uniform(loc=0.6, scale=3.0),
+            angle=D.Uniform(loc=0.0, scale=180.0),
+            angle_degrees=True,
+        ),
+    ]
+    return comps
+
+
+def test_fit_map_recovers_truth():
+    rng = np.random.RandomState(42)
+    comps = _make_components(rng)
+    mcm = MultiComponentModel(components=comps)
+    fns = mcm.posterior_fns
+
+    pool = mcm.init_params_from_priors(256, random_state=rng)
+    res = fit_map(fns, n_starts=24, steps=400, p0=pool, seed=1)
+
+    by_name = dict(zip(mcm.param_names, np.nan * np.ones(len(mcm.param_names))))
+    # map flat vector back through the slot layout
+    vals = {}
+    pos = 0
+    for name, ln in zip(mcm.param_names, mcm.param_lens):
+        vals[name] = res.theta[pos:pos + ln]
+        pos += ln
+
+    sersic_xy = [v for k, v in vals.items() if k.endswith("Sersic_xy")][0]
+    sersic_mag = [v for k, v in vals.items() if k.endswith("Sersic_mag")][0]
+    sersic_idx = [v for k, v in vals.items() if k.endswith("Sersic_index")][0]
+    sky = [v for k, v in vals.items() if k.endswith("Sky_adu")][0]
+
+    assert np.isfinite(res.lnpost)
+    assert abs(sersic_xy[0] - TRUE["x"]) < 0.2
+    assert abs(sersic_xy[1] - TRUE["y"]) < 0.2
+    assert abs(sersic_mag[0] - TRUE["mag"]) < 0.1
+    assert abs(sersic_idx[0] - TRUE["index"]) < 0.4
+    assert abs(sky[0] - TRUE["sky"]) < 0.02
+    # the MAP beats every raw prior draw it started from
+    lnp_pool = np.asarray(fns.batched_lnpost(jnp.asarray(pool, fns.dtype)))
+    assert res.lnpost > np.nanmax(np.where(np.isfinite(lnp_pool), lnp_pool,
+                                           -np.inf))
+
+
+def test_scatter_around_in_support():
+    rng = np.random.RandomState(0)
+    comps = _make_components(rng)
+    mcm = MultiComponentModel(components=comps)
+    fns = mcm.posterior_fns
+
+    center = mcm.init_params_from_priors(1, random_state=rng)[0]
+    cloud = scatter_around(fns, center, 64, seed=2)
+    assert cloud.shape == (64, mcm.num_params)
+    lnp = np.asarray(fns.batched_lnpost(jnp.asarray(cloud, fns.dtype)))
+    # every scattered walker is inside the prior support
+    assert np.all(np.isfinite(lnp))
+
+
+def test_driver_init_map(tmp_path):
+    rng = np.random.RandomState(7)
+    comps = _make_components(rng, noise=0.02)
+    import os
+
+    from psfmc_tpu import model_galaxy_mcmc, load_database
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model_galaxy_mcmc(
+            comps,
+            output_name="mapinit",
+            iterations=30,
+            burn=30,
+            chains=16,
+            max_iterations=1,
+            init="map",
+            convergence_check=lambda s, verbose=0: True,
+        )
+        db = load_database("mapinit_db.fits")
+        assert len(db) == 30 * 16
+        with pytest.raises(ValueError):
+            model_galaxy_mcmc(
+                comps,
+                output_name="badinit",
+                iterations=2,
+                burn=2,
+                chains=8,
+                init="bogus",
+                convergence_check=lambda s, verbose=0: True,
+            )
+    finally:
+        os.chdir(cwd)
