@@ -588,7 +588,10 @@ class PTEnsembleSampler(EnsembleSampler):
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
         img_keys = jax.eval_shape(self._images_fn(), p0[0, 0]).keys()
         accum = {k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys}
-        dt = self.fns.dtype
+        # evidence accumulators match the COMPUTED lnL dtype: under x64
+        # the priors' numpy-f64 hyperparameters promote lnL to f64 even
+        # for an f32 posterior, and the scan carry must stay invariant
+        dt = lnl.dtype
         self.state = PTState(
             positions=p0,
             log_like=lnl,
@@ -758,7 +761,7 @@ class PTEnsembleSampler(EnsembleSampler):
         if full and payload.get("lnl_mean") is not None and np.shape(
             payload["lnl_mean"]
         ) == (self.ntemps,):
-            dt = self.fns.dtype
+            dt = self.state.log_like.dtype
             extra["lnl_mean"] = jnp.asarray(payload["lnl_mean"], dt)
             extra["lnl_sq_mean"] = jnp.asarray(payload["lnl_sq_mean"], dt)
             extra["evid_steps"] = jnp.asarray(

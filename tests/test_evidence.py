@@ -123,6 +123,58 @@ def test_evidence_survives_checkpoint_roundtrip():
     assert np.isclose(lnz, lnz2) and np.isclose(err, err2)
 
 
+def test_driver_writes_evidence_metadata(tmp_path):
+    """A tempered model_galaxy_mcmc run persists MCLNZ/MCLNZERR in the
+    trace-database header (evidence rides the normal fit for free)."""
+    import os
+
+    from psfmc_tpu import model_galaxy_mcmc, load_database
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Configuration, Sersic, Sky
+
+    rng = np.random.RandomState(4)
+    h = w = 24
+    psf = np.zeros((8, 8))
+    psf[4, 4] = 1.0
+    comps = [
+        Configuration(
+            obs_file=0.1 + rng.randn(h, w) * 0.02,
+            obsivm_file=np.full((h, w), 2500.0),
+            psf_files=psf,
+            psfivm_files=np.ones_like(psf) * 1e8,
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=D.Normal(loc=0.1, scale=0.05)),
+        Sersic(
+            xy=D.Uniform(loc=np.array([8.0, 8.0]),
+                         scale=np.array([8.0, 8.0])),
+            mag=D.Uniform(loc=20.0, scale=4.0),
+            reff=D.Uniform(loc=1.0, scale=5.0),
+            reff_b=D.Uniform(loc=1.0, scale=5.0),
+            index=1.0,
+            angle=0.0,
+        ),
+    ]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model_galaxy_mcmc(
+            comps,
+            output_name="evid",
+            iterations=30,
+            burn=30,
+            chains=16,
+            ntemps=3,
+            max_iterations=1,
+            convergence_check=lambda s, verbose=0: True,
+        )
+        db = load_database("evid_db.fits")
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(db.meta["MCLNZ"])
+    assert np.isfinite(db.meta["MCLNZERR"]) and db.meta["MCLNZERR"] >= 0
+
+
 def test_evidence_requires_retained_samples():
     import pytest
 
