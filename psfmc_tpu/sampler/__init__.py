@@ -6,6 +6,7 @@ from .tempered import (
     default_beta_ladder,
     evidence_beta_ladder,
 )
+from .ais import AISResult, ais_beta_schedule, ais_evidence
 
 __all__ = [
     "AutocorrError",
@@ -17,4 +18,7 @@ __all__ = [
     "PTEnsembleSampler",
     "default_beta_ladder",
     "evidence_beta_ladder",
+    "AISResult",
+    "ais_beta_schedule",
+    "ais_evidence",
 ]

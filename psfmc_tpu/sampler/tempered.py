@@ -176,6 +176,37 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def split_like_prior(fns):
+    """(lnlike, lnprior) pair from a posterior object.
+
+    Falls back to ``(lnpost, 0)`` when no ``log_prior`` decomposition is
+    exposed (tempering then acts on the full posterior — correct for
+    improper/flat priors, documented fallback otherwise).
+    """
+    lnprior = getattr(fns, "log_prior", None)
+    lnpost = fns.log_posterior
+    if lnprior is None:
+        return lnpost, lambda theta: jnp.asarray(0.0, theta.dtype)
+
+    def lnlike(theta):
+        # lnpost = lnprior + lnlike; recover lnlike by subtraction
+        # (both -inf outside support; where() keeps -inf dominant)
+        lp = lnprior(theta)
+        post = lnpost(theta)
+        return jnp.where(jnp.isfinite(lp), post - lp, -jnp.inf)
+
+    return lnlike, lnprior
+
+
+def batched_like_prior(fns):
+    """Flat-batch (n, dim) likelihood + prior evaluators; uses the
+    posterior's fused Pallas likelihood when built."""
+    lnlike, lnprior = split_like_prior(fns)
+    fused = getattr(fns, "log_likelihood_batch", None)
+    like_b = fused if fused is not None else jax.vmap(lnlike)
+    return like_b, jax.vmap(lnprior)
+
+
 def _temper(b, lnl):
     """``b * lnl`` with the beta=0 (prior) rung handled exactly.
 
@@ -482,27 +513,12 @@ class PTEnsembleSampler(EnsembleSampler):
     def _lnlike_lnprior_fns(self):
         """(lnlike, lnprior) pair; falls back to (lnpost, 0) when the
         posterior object exposes no decomposition."""
-        lnprior = getattr(self.fns, "log_prior", None)
-        lnpost = self.fns.log_posterior
-        if lnprior is None:
-            return lnpost, lambda theta: jnp.asarray(0.0, theta.dtype)
-
-        def lnlike(theta):
-            # lnpost = lnprior + lnlike; recover lnlike by subtraction
-            # (both -inf outside support; where() keeps -inf dominant)
-            lp = lnprior(theta)
-            post = lnpost(theta)
-            return jnp.where(jnp.isfinite(lp), post - lp, -jnp.inf)
-
-        return lnlike, lnprior
+        return split_like_prior(self.fns)
 
     def _batched_like_prior(self):
         """Flat-batch (n, dim) likelihood + prior evaluators; uses the
         posterior's fused Pallas likelihood when built."""
-        lnlike, lnprior = self._lnlike_lnprior_fns()
-        fused = getattr(self.fns, "log_likelihood_batch", None)
-        like_b = fused if fused is not None else jax.vmap(lnlike)
-        return like_b, jax.vmap(lnprior)
+        return batched_like_prior(self.fns)
 
     def _phase_program(self, accumulate: bool, record: bool):
         # betas is a RUNTIME argument of the program (not baked in), so

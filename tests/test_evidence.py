@@ -11,6 +11,7 @@ has no evidence capability at all — this tests a beyond-reference
 feature (SURVEY.md section 2 item 17 is the sampler family it extends).
 """
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -123,6 +124,95 @@ def test_evidence_survives_checkpoint_roundtrip():
     assert np.isclose(lnz, lnz2) and np.isclose(err, err2)
 
 
+def test_ais_recovers_analytic_lnz():
+    from psfmc_tpu.sampler.ais import ais_beta_schedule, ais_evidence
+
+    post = BoxGaussianPosterior()
+    rng = np.random.RandomState(11)
+    p0 = rng.uniform(-post.a, post.a, (128, 2))  # exact prior draws
+    res = ais_evidence(
+        post, nwalkers=128, nsteps=600, groups=8, seed=5, p0=p0
+    )
+    # AIS anneals in time: finer effective resolution than a 10-rung
+    # ladder, so a tighter tolerance than the PT estimators
+    assert abs(res.lnz - TRUTH) < 0.1, (res.lnz, TRUTH)
+    # the group-to-group error bar covers the actual miss (3 sigma)
+    assert abs(res.lnz - TRUTH) < 3.5 * max(res.err, 0.02)
+    assert res.ess > 0.2 * res.nwalkers  # healthy weight dispersion
+    assert 0.1 < res.accept_fraction < 0.9
+
+    # schedule validation
+    s = ais_beta_schedule(100)
+    assert s[0] == 0.0 and s[-1] == 1.0 and np.all(np.diff(s) >= 0)
+    with pytest.raises(ValueError):
+        ais_evidence(post, nwalkers=128, p0=p0,
+                     schedule=np.linspace(0.1, 1, 50))
+    with pytest.raises(ValueError):
+        ais_evidence(post, nwalkers=8, groups=8, p0=p0)  # 1 walker/group
+
+
+def test_ais_imaging_posterior_group_consistency():
+    """SMC evidence on a real (small) imaging posterior: independent
+    walker groups must agree — group disagreement flags mode-finding
+    failure (measured with 8 walkers/group; 64/group agrees to <1)."""
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Configuration, Sersic, Sky
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+    from psfmc_tpu.sampler.ais import ais_evidence
+
+    rng = np.random.RandomState(3)
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 12) ** 2 + (yy - 12) ** 2) / (2 * 1.2**2))
+    psf /= psf.sum()
+    obs = (
+        0.02
+        + 1.5 * np.exp(-(((xx - 11.4) ** 2 + (yy - 12.6) ** 2)) / (2 * 2.0**2))
+        + rng.randn(h, w) * 0.03
+    )
+    comps = [
+        Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((h, w), 1.0 / 0.03**2),
+            psf_files=psf,
+            psfivm_files=np.full((h, w), 1e8),
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=D.Normal(loc=0.0, scale=0.1)),
+        Sersic(
+            xy=D.Uniform(loc=np.array([8.0, 8.0]),
+                         scale=np.array([8.0, 8.0])),
+            mag=D.Uniform(loc=19.0, scale=4.0),
+            reff=D.Uniform(loc=0.5, scale=4.5),
+            reff_b=D.Uniform(loc=0.5, scale=4.5),
+            index=1.0,
+            angle=0.0,
+        ),
+    ]
+    mcm = MultiComponentModel(components=comps)
+    res = ais_evidence(
+        mcm.posterior_fns, nwalkers=128, nsteps=800, groups=2,
+        sweeps=2, seed=1,
+    )
+    assert np.isfinite(res.lnz)
+    assert res.nresample > 0  # imaging lnL ranges force resampling
+    # both independent groups found the source mode and agree
+    assert abs(res.lnz_groups[0] - res.lnz_groups[1]) < 6.0, res.lnz_groups
+
+
+def test_ais_requires_prior_decomposition():
+    from psfmc_tpu.sampler.ais import ais_evidence
+
+    class NoPrior:
+        dtype = jnp.float64
+
+        def log_posterior(self, theta):
+            return -0.5 * jnp.sum(theta * theta)
+
+    with pytest.raises(ValueError):
+        ais_evidence(NoPrior(), nwalkers=32, nsteps=10)
+
+
 def test_driver_writes_evidence_metadata(tmp_path):
     """A tempered model_galaxy_mcmc run persists MCLNZ/MCLNZERR in the
     trace-database header (evidence rides the normal fit for free)."""
@@ -176,8 +266,6 @@ def test_driver_writes_evidence_metadata(tmp_path):
 
 
 def test_evidence_requires_retained_samples():
-    import pytest
-
     post = BoxGaussianPosterior()
     pt = PTEnsembleSampler(
         16, 2, post, ntemps=4, betas=evidence_beta_ladder(4),
