@@ -67,10 +67,13 @@ def ais_beta_schedule(nsteps: int, power: float = 4.0):
 class AISResult:
     """Outcome of :func:`ais_evidence`."""
 
-    lnz: float  # log evidence (mean of the group estimates, in log)
+    lnz: float  # log evidence (mean of the per-group log-estimates)
     err: float  # group-to-group standard error of lnz
     lnz_groups: np.ndarray  # (groups,) per-group estimates
-    ess: float  # FINAL weight effective sample size (of nwalkers)
+    # worst pre-resample weight ESS over the anneal (summed over
+    # groups, of nwalkers total): how close the run came to weight
+    # collapse between resampling events
+    ess: float
     nwalkers: int
     nsteps: int
     accept_fraction: float  # mean stretch-move acceptance over the anneal
@@ -101,12 +104,13 @@ def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
     # normalized log-weights (logsumexp == 0 per group)
     lnw0 = jnp.full_like(lnl0, -jnp.log(jnp.asarray(m, lnl0.dtype)))
     lnz0 = jnp.zeros(groups, lnl0.dtype)
+    ess_min0 = jnp.full(groups, jnp.asarray(m, lnl0.dtype))
 
     pairs = jnp.stack([betas[:-1], betas[1:]], axis=1)
     logsumexp = jax.scipy.special.logsumexp
 
     def step(carry, bpair):
-        pos, lnl, lnp, lnw, lnz, key, nacc, nres = carry
+        pos, lnl, lnp, lnw, lnz, key, nacc, nres, ess_min = carry
         b_prev, b_new = bpair[0], bpair[1]
         # evidence increment at the CURRENT states (distributed ~ the
         # b_prev-tempered target), before any move:
@@ -116,8 +120,11 @@ def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
         lnz = lnz + s
         lnw = lnw + u - s[:, None]  # renormalize
 
-        # adaptive multinomial resampling per group
+        # adaptive multinomial resampling per group.  ESS is tracked
+        # PRE-resample: the post-resample reset to uniform would mask
+        # terminal weight collapse in the reported diagnostic.
         ess = jnp.exp(-logsumexp(2.0 * lnw, axis=1))  # (groups,)
+        ess_min = jnp.minimum(ess_min, ess)
         need = ess < resample_threshold * m
         key, kr = jax.random.split(key)
         idx = jax.vmap(
@@ -165,14 +172,16 @@ def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
             nacc = nacc + jnp.sum(acc0, dtype=jnp.int32) + jnp.sum(
                 acc1, dtype=jnp.int32
             )
-        return (pos, lnl, lnp, lnw, lnz, key, nacc, nres), None
+        return (pos, lnl, lnp, lnw, lnz, key, nacc, nres, ess_min), None
 
     nacc0 = jnp.asarray(0, jnp.int32)
     nres0 = jnp.asarray(0, jnp.int32)
-    (pos, lnl, lnp, lnw, lnz, _, nacc, nres), _ = jax.lax.scan(
-        step, (p0, lnl0, lnp0, lnw0, lnz0, key, nacc0, nres0), pairs
+    (pos, lnl, lnp, lnw, lnz, _, nacc, nres, ess_min), _ = jax.lax.scan(
+        step,
+        (p0, lnl0, lnp0, lnw0, lnz0, key, nacc0, nres0, ess_min0),
+        pairs,
     )
-    return pos, lnl, lnz, lnw, nacc, nres
+    return pos, lnl, lnz, lnw, nacc, nres, ess_min
 
 
 def ais_evidence(
@@ -187,6 +196,7 @@ def ais_evidence(
     p0: Optional[np.ndarray] = None,
     a: float = 2.0,
     resample_threshold: float = 0.5,
+    mesh=None,
 ):
     """Marginal likelihood by annealed importance sampling.
 
@@ -212,6 +222,12 @@ def ais_evidence(
     :param p0: optional (nwalkers, dim) EXACT prior draws (e.g.
         ``MultiComponentModel.init_params_from_priors``).  ``None``
         draws them column-wise from the model's priors.
+    :param mesh: optional ``jax.sharding.Mesh`` (e.g.
+        ``parallel.walker_mesh()``): the GROUP axis shards over the
+        mesh.  Groups are embarrassingly parallel (moves and
+        resampling act within a group), so evidence scales to a full
+        slice with zero collectives in the hot loop; make ``groups`` a
+        multiple of the device count.
     :returns: :class:`AISResult`.
     """
     fns = posterior_fns
@@ -219,6 +235,11 @@ def ais_evidence(
         raise ValueError(
             "ais_evidence needs a posterior with a log_prior "
             "decomposition (AIS anchors at the normalized prior)"
+        )
+    if groups < 2:
+        raise ValueError(
+            "need groups >= 2: the error bar is the group-to-group "
+            "scatter (a single group has no dispersion estimate)"
         )
     m = nwalkers // groups
     m -= m % 2
@@ -238,6 +259,19 @@ def ais_evidence(
         raise ValueError("schedule must ascend from 0 to 1")
     nsteps = len(schedule) - 1
 
+    # ONE cached batched-prior program (evaluated at the full fixed
+    # (nwalkers, dim) shape every round): ad-hoc per-round jit wrappers
+    # + changing shapes would recompile on every rejection round, and
+    # tunnel compiles take minutes (posterior.py:183-186 convention)
+    cache = getattr(fns, "programs", None)
+    pkey = ("ais_batched_prior",)
+    if cache is not None and pkey in cache:
+        batched_prior = cache[pkey]
+    else:
+        batched_prior = jax.jit(jax.vmap(fns.log_prior))
+        if cache is not None:
+            cache[pkey] = batched_prior
+
     if p0 is None:
         from ..optimize import _prior_pool
 
@@ -245,31 +279,36 @@ def ais_evidence(
         p0 = _prior_pool(fns.spec, nwalkers, rng)
         # joint-constraint rejection (reff >= reff_b etc.): resample
         # rows with -inf prior so p0 is an exact constrained-prior draw
-        prior_one = fns.log_prior
-        lp = np.array(
-            jax.jit(jax.vmap(prior_one))(jnp.asarray(p0, fns.dtype))
-        )
-        bad = ~np.isfinite(lp)
+        lp = np.array(batched_prior(jnp.asarray(p0, fns.dtype)))
         tries = 0
-        while np.any(bad) and tries < 100:
-            p0[bad] = _prior_pool(fns.spec, int(bad.sum()), rng)
-            lp[bad] = np.asarray(
-                jax.jit(jax.vmap(prior_one))(
-                    jnp.asarray(p0[bad], fns.dtype)
-                )
-            )
+        while not np.all(np.isfinite(lp)) and tries < 100:
             bad = ~np.isfinite(lp)
+            p0[bad] = _prior_pool(fns.spec, int(bad.sum()), rng)
+            lp = np.array(batched_prior(jnp.asarray(p0, fns.dtype)))
             tries += 1
-        if np.any(bad):
+        if not np.all(np.isfinite(lp)):
             raise RuntimeError(
                 "could not draw in-support prior samples after 100 "
                 "rejection rounds; check the joint prior constraints"
+            )
+    else:
+        # a user p0 with out-of-support rows would silently bias lnZ by
+        # ln(in-support fraction) — identically in EVERY group, so the
+        # group error bar cannot catch it; refuse instead
+        p0 = np.asarray(p0, np.float64)
+        lp = np.array(batched_prior(jnp.asarray(p0, fns.dtype)))
+        n_bad = int(np.sum(~np.isfinite(lp)))
+        if n_bad:
+            raise ValueError(
+                f"{n_bad}/{len(p0)} rows of p0 are outside the prior "
+                "support; AIS anchors at the normalized prior, so p0 "
+                "must be an exact constrained-prior draw (pass p0=None "
+                "to let ais_evidence rejection-sample one)"
             )
     p0 = np.asarray(p0, np.float64)[:nwalkers].reshape(groups, m, -1)
     dim = p0.shape[-1]
 
     like_b, prior_b = batched_like_prior(fns)
-    cache = getattr(fns, "programs", None)
     cache_key = ("ais", groups, m, dim, sweeps, float(a), nsteps,
                  float(resample_threshold))
     if cache is not None and cache_key in cache:
@@ -292,18 +331,34 @@ def ais_evidence(
 
     key = jax.random.PRNGKey(seed)
     betas_dev = jnp.asarray(schedule, fns.dtype)
-    _pos, _lnl, lnz_g, lnw, nacc, nres = program(
-        jnp.asarray(p0, fns.dtype), key, betas_dev
+    p0_dev = jnp.asarray(p0, fns.dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if groups % mesh.size != 0:
+            raise ValueError(
+                f"groups={groups} must be a multiple of the mesh size "
+                f"({mesh.size}) to shard the group axis"
+            )
+        axis = mesh.axis_names[0]
+        p0_dev = jax.device_put(
+            p0_dev, NamedSharding(mesh, PartitionSpec(axis, None, None))
+        )
+    _pos, _lnl, lnz_g, _lnw, nacc, nres, ess_min = program(
+        p0_dev, key, betas_dev
     )
     lnz_g = np.asarray(lnz_g, np.float64)  # (groups,)
-    lnw = np.asarray(lnw, np.float64)  # (groups, m) normalized
 
-    # each group's Z-hat is unbiased (SMC); combine as their mean
-    gmax = lnz_g.max()
-    lnz = float(gmax + np.log(np.mean(np.exp(lnz_g - gmax))))
+    # point estimate and error bar form a CONSISTENT pair: the mean of
+    # the per-group log-estimates with its standard error.  (The
+    # Z-space mean of group estimates is the unbiased combination but
+    # is dominated by the max group, which sits systematically above
+    # the center of the log-scatter band — a mismatched interval.)
+    lnz = float(np.mean(lnz_g))
     err = float(np.std(lnz_g, ddof=1) / np.sqrt(groups))
-    w = np.exp(lnw - lnw.max())
-    ess = float(w.sum() ** 2 / (w**2).sum())
+    # worst PRE-resample weight ESS over the anneal, summed over groups
+    # (the post-resample reset would mask terminal collapse)
+    ess = float(np.sum(np.asarray(ess_min, np.float64)))
     accept = float(nacc) / (nsteps * sweeps * nwalkers)
 
     return AISResult(

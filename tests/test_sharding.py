@@ -224,3 +224,35 @@ def test_dryrun_multichip_in_suite():
     # backend already initialized by conftest with 8 CPU devices; the
     # self-provisioning path must detect that and proceed
     graft.dryrun_multichip(8)
+
+
+def test_sharded_ais_evidence_matches_unsharded():
+    """Evidence groups are embarrassingly parallel: sharding the group
+    axis over the mesh must not change the estimate (same program, same
+    PRNG stream, no cross-group reductions)."""
+    from psfmc_tpu.sampler.ais import ais_evidence
+    from tests.test_evidence import TRUTH, BoxGaussianPosterior
+
+    rng = np.random.RandomState(11)
+    p0 = rng.uniform(-5.0, 5.0, (64, 2))
+
+    def run(mesh):
+        # fresh posterior object per run: the cached AIS program closes
+        # over the fns, so reuse would blur the comparison
+        post = BoxGaussianPosterior()
+        return ais_evidence(
+            post, nwalkers=64, nsteps=300, groups=8, seed=3, p0=p0,
+            mesh=mesh,
+        )
+
+    plain = run(None)
+    sharded = run(walker_mesh())
+    assert np.allclose(plain.lnz_groups, sharded.lnz_groups, rtol=1e-6)
+    assert np.isclose(plain.lnz, sharded.lnz)
+    assert abs(sharded.lnz - TRUTH) < 0.3
+
+    with pytest.raises(ValueError):
+        run_bad = ais_evidence(
+            BoxGaussianPosterior(), nwalkers=60, nsteps=20, groups=6,
+            seed=0, p0=p0[:60], mesh=walker_mesh(),
+        )
