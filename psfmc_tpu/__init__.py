@@ -47,3 +47,9 @@ try:  # pragma: no cover
     __all__.append("fit_map")
 except ImportError:
     pass
+try:  # pragma: no cover
+    from .fitting import model_galaxy_evidence  # noqa: F401
+
+    __all__.append("model_galaxy_evidence")
+except ImportError:
+    pass

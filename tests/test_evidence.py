@@ -200,6 +200,60 @@ def test_ais_imaging_posterior_group_consistency():
     assert abs(res.lnz_groups[0] - res.lnz_groups[1]) < 6.0, res.lnz_groups
 
 
+def test_model_comparison_bayes_factor():
+    """model_galaxy_evidence: the ln Bayes factor must strongly favor
+    the source+sky model over sky-only when a bright source is present
+    — the actual scientific use case ('does this image need a host?')."""
+    from psfmc_tpu import model_galaxy_evidence
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Configuration, Sersic, Sky
+
+    rng = np.random.RandomState(6)
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 12) ** 2 + (yy - 12) ** 2) / (2 * 1.2**2))
+    psf /= psf.sum()
+    obs = (
+        0.02
+        + 1.0 * np.exp(-(((xx - 12.2) ** 2 + (yy - 11.7) ** 2)) / (2 * 2.0**2))
+        + rng.randn(h, w) * 0.05
+    )
+
+    def config():
+        return Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((h, w), 1.0 / 0.05**2),
+            psf_files=psf,
+            psfivm_files=np.full((h, w), 1e8),
+            mag_zeropoint=25.0,
+        )
+
+    sky_only = [config(), Sky(adu=D.Normal(loc=0.0, scale=0.3))]
+    sky_sersic = [
+        config(),
+        Sky(adu=D.Normal(loc=0.0, scale=0.3)),
+        Sersic(
+            xy=D.Uniform(loc=np.array([8.0, 8.0]),
+                         scale=np.array([8.0, 8.0])),
+            mag=D.Uniform(loc=19.0, scale=4.0),
+            reff=D.Uniform(loc=0.5, scale=4.5),
+            reff_b=D.Uniform(loc=0.5, scale=4.5),
+            index=1.0,
+            angle=0.0,
+        ),
+    ]
+    r_sky = model_galaxy_evidence(
+        sky_only, nwalkers=64, nsteps=300, groups=2, sweeps=1, seed=1
+    )
+    r_full = model_galaxy_evidence(
+        sky_sersic, nwalkers=128, nsteps=800, groups=2, sweeps=2, seed=1
+    )
+    ln_bayes = r_full.lnz - r_sky.lnz
+    # the source is ~20 sigma significant in aggregate: the Bayes
+    # factor must be decisively positive (and huge)
+    assert ln_bayes > 100, (r_full.lnz, r_sky.lnz)
+
+
 def test_ais_requires_prior_decomposition():
     from psfmc_tpu.sampler.ais import ais_evidence
 
