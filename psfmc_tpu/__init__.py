@@ -53,3 +53,9 @@ try:  # pragma: no cover
     __all__.append("model_galaxy_evidence")
 except ImportError:
     pass
+try:  # pragma: no cover
+    from .fitting import model_galaxy_map  # noqa: F401
+
+    __all__.append("model_galaxy_map")
+except ImportError:
+    pass

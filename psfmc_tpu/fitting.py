@@ -31,7 +31,103 @@ from .database import load_checkpoint, load_database, save_database
 from .models.multicomponent import MultiComponentModel
 from .sampler.ensemble import EnsembleSampler
 
-__all__ = ["model_galaxy_mcmc", "model_galaxy_evidence"]
+__all__ = [
+    "model_galaxy_mcmc",
+    "model_galaxy_evidence",
+    "model_galaxy_map",
+]
+
+
+def model_galaxy_map(
+    model_file,
+    output_name=None,
+    write_fits=default_filetypes,
+    n_starts: int = 64,
+    steps: int = 500,
+    seed: int = 0,
+    laplace: bool = True,
+):
+    """Quick-look gradient MAP fit: best-fit model images in seconds.
+
+    The GALFIT-replacement mode: a multi-start Adam ascent of the
+    log-posterior (:func:`psfmc_tpu.optimize.fit_map`) followed by the
+    same five FITS image products as a full MCMC run, with best-fit
+    parameter values (+/- Laplace standard errors when ``laplace``) in
+    the headers under the usual FITS abbreviations.  No trace database
+    is written — for posteriors, run :func:`model_galaxy_mcmc` (which
+    accepts ``init='map'`` to reuse this fit as its warm start).
+
+    :returns: the :class:`psfmc_tpu.optimize.MAPResult`.
+    """
+    from collections import OrderedDict as _OD
+
+    from .analysis.images import _fits_section_header
+    from .database import annotate_metadata
+    from .io import fits
+    from .optimize import fit_map
+
+    if output_name is None:
+        name = model_file if isinstance(model_file, str) else "model"
+        output_name = "out_" + os.path.basename(name).replace(".py", "")
+    output_name += "_{}"
+
+    mc_model = MultiComponentModel(components=model_file)
+    rng = np.random.RandomState(seed)
+    pool = mc_model.init_params_from_priors(
+        max(4 * n_starts, 128), random_state=rng
+    )
+    res = fit_map(
+        mc_model.posterior_fns,
+        n_starts=n_starts,
+        steps=steps,
+        seed=seed,
+        p0=pool,
+        laplace=laplace,
+    )
+    print(f"MAP fit: lnpost = {res.lnpost:.2f}")
+
+    header = (
+        mc_model.obs_header.copy() if mc_model.obs_header else fits.Header()
+    )
+    header.extend(_fits_section_header("psfMC MAP FIT PARAMETERS"))
+    stats = _OD()
+    stats["MAPLNP"] = float(res.lnpost)
+    pos = 0
+    for name, ln, abbr in zip(
+        mc_model.param_names, mc_model.param_lens, mc_model.param_fits_abbrs
+    ):
+        val = res.theta[pos : pos + ln]
+        std = (
+            res.theta_std[pos : pos + ln]
+            if res.theta_std is not None
+            else np.full(ln, np.nan)
+        )
+        if ln == 1:
+            s = f"{val[0]:0.4g}"
+            if np.isfinite(std[0]):
+                s += f" +/- {std[0]:0.4g}"
+        else:
+            s = "(" + ",".join(f"{v:0.4g}" for v in val) + ")"
+            if np.all(np.isfinite(std)):
+                s += " +/- (" + ",".join(f"{v:0.4g}" for v in std) + ")"
+        stats[abbr] = s
+        pos += ln
+    for key, value in annotate_metadata(stats).items():
+        header.set(key, value[0], value[1])
+
+    imgs = mc_model.render_images_batch(res.theta[None, :])
+    print("Saving MAP models")
+    for ftype in write_fits:
+        data = np.asarray(imgs[ftype][0], dtype=np.float64)
+        data[~np.isfinite(data)] = 0.0
+        header.set("OBJECT", ftype)
+        fits.writeto(
+            output_name.format(ftype) + ".fits",
+            data.astype(np.float32),
+            header=header,
+            overwrite=True,
+        )
+    return res
 
 
 def model_galaxy_evidence(

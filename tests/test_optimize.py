@@ -129,6 +129,78 @@ def test_scatter_around_in_support():
     assert np.all(np.isfinite(lnp))
 
 
+def test_laplace_std_matches_mcmc_posterior():
+    """Laplace error bars at the MAP agree with the MCMC posterior std
+    on a high-S/N (Gaussian-like) posterior."""
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    rng = np.random.RandomState(42)
+    comps = _make_components(rng)
+    mcm = MultiComponentModel(components=comps)
+    fns = mcm.posterior_fns
+
+    pool = mcm.init_params_from_priors(256, random_state=rng)
+    res = fit_map(fns, n_starts=16, steps=400, p0=pool, seed=1,
+                  laplace=True)
+    assert res.theta_std is not None and res.cov is not None
+    assert np.all(np.isfinite(res.theta_std))
+    # covariance is symmetric positive on the diagonal
+    assert np.allclose(res.cov, res.cov.T, equal_nan=True)
+
+    # MCMC posterior around the same mode
+    from psfmc_tpu.optimize import scatter_around
+
+    p0 = scatter_around(fns, res.theta, 64, scale=0.1, seed=3)
+    s = EnsembleSampler(64, mcm.num_params, fns, seed=4)
+    s.init_state(p0)
+    s.run_burn(300)
+    s.reset()
+    s.run_sampling(400)
+    mcmc_std = np.std(
+        np.asarray(s.flatchain, np.float64), axis=0
+    )
+    # high-S/N posterior is near-Gaussian: agree within a factor ~2
+    ratio = res.theta_std / np.maximum(mcmc_std, 1e-12)
+    assert np.all(ratio > 0.4), (res.theta_std, mcmc_std)
+    assert np.all(ratio < 2.5), (res.theta_std, mcmc_std)
+
+
+def test_model_galaxy_map_quicklook(tmp_path):
+    """model_galaxy_map writes the five MAP image products with
+    parameter values +/- Laplace errors in the headers."""
+    import os
+
+    from psfmc_tpu import model_galaxy_map
+    from psfmc_tpu.io import fits
+
+    rng = np.random.RandomState(9)
+    comps = _make_components(rng)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        res = model_galaxy_map(
+            comps, output_name="quick", n_starts=16, steps=300, seed=0
+        )
+        for ftype in (
+            "raw_model",
+            "convolved_model",
+            "composite_ivm",
+            "residual",
+            "point_source_subtracted",
+        ):
+            assert os.path.exists(f"quick_{ftype}.fits"), ftype
+        hdr = fits.getheader("quick_residual.fits")
+        assert np.isclose(hdr["MAPLNP"], res.lnpost, rtol=1e-5)
+        # per-parameter cards present under the FITS abbreviations,
+        # with the +/- Laplace error rendered
+        assert any("+/-" in str(card[1]) for card in hdr._cards)
+        # residual of a converged MAP fit is noise-like
+        resid = fits.getdata("quick_residual.fits")
+        assert np.sqrt(np.mean(resid**2)) < 0.02
+    finally:
+        os.chdir(cwd)
+
+
 def test_driver_init_map(tmp_path):
     rng = np.random.RandomState(7)
     comps = _make_components(rng, noise=0.02)
