@@ -95,6 +95,49 @@ def plot_chain_main(argv=None):
     return 0
 
 
+QUICK_FIT_DOC = """
+Quick-look gradient MAP fit of a model file (no MCMC): writes the five
+best-fit image products with parameter values +/- Laplace standard
+errors in the headers, in seconds.  For full posteriors, use
+model_galaxy_mcmc (optionally with init='map' to reuse this fit).
+
+Usage: quick_fit <model.py> [output_name] [key=value ...]
+
+Optional key=value settings: n_starts (64), steps (500), seed (0),
+laplace (1).
+
+Examples:
+  quick_fit model_J0005.py
+  quick_fit model_J0005.py quick_J0005 n_starts=128 steps=800
+"""
+
+
+def quick_fit_main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 2:
+        print(QUICK_FIT_DOC)
+        return 0
+
+    args = argv[1:]
+    kwargs = {}
+    for kv in [a for a in list(args) if "=" in a]:
+        args.remove(kv)
+        key, _, value = kv.partition("=")
+        if key not in ("n_starts", "steps", "seed", "laplace"):
+            print(f"Unknown setting {key!r}\n{QUICK_FIT_DOC}")
+            return 2
+        kwargs[key] = int(value) if key != "laplace" else bool(int(value))
+
+    model_file = args[0]
+    output_name = args[1] if len(args) > 1 else None
+
+    from .fitting import model_galaxy_map
+
+    res = model_galaxy_map(model_file, output_name=output_name, **kwargs)
+    print(f"lnpost = {res.lnpost:.3f}  (psf_index = {res.psf_index})")
+    return 0
+
+
 def corner_plot_main(argv=None):
     argv = list(sys.argv if argv is None else argv)
     if len(argv) < 2:

@@ -118,7 +118,7 @@ def model_galaxy_map(
     imgs = mc_model.render_images_batch(res.theta[None, :])
     print("Saving MAP models")
     for ftype in write_fits:
-        data = np.asarray(imgs[ftype][0], dtype=np.float64)
+        data = np.array(imgs[ftype][0], dtype=np.float64)
         data[~np.isfinite(data)] = 0.0
         header.set("OBJECT", ftype)
         fits.writeto(

@@ -201,6 +201,50 @@ def test_model_galaxy_map_quicklook(tmp_path):
         os.chdir(cwd)
 
 
+def test_quick_fit_cli(tmp_path):
+    """The quick_fit console entry point: model file -> MAP images."""
+    import os
+
+    from psfmc_tpu.cli import quick_fit_main
+
+    rng = np.random.RandomState(2)
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 12) ** 2 + (yy - 12) ** 2) / (2 * 1.2**2))
+    psf /= psf.sum()
+    obs = 0.05 + 1.0 * np.exp(
+        -(((xx - 12.0) ** 2 + (yy - 12.0) ** 2)) / (2 * 2.0**2)
+    ) + rng.randn(h, w) * 0.03
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        np.save("obs.npy", obs)
+        np.save("psf.npy", psf)
+        open("m.py", "w").write(
+            "import numpy as np\n"
+            "Configuration(obs_file=np.load('obs.npy'),\n"
+            "    obsivm_file=np.full((24,24), 1111.0),\n"
+            "    psf_files=np.load('psf.npy'),\n"
+            "    psfivm_files=np.full((24,24), 1e8), mag_zeropoint=25.0)\n"
+            "Sky(adu=Normal(loc=0.05, scale=0.1))\n"
+            "Sersic(xy=Uniform(loc=np.array([8.,8.]),"
+            " scale=np.array([8.,8.])),\n"
+            "    mag=Uniform(loc=19., scale=4.),"
+            " reff=Uniform(loc=0.5, scale=4.5),\n"
+            "    reff_b=Uniform(loc=0.5, scale=4.5), index=1.0, angle=0.0)\n"
+        )
+        assert quick_fit_main(["quick_fit"]) == 0  # doc text
+        assert quick_fit_main(["quick_fit", "m.py", "bogus=1"]) == 2
+        rc = quick_fit_main(
+            ["quick_fit", "m.py", "n_starts=8", "steps=150"]
+        )
+        assert rc == 0
+        assert os.path.exists("out_m_residual.fits")
+    finally:
+        os.chdir(cwd)
+
+
 def test_driver_init_map(tmp_path):
     rng = np.random.RandomState(7)
     comps = _make_components(rng, noise=0.02)
