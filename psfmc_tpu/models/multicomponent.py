@@ -234,6 +234,36 @@ class MultiComponentModel:
         """Data minus the convolved point-source components only."""
         return self._current_images()["point_source_subtracted"]
 
+    def simulate(self, theta=None, random_state=None, add_noise=True):
+        """Mock observation: PSF-convolved model + observation noise.
+
+        The core of detection/completeness simulations (a standard
+        psfMC-family workflow the reference leaves to the user): inject
+        a model realization into the observation's noise field and feed
+        the result back through a fit.  ``theta=None`` draws the
+        parameters from the priors; noise is per-pixel Gaussian at the
+        observation's variance map (bad pixels — infinite variance —
+        get zero noise, matching how the likelihood masks them).
+
+        :returns: ``(mock_image, theta)`` — (H, W) float64 and the
+            (num_params,) parameter vector that generated it.
+        """
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        if theta is None:
+            theta = self.init_params_from_priors(1, random_state=rng)[0]
+        theta = np.asarray(theta, np.float64)
+        conv = self.render_images_batch(theta[None])["convolved_model"][0]
+        mock = np.asarray(conv, np.float64)
+        if add_noise:
+            sigma = np.sqrt(np.asarray(self.spec.obs_var, np.float64))
+            sigma = np.where(np.isfinite(sigma), sigma, 0.0)
+            mock = mock + rng.randn(*mock.shape) * sigma
+        return mock, theta
+
     def render_images_batch(self, thetas):
         """Batched renderer: (n, num_params) -> dict of (n, H, W) images.
 
