@@ -129,11 +129,23 @@ def laplace_covariance(posterior_fns, theta_map, transform=None):
     # the posterior pins its own dtype internally; autodiff (no finite
     # differencing) keeps f32 curvature accurate to ~1e-4 relative —
     # ample for error bars.  Host-side linear algebra runs in f64.
-    x0 = jnp.asarray(theta_map[offsets], fns.dtype)
-    H = np.asarray(hess(x0), np.float64)
-
     cov = np.full((dim, dim), np.nan)
     std = np.full(dim, np.nan)
+    x0 = jnp.asarray(theta_map[offsets], fns.dtype)
+    try:
+        H = np.asarray(hess(x0), np.float64)
+    except NotImplementedError:
+        from warnings import warn
+
+        # the PSFMC_KAPPA=newton gammaincinv path is only once-
+        # differentiable (jax has no rule for igamma_grad_a's own
+        # derivative); the default cubic-table kappa is C^2-smooth
+        warn(
+            "posterior is not twice-differentiable under the current "
+            "PSFMC_KAPPA setting; Laplace covariance is NaN (use the "
+            "default table-based kappa)"
+        )
+        return cov, std
     try:
         # inv via Cholesky of -H: fails (correctly) when not PD
         L = np.linalg.cholesky(-H)

@@ -143,6 +143,13 @@ def test_laplace_std_matches_mcmc_posterior():
     res = fit_map(fns, n_starts=16, steps=400, p0=pool, seed=1,
                   laplace=True)
     assert res.theta_std is not None and res.cov is not None
+    import os as _os
+    if _os.environ.get("PSFMC_KAPPA", "table") == "newton":
+        # the Newton kappa is only once-differentiable; Laplace
+        # degrades to NaN with a warning (asserted) and the MCMC
+        # comparison below is meaningless
+        assert np.all(~np.isfinite(res.theta_std))
+        return
     assert np.all(np.isfinite(res.theta_std))
     # covariance is symmetric positive on the diagonal
     assert np.allclose(res.cov, res.cov.T, equal_nan=True)
@@ -192,8 +199,11 @@ def test_model_galaxy_map_quicklook(tmp_path):
         hdr = fits.getheader("quick_residual.fits")
         assert np.isclose(hdr["MAPLNP"], res.lnpost, rtol=1e-5)
         # per-parameter cards present under the FITS abbreviations,
-        # with the +/- Laplace error rendered
-        assert any("+/-" in str(card[1]) for card in hdr._cards)
+        # with the +/- Laplace error rendered (bare values under the
+        # once-differentiable newton kappa)
+        import os as _os
+        if _os.environ.get("PSFMC_KAPPA", "table") != "newton":
+            assert any("+/-" in str(card[1]) for card in hdr._cards)
         # residual of a converged MAP fit is noise-like
         resid = fits.getdata("quick_residual.fits")
         assert np.sqrt(np.mean(resid**2)) < 0.02
