@@ -130,11 +130,40 @@ def save_posterior_images(
         )
         return
 
-    for ftype in filetypes:
+    write_image_products(
+        output_name, output_data, header, filetypes, bad_px_value
+    )
+
+
+def write_image_products(
+    output_name,
+    images,
+    header,
+    filetypes=default_filetypes,
+    bad_px_value=0,
+):
+    """Write a dict of (H, W) images as the standard FITS products.
+
+    Shared by the posterior writer and the MAP quick-look driver so
+    the two cannot drift: '{}' handling, unknown-filetype warn-and-skip,
+    non-finite-pixel replacement, f32 output, OBJECT card per type.
+    """
+    if "{}" not in output_name:
+        output_name += "_{}"
+    known = [f for f in filetypes if f in images]
+    unknown = set(filetypes) - set(known)
+    if unknown:
+        warn(
+            f"Unknown filetypes requested: {unknown} Output images will "
+            "not be generated for these types."
+        )
+    for ftype in known:
+        data = np.array(images[ftype], dtype=np.float64)
+        data[~np.isfinite(data)] = bad_px_value
         header.set("OBJECT", ftype)
         fits.writeto(
             output_name.format(ftype) + ".fits",
-            output_data[ftype].astype(np.float32),
+            data.astype(np.float32),
             header=header,
             overwrite=True,
         )

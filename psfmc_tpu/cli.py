@@ -1,8 +1,10 @@
-"""Command-line drivers: plot_chain and corner_plot.
+"""Command-line drivers: plot_chain, corner_plot, and quick_fit.
 
 These back both the installed console scripts (pyproject [project.scripts])
-and the executable files in ``scripts/`` — capability parity with the
-reference's two CLI tools (reference scripts/plot_chain, scripts/corner_plot).
+and the executable files in ``scripts/``.  plot_chain/corner_plot are
+capability parity with the reference's two CLI tools (reference
+scripts/plot_chain, scripts/corner_plot); quick_fit is the
+beyond-reference gradient MAP driver.
 """
 from __future__ import annotations
 
@@ -126,8 +128,17 @@ def quick_fit_main(argv=None):
         if key not in ("n_starts", "steps", "seed", "laplace"):
             print(f"Unknown setting {key!r}\n{QUICK_FIT_DOC}")
             return 2
-        kwargs[key] = int(value) if key != "laplace" else bool(int(value))
+        try:
+            kwargs[key] = (
+                int(value) if key != "laplace" else bool(int(value))
+            )
+        except ValueError:
+            print(f"Setting {key!r} needs an integer, got {value!r}")
+            return 2
 
+    if not args:
+        print(f"No model file given\n{QUICK_FIT_DOC}")
+        return 2
     model_file = args[0]
     output_name = args[1] if len(args) > 1 else None
 

@@ -61,7 +61,7 @@ def model_galaxy_map(
     """
     from collections import OrderedDict as _OD
 
-    from .analysis.images import _fits_section_header
+    from .analysis.images import _fits_section_header, write_image_products
     from .database import annotate_metadata
     from .io import fits
     from .optimize import fit_map
@@ -69,7 +69,8 @@ def model_galaxy_map(
     if output_name is None:
         name = model_file if isinstance(model_file, str) else "model"
         output_name = "out_" + os.path.basename(name).replace(".py", "")
-    output_name += "_{}"
+    if "{}" not in output_name:
+        output_name += "_{}"
 
     mc_model = MultiComponentModel(components=model_file)
     rng = np.random.RandomState(seed)
@@ -117,16 +118,9 @@ def model_galaxy_map(
 
     imgs = mc_model.render_images_batch(res.theta[None, :])
     print("Saving MAP models")
-    for ftype in write_fits:
-        data = np.array(imgs[ftype][0], dtype=np.float64)
-        data[~np.isfinite(data)] = 0.0
-        header.set("OBJECT", ftype)
-        fits.writeto(
-            output_name.format(ftype) + ".fits",
-            data.astype(np.float32),
-            header=header,
-            overwrite=True,
-        )
+    write_image_products(
+        output_name, {k: v[0] for k, v in imgs.items()}, header, write_fits
+    )
     return res
 
 

@@ -112,17 +112,21 @@ def laplace_covariance(posterior_fns, theta_map, transform=None):
     dim = fns.spec.num_params
     theta_map = np.asarray(theta_map, np.float64)
 
-    def lnpost_cont(x):
-        theta = jnp.asarray(theta_map, x.dtype)
-        theta = theta.at[jnp.asarray(offsets)].set(x)
+    # theta_base is a RUNTIME argument (not a baked trace constant):
+    # repeat calls on the same PosteriorFns — e.g. a second MAP whose
+    # best discrete PSF index differs — must not hit a cached Hessian
+    # conditioned on the first call's theta.  The offsets layout is
+    # part of the cache key for the same reason (custom transforms).
+    def lnpost_cont(x, theta_base):
+        theta = theta_base.at[jnp.asarray(offsets)].set(x)
         return fns.log_posterior(theta)
 
     cache = getattr(fns, "programs", None)
-    hkey = ("laplace_hessian",)
+    hkey = ("laplace_hessian", tuple(int(o) for o in offsets))
     if cache is not None and hkey in cache:
         hess = cache[hkey]
     else:
-        hess = jax.jit(jax.hessian(lnpost_cont))
+        hess = jax.jit(jax.hessian(lnpost_cont, argnums=0))
         if cache is not None:
             cache[hkey] = hess
 
@@ -132,8 +136,9 @@ def laplace_covariance(posterior_fns, theta_map, transform=None):
     cov = np.full((dim, dim), np.nan)
     std = np.full(dim, np.nan)
     x0 = jnp.asarray(theta_map[offsets], fns.dtype)
+    theta_base = jnp.asarray(theta_map, fns.dtype)
     try:
-        H = np.asarray(hess(x0), np.float64)
+        H = np.asarray(hess(x0, theta_base), np.float64)
     except NotImplementedError:
         from warnings import warn
 
@@ -147,10 +152,13 @@ def laplace_covariance(posterior_fns, theta_map, transform=None):
         )
         return cov, std
     try:
-        # inv via Cholesky of -H: fails (correctly) when not PD
-        L = np.linalg.cholesky(-H)
-        cov_c = np.linalg.inv(L.T) @ np.linalg.inv(L)
-    except np.linalg.LinAlgError:
+        # inv via Cholesky of -H: fails (correctly) when not PD;
+        # triangular solves, not explicit inverses (stabler, cheaper)
+        from scipy.linalg import cho_factor, cho_solve
+
+        cov_c = cho_solve(cho_factor(-H, lower=True), np.eye(len(H)))
+    except (np.linalg.LinAlgError, ValueError):
+        # LinAlgError: not PD; ValueError: NaN/inf curvature entries
         from warnings import warn
 
         warn(

@@ -172,6 +172,31 @@ def test_laplace_std_matches_mcmc_posterior():
     assert np.all(ratio < 2.5), (res.theta_std, mcmc_std)
 
 
+def test_laplace_theta_is_runtime_argument():
+    """Two laplace_covariance calls on the SAME fns at different theta
+    must give different curvature — guards against the jitted Hessian
+    baking the first call's theta into the compiled closure."""
+    from psfmc_tpu.optimize import laplace_covariance
+
+    rng = np.random.RandomState(1)
+    comps = _make_components(rng)
+    mcm = MultiComponentModel(components=comps)
+    fns = mcm.posterior_fns
+
+    t1 = mcm.init_params_from_priors(1, random_state=rng)[0]
+    t2 = mcm.init_params_from_priors(1, random_state=rng)[0]
+    _, s1 = laplace_covariance(fns, t1)
+    _, s2 = laplace_covariance(fns, t2)
+    finite = np.isfinite(s1) & np.isfinite(s2)
+    if np.any(finite):
+        assert not np.allclose(s1[finite], s2[finite])
+    else:
+        # both random points may be saddles; re-evaluating t1 must at
+        # least reproduce itself (cache keyed correctly)
+        _, s1b = laplace_covariance(fns, t1)
+        assert np.array_equal(np.isnan(s1), np.isnan(s1b))
+
+
 def test_model_galaxy_map_quicklook(tmp_path):
     """model_galaxy_map writes the five MAP image products with
     parameter values +/- Laplace errors in the headers."""
@@ -246,6 +271,8 @@ def test_quick_fit_cli(tmp_path):
         )
         assert quick_fit_main(["quick_fit"]) == 0  # doc text
         assert quick_fit_main(["quick_fit", "m.py", "bogus=1"]) == 2
+        assert quick_fit_main(["quick_fit", "n_starts=8"]) == 2  # no model
+        assert quick_fit_main(["quick_fit", "m.py", "steps=abc"]) == 2
         rc = quick_fit_main(
             ["quick_fit", "m.py", "n_starts=8", "steps=150"]
         )
