@@ -191,6 +191,7 @@ def model_galaxy_mcmc(
     checkpoint_interval=None,
     sampler="ensemble",
     init="prior",
+    moves="stretch",
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -238,6 +239,10 @@ def model_galaxy_mcmc(
         adaptation length — typically needs ~10x fewer posterior
         evaluations per effective sample).  ntemps only applies to the
         ensemble sampler.
+    :param moves: ensemble proposal family: ``'stretch'`` (emcee-2.x
+        parity, default), ``'de'`` (differential evolution) or
+        ``'mixed'`` (50/50 per step; cuts the autocorrelation of
+        flux-sharing degeneracies).  Plain ensemble sampler only.
     :param init: ``'prior'`` (default) initializes walkers from prior
         draws (reference models.py:108-130 semantics); ``'map'`` first
         runs a multi-start gradient MAP fit (:func:`psfmc_tpu.optimize.
@@ -272,6 +277,8 @@ def model_galaxy_mcmc(
 
         if ntemps > 1:
             warn("ntemps is ignored with sampler='nuts'")
+        if moves != "stretch":
+            warn("moves= is ignored with sampler='nuts'")
         sampler = NUTSSampler(
             nwalkers=chains,
             dim=mc_model.num_params,
@@ -283,6 +290,9 @@ def model_galaxy_mcmc(
         if ntemps > 1:
             from .sampler.tempered import PTEnsembleSampler
 
+            if moves != "stretch":
+                warn("moves= is ignored with ntemps > 1 (tempered runs "
+                     "use stretch moves)")
             sampler = PTEnsembleSampler(
                 nwalkers=chains,
                 dim=mc_model.num_params,
@@ -299,6 +309,7 @@ def model_galaxy_mcmc(
                 posterior_fns=mc_model.posterior_fns,
                 seed=seed,
                 sharding=sharding,
+                moves=moves,
             )
     else:
         raise ValueError(

@@ -97,25 +97,58 @@ def welford_batch_update(moments, batch):
     return {"mean": mean, "m2": m2, "n": n_new}
 
 
-def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_batch, a, dim):
+def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_batch, a, dim,
+                  use_de=None, gamma0=None):
     """Update one half-ensemble against its complement.
 
     ``lnpost_batch`` evaluates the whole half-ensemble at once — either
     a vmapped log_posterior or the posterior's fused Pallas batch path.
     Returns (new_pos, new_lnp, accepted_count_per_walker).
+
+    ``use_de`` (a traced bool scalar or None) selects a differential-
+    evolution proposal (ter Braak 2006 / emcee-3 DEMove semantics)
+    instead of the stretch move for this half-step: ``Y = X + gamma *
+    (C_r1 - C_r2)`` with two distinct complementary walkers, ``gamma =
+    gamma0 = 2.38/sqrt(2 dim)`` (90%) or 1 (10%, mode-jumping), small
+    multiplicative jitter; symmetric, so plain Metropolis acceptance.
+    Both candidate proposals are a handful of vector ops — the
+    selection costs no extra posterior evaluations.  DE moves travel
+    along the ensemble's own difference vectors, which cuts the
+    autocorrelation of strongly correlated (flux-sharing) posterior
+    directions that stretch moves random-walk across.
     """
     k = active_pos.shape[0]
-    key_z, key_r, key_u = jax.random.split(key, 3)
+    m = comp_pos.shape[0]
+    key_z, key_r, key_u, key_r2, key_g, key_j = jax.random.split(key, 6)
 
     u = jax.random.uniform(key_z, (k,), active_pos.dtype)
     z = ((a - 1.0) * u + 1.0) ** 2 / a
-    partner = jax.random.randint(key_r, (k,), 0, comp_pos.shape[0])
+    partner = jax.random.randint(key_r, (k,), 0, m)
     c = comp_pos[partner]  # gather; all-gather over mesh when sharded
     proposal = c + z[:, None] * (active_pos - c)
+    log_extra = (dim - 1.0) * jnp.log(z)
+
+    if use_de is not None:
+        # distinct second partner: shift by 1..m-1 (mod m)
+        partner2 = jnp.mod(
+            partner + 1 + jax.random.randint(key_r2, (k,), 0, m - 1), m
+        )
+        c2 = comp_pos[partner2]
+        g0 = jnp.asarray(
+            gamma0 if gamma0 is not None else 2.38 / np.sqrt(2.0 * dim),
+            active_pos.dtype,
+        )
+        jump = jax.random.uniform(key_g, (k,), active_pos.dtype) < 0.1
+        jitter = 1.0 + 1e-5 * jax.random.normal(key_j, (k,),
+                                                active_pos.dtype)
+        gamma = jnp.where(jump, 1.0, g0) * jitter
+        de_proposal = active_pos + gamma[:, None] * (c - c2)
+        proposal = jnp.where(use_de, de_proposal, proposal)
+        log_extra = jnp.where(use_de, jnp.zeros_like(log_extra), log_extra)
 
     prop_lnp = lnpost_batch(proposal)
 
-    log_ratio = (dim - 1.0) * jnp.log(z) + prop_lnp - active_lnp
+    log_ratio = log_extra + prop_lnp - active_lnp
     accept = jnp.log(jax.random.uniform(key_u, (k,), active_pos.dtype)) < log_ratio
 
     new_pos = jnp.where(accept[:, None], proposal, active_pos)
@@ -146,6 +179,8 @@ def make_step_fn(
     accumulate: bool = False,
     record: bool = True,
     ensemble_means_fn: Optional[Callable] = None,
+    moves: str = "stretch",
+    de_gamma0: Optional[float] = None,
 ):
     """Build the one-iteration scan body (two half-ensemble updates).
 
@@ -153,20 +188,39 @@ def make_step_fn(
     state of every walker contributes its carry images to the running
     accumulators (reference retained-sample semantics, fitting.py:83 +
     models.py:74-97) — see :func:`ensemble_image_means`.
+
+    ``moves``: ``'stretch'`` (emcee-2.x parity default), ``'de'``
+    (differential evolution only), or ``'mixed'`` (each step randomly
+    picks one of the two with equal probability — emcee-3-style move
+    mixtures; measured to cut the flux-sharing degeneracies' autocorr
+    on the flagship fit).
     """
+    if moves not in ("stretch", "de", "mixed"):
+        raise ValueError(
+            f"unknown moves {moves!r}: expected 'stretch', 'de' or 'mixed'"
+        )
     half = nwalkers // 2
 
     def step(state: EnsembleState, _):
-        key, key0, key1 = jax.random.split(state.key, 3)
+        key, key0, key1, key_m = jax.random.split(state.key, 4)
         pos, lnp = state.positions, state.log_prob
+
+        if moves == "stretch":
+            use_de = None
+        elif moves == "de":
+            use_de = jnp.asarray(True)
+        else:  # mixed: both halves of a step use the same move
+            use_de = jax.random.bernoulli(key_m)
 
         # First half moves against second half
         p0, l0, acc0 = _stretch_half(
-            key0, pos[:half], lnp[:half], pos[half:], lnpost_batch, a, dim
+            key0, pos[:half], lnp[:half], pos[half:], lnpost_batch, a, dim,
+            use_de=use_de, gamma0=de_gamma0,
         )
         # Second half moves against the *updated* first half (emcee 2.x)
         p1, l1, acc1 = _stretch_half(
-            key1, pos[half:], lnp[half:], p0, lnpost_batch, a, dim
+            key1, pos[half:], lnp[half:], p0, lnpost_batch, a, dim,
+            use_de=use_de, gamma0=de_gamma0,
         )
 
         new_pos = jnp.concatenate([p0, p1], axis=0)
@@ -218,6 +272,8 @@ def run_stretch_move(
     unroll: int = 1,
     ensemble_means_fn=None,
     thin: int = 1,
+    moves: str = "stretch",
+    de_gamma0=None,
 ):
     """Scan ``nsteps`` ensemble iterations on device.
 
@@ -241,6 +297,8 @@ def run_stretch_move(
         accumulate=accumulate,
         record=record and thin == 1,
         ensemble_means_fn=ensemble_means_fn,
+        moves=moves,
+        de_gamma0=de_gamma0,
     )
     if record and thin > 1:
         if nsteps % thin:
@@ -283,8 +341,15 @@ class EnsembleSampler:
         sharding=None,
         thin: int = 1,
         track_moments: bool = False,
+        moves: str = "stretch",
+        de_gamma0: Optional[float] = None,
     ):
-        """``thin`` records every thin-th retained step on device (the
+        """``moves``: proposal family — ``'stretch'`` (emcee-2.x parity
+        default), ``'de'`` (differential evolution), or ``'mixed'``
+        (random 50/50 per step; better autocorrelation on strongly
+        correlated flux-sharing posteriors, see make_step_fn).
+
+        ``thin`` records every thin-th retained step on device (the
         chain and its d2h transfer shrink by that factor; image
         accumulation and acceptance statistics still cover every step).
 
@@ -295,6 +360,13 @@ class EnsembleSampler:
         """
         if nwalkers % 2 != 0:
             raise ValueError("nwalkers must be even for half-ensemble moves")
+        if moves not in ("stretch", "de", "mixed"):
+            raise ValueError(
+                f"unknown moves {moves!r}: expected 'stretch', 'de' or "
+                "'mixed'"
+            )
+        self.moves = moves
+        self.de_gamma0 = None if de_gamma0 is None else float(de_gamma0)
         if thin < 1:
             raise ValueError("thin must be >= 1")
         if nwalkers < 2 * dim + 2:
@@ -339,7 +411,8 @@ class EnsembleSampler:
         cache = getattr(self.fns, "programs", None)
         thin = self.thin if record else 1
         key = (
-            "phase", self.nwalkers, self.dim, self.a, accumulate, record, thin,
+            "phase", self.nwalkers, self.dim, self.a, accumulate, record,
+            thin, self.moves, self.de_gamma0,
         )
         if cache is not None and key in cache:
             return cache[key]
@@ -352,6 +425,8 @@ class EnsembleSampler:
                 accumulate=accumulate,
                 record=record,
                 thin=thin,
+                moves=self.moves,
+                de_gamma0=self.de_gamma0,
                 ensemble_means_fn=getattr(
                     self.fns, "ensemble_carry_means", None
                 ),

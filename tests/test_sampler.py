@@ -184,3 +184,30 @@ def test_on_device_moments_match_chain():
     assert np.allclose(std, flat.std(0, ddof=1), rtol=1e-4)
     # the thinned chain shipped 10x less data
     assert s.chain.shape[1] == 40
+
+
+@pytest.mark.parametrize("moves", ["de", "mixed"])
+def test_de_moves_recover_gaussian_moments(moves):
+    """Differential-evolution and mixed proposals target the same
+    posterior: moments of the correlated Gaussian must match."""
+    post = GaussianPosterior()
+    nwalkers = 64
+    rng = np.random.RandomState(3)
+    p0 = np.asarray(post.mean) + rng.randn(nwalkers, 3)
+
+    s = EnsembleSampler(nwalkers, 3, post, seed=4, image_shape=(2, 2),
+                        moves=moves)
+    s.init_state(p0)
+    s.run_burn(400)
+    s.reset()
+    s.run_sampling(1500)
+    flat = np.asarray(s.flatchain, np.float64)
+    assert np.allclose(flat.mean(axis=0), np.asarray(post.mean), atol=0.08)
+    assert np.allclose(
+        np.cov(flat.T), np.asarray(post.cov), atol=0.25
+    )
+    acc = float(s.acceptance_fraction.mean())
+    assert 0.1 < acc < 0.9
+
+    with pytest.raises(ValueError):
+        EnsembleSampler(nwalkers, 3, post, moves="bogus", image_shape=(2, 2))
