@@ -54,24 +54,27 @@ def _make_kernel(num_sersics, num_ps, h, w, dtype):
             a,
             b,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGH,
+            # Mosaic supports only DEFAULT/HIGHEST dot precision; the
+            # XLA path's bf16x3 (HIGH) is unavailable here, and bf16
+            # (DEFAULT) is likelihood-corrupting (CLAUDE.md), so: f32
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype,
         )
 
     def kernel(
         sersic_ref,  # (1, S, 9)
-        sky_ref,  # (1, 1)
+        sky_ref,  # (1, 1, 1)
         fky_ref,  # (1, P, H) flux-scaled row kernels
         kx_ref,  # (1, P, W) column kernels
         cw_ref, sw_ref, ch_ref, sh_ref, ich_ref, ish_ref, ica_ref, isa_ref,
         psf_r_ref, psf_i_ref, var_r_ref, var_i_ref,  # (H, W2) each
         obs_ref, obs_var_ref, good_ref,  # (H, W); good as {0,1} dtype
-        out_ref,  # (1, 1)
+        out_ref,  # (1, 1, 1)
     ):
         xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(dtype)
         yg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(dtype)
 
-        raw = jnp.full((h, w), sky_ref[0, 0], dtype)
+        raw = jnp.full((h, w), sky_ref[0, 0, 0], dtype)
         for s in range(num_sersics):
             raw = raw + sersic_profile_core(
                 xg - sersic_ref[0, s, 0],
@@ -114,7 +117,9 @@ def _make_kernel(num_sersics, num_ps, h, w, dtype):
         # gaussian_lnlike semantics: bad px excluded, log fed 1 there
         safe_ivm = jnp.where(good > 0, ivm, 1.0)
         term = resid * resid * ivm - log_safe(inv_2pi * safe_ivm)
-        out_ref[0, 0] = -0.5 * jnp.sum(jnp.where(good > 0, term, 0.0))
+        total = -0.5 * jnp.sum(jnp.where(good > 0, term, 0.0))
+        # scalar stores to VMEM are rejected; write the full (1,1,1) block
+        out_ref[...] = jnp.reshape(total, (1, 1, 1))
 
     return kernel
 
@@ -206,7 +211,7 @@ def make_fused_lnl_batch(constants, spec, comp_specs, mag_zp, dtype,
         if not ps_specs:  # placeholder zero source
             fkys.append(jnp.zeros(h, dtype))
             kxs.append(jnp.zeros(w, dtype))
-        return packed, sky.reshape(1), jnp.stack(fkys), jnp.stack(kxs)
+        return packed, sky.reshape(1, 1), jnp.stack(fkys), jnp.stack(kxs)
 
     kernel = _make_kernel(num_sersics, num_ps, h, w, dtype)
 
@@ -219,11 +224,16 @@ def make_fused_lnl_batch(constants, spec, comp_specs, mag_zp, dtype,
             (1, max(num_sersics, 1), PARAMS_PER_SERSIC),
             lambda i: (i, 0, 0),
         ),
-        pl.BlockSpec((1, 1), lambda i: (i, 0)),
+        # rank-3 scalar operands: Mosaic's (8, 128) tiling rule rejects
+        # a (1, 1) block of a (B, 1) array (even in SMEM on this jax),
+        # but accepts blocks whose LAST TWO dims equal the array's —
+        # so the per-walker scalars ride as (B, 1, 1) with (1, 1, 1)
+        # blocks
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
         pl.BlockSpec((1, num_ps, h), lambda i: (i, 0, 0)),
         pl.BlockSpec((1, num_ps, w), lambda i: (i, 0, 0)),
     ] + [shared_spec(a.shape) for a in shared]
-    out_spec = pl.BlockSpec((1, 1), lambda i: (i, 0))
+    out_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0))
 
     def lnl_batch(thetas):
         thetas = jnp.asarray(thetas, dtype)
@@ -236,10 +246,10 @@ def make_fused_lnl_batch(constants, spec, comp_specs, mag_zp, dtype,
             grid=(b,),
             in_specs=in_specs,
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b, 1), dtype),
+            out_shape=jax.ShapeDtypeStruct((b, 1, 1), dtype),
             interpret=interpret,
         )(packed, sky, fky, kx, *shared)
-        lnl = out[:, 0]
+        lnl = out[:, 0, 0]
         return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf)
 
     return lnl_batch
