@@ -275,24 +275,30 @@ def fit_map(
     to_theta = jax.jit(
         jax.vmap(lambda z: transform.to_constrained(z)[0])
     )
-    all_theta = np.asarray(to_theta(jnp.asarray(best_z, fns.dtype)), np.float64)
+    all_theta = np.array(to_theta(jnp.asarray(best_z, fns.dtype)), np.float64)
 
     i_best = int(np.nanargmax(np.where(np.isfinite(best_lnp), best_lnp, -np.inf)))
     theta = all_theta[i_best].copy()
     psf_index = 0
     offsets = transform.discrete_offsets
     if len(offsets) > 0:
+        # per-start argmax assignment: every start's optimum gets ITS
+        # best index (one batched eval over the (starts, psfs) grid)
         num_psfs = getattr(spec, "num_psfs", 1)
-        cand = np.repeat(theta[None, :], num_psfs, axis=0)
-        cand[:, int(offsets[0])] = np.arange(num_psfs)
+        off = int(offsets[0])
+        cand = np.repeat(all_theta, num_psfs, axis=0)
+        cand[:, off] = np.tile(np.arange(num_psfs), len(all_theta))
         batched = getattr(fns, "batched_lnpost", None) or jax.jit(
             jax.vmap(fns.log_posterior)
         )
-        lps = np.asarray(batched(jnp.asarray(cand, fns.dtype)))
-        psf_index = int(np.argmax(lps))
-        theta[int(offsets[0])] = psf_index
-        lnp_at_mode = float(lps[psf_index])
-        all_theta[:, int(offsets[0])] = psf_index
+        lps = np.asarray(
+            batched(jnp.asarray(cand, fns.dtype))
+        ).reshape(len(all_theta), num_psfs)
+        per_start = np.argmax(lps, axis=1)
+        all_theta[:, off] = per_start
+        psf_index = int(per_start[i_best])
+        theta[off] = psf_index
+        lnp_at_mode = float(lps[i_best, psf_index])
     else:
         lnp_at_mode = float(best_lnp[i_best])
 

@@ -89,3 +89,30 @@ def test_sampler_prefers_correct_psf(two_psf_model, rng):
     assert set(np.unique(idx_trace)) <= {0.0, 1.0}
     # the narrow PSF (index 0) made the data; posterior should prefer it
     assert (idx_trace == 0).mean() > 0.9
+
+
+def test_fit_map_marginalizes_and_assigns_psf(two_psf_model, rng):
+    """fit_map on a multi-PSF model: the ascent marginalizes the
+    discrete index (logsumexp over the pre-FFT'd stack) and the final
+    assignment picks the PSF the data were made with (the narrow one,
+    index 0)."""
+    from psfmc_tpu.optimize import fit_map
+
+    spec = two_psf_model
+    fns = build_posterior(spec, dtype=jnp.float64)
+
+    pool = np.column_stack(
+        [
+            rng.normal(0.01, 0.02, 128),
+            rng.uniform(20.0, 22.0, 128),
+            rng.uniform(14.0, 20.0, 128),
+            rng.uniform(12.0, 18.0, 128),
+            rng.randint(0, 2, 128).astype(float),
+        ]
+    )
+    res = fit_map(fns, n_starts=16, steps=250, p0=pool, seed=2)
+    assert res.psf_index == 0
+    assert res.theta[-1] == 0.0
+    # position recovered (data: delta at x=17, y=15)
+    assert abs(res.theta[2] - 17.0) < 0.3
+    assert abs(res.theta[3] - 15.0) < 0.3
