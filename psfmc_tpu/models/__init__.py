@@ -2,6 +2,7 @@
 from .components import (
     ComponentBase,
     Configuration,
+    Moffat,
     PointSource,
     PSFSelector,
     Sersic,
@@ -13,6 +14,7 @@ from .spec import CompSpec, ModelSpec, ParamSlot, build_model_spec
 __all__ = [
     "ComponentBase",
     "Configuration",
+    "Moffat",
     "PointSource",
     "PSFSelector",
     "Sersic",

@@ -36,6 +36,7 @@ __all__ = [
     "Sky",
     "PointSource",
     "Sersic",
+    "Moffat",
     "Configuration",
     "PSFSelector",
 ]
@@ -214,6 +215,53 @@ class Sersic(ComponentBase):
         logp = super().log_priors()
         # Semi-major axis must exceed semi-minor (reference Sersic.py:41-45)
         logp += -np.inf if self.reff_b > self.reff else 0.0
+        return logp
+
+
+class Moffat(ComponentBase):
+    """Moffat profile component (beyond the reference).
+
+    The standard analytic ground-based-PSF / compact-source model the
+    reference lacks (its component set is Sky/PointSource/Sersic,
+    reference ModelComponents/__init__.py:1-4).  Conventions follow
+    :class:`Sersic`: total ``mag``, semi-major/minor FWHMs with the
+    joint constraint ``fwhm >= fwhm_b``, position ``angle`` (+90deg
+    convention), concentration ``index`` = the Moffat beta (> 1 for a
+    finite total flux; the renderer is exactly flux-normalized).
+    """
+
+    _fits_abbrs = (
+        ("Moffat", "MOF"),
+        ("fwhm_b", "FWB"),
+        ("fwhm", "FW"),
+        ("index", "B"),
+        ("angle", "ANG"),
+    )
+    _stochastic_attrs = ("xy", "mag", "fwhm", "fwhm_b", "index", "angle")
+
+    def __init__(
+        self,
+        xy=None,
+        mag=None,
+        fwhm=None,
+        fwhm_b=None,
+        index=None,
+        angle=None,
+        angle_degrees=False,
+    ):
+        super().__init__()
+        self.xy = xy
+        self.mag = mag
+        self.fwhm = fwhm
+        self.fwhm_b = fwhm_b
+        self.index = index
+        self.angle = angle
+        self.angle_degrees = angle_degrees
+
+    def log_priors(self):
+        logp = super().log_priors()
+        # semi-major FWHM must exceed semi-minor (Sersic convention)
+        logp += -np.inf if self.fwhm_b > self.fwhm else 0.0
         return logp
 
 

@@ -205,13 +205,18 @@ class PosteriorFns:
                         theta, (slot.offset,), (slot.size,)
                     )
                 lp = lp + jnp.sum(slot.dist.jax_logp(x))
-            # Sersic constraint: reff >= reff_b (reference Sersic.py:41-45)
+            # axis-order constraints: Sersic reff >= reff_b (reference
+            # Sersic.py:41-45) and the Moffat analogue fwhm >= fwhm_b
             for cs in spec.comp_specs:
-                if cs.kind != "sersic":
+                if cs.kind == "sersic":
+                    a = _getter(cs.params, theta, "reff")
+                    b = _getter(cs.params, theta, "reff_b")
+                elif cs.kind == "moffat":
+                    a = _getter(cs.params, theta, "fwhm")
+                    b = _getter(cs.params, theta, "fwhm_b")
+                else:
                     continue
-                reff = _getter(cs.params, theta, "reff")
-                reff_b = _getter(cs.params, theta, "reff_b")
-                lp = jnp.where(reff_b > reff, -jnp.inf, lp)
+                lp = jnp.where(b > a, -jnp.inf, lp)
             return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
         return log_prior
@@ -250,6 +255,21 @@ class PosteriorFns:
                     self.mag_zp,
                     cs.static["shift_method"],
                     self.dtype,
+                )
+            elif cs.kind == "moffat":
+                from ..ops.moffat import render_moffat
+
+                raw = raw + render_moffat(
+                    c["xg"],
+                    c["yg"],
+                    jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype),
+                    _getter(cs.params, theta, "mag"),
+                    _getter(cs.params, theta, "fwhm"),
+                    _getter(cs.params, theta, "fwhm_b"),
+                    _getter(cs.params, theta, "index"),
+                    _getter(cs.params, theta, "angle"),
+                    self.mag_zp,
+                    cs.static["angle_degrees"],
                 )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)

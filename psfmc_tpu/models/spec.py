@@ -24,6 +24,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from .components import (
+    Moffat,
     ComponentBase,
     Configuration,
     PointSource,
@@ -172,6 +173,24 @@ def build_model_spec(
                             "mag",
                             "reff",
                             "reff_b",
+                            "index",
+                            "angle",
+                        )
+                    },
+                    static={"angle_degrees": comp.angle_degrees},
+                )
+            )
+        elif isinstance(comp, Moffat):
+            comp_specs.append(
+                CompSpec(
+                    "moffat",
+                    {
+                        attr: _resolve(comp, attr, slot_map)
+                        for attr in (
+                            "xy",
+                            "mag",
+                            "fwhm",
+                            "fwhm_b",
                             "index",
                             "angle",
                         )

@@ -134,22 +134,26 @@ class UnconstrainingTransform:
         self.discrete_offsets = np.asarray(discrete, np.int32)
         self.num_unconstrained = len(offsets)
 
-        # Sersic (reff, reff_b) pairs, as z indices, where BOTH the
-        # constrained pair members exist.  When reff is a constant the
-        # bound is static and folded into hi directly.
+        # Axis-ordered (major, minor) pairs as z indices — Sersic
+        # (reff, reff_b) and Moffat (fwhm, fwhm_b) — where BOTH the
+        # constrained pair members exist.  When the major axis is a
+        # constant the bound is static and folded into hi directly.
         self.reffb_pairs: List[Tuple[int, Any]] = []
+        axis_pairs = {"sersic": ("reff", "reff_b"),
+                      "moffat": ("fwhm", "fwhm_b")}
         for cs in spec.comp_specs:
-            if cs.kind != "sersic":
+            if cs.kind not in axis_pairs:
                 continue
-            kind_b, payload_b = cs.params["reff_b"]
+            a_name, b_name = axis_pairs[cs.kind]
+            kind_b, payload_b = cs.params[b_name]
             if kind_b != "theta":
                 continue
             zb = z_index_of_offset[payload_b[0]]
-            kind_a, payload_a = cs.params["reff"]
+            kind_a, payload_a = cs.params[a_name]
             if kind_a == "theta":
                 self.reffb_pairs.append((zb, z_index_of_offset[payload_a[0]]))
             else:
-                # constant reff: tighten the static upper bound
+                # constant major axis: tighten the static upper bound
                 self.hi[zb] = min(self.hi[zb], float(payload_a))
         self._reffb_z = frozenset(zb for zb, _ in self.reffb_pairs)
 

@@ -1,0 +1,104 @@
+"""Moffat profile renderer (beyond the reference).
+
+The Moffat (1969) profile
+
+    I(r) = I0 * (1 + (r / alpha)^2)^(-beta)
+
+is the standard analytic model for ground-based PSFs and compact
+sources; GALFIT offers it and psfMC users regularly want it for
+PSF-model fits, but the reference only ships Sky/PointSource/Sersic
+(reference ModelComponents/__init__.py:1-4).  Parameterization follows
+this package's Sersic conventions: total ``mag``, semi-major/semi-minor
+axis FWHMs (``fwhm >= fwhm_b`` as a joint prior constraint), position
+``angle`` with the same +90deg convention, concentration ``index`` =
+beta.
+
+Analytic relations (generalized ellipse, semi-axes ``alpha_a``,
+``alpha_b``):
+
+    fwhm   = 2 * alpha * sqrt(2^(1/beta) - 1)
+    F_tot  = pi * alpha_a * alpha_b * I0 / (beta - 1)      (beta > 1)
+
+so the renderer is exactly flux-normalized with no special functions —
+``I0 = F (beta-1) / (pi alpha_a alpha_b)``.  The per-pixel path is the
+same fma + accurate-exp/log shape as the Sersic kernel:
+``I0 * exp(-beta * log(1 + sq_r))``.  No sub-pixel centroid correction:
+the Moffat core is analytic and flat (the Sersic correction exists for
+its cusp, reference Sersic.py:129-133).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .coords import mag_to_flux
+from .fastmath import exp_log_fns_unsafe
+
+__all__ = ["moffat_scalar_params", "moffat_profile_core", "render_moffat"]
+
+
+def moffat_scalar_params(
+    xy, mag, fwhm, fwhm_b, index, angle, mag_zp, angle_degrees=False
+):
+    """The eight per-component scalars the per-pixel path consumes.
+
+    ``(x, y, m00, m01, m10, m11, i0, beta)`` — the inverse
+    scale+rotation matrix (in units of the alpha semi-axes) folded into
+    four scalars, plus the flux-normalized central surface brightness.
+    """
+    # alpha from FWHM: fwhm = 2 alpha sqrt(2^(1/beta) - 1)
+    s = jnp.sqrt(jnp.exp2(1.0 / index) - 1.0)
+    alpha_a = 0.5 * fwhm / s
+    alpha_b = 0.5 * fwhm_b / s
+    flux = mag_to_flux(mag, mag_zp)
+    i0 = flux * (index - 1.0) / (jnp.pi * alpha_a * alpha_b)
+
+    ang = jnp.deg2rad(angle) if angle_degrees else angle
+    ang = ang + 0.5 * jnp.pi  # Sersic position-angle convention
+    sin_a, cos_a = jnp.sin(ang), jnp.cos(ang)
+    return (
+        xy[0],
+        xy[1],
+        cos_a / alpha_a,
+        sin_a / alpha_a,
+        -sin_a / alpha_b,
+        cos_a / alpha_b,
+        i0,
+        index,
+    )
+
+
+def moffat_profile_core(dx, dy, m00, m01, m10, m11, i0, beta, exp_, log_):
+    """Per-pixel Moffat: ``i0 * exp(-beta * log(1 + sq_r))``.
+
+    ``log_`` sees arguments >= 1 (sq_r >= 0), so the accurate-fastmath
+    replacement keeps the same ~1-ulp behavior as the Sersic path.
+    """
+    u = m00 * dx + m01 * dy
+    v = m10 * dx + m11 * dy
+    sq_r = u * u + v * v
+    return i0 * exp_(-beta * log_(1.0 + sq_r))
+
+
+def render_moffat(
+    xg,
+    yg,
+    xy,
+    mag,
+    fwhm,
+    fwhm_b,
+    index,
+    angle,
+    mag_zp,
+    angle_degrees=False,
+):
+    """Render one Moffat profile over the (H, W) grid (jittable,
+    vmappable); the caller accumulates it into the composite model."""
+    x, y, m00, m01, m10, m11, i0, beta = moffat_scalar_params(
+        xy, mag, fwhm, fwhm_b, index, angle, mag_zp, angle_degrees
+    )
+    exp_, log_ = exp_log_fns_unsafe()
+    return moffat_profile_core(
+        xg - x, yg - y, m00, m01, m10, m11, i0, beta, exp_, log_
+    )

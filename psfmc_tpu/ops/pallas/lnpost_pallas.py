@@ -36,11 +36,21 @@ __all__ = ["make_fused_lnl_batch", "fused_lnl_supported"]
 
 
 def fused_lnl_supported(spec, conv_mode):
-    """The fused kernel covers the flagship configuration only."""
+    """The fused kernel covers the flagship configuration only.
+
+    Component kinds are whitelisted: a model with components the kernel
+    does not render (e.g. Moffat) must fall back to XLA rather than
+    silently dropping them from the likelihood.
+    """
+    known = {"sky", "pointsource", "sersic", "psfselector"}
+    kinds_ok = all(
+        cs.kind in known for cs in getattr(spec, "comp_specs", ())
+    )
     return (
         pallas_available()
         and conv_mode == "dft"
         and getattr(spec, "num_psfs", 1) == 1
+        and kinds_ok
     )
 
 
