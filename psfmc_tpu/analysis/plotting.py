@@ -97,8 +97,14 @@ def _get_trace(trace_name, db, model=None):
             trace = np.sqrt(np.sum(cdiff**2, axis=1))
         elif "axisratio" in name_comps:
             prefix = "_".join(name_comps[0:2] + [""])
-            trace = np.asarray(db[prefix + "reff_b"]) / np.asarray(
-                db[prefix + "reff"]
+            # Sersic stores (reff, reff_b); Moffat (fwhm, fwhm_b)
+            minor, major = ("reff_b", "reff")
+            if prefix + "reff" not in db.colnames and (
+                prefix + "fwhm" in db.colnames
+            ):
+                minor, major = ("fwhm_b", "fwhm")
+            trace = np.asarray(db[prefix + minor]) / np.asarray(
+                db[prefix + major]
             )
         elif "sbeff" in name_comps:
             prefix = "_".join(name_comps[0:2] + [""])
