@@ -251,6 +251,16 @@ def model_galaxy_mcmc(
         posteriors, at the cost of a few hundred batched posterior+grad
         evaluations up front.
     """
+    # validate cheap knobs up front: a typo must fail before the
+    # expensive model build, and on EVERY branch (a checkpoint-resume
+    # run never reaches the fresh-run init dispatch)
+    if init not in ("prior", "map"):
+        raise ValueError(f"Unknown init {init!r}: expected 'prior' or 'map'")
+    if moves not in ("stretch", "de", "mixed"):
+        raise ValueError(
+            f"Unknown moves {moves!r}: expected 'stretch', 'de' or 'mixed'"
+        )
+
     if output_name is None:
         name = model_file if isinstance(model_file, str) else "model"
         output_name = "out_" + os.path.basename(name).replace(".py", "")
@@ -386,13 +396,9 @@ def model_galaxy_mcmc(
             param_vec = scatter_around(
                 mc_model.posterior_fns, map_res.theta, n_init, seed=seed
             )
-        elif init == "prior":
+        else:  # 'prior' (validated above)
             param_vec = mc_model.init_params_from_priors(
                 n_init, random_state=rng
-            )
-        else:
-            raise ValueError(
-                f"Unknown init {init!r}: expected 'prior' or 'map'"
             )
         database = _run_sampling(
             sampler,

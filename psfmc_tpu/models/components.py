@@ -260,8 +260,10 @@ class Moffat(ComponentBase):
 
     def log_priors(self):
         logp = super().log_priors()
-        # semi-major FWHM must exceed semi-minor (Sersic convention)
+        # semi-major FWHM must exceed semi-minor (Sersic convention);
+        # beta <= 1 has no finite total flux (negative normalization)
         logp += -np.inf if self.fwhm_b > self.fwhm else 0.0
+        logp += -np.inf if self.index <= 1.0 else 0.0
         return logp
 
 

@@ -206,7 +206,10 @@ class PosteriorFns:
                     )
                 lp = lp + jnp.sum(slot.dist.jax_logp(x))
             # axis-order constraints: Sersic reff >= reff_b (reference
-            # Sersic.py:41-45) and the Moffat analogue fwhm >= fwhm_b
+            # Sersic.py:41-45) and the Moffat analogue fwhm >= fwhm_b;
+            # Moffat also requires beta > 1 (finite total flux — the
+            # flux normalization F = pi a b I0/(beta-1) goes negative
+            # below it, which would render negative-flux 'sources')
             for cs in spec.comp_specs:
                 if cs.kind == "sersic":
                     a = _getter(cs.params, theta, "reff")
@@ -214,6 +217,10 @@ class PosteriorFns:
                 elif cs.kind == "moffat":
                     a = _getter(cs.params, theta, "fwhm")
                     b = _getter(cs.params, theta, "fwhm_b")
+                    beta = _getter(cs.params, theta, "index")
+                    lp = jnp.where(
+                        jnp.asarray(beta) <= 1.0, -jnp.inf, lp
+                    )
                 else:
                     continue
                 lp = jnp.where(b > a, -jnp.inf, lp)

@@ -136,9 +136,15 @@ class UnconstrainingTransform:
 
         # Axis-ordered (major, minor) pairs as z indices — Sersic
         # (reff, reff_b) and Moffat (fwhm, fwhm_b) — where BOTH the
-        # constrained pair members exist.  When the major axis is a
-        # constant the bound is static and folded into hi directly.
-        self.reffb_pairs: List[Tuple[int, Any]] = []
+        # constrained pair members exist.  The minor-axis slot's OWN
+        # prior support decides the transform family the dependent
+        # upper bound composes with (an interval prior keeps the
+        # two-sided sigmoid; a lower-bounded prior becomes a dynamic
+        # interval [lo, major]; upper-bounded/unbounded priors become a
+        # dynamic upper bound) — assuming interval-only here would
+        # leave the hi=0 placeholder in the bound and collapse the
+        # transform for e.g. a Weibull reff_b prior.
+        self.reffb_pairs: List[Tuple[int, int, int]] = []  # (zb, za, kind)
         axis_pairs = {"sersic": ("reff", "reff_b"),
                       "moffat": ("fwhm", "fwhm_b")}
         for cs in spec.comp_specs:
@@ -149,13 +155,47 @@ class UnconstrainingTransform:
             if kind_b != "theta":
                 continue
             zb = z_index_of_offset[payload_b[0]]
+            kb = int(self.kinds[zb])
             kind_a, payload_a = cs.params[a_name]
             if kind_a == "theta":
-                self.reffb_pairs.append((zb, z_index_of_offset[payload_a[0]]))
+                self.reffb_pairs.append(
+                    (zb, z_index_of_offset[payload_a[0]], kb)
+                )
             else:
-                # constant major axis: tighten the static upper bound
-                self.hi[zb] = min(self.hi[zb], float(payload_a))
-        self._reffb_z = frozenset(zb for zb, _ in self.reffb_pairs)
+                # constant major axis: fold the bound in statically,
+                # upgrading the transform family where needed
+                a_val = float(payload_a)
+                if kb == _INTERVAL:
+                    self.hi[zb] = min(self.hi[zb], a_val)
+                elif kb == _LOWER:
+                    self.kinds[zb] = _INTERVAL
+                    self.hi[zb] = a_val
+                elif kb == _UPPER:
+                    self.hi[zb] = min(self.hi[zb], a_val)
+                else:  # unbounded prior: now upper-bounded
+                    self.kinds[zb] = _UPPER
+                    self.hi[zb] = a_val
+        self._reffb_z = frozenset(zb for zb, _za, _kb in self.reffb_pairs)
+        self._pair_by_zb = {
+            zb: (za, kb) for zb, za, kb in self.reffb_pairs
+        }
+
+    def cache_token(self):
+        """Hashable signature of the bijection, for program caches.
+
+        Two transforms with equal tokens define the same map; compiled
+        programs that bake transform structure in must key on this (a
+        cache shared across different transforms would decode z with
+        the wrong bijection).
+        """
+        return (
+            tuple(int(k) for k in self.kinds),
+            tuple(int(o) for o in self.offsets),
+            self.lo.tobytes(),
+            self.hi.tobytes(),
+            tuple(self.reffb_pairs),
+            tuple(int(o) for o in self.discrete_offsets),
+        )
 
     # -- z -> theta ---------------------------------------------------------
     def to_constrained(self, z):
@@ -191,21 +231,34 @@ class UnconstrainingTransform:
             jnp.zeros_like(z),
         )
 
-        # dependent reff_b upper bound: b_eff = min(hi, reff)
-        for zb, za in self.reffb_pairs:
-            reff = x[za]
-            b_eff = jnp.minimum(hi[zb], reff)
-            w = b_eff - lo[zb]
-            ok = w > 0
-            w_safe = jnp.where(ok, w, 1.0)
-            xb = lo[zb] + w_safe * sigmoid_(z[zb])
-            ldb = jnp.where(
-                ok,
-                jnp.log(w_safe)
-                + log_sigmoid_(z[zb])
-                + log_sigmoid_(-z[zb]),
-                -jnp.inf,
-            )
+        # dependent minor-axis upper bound, composed with the slot's
+        # own prior support (kb is static, so this branches at trace
+        # time)
+        for zb, za, kb in self.reffb_pairs:
+            major = x[za]
+            if kb in (_INTERVAL, _LOWER):
+                b_eff = (
+                    jnp.minimum(hi[zb], major) if kb == _INTERVAL else major
+                )
+                w = b_eff - lo[zb]
+                ok = w > 0
+                w_safe = jnp.where(ok, w, 1.0)
+                xb = lo[zb] + w_safe * sigmoid_(z[zb])
+                ldb = jnp.where(
+                    ok,
+                    jnp.log(w_safe)
+                    + log_sigmoid_(z[zb])
+                    + log_sigmoid_(-z[zb]),
+                    -jnp.inf,
+                )
+            else:
+                # upper-bounded (possibly by both hi and the major
+                # axis) with no lower edge: x = b_eff - softplus(z)
+                b_eff = (
+                    jnp.minimum(hi[zb], major) if kb == _UPPER else major
+                )
+                xb = b_eff - softplus_(z[zb])
+                ldb = log_sigmoid_(z[zb])
             x = x.at[zb].set(xb)
             ld = ld.at[zb].set(ldb)
 
@@ -223,13 +276,31 @@ class UnconstrainingTransform:
         z = np.array(x)  # identity default
         eps = 1e-9
         for i in range(self.num_unconstrained):
+            pair = self._pair_by_zb.get(i)
+            if pair is not None:
+                # dependent minor-axis slot: invert against its ORIGINAL
+                # prior kind with the dynamic upper bound folded in
+                za, kb = pair
+                if kb in (_INTERVAL, _LOWER):
+                    b = (
+                        np.minimum(self.hi[i], x[:, za])
+                        if kb == _INTERVAL
+                        else x[:, za]
+                    )
+                    w = b - self.lo[i]
+                    p = np.clip((x[:, i] - self.lo[i]) / w, eps, 1 - eps)
+                    z[:, i] = np.log(p) - np.log1p(-p)
+                else:
+                    b = (
+                        np.minimum(self.hi[i], x[:, za])
+                        if kb == _UPPER
+                        else x[:, za]
+                    )
+                    z[:, i] = _softplus_inv(np.maximum(b - x[:, i], eps))
+                continue
             k = self.kinds[i]
             if k == _INTERVAL:
-                b = self.hi[i]
-                for zb, za in self.reffb_pairs:
-                    if zb == i:
-                        b = np.minimum(b, x[:, za])
-                w = b - self.lo[i]
+                w = self.hi[i] - self.lo[i]
                 p = np.clip((x[:, i] - self.lo[i]) / w, eps, 1 - eps)
                 z[:, i] = np.log(p) - np.log1p(-p)
             elif k == _LOWER:

@@ -79,6 +79,35 @@ def _marginal_lnpost_fn(fns, transform):
     return lnpost
 
 
+def _cached_decode(fns, transform):
+    """Batched z -> theta decoder, cached per transform signature
+    (throwaway jit wrappers would recompile on every call — tunnel
+    compiles take minutes)."""
+    cache = getattr(fns, "programs", None)
+    key = ("to_constrained_batch", transform.cache_token())
+    if cache is not None and key in cache:
+        return cache[key]
+    fn = jax.jit(jax.vmap(lambda z: transform.to_constrained(z)[0]))
+    if cache is not None:
+        cache[key] = fn
+    return fn
+
+
+def _cached_batched_lnpost(fns):
+    """(n, dim) -> (n,) posterior evaluator, cached on the fns."""
+    fused = getattr(fns, "batched_lnpost", None)
+    if fused is not None:
+        return fused
+    cache = getattr(fns, "programs", None)
+    key = ("batched_lnpost_fallback",)
+    if cache is not None and key in cache:
+        return cache[key]
+    fn = jax.jit(jax.vmap(fns.log_posterior))
+    if cache is not None:
+        cache[key] = fn
+    return fn
+
+
 def _prior_pool(spec, n, rng):
     """(n, dim) prior draws, column-assembled from the slot layout."""
     cols = []
@@ -122,7 +151,7 @@ def laplace_covariance(posterior_fns, theta_map, transform=None):
         return fns.log_posterior(theta)
 
     cache = getattr(fns, "programs", None)
-    hkey = ("laplace_hessian", tuple(int(o) for o in offsets))
+    hkey = ("laplace_hessian", transform.cache_token())
     if cache is not None and hkey in cache:
         hess = cache[hkey]
     else:
@@ -211,9 +240,7 @@ def fit_map(
     if p0.shape[0] > n_starts:
         # best-of-pool: same selection gradient-based inits need for
         # imaging likelihoods (gradients vanish far from sources)
-        batched = getattr(fns, "batched_lnpost", None) or jax.jit(
-            jax.vmap(fns.log_posterior)
-        )
+        batched = _cached_batched_lnpost(fns)
         lnp = np.asarray(batched(jnp.asarray(p0, fns.dtype)))
         lnp = np.where(np.isfinite(lnp), lnp, -np.inf)
         p0 = p0[np.argsort(lnp)[::-1][:n_starts]]
@@ -228,7 +255,8 @@ def fit_map(
     )
     opt = optax.adam(learning_rate)
 
-    key = ("map_fit", n_starts, steps, float(learning_rate))
+    key = ("map_fit", n_starts, steps, float(learning_rate),
+           transform.cache_token())
     cache = getattr(fns, "programs", None)
     if cache is not None and key in cache:
         program = cache[key]
@@ -272,9 +300,7 @@ def fit_map(
     best_lnp = np.asarray(best_lnp, np.float64)
 
     # back to constrained space + discrete assignment
-    to_theta = jax.jit(
-        jax.vmap(lambda z: transform.to_constrained(z)[0])
-    )
+    to_theta = _cached_decode(fns, transform)
     all_theta = np.array(to_theta(jnp.asarray(best_z, fns.dtype)), np.float64)
 
     i_best = int(np.nanargmax(np.where(np.isfinite(best_lnp), best_lnp, -np.inf)))
@@ -288,9 +314,7 @@ def fit_map(
         off = int(offsets[0])
         cand = np.repeat(all_theta, num_psfs, axis=0)
         cand[:, off] = np.tile(np.arange(num_psfs), len(all_theta))
-        batched = getattr(fns, "batched_lnpost", None) or jax.jit(
-            jax.vmap(fns.log_posterior)
-        )
+        batched = _cached_batched_lnpost(fns)
         lps = np.asarray(
             batched(jnp.asarray(cand, fns.dtype))
         ).reshape(len(all_theta), num_psfs)
@@ -344,9 +368,7 @@ def scatter_around(
     z_c = transform.to_unconstrained(np.asarray(theta_center, np.float64))
     z = z_c[None, :] + scale * rng.randn(n, z_c.size)
     thetas = np.asarray(
-        jax.jit(jax.vmap(lambda zz: transform.to_constrained(zz)[0]))(
-            jnp.asarray(z, fns.dtype)
-        ),
+        _cached_decode(fns, transform)(jnp.asarray(z, fns.dtype)),
         np.float64,
     )
     discrete = set(int(o) for o in transform.discrete_offsets)

@@ -12,10 +12,12 @@ with steps, not memory.
 
 This is a full SMC sampler (Del Moral, Doucet & Jasra 2006): whenever
 a group's weight ESS drops below ``resample_threshold * m`` the group
-is multinomially resampled — without this, imaging-scale lnL ranges
-(thousands of log-units between a random prior draw and the fit)
-collapse the weights onto one walker long before beta reaches 1.
-Plain AIS is the ``resample_threshold=0`` special case.
+is resampled (SYSTEMATIC resampling — one stratified uniform per
+group, strictly lower variance than multinomial; Douc et al. 2005) —
+without this, imaging-scale lnL ranges (thousands of log-units between
+a random prior draw and the fit) collapse the weights onto one walker
+long before beta reaches 1.  Plain AIS is the ``resample_threshold=0``
+special case.
 
 TPU-first shape: the whole anneal is one ``lax.scan``; walkers are
 split into independent GROUPS (one more vmapped batch axis, reusing
@@ -87,14 +89,16 @@ def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
     ``p0``: (groups, m, dim) EXACT prior draws; ``betas``: (T+1,)
     ascending 0 -> 1.  Per step and group: (1) fold the incremental
     weight ``dbeta * lnL`` into the running evidence via the normalized
-    particle weights, (2) multinomially RESAMPLE the group whenever its
-    weight ESS drops below ``resample_threshold * m`` (Del Moral et
+    particle weights, (2) systematically RESAMPLE the group whenever
+    its weight ESS drops below ``resample_threshold * m`` (Del Moral et
     al.'s SMC; without this, imaging-scale lnL ranges collapse the
     weights onto one walker long before beta reaches 1), (3) move every
     walker with ``sweeps`` tempered stretch-move sweeps at the new
     beta.
 
-    Returns (positions, lnl, lnz_groups, lnw_norm, naccept, nresample).
+    Returns (positions, lnl, lnz_groups, lnw_norm, naccept, nresample,
+    ess_min) — ``ess_min`` is the per-group worst PRE-resample ESS
+    over the anneal.
     """
     groups, m, dim = p0.shape
     half = m // 2

@@ -142,9 +142,15 @@ class PTState:
     naccept: jax.Array  # (ntemps, nwalkers) move acceptances
     nswap: jax.Array  # (ntemps - 1,) accepted swaps per rung pair
     key: jax.Array
-    # -- evidence accumulators (retained phase only; tiny: O(ntemps)) --
-    lnl_mean: jax.Array  # (ntemps,) streaming mean of per-walker lnL
-    lnl_sq_mean: jax.Array  # (ntemps,) streaming mean of lnL^2
+    # -- evidence accumulators (retained phase only; tiny: O(ntemps)).
+    # Kahan-compensated sums of the per-step rung means: production
+    # runs are f32 (x64 off), and 5e4 bare accumulations of O(1e4)
+    # values drift by O(0.1-1) lnZ units — the exact f32-summation
+    # hazard CLAUDE.md documents for chains.  lnl_sum/t is the mean.
+    lnl_sum: jax.Array  # (ntemps,) Kahan sum of per-step mean lnL
+    lnl_sum_c: jax.Array  # (ntemps,) Kahan compensation
+    lnl_sq_sum: jax.Array  # (ntemps,) Kahan sum of per-step mean lnL^2
+    lnl_sq_sum_c: jax.Array  # (ntemps,) Kahan compensation
     evid_steps: jax.Array  # scalar int32: retained steps accumulated
     # streaming logsumexp of dbeta*lnL at the hotter rung of each pair
     # (stepping-stone importance ratios)
@@ -164,8 +170,10 @@ jax.tree_util.register_pytree_node(
             s.naccept,
             s.nswap,
             s.key,
-            s.lnl_mean,
-            s.lnl_sq_mean,
+            s.lnl_sum,
+            s.lnl_sum_c,
+            s.lnl_sq_sum,
+            s.lnl_sq_sum_c,
             s.evid_steps,
             s.ss_max,
             s.ss_sum,
@@ -205,6 +213,13 @@ def batched_like_prior(fns):
     fused = getattr(fns, "log_likelihood_batch", None)
     like_b = fused if fused is not None else jax.vmap(lnlike)
     return like_b, jax.vmap(lnprior)
+
+
+def _kahan_add(s, c, v):
+    """Compensated add: returns (s', c') with s' + c'-error ~ exact."""
+    y = v - c
+    t = s + y
+    return t, (t - s) - y
 
 
 def _temper(b, lnl):
@@ -354,23 +369,24 @@ def make_pt_step_fn(
             key_s, betas, pos, lnl, lnp, state.nswap
         )
 
-        lnl_mean = state.lnl_mean
-        lnl_sq_mean = state.lnl_sq_mean
+        lnl_sum, lnl_sum_c = state.lnl_sum, state.lnl_sum_c
+        lnl_sq_sum, lnl_sq_sum_c = state.lnl_sq_sum, state.lnl_sq_sum_c
         evid_steps = state.evid_steps
         ss_max, ss_sum = state.ss_max, state.ss_sum
         if record:
             # Evidence accumulators (retained phase only). Per-rung
-            # streaming means of lnL and lnL^2 feed thermodynamic
-            # integration; a streaming logsumexp of dbeta*lnL at the
-            # HOTTER rung of each adjacent pair feeds stepping-stone.
-            # Cost: O(ntemps) scalars per step — free next to the
-            # batched posterior evaluations.
+            # Kahan-compensated sums of lnL and lnL^2 step means feed
+            # thermodynamic integration; a streaming logsumexp of
+            # dbeta*lnL at the HOTTER rung of each adjacent pair feeds
+            # stepping-stone.  Cost: O(ntemps) scalars per step — free
+            # next to the batched posterior evaluations.
             evid_steps = evid_steps + 1
-            t = evid_steps.astype(lnl.dtype)
             step_mean = jnp.mean(lnl, axis=1)
             step_sq = jnp.mean(lnl * lnl, axis=1)
-            lnl_mean = lnl_mean + (step_mean - lnl_mean) / t
-            lnl_sq_mean = lnl_sq_mean + (step_sq - lnl_sq_mean) / t
+            lnl_sum, lnl_sum_c = _kahan_add(lnl_sum, lnl_sum_c, step_mean)
+            lnl_sq_sum, lnl_sq_sum_c = _kahan_add(
+                lnl_sq_sum, lnl_sq_sum_c, step_sq
+            )
             dbeta = betas[:-1] - betas[1:]  # (ntemps-1,) > 0
             v = dbeta[:, None] * lnl[1:]  # at the hotter rung
             vmax = jnp.max(v, axis=1)
@@ -410,8 +426,10 @@ def make_pt_step_fn(
             naccept=naccept,
             nswap=nswap,
             key=key,
-            lnl_mean=lnl_mean,
-            lnl_sq_mean=lnl_sq_mean,
+            lnl_sum=lnl_sum,
+            lnl_sum_c=lnl_sum_c,
+            lnl_sq_sum=lnl_sq_sum,
+            lnl_sq_sum_c=lnl_sq_sum_c,
             evid_steps=evid_steps,
             ss_max=ss_max,
             ss_sum=ss_sum,
@@ -617,8 +635,10 @@ class PTEnsembleSampler(EnsembleSampler):
             naccept=jnp.zeros((self.ntemps, self.nwalkers), jnp.int32),
             nswap=jnp.zeros(self.ntemps - 1, jnp.int32),
             key=key,
-            lnl_mean=jnp.zeros(self.ntemps, dt),
-            lnl_sq_mean=jnp.zeros(self.ntemps, dt),
+            lnl_sum=jnp.zeros(self.ntemps, dt),
+            lnl_sum_c=jnp.zeros(self.ntemps, dt),
+            lnl_sq_sum=jnp.zeros(self.ntemps, dt),
+            lnl_sq_sum_c=jnp.zeros(self.ntemps, dt),
             evid_steps=jnp.asarray(0, jnp.int32),
             ss_max=jnp.full(self.ntemps - 1, -jnp.inf, dt),
             ss_sum=jnp.zeros(self.ntemps - 1, dt),
@@ -640,8 +660,10 @@ class PTEnsembleSampler(EnsembleSampler):
                 accum={
                     k: jnp.zeros_like(v) for k, v in self.state.accum.items()
                 },
-                lnl_mean=jnp.zeros_like(self.state.lnl_mean),
-                lnl_sq_mean=jnp.zeros_like(self.state.lnl_sq_mean),
+                lnl_sum=jnp.zeros_like(self.state.lnl_sum),
+                lnl_sum_c=jnp.zeros_like(self.state.lnl_sum_c),
+                lnl_sq_sum=jnp.zeros_like(self.state.lnl_sq_sum),
+                lnl_sq_sum_c=jnp.zeros_like(self.state.lnl_sq_sum_c),
                 evid_steps=jnp.asarray(0, jnp.int32),
                 ss_max=jnp.full_like(self.state.ss_max, -jnp.inf),
                 ss_sum=jnp.zeros_like(self.state.ss_sum),
@@ -725,8 +747,10 @@ class PTEnsembleSampler(EnsembleSampler):
                 else None
             ),
             "accum_count": int(s.accum_count),
-            "lnl_mean": np.asarray(s.lnl_mean, np.float64),
-            "lnl_sq_mean": np.asarray(s.lnl_sq_mean, np.float64),
+            "lnl_sum": np.asarray(s.lnl_sum, np.float64)
+            + np.asarray(s.lnl_sum_c, np.float64),
+            "lnl_sq_sum": np.asarray(s.lnl_sq_sum, np.float64)
+            + np.asarray(s.lnl_sq_sum_c, np.float64),
             "evid_steps": int(s.evid_steps),
             "ss_max": np.asarray(s.ss_max, np.float64),
             "ss_sum": np.asarray(s.ss_sum, np.float64),
@@ -774,12 +798,14 @@ class PTEnsembleSampler(EnsembleSampler):
         nswap = payload.get("nswap")
         if full and nswap is not None and np.shape(nswap) == (self.ntemps - 1,):
             extra["nswap"] = jnp.asarray(nswap, jnp.int32)
-        if full and payload.get("lnl_mean") is not None and np.shape(
-            payload["lnl_mean"]
+        if full and payload.get("lnl_sum") is not None and np.shape(
+            payload["lnl_sum"]
         ) == (self.ntemps,):
             dt = self.state.log_like.dtype
-            extra["lnl_mean"] = jnp.asarray(payload["lnl_mean"], dt)
-            extra["lnl_sq_mean"] = jnp.asarray(payload["lnl_sq_mean"], dt)
+            extra["lnl_sum"] = jnp.asarray(payload["lnl_sum"], dt)
+            extra["lnl_sum_c"] = jnp.zeros(self.ntemps, dt)
+            extra["lnl_sq_sum"] = jnp.asarray(payload["lnl_sq_sum"], dt)
+            extra["lnl_sq_sum_c"] = jnp.zeros(self.ntemps, dt)
             extra["evid_steps"] = jnp.asarray(
                 int(payload.get("evid_steps", 0)), jnp.int32
             )
@@ -804,16 +830,27 @@ class PTEnsembleSampler(EnsembleSampler):
         return np.asarray(self.state.nswap) / total
 
     # -- evidence (marginal likelihood) --------------------------------------
+    def _evid_means(self):
+        t = max(int(self.state.evid_steps), 1)
+        m = (
+            np.asarray(self.state.lnl_sum, np.float64)
+            + np.asarray(self.state.lnl_sum_c, np.float64)
+        ) / t
+        sq = (
+            np.asarray(self.state.lnl_sq_sum, np.float64)
+            + np.asarray(self.state.lnl_sq_sum_c, np.float64)
+        ) / t
+        return m, sq
+
     @property
     def rung_log_like_mean(self):
         """(ntemps,) mean untempered lnL per rung over the retained phase."""
-        return np.asarray(self.state.lnl_mean, np.float64)
+        return self._evid_means()[0]
 
     @property
     def rung_log_like_std(self):
         """(ntemps,) std of untempered lnL per rung (retained phase)."""
-        m = np.asarray(self.state.lnl_mean, np.float64)
-        sq = np.asarray(self.state.lnl_sq_mean, np.float64)
+        m, sq = self._evid_means()
         return np.sqrt(np.maximum(sq - m * m, 0.0))
 
     def log_evidence(self, method: str = "auto"):
@@ -854,7 +891,7 @@ class PTEnsembleSampler(EnsembleSampler):
                 "(burn-in does not feed the evidence accumulators)"
             )
         betas = np.asarray(self.betas, np.float64)
-        mean_lnl = np.asarray(self.state.lnl_mean, np.float64)
+        mean_lnl = self.rung_log_like_mean
         reaches_prior = betas[-1] == 0.0
 
         def _ti(bs, ms):

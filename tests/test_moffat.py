@@ -147,6 +147,12 @@ def test_moffat_constraints_and_fallbacks():
     bad[i_f], bad[i_b] = 3.0, 7.0
     assert np.isneginf(float(fns.log_prior(jnp.asarray(bad))))
 
+    # beta <= 1 has no finite total flux: hard -inf, never a
+    # negative-normalization render
+    bad2 = theta.copy()
+    bad2[names.index("1_Moffat_index")] = 0.9
+    assert np.isneginf(float(fns.log_prior(jnp.asarray(bad2))))
+
     # the unconstraining transform enforces fwhm >= fwhm_b by
     # construction
     tr = build_transform(spec, dtype=jnp.float64)

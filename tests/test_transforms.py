@@ -78,7 +78,7 @@ def test_logdet_matches_autodiff_jacobian(spec, rng):
 def test_reffb_follows_reff_bound(spec, rng):
     """Push reff to its lower edge: reff_b must squeeze below it."""
     tr = build_transform(spec, dtype=jnp.float64)
-    zb, za = tr.reffb_pairs[0]
+    zb, za, _kb = tr.reffb_pairs[0]
     z = rng.randn(tr.num_unconstrained)
     z = np.asarray(z)
     z[za] = -8.0  # reff ~ its lower bound (1.0)
@@ -126,3 +126,64 @@ def test_discrete_slot_excluded(rng, gaussian_psf):
     tr = build_transform(spec)
     assert tr.num_unconstrained == spec.num_params - 1
     assert len(tr.discrete_offsets) == 1
+
+
+@pytest.mark.parametrize("minor_prior", ["weibull", "normal", "const_major"])
+def test_dependent_bound_with_nonintervalled_minor(rng, gaussian_psf,
+                                                   minor_prior):
+    """The dependent minor-axis bound must compose with ANY prior
+    support kind — a lower-bounded (Weibull) or unbounded (Normal)
+    reff_b prior previously hit the hi=0 placeholder and collapsed the
+    transform to ld=-inf everywhere."""
+    obs = 0.1 + rng.randn(32, 32) * 0.01
+    config = Configuration(
+        obs_file=obs,
+        obsivm_file=np.full((32, 32), 1e4),
+        psf_files=gaussian_psf,
+        psfivm_files=np.ones_like(gaussian_psf) * 1e6,
+        mag_zeropoint=25.0,
+    )
+    if minor_prior == "weibull":
+        reff, reff_b = D.Uniform(loc=1.0, scale=7.0), D.WeibullMinimum(
+            c=2.0, scale=3.0
+        )
+    elif minor_prior == "normal":
+        reff, reff_b = D.Uniform(loc=1.0, scale=7.0), D.Normal(
+            loc=3.0, scale=1.0
+        )
+    else:  # constant major axis with a lower-bounded minor prior
+        reff, reff_b = 5.0, D.WeibullMinimum(c=2.0, scale=3.0)
+    spec = build_model_spec([
+        config,
+        Sersic(
+            xy=D.Uniform(loc=np.array([8.0, 8.0]),
+                         scale=np.array([16.0, 16.0])),
+            mag=D.Uniform(loc=20.0, scale=3.0),
+            reff=reff,
+            reff_b=reff_b,
+            index=1.5,
+            angle=30.0,
+            angle_degrees=True,
+        ),
+    ])
+    tr = build_transform(spec, dtype=jnp.float64)
+    off = {s.name: s.offset for s in spec.slots}
+    i_b = off["0_Sersic_reff_b"]
+
+    z = rng.randn(32, tr.num_unconstrained) * 2.0
+    thetas, lds = jax.vmap(tr.to_constrained)(jnp.asarray(z))
+    thetas, lds = np.asarray(thetas), np.asarray(lds)
+    assert np.all(np.isfinite(lds)), "transform must not be -inf a.e."
+    major = (
+        thetas[:, off["0_Sersic_reff"]]
+        if minor_prior != "const_major"
+        else 5.0
+    )
+    assert np.all(thetas[:, i_b] <= major + 1e-9)
+    if minor_prior != "normal":
+        assert np.all(thetas[:, i_b] > 0)
+
+    # round trip through the inverse
+    z2 = tr.to_unconstrained(thetas)
+    thetas2, _ = jax.vmap(tr.to_constrained)(jnp.asarray(z2))
+    assert np.allclose(np.asarray(thetas2), thetas, rtol=1e-6, atol=1e-6)
