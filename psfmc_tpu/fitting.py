@@ -239,10 +239,11 @@ def model_galaxy_mcmc(
         adaptation length — typically needs ~10x fewer posterior
         evaluations per effective sample).  ntemps only applies to the
         ensemble sampler.
-    :param moves: ensemble proposal family: ``'stretch'`` (emcee-2.x
-        parity, default), ``'de'`` (differential evolution) or
-        ``'mixed'`` (50/50 per step; cuts the autocorrelation of
-        flux-sharing degeneracies).  Plain ensemble sampler only.
+    :param moves: proposal family: ``'stretch'`` (emcee-2.x parity,
+        default), ``'de'`` (differential evolution) or ``'mixed'``
+        (50/50 per step; cuts the autocorrelation of flux-sharing
+        degeneracies).  Applies to the plain AND tempered ensemble
+        (ignored by NUTS).
     :param init: ``'prior'`` (default) initializes walkers from prior
         draws (reference models.py:108-130 semantics); ``'map'`` first
         runs a multi-start gradient MAP fit (:func:`psfmc_tpu.optimize.
@@ -300,9 +301,6 @@ def model_galaxy_mcmc(
         if ntemps > 1:
             from .sampler.tempered import PTEnsembleSampler
 
-            if moves != "stretch":
-                warn("moves= is ignored with ntemps > 1 (tempered runs "
-                     "use stretch moves)")
             sampler = PTEnsembleSampler(
                 nwalkers=chains,
                 dim=mc_model.num_params,
@@ -311,6 +309,7 @@ def model_galaxy_mcmc(
                 betas=betas,
                 seed=seed,
                 sharding=sharding,
+                moves=moves,
             )
         else:
             sampler = EnsembleSampler(

@@ -83,7 +83,7 @@ class AISResult:
 
 
 def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
-            resample_threshold=0.5):
+            resample_threshold=0.5, moves="stretch"):
     """Core anneal: one scan over the beta schedule (an SMC sampler).
 
     ``p0``: (groups, m, dim) EXACT prior draws; ``betas``: (T+1,)
@@ -154,7 +154,13 @@ def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
 
         bvec = jnp.full((groups,), b_new, lnl.dtype)
         for _ in range(sweeps):
-            key, k0, k1 = jax.random.split(key, 3)
+            key, k0, k1, km = jax.random.split(key, 4)
+            if moves == "stretch":
+                use_de = None
+            elif moves == "de":
+                use_de = jnp.asarray(True)
+            else:  # mixed
+                use_de = jax.random.bernoulli(km)
             q0, l0, r0, acc0 = _pt_stretch_half(
                 k0,
                 bvec,
@@ -164,6 +170,7 @@ def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
                 prior_b,
                 a,
                 dim,
+                use_de=use_de,
             )
             q1, l1, r1, acc1 = _pt_stretch_half(
                 k1,
@@ -174,6 +181,7 @@ def run_ais(like_b, prior_b, p0, key, betas, a=2.0, sweeps=1,
                 prior_b,
                 a,
                 dim,
+                use_de=use_de,
             )
             pos = jnp.concatenate([q0, q1], axis=1)
             lnl = jnp.concatenate([l0, l1], axis=1)
@@ -208,6 +216,7 @@ def ais_evidence(
     a: float = 2.0,
     resample_threshold: float = 0.5,
     mesh=None,
+    moves: str = "stretch",
 ):
     """Marginal likelihood by annealed importance sampling.
 
@@ -320,8 +329,12 @@ def ais_evidence(
     dim = p0.shape[-1]
 
     like_b, prior_b = batched_like_prior(fns)
+    if moves not in ("stretch", "de", "mixed"):
+        raise ValueError(
+            f"unknown moves {moves!r}: expected 'stretch', 'de' or 'mixed'"
+        )
     cache_key = ("ais", groups, m, dim, sweeps, float(a), nsteps,
-                 float(resample_threshold))
+                 float(resample_threshold), moves)
     if cache is not None and cache_key in cache:
         program = cache[cache_key]
     else:
@@ -335,6 +348,7 @@ def ais_evidence(
                 a=a,
                 sweeps=sweeps,
                 resample_threshold=resample_threshold,
+                moves=moves,
             )
         )
         if cache is not None:

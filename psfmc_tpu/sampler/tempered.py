@@ -238,23 +238,51 @@ def _temper(b, lnl):
 
 
 def _pt_stretch_half(key, betas, active, comp, lnlike_batch, lnprior_batch,
-                     a, dim):
+                     a, dim, use_de=None, gamma0=None):
     """One tempered half-ensemble update, vmapped over rungs.
 
     ``active``/``comp`` are (pos, lnl, lnp) tuples with leading rung
     axis; acceptance uses ``lnprior + beta * lnlike``.  The batched
     likelihood/prior evaluate a flat (n, dim) batch — vmapped scalars
     or the posterior's fused Pallas batch path.
+
+    ``use_de`` (traced bool scalar or None) swaps in a differential-
+    evolution proposal for this half-step — same semantics as the
+    plain ensemble's (see :func:`psfmc_tpu.sampler.ensemble.
+    _stretch_half`): symmetric, two distinct complementary partners,
+    gamma = 2.38/sqrt(2 dim) with 10% mode-jumping gamma=1.  Zero
+    extra posterior evaluations; rung axis rides along.
     """
     pos, lnl, lnp = active
     ntemps, k, _ = pos.shape
-    key_z, key_r, key_u = jax.random.split(key, 3)
+    m = comp.shape[1]
+    key_z, key_r, key_u, key_r2, key_g, key_j = jax.random.split(key, 6)
 
     u = jax.random.uniform(key_z, (ntemps, k), pos.dtype)
     z = ((a - 1.0) * u + 1.0) ** 2 / a
-    partner = jax.random.randint(key_r, (ntemps, k), 0, comp.shape[1])
+    partner = jax.random.randint(key_r, (ntemps, k), 0, m)
     c = jnp.take_along_axis(comp, partner[..., None], axis=1)
     proposal = c + z[..., None] * (pos - c)
+    log_extra = (dim - 1.0) * jnp.log(z)
+
+    if use_de is not None:
+        partner2 = jnp.mod(
+            partner + 1 + jax.random.randint(key_r2, (ntemps, k), 0, m - 1),
+            m,
+        )
+        c2 = jnp.take_along_axis(comp, partner2[..., None], axis=1)
+        g0 = jnp.asarray(
+            gamma0 if gamma0 is not None else 2.38 / np.sqrt(2.0 * dim),
+            pos.dtype,
+        )
+        jump = jax.random.uniform(key_g, (ntemps, k), pos.dtype) < 0.1
+        jitter = 1.0 + 1e-5 * jax.random.normal(
+            key_j, (ntemps, k), pos.dtype
+        )
+        gamma = jnp.where(jump, 1.0, g0) * jitter
+        de_proposal = pos + gamma[..., None] * (c - c2)
+        proposal = jnp.where(use_de, de_proposal, proposal)
+        log_extra = jnp.where(use_de, jnp.zeros_like(log_extra), log_extra)
 
     flat = proposal.reshape(ntemps * k, -1)
     prop_lnl = lnlike_batch(flat).reshape(ntemps, k)
@@ -262,7 +290,7 @@ def _pt_stretch_half(key, betas, active, comp, lnlike_batch, lnprior_batch,
 
     b = betas[:, None]
     log_ratio = (
-        (dim - 1.0) * jnp.log(z)
+        log_extra
         + (prop_lnp + _temper(b, prop_lnl))
         - (lnp + _temper(b, lnl))
     )
@@ -326,6 +354,7 @@ def make_pt_step_fn(
     accumulate: bool = False,
     record: bool = True,
     ensemble_means_fn: Optional[Callable] = None,
+    moves: str = "stretch",
 ):
     """One tempered iteration: two half-updates per rung + a swap sweep.
 
@@ -337,8 +366,15 @@ def make_pt_step_fn(
     ntemps = betas.shape[0]
 
     def step(state: PTState, _):
-        key, key0, key1, key_s = jax.random.split(state.key, 4)
+        key, key0, key1, key_s, key_m = jax.random.split(state.key, 5)
         pos, lnl, lnp = state.positions, state.log_like, state.log_prior
+
+        if moves == "stretch":
+            use_de = None
+        elif moves == "de":
+            use_de = jnp.asarray(True)
+        else:  # mixed
+            use_de = jax.random.bernoulli(key_m)
 
         p0, l0, q0, acc0 = _pt_stretch_half(
             key0,
@@ -349,6 +385,7 @@ def make_pt_step_fn(
             lnprior_batch,
             a,
             dim,
+            use_de=use_de,
         )
         p1, l1, q1, acc1 = _pt_stretch_half(
             key1,
@@ -359,6 +396,7 @@ def make_pt_step_fn(
             lnprior_batch,
             a,
             dim,
+            use_de=use_de,
         )
         pos = jnp.concatenate([p0, p1], axis=1)
         lnl = jnp.concatenate([l0, l1], axis=1)
@@ -451,6 +489,7 @@ def run_pt(
     accumulate: bool = False,
     record: bool = True,
     ensemble_means_fn=None,
+    moves: str = "stretch",
 ):
     ntemps, nwalkers, dim = state.positions.shape
     step = make_pt_step_fn(
@@ -464,6 +503,7 @@ def run_pt(
         accumulate=accumulate,
         record=record,
         ensemble_means_fn=ensemble_means_fn,
+        moves=moves,
     )
     final, outs = jax.lax.scan(step, state, None, length=nsteps)
     if record:
@@ -495,6 +535,7 @@ class PTEnsembleSampler(EnsembleSampler):
         sharding=None,
         adapt_ladder=None,
         target_swap_accept: float = 0.3,
+        moves: str = "stretch",
     ):
         """``betas=None`` enables automatic ladder sizing: during
         burn-in the per-rung std(lnL) is measured every adaptation
@@ -525,6 +566,7 @@ class PTEnsembleSampler(EnsembleSampler):
             image_shape=image_shape,
             accum_dtype=accum_dtype,
             sharding=sharding,
+            moves=moves,
         )
 
     # -- likelihood/prior split --------------------------------------------
@@ -550,6 +592,7 @@ class PTEnsembleSampler(EnsembleSampler):
             self.a,
             accumulate,
             record,
+            self.moves,
         )
         if cache is not None and key in cache:
             return cache[key]
@@ -566,6 +609,7 @@ class PTEnsembleSampler(EnsembleSampler):
                 ensemble_means_fn=getattr(
                     self.fns, "ensemble_carry_means", None
                 ),
+                moves=self.moves,
             ),
             static_argnames=("nsteps",),
         )

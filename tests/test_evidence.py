@@ -342,3 +342,20 @@ def test_evidence_requires_retained_samples():
         pt2.log_evidence("stepping-stone")
     lnz, _err = pt2.log_evidence()  # auto falls back to TI
     assert np.isfinite(lnz)
+
+
+def test_ais_mixed_moves():
+    """SMC transitions with the stretch+DE mixture target the same
+    tempered path: the analytic evidence is still recovered."""
+    from psfmc_tpu.sampler.ais import ais_evidence
+
+    post = BoxGaussianPosterior()
+    rng = np.random.RandomState(21)
+    p0 = rng.uniform(-post.a, post.a, (128, 2))
+    res = ais_evidence(
+        post, nwalkers=128, nsteps=500, groups=4, seed=9, p0=p0,
+        moves="mixed",
+    )
+    assert abs(res.lnz - TRUTH) < 0.2, (res.lnz, TRUTH)
+    with pytest.raises(ValueError):
+        ais_evidence(post, nwalkers=128, nsteps=10, p0=p0, moves="bogus")

@@ -312,3 +312,25 @@ def test_adaptive_ladder_keeps_weak_data_behavior(rng):
     frac_neg = float(np.mean(pt.flatchain[:, 0] < 0))
     assert 0.2 < frac_neg < 0.8
     assert np.all(pt.swap_acceptance_fraction > 0.03)
+
+
+def test_pt_mixed_moves_preserve_posterior(rng):
+    """moves='mixed' on the tempered sampler targets the same posterior
+    (unimodal Gaussian moments recovered) and still swaps."""
+    from tests.test_sampler import GaussianPosterior
+
+    post = GaussianPosterior()
+    nwalkers = 64
+    p0 = np.asarray(post.mean) + rng.randn(nwalkers, 3)
+    pt = PTEnsembleSampler(
+        nwalkers, 3, post, ntemps=3, seed=6, image_shape=(2, 2),
+        moves="mixed",
+    )
+    pt.init_state(p0)
+    pt.run_burn(300)
+    pt.reset()
+    pt.run_sampling(1000)
+    flat = np.asarray(pt.flatchain, np.float64)
+    assert np.allclose(flat.mean(axis=0), np.asarray(post.mean), atol=0.1)
+    assert np.allclose(np.cov(flat.T), np.asarray(post.cov), atol=0.3)
+    assert np.all(pt.swap_acceptance_fraction > 0.05)
