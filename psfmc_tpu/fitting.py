@@ -132,6 +132,7 @@ def model_galaxy_evidence(
     sweeps: int = 2,
     seed: int = 0,
     mesh=None,
+    moves: str = "mixed",
     **ais_kwargs,
 ):
     """Marginal likelihood of a model file (Bayesian model comparison).
@@ -171,6 +172,7 @@ def model_galaxy_evidence(
         seed=seed,
         p0=p0,
         mesh=mesh,
+        moves=moves,
         **ais_kwargs,
     )
 

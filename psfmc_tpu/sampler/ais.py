@@ -216,7 +216,7 @@ def ais_evidence(
     a: float = 2.0,
     resample_threshold: float = 0.5,
     mesh=None,
-    moves: str = "stretch",
+    moves: str = "mixed",
 ):
     """Marginal likelihood by annealed importance sampling.
 
@@ -242,6 +242,14 @@ def ais_evidence(
     :param p0: optional (nwalkers, dim) EXACT prior draws (e.g.
         ``MultiComponentModel.init_params_from_priors``).  ``None``
         draws them column-wise from the model's priors.
+    :param moves: transition proposals: ``'mixed'`` (default —
+        stretch + differential-evolution mixture).  Measured on the
+        flagship fit, mixing quality directly bounds the estimator:
+        stretch-only runs scattered ~11 lnZ units across seeds while
+        claiming +/-3-6 (weight-degeneracy Jensen bias pushes
+        under-mixed SMC evidence LOW); the mixture agrees to 0.05
+        across seeds at +/-0.35.  ``'stretch'``/``'de'`` available for
+        comparison.
     :param mesh: optional ``jax.sharding.Mesh`` (e.g.
         ``parallel.walker_mesh()``): the GROUP axis shards over the
         mesh.  Groups are embarrassingly parallel (moves and

@@ -25,6 +25,7 @@ STEPS = int(os.environ.get("EVID_STEPS", "3000"))
 GROUPS = int(os.environ.get("EVID_GROUPS", "4"))
 SWEEPS = int(os.environ.get("EVID_SWEEPS", "2"))
 SEEDS = int(os.environ.get("EVID_SEEDS", "2"))
+MOVES = os.environ.get("EVID_MOVES", "stretch")
 
 
 def main():
@@ -58,7 +59,7 @@ def main():
     fns = build_posterior(spec)
     print(
         f"flagship: {spec.num_params} params, {WALKERS} walkers x "
-        f"{STEPS} steps x {SWEEPS} sweeps, {GROUPS} groups"
+        f"{STEPS} steps x {SWEEPS} sweeps, {GROUPS} groups, moves={MOVES}"
     )
 
     results = []
@@ -74,6 +75,7 @@ def main():
             groups=GROUPS,
             sweeps=SWEEPS,
             seed=seed,
+            moves=MOVES,
         )
         device_sync(res.lnz)  # lnz is host float; sync is for timing hygiene
         dt = time.perf_counter() - t0
