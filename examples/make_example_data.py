@@ -7,6 +7,12 @@ directory — shaped like the reference's J0005-0006 HST workload
 the example fit's posterior can be checked against the injected source.
 """
 import os
+import sys
+
+# runnable from a repo checkout without installing the package
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
 
 import numpy as np
 import scipy.special as sp

@@ -7,6 +7,12 @@ histograms.  Equivalent workflow to the reference's
 examples/run_example.py.
 """
 import os
+import sys
+
+# runnable from a repo checkout without installing the package
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
 
 import numpy as np
 
