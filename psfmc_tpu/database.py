@@ -153,18 +153,40 @@ def _checkpoint_hdus(payload):
         ("CKPTSTEP", (int(payload.get("nsteps", 0)),
                       "steps since last sampler reset")),
     ]
+    def _padded_col(values, fill=0.0):
+        # small per-rung arrays ride as padded per-row columns: header
+        # CSVs silently truncate at the 68-char FITS card limit (which
+        # corrupted long nswap ladders)
+        out = np.full(nrows, fill, np.float64)
+        v = np.ravel(np.asarray(values, np.float64))
+        out[: len(v)] = v
+        return out
+
     nswap = payload.get("nswap")
     if nswap is not None:
-        meta.append(
-            ("CKPTNSWP", (",".join(str(int(v)) for v in np.ravel(nswap)),
-                          "accepted swaps per rung pair"))
-        )
+        cols["nswap"] = _padded_col(nswap, fill=-1.0)
     betas = payload.get("betas")
     if betas is not None and ntemps > 1:
         # per-row rung beta (a header CSV would overflow the 68-char
         # FITS card limit for long ladders)
         cols["beta"] = np.repeat(
             np.asarray(betas, np.float64), nrows // ntemps
+        )
+    # tempered evidence accumulators (checkpoint v2.1): without these a
+    # resumed run silently recomputes MCLNZ from post-resume steps only
+    if payload.get("lnl_sum") is not None:
+        cols["evid_lnl_sum"] = _padded_col(payload["lnl_sum"])
+        cols["evid_lnl_sq_sum"] = _padded_col(payload["lnl_sq_sum"])
+        cols["evid_ss_max"] = _padded_col(payload["ss_max"])
+        cols["evid_ss_sum"] = _padded_col(payload["ss_sum"])
+        meta.append(
+            ("CKPTEVID", (int(payload.get("evid_steps", 0)),
+                          "retained steps in evidence accumulators"))
+        )
+    if payload.get("sum_accept") is not None:
+        meta.append(
+            ("CKPTACCS", (float(payload["sum_accept"]),
+                          "acceptance-statistic numerator"))
         )
     if payload.get("nuts_eps") is not None:
         meta.append(
@@ -236,11 +258,36 @@ def load_checkpoint(db_name):
         payload["positions"] = positions.reshape(ntemps, -1, dim)
         payload["naccept"] = naccept.reshape(ntemps, -1)
         payload["log_prob"] = lnp.reshape(ntemps, -1)[0]
-        nswap = ckpt.meta.get("CKPTNSWP")
-        if nswap is not None:
-            payload["nswap"] = np.array(
-                [int(v) for v in str(nswap).split(",")], dtype=np.int64
-            )
+        if "nswap" in ckpt.colnames:
+            payload["nswap"] = np.asarray(
+                ckpt["nswap"], np.float64
+            )[: ntemps - 1].astype(np.int64)
+        else:
+            # legacy header CSV (card-truncated beyond ~68 chars; keep
+            # best-effort reading for old files)
+            nswap = ckpt.meta.get("CKPTNSWP")
+            if nswap is not None:
+                try:
+                    payload["nswap"] = np.array(
+                        [int(v) for v in str(nswap).split(",")],
+                        dtype=np.int64,
+                    )
+                except ValueError:
+                    pass
+        if "evid_lnl_sum" in ckpt.colnames:
+            payload["lnl_sum"] = np.asarray(
+                ckpt["evid_lnl_sum"], np.float64
+            )[:ntemps]
+            payload["lnl_sq_sum"] = np.asarray(
+                ckpt["evid_lnl_sq_sum"], np.float64
+            )[:ntemps]
+            payload["ss_max"] = np.asarray(
+                ckpt["evid_ss_max"], np.float64
+            )[: ntemps - 1]
+            payload["ss_sum"] = np.asarray(
+                ckpt["evid_ss_sum"], np.float64
+            )[: ntemps - 1]
+            payload["evid_steps"] = int(ckpt.meta.get("CKPTEVID", 0))
         if "beta" in ckpt:
             payload["betas"] = np.asarray(
                 ckpt["beta"], dtype=np.float64
@@ -254,6 +301,9 @@ def load_checkpoint(db_name):
             }
         except IOError:
             payload["accum_count"] = 0
+    accs = ckpt.meta.get("CKPTACCS")
+    if accs is not None:
+        payload["sum_accept"] = float(accs)
     eps = ckpt.meta.get("CKPTEPS")
     if eps is not None:
         payload["nuts_eps"] = float(eps)

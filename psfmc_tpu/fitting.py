@@ -194,6 +194,7 @@ def model_galaxy_mcmc(
     sampler="ensemble",
     init="prior",
     moves="stretch",
+    max_depth=8,
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -246,6 +247,9 @@ def model_galaxy_mcmc(
         (50/50 per step; cuts the autocorrelation of flux-sharing
         degeneracies).  Applies to the plain AND tempered ensemble
         (ignored by NUTS).
+    :param max_depth: NUTS maximum tree depth (2^depth - 1 leapfrog
+        steps per trajectory); raise to 10-12 when trajectories
+        saturate the cap (sampler='nuts' only).
     :param init: ``'prior'`` (default) initializes walkers from prior
         draws (reference models.py:108-130 semantics); ``'map'`` first
         runs a multi-start gradient MAP fit (:func:`psfmc_tpu.optimize.
@@ -294,6 +298,7 @@ def model_galaxy_mcmc(
             warn("moves= is ignored with sampler='nuts'")
         sampler = NUTSSampler(
             nwalkers=chains,
+            max_depth=max_depth,
             dim=mc_model.num_params,
             posterior_fns=mc_model.posterior_fns,
             seed=seed,

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from .spec import ModelSpec
 
-__all__ = ["UnconstrainingTransform", "build_transform"]
+__all__ = ["UnconstrainingTransform", "build_transform", "transform_token"]
 
 _IDENTITY, _INTERVAL, _LOWER, _UPPER = 0, 1, 2, 3
 
@@ -312,3 +312,14 @@ class UnconstrainingTransform:
 
 def build_transform(spec: ModelSpec, dtype=jnp.float32) -> UnconstrainingTransform:
     return UnconstrainingTransform(spec, dtype=dtype)
+
+
+def transform_token(transform):
+    """Cache token for any transform-like object.
+
+    Uses the object's own :meth:`UnconstrainingTransform.cache_token`
+    when present; custom duck-typed transforms fall back to object
+    identity (correct — never shared — though not persistent).
+    """
+    fn = getattr(transform, "cache_token", None)
+    return fn() if fn is not None else ("transform-id", id(transform))

@@ -30,6 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .models.transforms import transform_token
+
 __all__ = ["MAPResult", "fit_map", "laplace_covariance", "scatter_around"]
 
 
@@ -84,7 +86,7 @@ def _cached_decode(fns, transform):
     (throwaway jit wrappers would recompile on every call — tunnel
     compiles take minutes)."""
     cache = getattr(fns, "programs", None)
-    key = ("to_constrained_batch", transform.cache_token())
+    key = ("to_constrained_batch", transform_token(transform))
     if cache is not None and key in cache:
         return cache[key]
     fn = jax.jit(jax.vmap(lambda z: transform.to_constrained(z)[0]))
@@ -151,7 +153,7 @@ def laplace_covariance(posterior_fns, theta_map, transform=None):
         return fns.log_posterior(theta)
 
     cache = getattr(fns, "programs", None)
-    hkey = ("laplace_hessian", transform.cache_token())
+    hkey = ("laplace_hessian", transform_token(transform))
     if cache is not None and hkey in cache:
         hess = cache[hkey]
     else:
@@ -256,7 +258,7 @@ def fit_map(
     opt = optax.adam(learning_rate)
 
     key = ("map_fit", n_starts, steps, float(learning_rate),
-           transform.cache_token())
+           transform_token(transform))
     cache = getattr(fns, "programs", None)
     if cache is not None and key in cache:
         program = cache[key]

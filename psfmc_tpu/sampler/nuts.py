@@ -496,7 +496,10 @@ class NUTSSampler:
     # -- warmup ("burn") ----------------------------------------------------------
     def _warmup_program(self, nsteps: int):
         cache = getattr(self.fns, "programs", None)
-        pkey = ("nuts_warmup", self.nwalkers, self.zdim, self.max_depth, nsteps)
+        from ..models.transforms import transform_token
+
+        pkey = ("nuts_warmup", self.nwalkers, self.zdim, self.max_depth,
+                nsteps, transform_token(self.transform))
         if cache is not None and pkey in cache:
             return cache[pkey]
         kernel = self._kernel
@@ -608,7 +611,10 @@ class NUTSSampler:
     # -- retained sampling ---------------------------------------------------------
     def _sampling_program(self, nsteps: int):
         cache = getattr(self.fns, "programs", None)
-        pkey = ("nuts_sample", self.nwalkers, self.zdim, self.max_depth, nsteps)
+        from ..models.transforms import transform_token
+
+        pkey = ("nuts_sample", self.nwalkers, self.zdim, self.max_depth,
+                nsteps, transform_token(self.transform))
         if cache is not None and pkey in cache:
             return cache[pkey]
         kernel = self._kernel
@@ -771,6 +777,7 @@ class NUTSSampler:
             "accum_count": int(s["accum_count"]),
             "nuts_eps": float(s["eps"]),
             "nuts_inv_mass": np.asarray(s["inv_mass"], np.float64),
+            "sum_accept": float(self._sum_accept),
         }
 
     def restore_state(self, payload):
@@ -795,4 +802,7 @@ class NUTSSampler:
             }
             self.state["accum_count"] = jnp.asarray(count, jnp.int32)
         self._nsteps_total = int(payload.get("nsteps", 0))
+        # restore the paired acceptance numerator: leaving it at zero
+        # biases MCACCEPT toward zero after every resume
+        self._sum_accept = float(payload.get("sum_accept", 0.0))
         return self.state

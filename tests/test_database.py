@@ -163,3 +163,47 @@ def test_annotate_metadata():
     meta = annotate_metadata({"MCITER": 100, "CUSTOM": 1.5})
     assert meta["MCITER"] == (100, "number of retained samples")
     assert meta["CUSTOM"][1] == "psfMC model parameter"
+
+
+def test_checkpoint_long_ladder_and_evidence_roundtrip(tmp_path):
+    """Long-ladder tempered checkpoints: nswap rides a per-row column
+    (the old header CSV silently truncated at the 68-char FITS card
+    limit and corrupted large counts), and the evidence accumulators
+    survive the disk round trip (without them a resumed run recomputes
+    MCLNZ from post-resume steps only)."""
+
+    class PTFake(FakeSampler):
+        def __init__(self):
+            super().__init__(nwalkers=4, niter=5, seed=2)
+            self.ntemps = 10
+
+        def checkpoint_payload(self):
+            p = super().checkpoint_payload()
+            rng = np.random.RandomState(7)
+            p["ntemps"] = self.ntemps
+            p["positions"] = rng.randn(self.ntemps, self.nwalkers, 4)
+            p["naccept"] = rng.randint(
+                0, 100, (self.ntemps, self.nwalkers)
+            ).astype(np.int64)
+            # large counts: the CSV form was 80+ chars and truncated
+            p["nswap"] = np.full(self.ntemps - 1, 12345678, np.int64)
+            p["betas"] = np.linspace(1.0, 0.0, self.ntemps)
+            p["lnl_sum"] = rng.randn(self.ntemps) * 1e4
+            p["lnl_sq_sum"] = rng.rand(self.ntemps) * 1e8
+            p["ss_max"] = rng.randn(self.ntemps - 1)
+            p["ss_sum"] = rng.rand(self.ntemps - 1) * 1e3
+            p["evid_steps"] = 4321
+            return p
+
+    sampler = PTFake()
+    path = str(tmp_path / "db.fits")
+    save_database(sampler, FakeModel(), path)
+    ckpt = load_checkpoint(path)
+    src = sampler.checkpoint_payload()
+    assert np.array_equal(ckpt["nswap"], src["nswap"])  # no truncation
+    assert np.allclose(ckpt["betas"], src["betas"])
+    assert np.allclose(ckpt["lnl_sum"], src["lnl_sum"])
+    assert np.allclose(ckpt["lnl_sq_sum"], src["lnl_sq_sum"])
+    assert np.allclose(ckpt["ss_max"], src["ss_max"])
+    assert np.allclose(ckpt["ss_sum"], src["ss_sum"])
+    assert ckpt["evid_steps"] == 4321
