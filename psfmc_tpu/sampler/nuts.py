@@ -444,8 +444,12 @@ class NUTSSampler:
         """
         p0 = np.asarray(p0, np.float64)
         if p0.shape[0] > self.nwalkers:
+            from ..optimize import _cached_batched_lnpost
+
             lnp = np.asarray(
-                self.fns.batched_lnpost(jnp.asarray(p0, self.fns.dtype))
+                _cached_batched_lnpost(self.fns)(
+                    jnp.asarray(p0, self.fns.dtype)
+                )
             )
             lnp = np.where(np.isfinite(lnp), lnp, -np.inf)
             best = np.argsort(lnp)[::-1][: self.nwalkers]
@@ -592,7 +596,14 @@ class NUTSSampler:
 
     def run_burn(self, nsteps: int, segment=None, callback=None):
         """Warmup: step-size + mass adaptation (adapting draws are
-        discarded, like burn-in)."""
+        discarded, like burn-in).
+
+        ``segment`` is accepted for driver compatibility but warmup is
+        a single adaptive program (the adaptation windows are laid out
+        over the full ``nsteps``), so no mid-warmup checkpoints are
+        written — a killed run re-pays warmup.  Retained sampling IS
+        segmented (see :meth:`run_sampling`).
+        """
         if nsteps <= 0:
             return self
         s = self.state
@@ -680,9 +691,7 @@ class NUTSSampler:
             cache[pkey] = prog
         return prog
 
-    def run_sampling(self, nsteps: int, segment=None, callback=None):
-        if nsteps <= 0:
-            return self
+    def _sample_segment(self, nsteps: int):
         s = self.state
         prog = self._sampling_program(int(nsteps))
         carry, outs = prog(
@@ -703,8 +712,30 @@ class NUTSSampler:
         self._sum_accept += float(np.sum(np.asarray(alphas)))
         self._n_leapfrog_total += int(np.sum(np.asarray(n_lf)))
         self._n_divergent += int(np.sum(np.asarray(n_div)))
-        if callback is not None:
-            callback(nsteps, nsteps)
+
+    def run_sampling(self, nsteps: int, segment=None, callback=None):
+        """Retained sampling; honors the driver's segment/callback
+        contract (``callback(done, nsteps)`` after every segment, so
+        mid-phase resume checkpoints get written — a killed long NUTS
+        run restarts from the last segment instead of losing the
+        phase).  State carries across segments; each distinct segment
+        length compiles once (at most one remainder program).
+        """
+        if nsteps <= 0:
+            return self
+        if segment is None or segment >= nsteps:
+            segs = [nsteps]
+        else:
+            segment = max(1, int(segment))
+            segs = [segment] * (nsteps // segment)
+            if nsteps % segment:
+                segs.append(nsteps % segment)
+        done = 0
+        for n in segs:
+            self._sample_segment(n)
+            done += n
+            if callback is not None:
+                callback(done, nsteps)
         return self
 
     # -- emcee-compatible surface -------------------------------------------------

@@ -301,3 +301,25 @@ def test_nuts_driver_resume(tmp_path, rng, gaussian_psf):
         assert np.allclose(old.reshape(4, 30), new.reshape(4, 50)[:, :30])
     finally:
         os.chdir(prev)
+
+
+def test_nuts_sampling_segments_invoke_callback(rng):
+    """run_sampling honors the driver's segment/callback contract
+    (mid-phase checkpoints depend on per-segment callbacks)."""
+    from tests.test_sampler import GaussianPosterior
+
+    post = GaussianPosterior()
+    s = NUTSSampler(4, 3, post, seed=3, image_shape=(2, 2),
+                    transform=_IdentityTransform(3))
+    p0 = np.asarray(post.mean) + rng.randn(16, 3)
+    s.init_state(p0)
+    s.run_burn(50)
+    s.reset()
+    calls = []
+    s.run_sampling(30, segment=10, callback=lambda d, t: calls.append((d, t)))
+    assert calls == [(10, 30), (20, 30), (30, 30)]
+    assert s.chain.shape[1] == 30
+    # uneven remainder segment
+    s.run_sampling(25, segment=10, callback=lambda d, t: calls.append((d, t)))
+    assert calls[-3:] == [(10, 25), (20, 25), (25, 25)]
+    assert s.chain.shape[1] == 55
