@@ -508,10 +508,26 @@ class NUTSSampler:
             return cache[pkey]
         kernel = self._kernel
         dt = self.fns.dtype
-        # Stan-like schedule: 15% eps-only, then mass-estimation window
-        # to 90%, final 10% eps-only with the new metric
+        # Stan-like schedule: 15% eps-only, then DOUBLING mass windows
+        # to 90% (each window ends with a metric update + step-size
+        # re-adaptation and a fresh Welford), final 10% eps-only.  A
+        # single window lets early poorly-mixed draws (under the unit
+        # metric) bias the one variance estimate that is then locked
+        # in — doubling windows progressively discard them, exactly
+        # Stan's remedy.
         m_start = max(1, int(0.15 * nsteps))
         m_end = max(m_start + 1, int(0.9 * nsteps))
+        bounds = []
+        t0, w = m_start, max(10, (m_end - m_start) // 12)
+        while t0 + w < m_end:
+            if t0 + 3 * w >= m_end:
+                w = m_end - t0  # absorb the remainder into the last
+            bounds.append(min(t0 + w, m_end))
+            t0 += w
+            w *= 2
+        if not bounds or bounds[-1] != m_end:
+            bounds.append(m_end)
+        bounds_arr = np.asarray(bounds, np.int32)
 
         def program(z, u, g, key, eps0):
             nchains, zdim = z.shape
@@ -564,7 +580,10 @@ class NUTSSampler:
                     return da, inv_mass, wf
 
                 da, inv_mass, wf = jax.lax.cond(
-                    t == m_end, switch, lambda a: a, (da, inv_mass, wf)
+                    jnp.any(t == jnp.asarray(bounds_arr)),
+                    switch,
+                    lambda a: a,
+                    (da, inv_mass, wf),
                 )
 
                 out = (
