@@ -15,7 +15,6 @@ if _repo not in sys.path:
     sys.path.insert(0, _repo)
 
 import numpy as np
-import scipy.special as sp
 
 from psfmc_tpu.io import fits
 
@@ -37,23 +36,6 @@ TRUTH = {
 }
 
 
-def sersic_image(shape, x, y, mag, reff, reff_b, index, angle_deg, zp):
-    h, w = shape
-    yy, xx = np.mgrid[0:h, 0:w].astype(float)
-    kappa = sp.gammaincinv(2 * index, 0.5)
-    flux = 10 ** (-0.4 * (mag - zp))
-    sbeff = flux / (
-        np.pi * reff * reff_b * 2 * index
-        * np.exp(kappa - 2 * index * np.log(kappa)) * sp.gamma(2 * index)
-    )
-    ang = np.deg2rad(angle_deg) + np.pi / 2
-    dx, dy = xx - x, yy - y
-    u = (np.cos(ang) * dx + np.sin(ang) * dy) / reff
-    v = (-np.sin(ang) * dx + np.cos(ang) * dy) / reff_b
-    sq = np.maximum(u * u + v * v, 1e-30)
-    return sbeff * np.exp(-kappa * np.expm1(np.log(sq) * 0.5 / index))
-
-
 def main(outdir="."):
     rng = np.random.RandomState(20260816)
     h, w = SHAPE
@@ -66,29 +48,42 @@ def main(outdir="."):
     psf /= psf.sum()
     psf_ivm = np.ones_like(psf) * 1e9
 
-    t = TRUTH
-    truth = np.full(SHAPE, t["sky"])
-    truth += sersic_image(
-        SHAPE, t["ser_xy"][0], t["ser_xy"][1], t["ser_mag"], t["ser_reff"],
-        t["ser_reff_b"], t["ser_index"], t["ser_angle"], MAG_ZP,
+    # Render the scene through the FRAMEWORK ITSELF (the simulate API):
+    # a hand-rolled numpy generator inevitably drifts from the fitted
+    # model's conventions (sub-pixel PS kernel, convolution centering,
+    # Sersic centroid correction) — at source flux / noise ~ 3e4 even
+    # percent-level render mismatches dominate the likelihood, and the
+    # "truth" labels stop corresponding to the posterior's parameters.
+    from psfmc_tpu.models.components import (
+        Configuration, PointSource, Sersic, Sky,
     )
-    # point source at sub-pixel position via explicit bilinear split
-    px, py = t["ps_xy"]
-    flux = 10 ** (-0.4 * (t["ps_mag"] - MAG_ZP))
-    x0, y0 = int(np.floor(px)), int(np.floor(py))
-    fx, fy = px - x0, py - y0
-    for ddy, wy in ((0, 1 - fy), (1, fy)):
-        for ddx, wx in ((0, 1 - fx), (1, fx)):
-            truth[y0 + ddy, x0 + ddx] += flux * wy * wx
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
 
-    # convolve with the PSF (wrap boundary, centered kernel)
-    pad = np.zeros(SHAPE)
-    pad[h // 2 - ph // 2 : h // 2 + ph // 2,
-        w // 2 - pw // 2 : w // 2 + pw // 2] = psf
-    conv = np.fft.ifftshift(
-        np.fft.irfft2(np.fft.rfft2(truth) * np.fft.rfft2(pad), s=SHAPE)
+    t = TRUTH
+    truth_comps = [
+        Configuration(
+            obs_file=np.zeros(SHAPE),
+            obsivm_file=np.full(SHAPE, 1.0 / NOISE_SIGMA**2),
+            psf_files=psf,
+            psfivm_files=psf_ivm,
+            mag_zeropoint=MAG_ZP,
+        ),
+        Sky(adu=t["sky"]),
+        PointSource(xy=np.array(t["ps_xy"]), mag=t["ps_mag"]),
+        Sersic(
+            xy=np.array(t["ser_xy"]),
+            mag=t["ser_mag"],
+            reff=t["ser_reff"],
+            reff_b=t["ser_reff_b"],
+            index=t["ser_index"],
+            angle=t["ser_angle"],
+            angle_degrees=True,
+        ),
+    ]
+    mcm_truth = MultiComponentModel(components=truth_comps)
+    obs, _theta = mcm_truth.simulate(
+        theta=np.zeros(0), random_state=rng, add_noise=True
     )
-    obs = conv + rng.randn(h, w) * NOISE_SIGMA
     ivm = np.full(SHAPE, 1.0 / NOISE_SIGMA**2)
 
     hdr = fits.Header()

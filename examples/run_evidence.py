@@ -20,6 +20,19 @@ import numpy as np
 
 def main():
     os.chdir(os.path.dirname(os.path.abspath(__file__)) or ".")
+    # persistent compile cache: first-run tunnel compiles take minutes
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
     if not os.path.exists("sci_example.fits"):
         import make_example_data
 

@@ -16,13 +16,33 @@ if _repo not in sys.path:
 
 import numpy as np
 
-# Sampler arguments: small enough to run quickly; production fits want
-# larger values (see README).
-MC_ARGS = {"burn": 300, "iterations": 300, "chains": 250}
+# Sampler arguments: the flux-sharing PS/host degeneracy has an
+# integrated autocorrelation time of ~180 steps, so retained chains
+# must be well past 10x that to pass the convergence check; the mixed
+# stretch+DE proposals cut the degeneracy's autocorrelation further.
+MC_ARGS = {
+    "burn": 1000,
+    "iterations": 2000,
+    "chains": 250,
+    "moves": "mixed",
+}
 
 
 def main():
     os.chdir(os.path.dirname(os.path.abspath(__file__)) or ".")
+    # persistent compile cache: first-run tunnel compiles take minutes
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
     if not os.path.exists("sci_example.fits"):
         import make_example_data
 

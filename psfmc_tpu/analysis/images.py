@@ -36,7 +36,7 @@ default_filetypes = (
     "point_source_subtracted",
 )
 
-_REPLAY_CHUNK = 512  # rows per batched render
+_REPLAY_CHUNK = 2048  # rows per on-device batched mean
 
 
 def save_posterior_images(
@@ -90,31 +90,13 @@ def save_posterior_images(
     elif mode in ("weighted",):
         total_samples = len(database)
         if total_samples != model.accumulated_samples:
-            # Replay every retained row through the batched renderer.
+            # Replay every retained row, averaging ON DEVICE (the old
+            # host-side reduction fetched every per-sample image stack
+            # — hundreds of GB d2h for a production chain)
             rows = database[stochastic_cols]
             thetas = np.stack([row_to_param_vector(r) for r in rows])
             model.reset_images()
-            sums = None
-            n = 0
-            for start in range(0, len(thetas), _REPLAY_CHUNK):
-                chunk = thetas[start : start + _REPLAY_CHUNK]
-                imgs = model.render_images_batch(chunk)
-                # Average composite_ivm in variance space (models.py:81-97)
-                imgs["composite_ivm"] = 1.0 / imgs["composite_ivm"]
-                part = {
-                    k: np.sum(np.asarray(v, dtype=np.float64), axis=0)
-                    for k, v in imgs.items()
-                }
-                sums = (
-                    part
-                    if sums is None
-                    else {k: sums[k] + part[k] for k in sums}
-                )
-                n += len(chunk)
-            means = {k: v / n for k, v in sums.items()}
-            means["composite_ivm"] = 1.0 / means["composite_ivm"]
-            model.posterior_images = means
-            model.accumulated_samples = n
+            model.replay_posterior_means(thetas, chunk=_REPLAY_CHUNK)
 
         for ftype in filetypes:
             out_img = np.asarray(

@@ -305,6 +305,62 @@ class MultiComponentModel:
                 post[img_type] = post[img_type] * (n - 1) / n + img / n
         post["composite_ivm"] = 1.0 / post["composite_ivm"]
 
+    def replay_posterior_means(self, thetas, chunk=2048):
+        """Posterior-mean images from retained samples, averaged ON
+        DEVICE.
+
+        The naive replay fetches every per-sample (chunk, H, W) image
+        stack to the host — ~1.3 GB per 2048-row chunk for a 128x128
+        model, hundreds of GB for a production chain (it stalled the
+        example for 20+ minutes over this box's tunnel).  Here each
+        chunk reduces to its carry-image means on device via the
+        convolution-linearity shortcut (``ensemble_carry_means``: one
+        convolution triple per PSF group per chunk), so the host only
+        receives 4 small images per chunk.  Averaging semantics match
+        the sampler's on-device accumulation exactly (IVM averaged as
+        variance).
+        """
+        import jax
+
+        fns = self.posterior_fns
+        thetas = np.asarray(thetas, np.float64)
+        cache = getattr(fns, "programs", None)
+
+        def means_prog(n):
+            key = ("carry_means_batch", n)
+            if cache is not None and key in cache:
+                return cache[key]
+            prog = jax.jit(fns.ensemble_carry_means)
+            if cache is not None:
+                cache[key] = prog
+            return prog
+
+        sums, total = None, 0
+        for start in range(0, len(thetas), chunk):
+            part = thetas[start : start + chunk]
+            m = means_prog(len(part))(jnp.asarray(part, fns.dtype))
+            w = len(part)
+            part_sums = {
+                k: np.asarray(v, np.float64) * w for k, v in m.items()
+            }
+            sums = (
+                part_sums
+                if sums is None
+                else {k: sums[k] + part_sums[k] for k in sums}
+            )
+            total += w
+        carry = {k: v / total for k, v in sums.items()}
+        obs = np.asarray(self.spec.obs_data)
+        self.posterior_images = {
+            "raw_model": carry["raw"],
+            "convolved_model": carry["conv"],
+            "residual": obs - carry["conv"],
+            "composite_ivm": 1.0 / carry["var"],
+            "point_source_subtracted": obs - carry["ps_conv"],
+        }
+        self.accumulated_samples = total
+        return self.posterior_images
+
     def set_accumulated_from_sampler(self, sampler):
         """Adopt the on-device running means from an EnsembleSampler.
 
