@@ -254,3 +254,37 @@ def test_map_mode_images(workdir):
     assert 0.2 * flux < float(raw.max()) < 5 * flux
     hdr2, conv = fits.read_hdus("mapimg_convolved_model.fits")[0]
     assert np.isclose(float(np.sum(conv)), float(np.sum(raw)), rtol=0.05)
+
+
+def test_replay_matches_on_device_accumulation(workdir):
+    """The on-device replay path (used when the stuck-walker filter
+    changes the retained set) must reproduce the sampler's streaming
+    accumulation when given the same samples — both run the identical
+    linearity-shortcut means, so they agree to float summation order."""
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    mcm = MultiComponentModel("model.py")
+    s = EnsembleSampler(16, mcm.num_params, mcm.posterior_fns, seed=5)
+    s.init_state(mcm.init_params_from_priors(16,
+                 random_state=np.random.RandomState(1)))
+    s.run_burn(20)
+    s.reset()
+    s.run_sampling(30)
+
+    mcm.set_accumulated_from_sampler(s)
+    accumulated = {k: v.copy() for k, v in mcm.posterior_images.items()}
+
+    # replay the identical retained samples (DB row order: walker-major)
+    chain = np.asarray(s.chain, np.float64)  # (nw, ns, dim)
+    flat = chain.reshape(-1, chain.shape[-1])
+    mcm.reset_images()
+    mcm.replay_posterior_means(flat, chunk=128)
+
+    assert mcm.accumulated_samples == flat.shape[0]
+    for k in accumulated:
+        a, b = accumulated[k], mcm.posterior_images[k]
+        scale = np.maximum(np.abs(a), 1e-6)
+        assert np.allclose(a, b, atol=0, rtol=0) or np.all(
+            np.abs(a - b) / scale < 1e-3
+        ), k
