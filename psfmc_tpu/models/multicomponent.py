@@ -326,19 +326,19 @@ class MultiComponentModel:
         thetas = np.asarray(thetas, np.float64)
         cache = getattr(fns, "programs", None)
 
-        def means_prog(n):
-            key = ("carry_means_batch", n)
-            if cache is not None and key in cache:
-                return cache[key]
-            prog = jax.jit(fns.ensemble_carry_means)
+        key = ("carry_means_batch",)
+        if cache is not None and key in cache:
+            means_prog = cache[key]
+        else:
+            # one shape-polymorphic jit wrapper; jax caches per shape
+            means_prog = jax.jit(fns.ensemble_carry_means)
             if cache is not None:
-                cache[key] = prog
-            return prog
+                cache[key] = means_prog
 
         sums, total = None, 0
         for start in range(0, len(thetas), chunk):
             part = thetas[start : start + chunk]
-            m = means_prog(len(part))(jnp.asarray(part, fns.dtype))
+            m = means_prog(jnp.asarray(part, fns.dtype))
             w = len(part)
             part_sums = {
                 k: np.asarray(v, np.float64) * w for k, v in m.items()
