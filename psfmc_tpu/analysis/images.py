@@ -129,7 +129,14 @@ def write_image_products(
     Shared by the posterior writer and the MAP quick-look driver so
     the two cannot drift: '{}' handling, unknown-filetype warn-and-skip,
     non-finite-pixel replacement, f32 output, OBJECT card per type.
+
+    Multi-process runs write from the primary host only (SURVEY.md
+    section 5); other hosts compute the same images and return.
     """
+    from ..parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     if "{}" not in output_name:
         output_name += "_{}"
     known = [f for f in filetypes if f in images]

@@ -25,6 +25,7 @@ import numpy as np
 
 from .io import fits
 from .io.table import Table
+from .parallel.multihost import is_primary
 
 __all__ = [
     "save_database",
@@ -112,6 +113,18 @@ def save_database(sampler, model, db_name, meta_dict=None):
     state = getattr(sampler, "state", None)
     if state is not None:
         extra_hdus.extend(_checkpoint_hdus(sampler.checkpoint_payload()))
+
+    if not is_primary():
+        # Multi-process run: every host assembles the identical table
+        # (the sampler's device->host fetches replicate global arrays to
+        # all hosts) but only process 0 touches the filesystem
+        # (SURVEY.md section 5, "DB writes from host 0 only").  Return
+        # the in-memory table with loaded-style meta (values only).
+        tbl.meta = OrderedDict(
+            (k, v[0] if isinstance(v, tuple) else v)
+            for k, v in tbl.meta.items()
+        )
+        return tbl
 
     tbl.write(db_name, format="fits", extname="TRACE", extra_hdus=extra_hdus)
     return load_database(db_name)

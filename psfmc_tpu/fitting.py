@@ -29,7 +29,15 @@ from .analysis.images import default_filetypes, save_posterior_images
 from .analysis.statistics import check_convergence_autocorr
 from .database import load_checkpoint, load_database, save_database
 from .models.multicomponent import MultiComponentModel
+from .parallel.multihost import is_primary
 from .sampler.ensemble import EnsembleSampler
+
+
+def _print(*args, **kwargs):
+    """Console output from the primary host only (multi-process runs)."""
+    if is_primary():
+        print(*args, **kwargs)
+
 
 __all__ = [
     "model_galaxy_mcmc",
@@ -85,7 +93,7 @@ def model_galaxy_map(
         p0=pool,
         laplace=laplace,
     )
-    print(f"MAP fit: lnpost = {res.lnpost:.2f}")
+    _print(f"MAP fit: lnpost = {res.lnpost:.2f}")
 
     header = (
         mc_model.obs_header.copy() if mc_model.obs_header else fits.Header()
@@ -117,7 +125,7 @@ def model_galaxy_map(
         header.set(key, value[0], value[1])
 
     imgs = mc_model.render_images_batch(res.theta[None, :])
-    print("Saving MAP models")
+    _print("Saving MAP models")
     write_image_products(
         output_name, {k: v[0] for k, v in imgs.items()}, header, write_fits
     )
@@ -339,7 +347,7 @@ def model_galaxy_mcmc(
         database = load_database(db_name)
         existing_iter = int(database.meta.get("MCITER", 0))
         if existing_iter >= iterations and iterations > 0:
-            print(
+            _print(
                 "Database already contains sampled chains, skipping sampling"
             )
         else:
@@ -364,7 +372,7 @@ def model_galaxy_mcmc(
             else:
                 burn_total = max(burn, int(database.meta.get("MCBURN", 0)))
                 burn_done = int(database.meta.get("MCBURNDN", burn_total))
-                print(
+                _print(
                     f"Resuming from checkpoint: {burn_done}/{burn_total} "
                     f"burn-in + {existing_iter} retained iterations done"
                 )
@@ -398,7 +406,7 @@ def model_galaxy_mcmc(
                 max(n_init, 256), random_state=rng
             )
             map_res = fit_map(mc_model.posterior_fns, p0=pool, seed=seed)
-            print(f"MAP fit: lnpost = {map_res.lnpost:.2f}")
+            _print(f"MAP fit: lnpost = {map_res.lnpost:.2f}")
             param_vec = scatter_around(
                 mc_model.posterior_fns, map_res.theta, n_init, seed=seed
             )
@@ -496,7 +504,7 @@ def _run_sampling(
         return meta
 
     if burn > 0:
-        print(f"Burning: {burn} iterations x {sampler.nwalkers} walkers")
+        _print(f"Burning: {burn} iterations x {sampler.nwalkers} walkers")
 
         def burn_cb(done, total):
             print_progress(burn_done + done - 1, burn_total, "Burning")
@@ -549,7 +557,7 @@ def _run_sampling(
 
     database = None
     for sampling_iter in range(max_iterations):
-        print(
+        _print(
             f"Sampling: {iterations} iterations x {sampler.nwalkers} walkers"
         )
         with timer.phase("sampling"), trace("sampling"):

@@ -7,6 +7,7 @@ implements the subset needed natively:
 * coordinate systems: ``image``/``physical`` (1-based FITS pixels) and
   ``fk5``/``icrs``/``j2000`` (degrees, mapped through :class:`MiniWCS`),
 * shapes: ``circle``, ``ellipse``, ``box``, ``annulus``, ``point``,
+  ``polygon`` (even-odd crossing test over pixel centers),
 * include/exclude semantics: a leading ``-`` excludes; the inside-mask is
   ``(union of includes) & ~(union of excludes)`` — matching pyregion's
   filter combination, so ``~mask`` is the excluded-pixel map like the
@@ -94,7 +95,10 @@ def parse_region_file(path_or_text):
         tokens = [t for t in m.group("args").split(",") if t.strip()]
         params = []
         for i, tok in enumerate(tokens):
-            is_ra = i == 0 and system in _SKY_SYSTEMS
+            # polygon args are all coordinate pairs (x1,y1,x2,y2,...);
+            # other shapes have one leading coordinate pair
+            is_coord = i % 2 == 0 if shape == "polygon" else i == 0
+            is_ra = is_coord and system in _SKY_SYSTEMS
             params.append(_parse_coord(tok, is_ra=is_ra))
         shapes.append(
             RegionShape(shape, params, exclude=m.group("exclude") == "-", system=system)
@@ -117,9 +121,50 @@ def _size_to_pixels(value, unit, wcs):
     raise ValueError(f"Unknown region size unit: {unit!r}")
 
 
+def _polygon_inside(vertices, xg, yg):
+    """Even-odd (crossing-number) point-in-polygon test over a grid.
+
+    ``vertices`` is an (n, 2) array of polygon x,y vertices in pixel
+    coordinates.  A pixel center is inside when a ray cast in +x
+    crosses an odd number of edges — the same fill rule ds9/pyregion
+    use for polygon regions (reference utils.py:82-103 accepts any
+    pyregion shape; polygon is the common one for irregular HST masks).
+    Vectorized over the whole grid: one boolean xor-accumulate per edge.
+    """
+    vertices = np.asarray(vertices, dtype=float)
+    if vertices.shape[0] < 3:
+        raise ValueError("polygon region needs at least 3 vertices")
+    inside = np.zeros(xg.shape, dtype=bool)
+    x1, y1 = vertices[:, 0], vertices[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for ax, ay, bx, by in zip(x1, y1, x2, y2):
+        # does the horizontal ray at yg cross this edge?
+        crosses = (ay > yg) != (by > yg)
+        if not crosses.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = ax + (yg - ay) * (bx - ax) / (by - ay)
+        inside ^= crosses & (xg < x_int)
+    return inside
+
+
 def _shape_inside(shape, xg, yg, wcs):
     """Boolean inside-map for one shape. xg/yg are 1-based pixel centers."""
     p = shape.params
+    if shape.shape == "polygon":
+        if len(p) < 6 or len(p) % 2:
+            raise ValueError(
+                f"polygon region needs an even number of >= 6 coordinates, "
+                f"got {len(p)}"
+            )
+        pairs = [(p[i], p[i + 1]) for i in range(0, len(p), 2)]
+        if shape.system in _SKY_SYSTEMS:
+            if wcs is None:
+                raise ValueError("Sky-coordinate region requires a WCS header")
+            verts = [wcs.sky_to_pixel(px[0], py[0]) for px, py in pairs]
+        else:
+            verts = [(px[0], py[0]) for px, py in pairs]
+        return _polygon_inside(np.asarray(verts), xg, yg)
     if shape.system in _SKY_SYSTEMS:
         if wcs is None:
             raise ValueError("Sky-coordinate region requires a WCS header")

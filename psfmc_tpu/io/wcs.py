@@ -77,6 +77,36 @@ class MiniWCS:
         dxy = self.cd_inv @ np.stack([xi, eta])
         return dxy[0] + self.crpix[0], dxy[1] + self.crpix[1]
 
+    def pixel_to_sky(self, x, y):
+        """TAN pixel->world; accepts 1-based FITS (x, y), returns deg.
+
+        Inverse gnomonic projection — the exact inverse of
+        :meth:`sky_to_pixel` (round-trip asserted in tests).
+        """
+        x = np.asarray(x, dtype=float)
+        y = np.asarray(y, dtype=float)
+        xi, eta = self.cd @ np.stack([x - self.crpix[0], y - self.crpix[1]])
+        xi = xi * _D2R
+        eta = eta * _D2R
+        ra0 = self.crval[0] * _D2R
+        dec0 = self.crval[1] * _D2R
+
+        rho = np.hypot(xi, eta)
+        c = np.arctan(rho)
+        cos_c, sin_c = np.cos(c), np.sin(c)
+        # guard rho=0 (the reference point itself)
+        safe_rho = np.where(rho == 0.0, 1.0, rho)
+        dec = np.arcsin(
+            cos_c * np.sin(dec0) + eta * sin_c * np.cos(dec0) / safe_rho
+        )
+        ra = ra0 + np.arctan2(
+            xi * sin_c,
+            safe_rho * np.cos(dec0) * cos_c - eta * np.sin(dec0) * sin_c,
+        )
+        dec = np.where(rho == 0.0, dec0, dec)
+        ra = np.where(rho == 0.0, ra0, ra)
+        return ra / _D2R, dec / _D2R
+
 
 def proj_plane_pixel_area(wcs):
     """Pixel area in deg^2 (mirrors astropy.wcs.utils helper of same name)."""

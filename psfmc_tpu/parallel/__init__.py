@@ -6,6 +6,14 @@ from .mesh import (
     walker_mesh,
     walker_sharding,
 )
+from .multihost import (
+    fetch,
+    is_primary,
+    process_count,
+    process_index,
+    put_replicated,
+    put_sharded,
+)
 
 __all__ = [
     "WALKER_AXIS",
@@ -13,4 +21,10 @@ __all__ = [
     "shard_walkers",
     "walker_mesh",
     "walker_sharding",
+    "fetch",
+    "is_primary",
+    "process_count",
+    "process_index",
+    "put_replicated",
+    "put_sharded",
 ]

@@ -48,8 +48,14 @@ def walker_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_walkers(arr, mesh: Mesh):
-    """Place an array with leading walker axis onto the mesh."""
-    return jax.device_put(arr, walker_sharding(mesh))
+    """Place an array with leading walker axis onto the mesh.
+
+    Multi-process-safe: on a multi-host mesh each process contributes
+    its addressable shards (see parallel.multihost.put_sharded).
+    """
+    from .multihost import put_sharded
+
+    return put_sharded(arr, walker_sharding(mesh))
 
 
 def pad_walkers_to_mesh(nwalkers: int, mesh: Mesh) -> int:

@@ -63,7 +63,9 @@ def integrated_time(x, axis=0, low=10, high=None, step=1, c=10):
         # Near-white or slightly anticorrelated chains can estimate
         # tau <= 1; clamp rather than reject (matching emcee's window
         # criterion M > c * tau alone) so well-mixed chains are not
-        # declared unconverged forever.
+        # declared unconverged forever.  Deliberate divergence from
+        # emcee 2.2.1 — documented in README "Differences from the
+        # reference".
         tau = np.maximum(tau, 1.0)
         tau_max = float(np.max(tau))
         if m > c * tau_max:

@@ -38,6 +38,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..parallel.multihost import fetch as _fetch
+from ..parallel.multihost import put_sharded as _put_sharded
+
 __all__ = ["EnsembleState", "EnsembleSampler", "run_stretch_move"]
 
 
@@ -477,21 +480,28 @@ class EnsembleSampler:
         """
         p0 = jnp.asarray(p0, self.fns.dtype)
         if self.sharding is not None:
-            p0 = jax.device_put(p0, self.sharding)
+            p0 = _put_sharded(p0, self.sharding)
         if key is None:
             self._key, key = jax.random.split(self._key)
         lnp = self._batched_lnpost()(p0)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
         # accumulator keys discovered from a shape-only trace (no compute)
         img_keys = jax.eval_shape(self._images_fn(), p0[0]).keys()
-        accum = {k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys}
+        # Fresh small leaves are HOST numpy: pjit replicates them onto
+        # whatever mesh the phase program runs over (including a multi-
+        # host one, where a committed single-device jnp array would be
+        # an incompatible-devices error); after the first segment they
+        # come back as properly laid-out global device arrays.
+        accum = {
+            k: np.zeros((h, w), np.dtype(self.accum_dtype)) for k in img_keys
+        }
         self.state = EnsembleState(
             positions=p0,
             log_prob=lnp,
             accum=accum,
-            accum_count=jnp.asarray(0, jnp.int32),
-            naccept=jnp.zeros(self.nwalkers, jnp.int32),
-            key=key,
+            accum_count=np.int32(0),
+            naccept=np.zeros(self.nwalkers, np.int32),
+            key=_fetch(key),
             moments=self._fresh_moments(),
         )
         return self.state
@@ -499,10 +509,11 @@ class EnsembleSampler:
     def _fresh_moments(self):
         if not self.track_moments:
             return None
+        dt = np.dtype(self.fns.dtype)
         return {
-            "mean": jnp.zeros(self.dim, self.fns.dtype),
-            "m2": jnp.zeros(self.dim, self.fns.dtype),
-            "n": jnp.asarray(0, jnp.int32),
+            "mean": np.zeros(self.dim, dt),
+            "m2": np.zeros(self.dim, dt),
+            "n": np.int32(0),
         }
 
     def reset(self):
@@ -518,10 +529,11 @@ class EnsembleSampler:
         if self.state is not None:
             self.state = replace(
                 self.state,
-                naccept=jnp.zeros(self.nwalkers, jnp.int32),
-                accum_count=jnp.asarray(0, jnp.int32),
+                naccept=np.zeros(self.nwalkers, np.int32),
+                accum_count=np.int32(0),
                 accum={
-                    k: jnp.zeros_like(v) for k, v in self.state.accum.items()
+                    k: np.zeros(v.shape, np.dtype(v.dtype))
+                    for k, v in self.state.accum.items()
                 },
                 moments=self._fresh_moments(),
             )
@@ -545,7 +557,7 @@ class EnsembleSampler:
 
     def _cold_naccept(self, state):
         """Per-walker accept counts of the recorded (cold) ensemble."""
-        return np.asarray(state.naccept)
+        return _fetch(state.naccept)
 
     def _burn_segment(self, n: int):
         final, _, _ = self._burn_prog(self.state, nsteps=n)
@@ -557,8 +569,8 @@ class EnsembleSampler:
         self.state = final
         # emcee chain layout: (nwalkers, nsteps, dim)
         return (
-            np.moveaxis(np.asarray(chain), 0, 1),
-            np.moveaxis(np.asarray(lnprob), 0, 1),
+            np.moveaxis(_fetch(chain), 0, 1),
+            np.moveaxis(_fetch(lnprob), 0, 1),
         )
 
     def run_burn(self, nsteps: int, segment=None, callback=None):
@@ -617,17 +629,17 @@ class EnsembleSampler:
         return {
             "version": 2,
             "ntemps": 1,
-            "positions": np.asarray(s.positions, np.float64),
-            "log_prob": np.asarray(s.log_prob, np.float64),
-            "naccept": np.asarray(s.naccept, np.int64),
+            "positions": _fetch(s.positions, np.float64),
+            "log_prob": _fetch(s.log_prob, np.float64),
+            "naccept": _fetch(s.naccept, np.int64),
             "nsteps": int(self._nsteps_total),
-            "key": np.asarray(s.key).astype(np.uint32),
+            "key": _fetch(s.key).astype(np.uint32),
             "accum": (
-                {k: np.asarray(v) for k, v in s.accum.items()}
+                {k: _fetch(v) for k, v in s.accum.items()}
                 if s.accum is not None
                 else None
             ),
-            "accum_count": int(s.accum_count),
+            "accum_count": int(_fetch(s.accum_count)),
         }
 
     def restore_state(self, payload):
@@ -646,7 +658,7 @@ class EnsembleSampler:
         naccept = payload.get("naccept")
         if naccept is not None and np.ndim(naccept) == 1:
             self.state = replace(
-                self.state, naccept=jnp.asarray(naccept, jnp.int32)
+                self.state, naccept=np.asarray(naccept, np.int32)
             )
         self._restore_counters(payload)
         return self.state
@@ -670,10 +682,10 @@ class EnsembleSampler:
         self.state = replace(
             self.state,
             accum={
-                k: jnp.asarray(accum[k], self.accum_dtype)
+                k: np.asarray(accum[k], np.dtype(self.accum_dtype))
                 for k in self.state.accum
             },
-            accum_count=jnp.asarray(count, jnp.int32),
+            accum_count=np.int32(count),
         )
 
     # -- emcee-compatible accessors ----------------------------------------
@@ -700,11 +712,13 @@ class EnsembleSampler:
         """Running-mean carry images as numpy, or None."""
         if self.state is None or self.state.accum is None:
             return None
-        return {k: np.asarray(v) for k, v in self.state.accum.items()}
+        return {k: _fetch(v) for k, v in self.state.accum.items()}
 
     @property
     def accumulated_samples(self):
-        return int(self.state.accum_count) if self.state is not None else 0
+        if self.state is None:
+            return 0
+        return int(_fetch(self.state.accum_count))
 
     @property
     def posterior_moments(self):
@@ -714,9 +728,9 @@ class EnsembleSampler:
         if self.state is None or self.state.moments is None:
             return None
         m = self.state.moments
-        n = max(int(m["n"]), 1)
-        mean = np.asarray(m["mean"], np.float64)
-        var = np.asarray(m["m2"], np.float64) / max(n - 1, 1)
+        n = max(int(_fetch(m["n"])), 1)
+        mean = _fetch(m["mean"], np.float64)
+        var = _fetch(m["m2"], np.float64) / max(n - 1, 1)
         return mean, np.sqrt(var)
 
     def get_autocorr_time(self, c=1):

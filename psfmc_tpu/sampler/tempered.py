@@ -791,10 +791,12 @@ class PTEnsembleSampler(EnsembleSampler):
                 else None
             ),
             "accum_count": int(s.accum_count),
+            # _kahan_add keeps c = (t - s) - y, the overshoot to subtract
+            # from the next input, so the exact running sum is s - c.
             "lnl_sum": np.asarray(s.lnl_sum, np.float64)
-            + np.asarray(s.lnl_sum_c, np.float64),
+            - np.asarray(s.lnl_sum_c, np.float64),
             "lnl_sq_sum": np.asarray(s.lnl_sq_sum, np.float64)
-            + np.asarray(s.lnl_sq_sum_c, np.float64),
+            - np.asarray(s.lnl_sq_sum_c, np.float64),
             "evid_steps": int(s.evid_steps),
             "ss_max": np.asarray(s.ss_max, np.float64),
             "ss_sum": np.asarray(s.ss_sum, np.float64),
@@ -876,13 +878,14 @@ class PTEnsembleSampler(EnsembleSampler):
     # -- evidence (marginal likelihood) --------------------------------------
     def _evid_means(self):
         t = max(int(self.state.evid_steps), 1)
+        # Exact running sum is s - c (see _kahan_add: c is the overshoot).
         m = (
             np.asarray(self.state.lnl_sum, np.float64)
-            + np.asarray(self.state.lnl_sum_c, np.float64)
+            - np.asarray(self.state.lnl_sum_c, np.float64)
         ) / t
         sq = (
             np.asarray(self.state.lnl_sq_sum, np.float64)
-            + np.asarray(self.state.lnl_sq_sum_c, np.float64)
+            - np.asarray(self.state.lnl_sq_sum_c, np.float64)
         ) / t
         return m, sq
 

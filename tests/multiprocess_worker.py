@@ -1,0 +1,94 @@
+"""Worker process for the multi-process (2-host) distributed CPU test.
+
+Launched by tests/test_multiprocess.py as ``python multiprocess_worker.py
+<pid> <nproc> <port> <datadir> <outdir>``.  Each process owns 2 virtual
+CPU devices; together they form a 4-device global mesh — the CPU stand-in
+for a multi-host TPU slice (SURVEY.md section 5's distributed backend).
+
+The worker runs a full sharded fit from its own working directory and
+dumps the host-side results (chain, moments) to ``result_<pid>.npz`` so
+the test can assert cross-host agreement; IO gating is asserted by the
+test via each process's private outdir contents.
+"""
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    datadir = sys.argv[4]
+    outdir = sys.argv[5]
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+    assert len(jax.local_devices()) == 2
+
+    import numpy as np
+
+    from psfmc_tpu import model_galaxy_mcmc
+    from psfmc_tpu.parallel import (
+        is_primary,
+        shard_walkers,
+        walker_mesh,
+    )
+
+    assert is_primary() == (pid == 0)
+
+    # global mesh over all processes' devices
+    mesh = walker_mesh()
+    assert mesh.devices.size == 2 * nproc, mesh.devices
+
+    # host-local shard shapes: each process addresses exactly its own
+    # 2 devices' shards of the walker axis
+    nwalkers, dim = 32, 4
+    arr = shard_walkers(np.arange(nwalkers * dim, dtype=np.float64)
+                        .reshape(nwalkers, dim), mesh)
+    local = arr.addressable_shards
+    assert len(local) == 2, len(local)
+    for sh in local:
+        assert sh.data.shape == (nwalkers // (2 * nproc), dim), sh.data.shape
+    # fetch round-trips the global array identically on every host
+    from psfmc_tpu.parallel import fetch
+
+    np.testing.assert_array_equal(
+        fetch(arr), np.arange(nwalkers * dim).reshape(nwalkers, dim)
+    )
+
+    os.chdir(outdir)
+    db = model_galaxy_mcmc(
+        os.path.join(datadir, "model.py"),
+        output_name="out_mp",
+        iterations=40,
+        burn=40,
+        chains=32,
+        seed=5,
+        mesh=mesh,
+    )
+
+    chain = np.stack(
+        [np.asarray(db[c], dtype=np.float64) for c in ("0_Sky_adu",)], axis=-1
+    )
+    np.savez(
+        os.path.join(outdir, f"result_{pid}.npz"),
+        sky=np.asarray(db["0_Sky_adu"], dtype=np.float64),
+        mag=np.asarray(db["1_PointSource_mag"], dtype=np.float64),
+        lnp=np.asarray(db["lnprobability"], dtype=np.float64),
+        accept=np.asarray(db.meta["MCACCEPT"], dtype=np.float64),
+    )
+    del chain
+    print(f"worker {pid}: done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,3 +61,99 @@ def test_reference_mask_file(reference_dir):
     # sane fraction of the image is fit region
     frac = mask.mean()
     assert 0.4 < frac < 0.65
+
+
+# -- polygon regions (reference accepts any pyregion shape, utils.py:82-103) --
+
+
+def test_polygon_square_matches_box():
+    """An axis-aligned square polygon equals the equivalent box region."""
+    # vertices chosen so no 1-based pixel center lies exactly on an
+    # edge (boundary semantics would otherwise be comparison-ambiguous)
+    poly = "image\npolygon(9.7,7.7,22.3,7.7,22.3,18.3,9.7,18.3)\n"
+    box = "image\nbox(16,13,12.6,10.6,0)\n"
+    np.testing.assert_array_equal(
+        region_mask(poly, (32, 32)), region_mask(box, (32, 32))
+    )
+
+
+def test_polygon_concave_matches_matplotlib_path():
+    """Concave (L-shaped) polygon vs matplotlib's independent even-odd
+    rasterizer over the same 1-based pixel centers."""
+    from matplotlib.path import Path
+
+    verts = [(4.3, 4.2), (24.6, 4.2), (24.6, 12.4), (14.2, 12.4),
+             (14.2, 24.7), (4.3, 24.7)]
+    text = "image\npolygon(" + ",".join(
+        f"{x},{y}" for x, y in verts
+    ) + ")\n"
+    mask = region_mask(text, (30, 30))
+
+    yg, xg = np.mgrid[1:31, 1:31].astype(float)
+    pts = np.column_stack([xg.ravel(), yg.ravel()])
+    expected = Path(verts).contains_points(pts).reshape(30, 30)
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_polygon_self_intersecting_even_odd():
+    """Bow-tie polygon: the crossing region is counted even-odd, so the
+    two triangles fill and their shared center does per the ds9 rule."""
+    text = "image\npolygon(2.2,2.2,18.6,18.6,2.2,18.6,18.6,2.2)\n"
+    mask = region_mask(text, (20, 20))
+    # vertex order (a, c, b, d) draws an hourglass pinched at the
+    # center: top + bottom triangles fill, the waist sides do not
+    assert mask[3, 9]       # top triangle interior
+    assert mask[16, 9]      # bottom triangle interior
+    assert not mask[9, 3]   # left of the waist, between the triangles
+    assert not mask[9, 16]  # right of the waist
+
+
+def test_polygon_include_exclude_composition():
+    """Include polygon minus exclude circle composes like pyregion."""
+    text = (
+        "image\n"
+        "polygon(4.2,4.2,28.7,4.2,28.7,28.7,4.2,28.7)\n"
+        "-circle(16,16,5)\n"
+    )
+    mask = region_mask(text, (32, 32))
+    assert mask[5, 5]          # inside polygon, outside circle
+    assert not mask[15, 15]    # carved out by the exclude circle
+    assert not mask[0, 0]      # outside the include polygon
+    assert not mask[31, 31]
+
+
+def test_polygon_sky_coordinates():
+    """fk5 polygon vertices map through the WCS to the same pixels."""
+    SCALE = 0.05 / 3600.0
+    hdr = {
+        "CRPIX1": 16.0,
+        "CRPIX2": 16.0,
+        "CRVAL1": 150.1,
+        "CRVAL2": 2.2,
+        "CD1_1": -SCALE,
+        "CD1_2": 0.0,
+        "CD2_1": 0.0,
+        "CD2_2": SCALE,
+    }
+    from psfmc_tpu.io.wcs import MiniWCS
+
+    w = MiniWCS(hdr)
+    # a pixel-space square (no pixel center on an edge, so roundtrip
+    # rounding cannot flip boundary pixels), converted to sky vertices
+    px_verts = [(8.4, 8.4), (23.6, 8.4), (23.6, 23.6), (8.4, 23.6)]
+    sky = [w.pixel_to_sky(x, y) for x, y in px_verts]
+    text = "fk5\npolygon(" + ",".join(
+        f"{float(ra):.10f},{float(dec):.10f}" for ra, dec in sky
+    ) + ")\n"
+    mask = region_mask(text, (32, 32), header=hdr)
+    expected = region_mask(
+        "image\npolygon(8.4,8.4,23.6,8.4,23.6,23.6,8.4,23.6)\n", (32, 32)
+    )
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_polygon_too_few_vertices_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        region_mask("image\npolygon(2,2,8,8)\n", (16, 16))

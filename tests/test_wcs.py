@@ -89,3 +89,14 @@ def test_sky_to_pixel_offset_geometry():
     x, y = w.sky_to_pixel(ra, dec)
     assert np.isclose(x, 64.0 + 10.0, atol=1e-6)
     assert np.isclose(y, 64.0 + 3.0, atol=1e-6)
+
+
+def test_pixel_sky_roundtrip():
+    """pixel_to_sky is the exact inverse of sky_to_pixel."""
+    w = MiniWCS(HDR_CD)
+    xs = np.array([1.0, 17.3, 64.0, 120.9])
+    ys = np.array([3.5, 64.0, 99.1, 12.0])
+    ra, dec = w.pixel_to_sky(xs, ys)
+    x2, y2 = w.sky_to_pixel(ra, dec)
+    np.testing.assert_allclose(x2, xs, atol=1e-9)
+    np.testing.assert_allclose(y2, ys, atol=1e-9)
