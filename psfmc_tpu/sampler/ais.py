@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import Optional
+from warnings import warn
 
 import numpy as np
 
@@ -373,14 +374,21 @@ def ais_evidence(
                 f"groups={groups} must be a multiple of the mesh size "
                 f"({mesh.size}) to shard the group axis"
             )
+        from ..parallel.multihost import put_sharded
+
         axis = mesh.axis_names[0]
-        p0_dev = jax.device_put(
+        p0_dev = put_sharded(
             p0_dev, NamedSharding(mesh, PartitionSpec(axis, None, None))
         )
     _pos, _lnl, lnz_g, _lnw, nacc, nres, ess_min = program(
         p0_dev, key, betas_dev
     )
-    lnz_g = np.asarray(lnz_g, np.float64)  # (groups,)
+    from ..parallel.multihost import fetch as _fetch_mh
+
+    lnz_g = _fetch_mh(lnz_g, np.float64)  # (groups,)
+    ess_min = _fetch_mh(ess_min)
+    nacc = _fetch_mh(nacc)
+    nres = _fetch_mh(nres)
 
     # point estimate and error bar form a CONSISTENT pair: the mean of
     # the per-group log-estimates with its standard error.  (The
@@ -393,6 +401,41 @@ def ais_evidence(
     # (the post-resample reset would mask terminal collapse)
     ess = float(np.sum(np.asarray(ess_min, np.float64)))
     accept = float(nacc) / (nsteps * sweeps * nwalkers)
+
+    # -- failure-mode diagnostics (measured on the flagship fit; see
+    #    the parameter docs above) ------------------------------------
+    group_spread = float(np.std(lnz_g, ddof=1))
+    if group_spread > 3.0:
+        # CRITICAL #1 — group stranding: with too few walkers per
+        # group, whole groups miss posterior modes (e.g. sit in the
+        # no-source mode) and the per-group estimates disagree by many
+        # log-units.  The spread IS the flag; averaging it away gives
+        # a wrong lnZ with a wrong error bar.
+        warn(
+            f"AIS group estimates disagree by {group_spread:.1f} lnZ "
+            f"units (want O(1)): groups are likely stranded in "
+            f"different posterior modes.  Increase walkers per group "
+            f"(currently {m}; imaging posteriors need >= 64) or "
+            "sweeps=; do NOT trust the averaged lnz."
+        )
+    min_group_ess = float(np.min(np.asarray(ess_min, np.float64)))
+    if accept < 0.05 or min_group_ess < 0.05 * m:
+        # CRITICAL #2 — weight degeneracy / under-mixing: when the
+        # transition kernel mixes poorly, importance weights collapse
+        # and the Jensen bias pushes lnZ systematically LOW while the
+        # group error bar (which only sees between-group scatter of
+        # equally-biased estimates) keeps shrinking — measured as
+        # stretch-only runs scattering ~11 lnZ across seeds while
+        # claiming +/-3-6.  Distrust an error bar that shrinks while
+        # seeds disagree.
+        warn(
+            "AIS transitions are under-mixing (acceptance "
+            f"{accept:.1%}, worst pre-resample group ESS "
+            f"{min_group_ess:.1f}/{m}): importance weights are "
+            "degenerate and lnz is likely biased LOW with an "
+            "overconfident error bar.  Increase nsteps, use "
+            "moves='mixed', or verify across seeds."
+        )
 
     return AISResult(
         lnz=lnz,

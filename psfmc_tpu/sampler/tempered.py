@@ -42,6 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..parallel.multihost import fetch as _fetch
 from .ensemble import EnsembleSampler
 
 __all__ = [
@@ -632,8 +633,8 @@ class PTEnsembleSampler(EnsembleSampler):
         )
         self.state = final
         return (
-            np.moveaxis(np.asarray(chain), 0, 1),
-            np.moveaxis(np.asarray(lnprob), 0, 1),
+            np.moveaxis(_fetch(chain), 0, 1),
+            np.moveaxis(_fetch(lnprob), 0, 1),
         )
 
     # -- state management ---------------------------------------------------
@@ -656,7 +657,9 @@ class PTEnsembleSampler(EnsembleSampler):
             )
         pt_sharding = self._pt_sharding()
         if pt_sharding is not None:
-            p0 = jax.device_put(p0, pt_sharding)
+            from ..parallel.multihost import put_sharded
+
+            p0 = put_sharded(p0, pt_sharding)
         if key is None:
             self._key, key = jax.random.split(self._key)
         like_b, prior_b = self._batched_like_prior()
@@ -665,27 +668,31 @@ class PTEnsembleSampler(EnsembleSampler):
         lnp = prior_b(flat).reshape(self.ntemps, self.nwalkers)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
         img_keys = jax.eval_shape(self._images_fn(), p0[0, 0]).keys()
-        accum = {k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys}
+        # fresh small leaves are HOST numpy (multi-process placement;
+        # see EnsembleSampler.init_state)
+        accum = {
+            k: np.zeros((h, w), np.dtype(self.accum_dtype)) for k in img_keys
+        }
         # evidence accumulators match the COMPUTED lnL dtype: under x64
         # the priors' numpy-f64 hyperparameters promote lnL to f64 even
         # for an f32 posterior, and the scan carry must stay invariant
-        dt = lnl.dtype
+        dt = np.dtype(lnl.dtype)
         self.state = PTState(
             positions=p0,
             log_like=lnl,
             log_prior=lnp,
             accum=accum,
-            accum_count=jnp.asarray(0, jnp.int32),
-            naccept=jnp.zeros((self.ntemps, self.nwalkers), jnp.int32),
-            nswap=jnp.zeros(self.ntemps - 1, jnp.int32),
-            key=key,
-            lnl_sum=jnp.zeros(self.ntemps, dt),
-            lnl_sum_c=jnp.zeros(self.ntemps, dt),
-            lnl_sq_sum=jnp.zeros(self.ntemps, dt),
-            lnl_sq_sum_c=jnp.zeros(self.ntemps, dt),
-            evid_steps=jnp.asarray(0, jnp.int32),
-            ss_max=jnp.full(self.ntemps - 1, -jnp.inf, dt),
-            ss_sum=jnp.zeros(self.ntemps - 1, dt),
+            accum_count=np.int32(0),
+            naccept=np.zeros((self.ntemps, self.nwalkers), np.int32),
+            nswap=np.zeros(self.ntemps - 1, np.int32),
+            key=_fetch(key),
+            lnl_sum=np.zeros(self.ntemps, dt),
+            lnl_sum_c=np.zeros(self.ntemps, dt),
+            lnl_sq_sum=np.zeros(self.ntemps, dt),
+            lnl_sq_sum_c=np.zeros(self.ntemps, dt),
+            evid_steps=np.int32(0),
+            ss_max=np.full(self.ntemps - 1, -np.inf, dt),
+            ss_sum=np.zeros(self.ntemps - 1, dt),
         )
         self._naccept = np.zeros(self.nwalkers, dtype=np.int64)
         return self.state
@@ -696,25 +703,27 @@ class PTEnsembleSampler(EnsembleSampler):
         self._naccept = np.zeros(self.nwalkers, dtype=np.int64)
         self._nsteps_total = 0
         if self.state is not None:
+            def _z(v):
+                return np.zeros(v.shape, np.dtype(v.dtype))
+
+            s = self.state
             self.state = replace(
-                self.state,
-                naccept=jnp.zeros_like(self.state.naccept),
-                nswap=jnp.zeros_like(self.state.nswap),
-                accum_count=jnp.asarray(0, jnp.int32),
-                accum={
-                    k: jnp.zeros_like(v) for k, v in self.state.accum.items()
-                },
-                lnl_sum=jnp.zeros_like(self.state.lnl_sum),
-                lnl_sum_c=jnp.zeros_like(self.state.lnl_sum_c),
-                lnl_sq_sum=jnp.zeros_like(self.state.lnl_sq_sum),
-                lnl_sq_sum_c=jnp.zeros_like(self.state.lnl_sq_sum_c),
-                evid_steps=jnp.asarray(0, jnp.int32),
-                ss_max=jnp.full_like(self.state.ss_max, -jnp.inf),
-                ss_sum=jnp.zeros_like(self.state.ss_sum),
+                s,
+                naccept=_z(s.naccept),
+                nswap=_z(s.nswap),
+                accum_count=np.int32(0),
+                accum={k: _z(v) for k, v in s.accum.items()},
+                lnl_sum=_z(s.lnl_sum),
+                lnl_sum_c=_z(s.lnl_sum_c),
+                lnl_sq_sum=_z(s.lnl_sq_sum),
+                lnl_sq_sum_c=_z(s.lnl_sq_sum_c),
+                evid_steps=np.int32(0),
+                ss_max=np.full(s.ss_max.shape, -np.inf, np.dtype(s.ss_max.dtype)),
+                ss_sum=_z(s.ss_sum),
             )
 
     def _cold_naccept(self, state):
-        return np.asarray(state.naccept[0])
+        return _fetch(state.naccept)[0]
 
     def run_burn(self, nsteps: int, segment=None, callback=None):
         """Burn-in with automatic ladder adaptation (when enabled).
@@ -747,7 +756,7 @@ class PTEnsembleSampler(EnsembleSampler):
                 # so blending across windows stays valid while the
                 # rungs themselves move.
                 sig = np.std(
-                    np.asarray(self.state.log_like, np.float64), axis=1
+                    _fetch(self.state.log_like, np.float64), axis=1
                 )
                 u = np.maximum(sig, 1e-6) * self.betas
                 if self._u_ema is None:
@@ -778,28 +787,31 @@ class PTEnsembleSampler(EnsembleSampler):
         return {
             "version": 2,
             "ntemps": self.ntemps,
-            "positions": np.asarray(s.positions, np.float64),
-            "log_prob": np.asarray(s.log_prior[0] + s.log_like[0], np.float64),
-            "naccept": np.asarray(s.naccept, np.int64),
+            "positions": _fetch(s.positions, np.float64),
+            "log_prob": (
+                _fetch(s.log_prior, np.float64)[0]
+                + _fetch(s.log_like, np.float64)[0]
+            ),
+            "naccept": _fetch(s.naccept, np.int64),
             "nsteps": int(self._nsteps_total),
-            "nswap": np.asarray(s.nswap, np.int64),
+            "nswap": _fetch(s.nswap, np.int64),
             "betas": np.asarray(self.betas, np.float64),
-            "key": np.asarray(s.key).astype(np.uint32),
+            "key": _fetch(s.key).astype(np.uint32),
             "accum": (
-                {k: np.asarray(v) for k, v in s.accum.items()}
+                {k: _fetch(v) for k, v in s.accum.items()}
                 if s.accum is not None
                 else None
             ),
-            "accum_count": int(s.accum_count),
+            "accum_count": int(_fetch(s.accum_count)),
             # _kahan_add keeps c = (t - s) - y, the overshoot to subtract
             # from the next input, so the exact running sum is s - c.
-            "lnl_sum": np.asarray(s.lnl_sum, np.float64)
-            - np.asarray(s.lnl_sum_c, np.float64),
-            "lnl_sq_sum": np.asarray(s.lnl_sq_sum, np.float64)
-            - np.asarray(s.lnl_sq_sum_c, np.float64),
-            "evid_steps": int(s.evid_steps),
-            "ss_max": np.asarray(s.ss_max, np.float64),
-            "ss_sum": np.asarray(s.ss_sum, np.float64),
+            "lnl_sum": _fetch(s.lnl_sum, np.float64)
+            - _fetch(s.lnl_sum_c, np.float64),
+            "lnl_sq_sum": _fetch(s.lnl_sq_sum, np.float64)
+            - _fetch(s.lnl_sq_sum_c, np.float64),
+            "evid_steps": int(_fetch(s.evid_steps)),
+            "ss_max": _fetch(s.ss_max, np.float64),
+            "ss_sum": _fetch(s.ss_sum, np.float64),
         }
 
     def restore_state(self, payload):
@@ -867,25 +879,25 @@ class PTEnsembleSampler(EnsembleSampler):
     def tempered_acceptance_fraction(self):
         """(ntemps, nwalkers) move acceptance per rung."""
         total = max(self._nsteps_total, 1)
-        return np.asarray(self.state.naccept) / total
+        return _fetch(self.state.naccept) / total
 
     @property
     def swap_acceptance_fraction(self):
         """(ntemps-1,) replica-swap acceptance per adjacent rung pair."""
         total = max(self._nsteps_total, 1) * self.nwalkers
-        return np.asarray(self.state.nswap) / total
+        return _fetch(self.state.nswap) / total
 
     # -- evidence (marginal likelihood) --------------------------------------
     def _evid_means(self):
-        t = max(int(self.state.evid_steps), 1)
+        t = max(int(_fetch(self.state.evid_steps)), 1)
         # Exact running sum is s - c (see _kahan_add: c is the overshoot).
         m = (
-            np.asarray(self.state.lnl_sum, np.float64)
-            - np.asarray(self.state.lnl_sum_c, np.float64)
+            _fetch(self.state.lnl_sum, np.float64)
+            - _fetch(self.state.lnl_sum_c, np.float64)
         ) / t
         sq = (
-            np.asarray(self.state.lnl_sq_sum, np.float64)
-            - np.asarray(self.state.lnl_sq_sum_c, np.float64)
+            _fetch(self.state.lnl_sq_sum, np.float64)
+            - _fetch(self.state.lnl_sq_sum_c, np.float64)
         ) / t
         return m, sq
 
@@ -931,7 +943,7 @@ class PTEnsembleSampler(EnsembleSampler):
         """
         if self.ntemps < 3:
             raise ValueError("evidence estimation needs ntemps >= 3")
-        nsteps = int(self.state.evid_steps)
+        nsteps = int(_fetch(self.state.evid_steps))
         if nsteps == 0:
             raise RuntimeError(
                 "no retained samples accumulated; run_sampling() first "
@@ -988,8 +1000,8 @@ class PTEnsembleSampler(EnsembleSampler):
                     "betas=evidence_beta_ladder(ntemps) (or method='ti')"
                 )
             n = nsteps * self.nwalkers
-            ss_max = np.asarray(self.state.ss_max, np.float64)
-            ss_sum = np.asarray(self.state.ss_sum, np.float64)
+            ss_max = _fetch(self.state.ss_max, np.float64)
+            ss_sum = _fetch(self.state.ss_sum, np.float64)
             ln_r = ss_max + np.log(ss_sum) - np.log(n)
             lnz = float(np.sum(ln_r))
             return lnz, abs(lnz - lnz_ti)

@@ -76,17 +76,40 @@ def main():
         mesh=mesh,
     )
 
-    chain = np.stack(
-        [np.asarray(db[c], dtype=np.float64) for c in ("0_Sky_adu",)], axis=-1
+    # parallel tempering over the same global mesh (rungs replicated,
+    # walkers sharded): a few steps, chains must agree across hosts
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+    from psfmc_tpu.parallel import walker_sharding
+    from psfmc_tpu.sampler.tempered import PTEnsembleSampler
+
+    model = MultiComponentModel(
+        components=os.path.join(datadir, "model.py")
     )
+    pt = PTEnsembleSampler(
+        16,
+        model.num_params,
+        model.posterior_fns,
+        ntemps=3,
+        seed=7,
+        sharding=walker_sharding(mesh),
+    )
+    rng = np.random.RandomState(11)
+    pt.init_state(model.init_params_from_priors(16, random_state=rng))
+    pt.run_burn(4)
+    pt.reset()
+    pt.run_sampling(4)
+    assert pt.chain.shape == (16, 4, model.num_params)
+    assert np.all(np.isfinite(pt.lnprobability))
+
     np.savez(
         os.path.join(outdir, f"result_{pid}.npz"),
         sky=np.asarray(db["0_Sky_adu"], dtype=np.float64),
         mag=np.asarray(db["1_PointSource_mag"], dtype=np.float64),
         lnp=np.asarray(db["lnprobability"], dtype=np.float64),
         accept=np.asarray(db.meta["MCACCEPT"], dtype=np.float64),
+        pt_chain=pt.chain,
+        pt_lnp=pt.lnprobability,
     )
-    del chain
     print(f"worker {pid}: done", flush=True)
 
 

@@ -359,3 +359,86 @@ def test_ais_mixed_moves():
     assert abs(res.lnz - TRUTH) < 0.2, (res.lnz, TRUTH)
     with pytest.raises(ValueError):
         ais_evidence(post, nwalkers=128, nsteps=10, p0=p0, moves="bogus")
+
+
+class TwoPlateauPosterior:
+    """Rigged bimodal posterior: two likelihood plateaus separated by an
+    impassable chasm, so walker groups initialized on opposite sides
+    CANNOT exchange and their per-group evidence estimates disagree by
+    ~10 lnZ units (the group-stranding failure mode)."""
+
+    dtype = jnp.float64
+    a = 10.0
+
+    def __init__(self):
+        class _Spec:
+            shape = (2, 2)
+
+        self.spec = _Spec()
+
+    def log_prior(self, theta):
+        inside = jnp.all(jnp.abs(theta) <= self.a)
+        return jnp.where(
+            inside,
+            jnp.asarray(-2.0 * np.log(2 * self.a), self.dtype),
+            -jnp.inf,
+        )
+
+    def _log_like(self, theta):
+        x = theta[0]
+        # left plateau lnL=0, right plateau lnL=10, chasm between
+        return jnp.where(
+            jnp.abs(x) < 8.0, -1e5, jnp.where(x > 0, 10.0, 0.0)
+        )
+
+    def log_posterior(self, theta):
+        return self.log_prior(theta) + self._log_like(theta)
+
+
+def test_ais_warns_on_group_stranding():
+    """CRITICAL failure mode #1: groups stranded in different modes
+    produce a large group spread; ais_evidence must warn, not average
+    silently."""
+    from psfmc_tpu.sampler.ais import ais_evidence
+
+    post = TwoPlateauPosterior()
+    rng = np.random.RandomState(3)
+    # group 0 entirely in the left basin, group 1 in the right one
+    m = 16
+    left = np.column_stack(
+        [rng.uniform(-10, -8.5, m), rng.uniform(-10, 10, m)]
+    )
+    right = np.column_stack(
+        [rng.uniform(8.5, 10, m), rng.uniform(-10, 10, m)]
+    )
+    p0 = np.concatenate([left, right])
+    with pytest.warns(UserWarning, match="stranded in"):
+        res = ais_evidence(
+            post, nwalkers=2 * m, nsteps=60, groups=2, seed=1, p0=p0
+        )
+    assert np.std(res.lnz_groups, ddof=1) > 3.0
+
+
+def test_ais_warns_on_weight_degeneracy():
+    """CRITICAL failure mode #2: a too-coarse anneal of a sharp
+    likelihood collapses the importance weights (tiny pre-resample
+    ESS); ais_evidence must warn that lnz is likely biased low."""
+    from psfmc_tpu.sampler.ais import ais_evidence
+
+    class SharpPosterior(BoxGaussianPosterior):
+        def _log_like(self, theta):
+            return -0.5 * jnp.sum(theta * theta) / 1e-4
+
+    post = SharpPosterior()
+    rng = np.random.RandomState(4)
+    p0 = rng.uniform(-post.a, post.a, (64, 2))
+    with pytest.warns(UserWarning, match="under-mixing"):
+        res = ais_evidence(
+            post,
+            nwalkers=64,
+            groups=2,
+            seed=2,
+            p0=p0,
+            schedule=np.array([0.0, 0.5, 1.0]),
+        )
+    assert res.ess < 0.1 * res.nwalkers
