@@ -63,6 +63,18 @@ def main():
     from psfmc_tpu.models.spec import build_model_spec
     from psfmc_tpu.sampler.ensemble import EnsembleSampler
 
+    # First device contact: on the tunneled axon backend the FIRST
+    # device->host sync of any computation pays the tunnel session
+    # establishment (measured 2026-08-17: 469 s for a trivial op on a
+    # day round 2 measured 55 s and round 1 ~11 s — pure infrastructure
+    # variance; every subsequent roundtrip is ~30 ms).  Timed separately
+    # so the reported warmup reflects the framework, not the tunnel.
+    import jax.numpy as jnp
+
+    t_contact = time.time()
+    np.asarray(jnp.ravel(jnp.sum(jnp.ones(4) * 2.0))[0])
+    contact_s = time.time() - t_contact
+
     comps = graft._flagship_components()
     spec = build_model_spec(comps)
     fns = build_posterior(spec)
@@ -143,7 +155,8 @@ def main():
     }
     # diagnostics on stderr; the contract line on stdout
     print(
-        f"# devices={jax.devices()} warmup={compile_s:.1f}s "
+        f"# devices={jax.devices()} tunnel_first_contact={contact_s:.1f}s "
+        f"warmup={compile_s:.1f}s "
         f"accept={accept:.3f} evals/s={total_evals / elapsed:,.0f} "
         f"lnp_final_mean={np.mean(lnprob[:, -1]):.1f}",
         file=sys.stderr,

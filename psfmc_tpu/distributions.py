@@ -998,9 +998,11 @@ class Distribution:
 
         warn(
             f"{type(self).__name__} has no device-side log-density; its "
-            "prior evaluates through a host callback (jax.pure_callback) "
-            "— slow, and may be unsupported inside device-resident scans "
-            "on TPU backends.  Prefer a family with a pure-JAX density."
+            "prior evaluates through a host callback (jax.pure_callback). "
+            "This works on CPU but FAILS on TPU backends without host "
+            "send/recv support (measured on axon 2026-08-17: "
+            "'UNIMPLEMENTED: does not support host callbacks').  Prefer "
+            "a family with a pure-JAX density."
         )
 
         def _cb(xv):

@@ -90,9 +90,17 @@ class PosteriorFns:
         # kappa via exact Newton or table interpolation (<3e-7 rel error;
         # avoids serial igamma chains on the hot path — ops.gammainc)
         self.kappa_mode = os.environ.get("PSFMC_KAPPA", "table")
-        # raw-model renderer: 'xla' (fused by the compiler) or 'pallas'
-        # (hand-fused kernel, ops.pallas.sersic_pallas)
+        # raw-model renderer: 'xla' (fused by the compiler), 'pallas'
+        # (hand-fused kernel, one grid step per walker) or
+        # 'pallas_tiled' (walker tiles in VMEM, ops.pallas.sersic_pallas)
         self.render_mode = os.environ.get("PSFMC_RENDER", "xla")
+        self._tiled_render = None
+        if self.render_mode == "pallas_tiled":
+            from ..ops.pallas.sersic_pallas import (
+                render_sersics_tiled_vmappable,
+            )
+
+            self._tiled_render = render_sersics_tiled_vmappable(spec.shape)
 
         h, w = spec.shape
         cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
@@ -290,7 +298,7 @@ class PosteriorFns:
                     self.mag_zp,
                     cs.static["angle_degrees"],
                 )
-                if self.render_mode == "pallas":
+                if self.render_mode in ("pallas", "pallas_tiled"):
                     from ..ops.pallas import pack_sersic_params
 
                     packed_sersics.append(
@@ -300,7 +308,12 @@ class PosteriorFns:
                     raw = raw + render_sersic(
                         c["xg"], c["yg"], *args, kappa_mode=self.kappa_mode
                     )
-        if self.render_mode == "pallas" and packed_sersics:
+        if self.render_mode == "pallas_tiled" and packed_sersics:
+            raw = raw + self._tiled_render(
+                jnp.stack(packed_sersics).astype(self.dtype),
+                jnp.asarray(sky, self.dtype),
+            )
+        elif self.render_mode == "pallas" and packed_sersics:
             from ..ops.pallas import render_sersics_pallas_one
 
             raw = raw + render_sersics_pallas_one(

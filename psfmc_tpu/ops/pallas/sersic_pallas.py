@@ -128,3 +128,109 @@ def render_sersics_pallas(params, sky, shape, interpret=None):
     return jax.vmap(
         lambda p, s: render_sersics_pallas_one(p, s, shape, interpret)
     )(params, sky)
+
+
+# -- walker-tiled variant (round-3 VMEM experiment) -----------------------
+
+def _make_tiled_kernel(tile, num_sersics, h, w, dtype):
+    exp_, log_ = exp_log_fns_unsafe()
+
+    def kernel(params_ref, sky_ref, out_ref):
+        xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(dtype)
+        yg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(dtype)
+        for t in range(tile):
+            acc = jnp.full((h, w), sky_ref[t, 0, 0], dtype)
+            for s in range(num_sersics):
+                acc = acc + sersic_profile_core(
+                    xg - params_ref[t, s, 0],
+                    yg - params_ref[t, s, 1],
+                    params_ref[t, s, 2],
+                    params_ref[t, s, 3],
+                    params_ref[t, s, 4],
+                    params_ref[t, s, 5],
+                    params_ref[t, s, 6],
+                    params_ref[t, s, 7],
+                    params_ref[t, s, 8],
+                    exp_,
+                    log_,
+                )
+            out_ref[t, :, :] = acc
+
+    return kernel
+
+
+def _pick_tile(batch):
+    """Largest divisor of ``batch`` <= 25 (VMEM: tile x 64 KB images)."""
+    for t in (25, 16, 10, 8, 5, 4, 2):
+        if batch % t == 0:
+            return t
+    return 1
+
+
+def render_sersics_pallas_tiled(params, sky, shape, tile=None,
+                                interpret=None):
+    """Walker-TILED batched render: (B, S, 9) -> (B, H, W).
+
+    The round-2 per-walker kernel runs one grid step per walker (vmap's
+    Pallas batching rule); this variant gives each kernel invocation a
+    TILE of walkers so per-launch overhead amortizes and Mosaic can
+    pipeline the output DMA of walker t against the compute of t+1.
+    The verdict-requested VMEM experiment (SURVEY.md section 2 item 16);
+    selected with ``PSFMC_RENDER=pallas_tiled``.  Measured result is
+    recorded in CLAUDE.md next to the other Pallas verdicts.
+    """
+    from jax.experimental import pallas as pl
+
+    b, num_sersics, _ = params.shape
+    h, w = shape
+    dtype = params.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if tile is None:
+        tile = _pick_tile(b)
+
+    kernel = _make_tiled_kernel(tile, num_sersics, h, w, dtype)
+    # sky rides as a rank-3 (B, 1, 1) operand: Mosaic requires the last
+    # two block dims be 8/128-divisible OR equal to the full array dims
+    # (a (tile, 1) block of a (B, 1) array is REJECTED on hardware —
+    # the exact failure class the round-2 lnpost kernel hit; interpret
+    # mode never catches it)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, num_sersics, PARAMS_PER_SERSIC),
+                         lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, 1, 1), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), dtype),
+        interpret=interpret,
+    )(params, jnp.reshape(sky, (b, 1, 1)).astype(dtype))
+
+
+def render_sersics_tiled_vmappable(shape, interpret=None):
+    """A per-walker render fn whose ``vmap`` lowers to the TILED kernel.
+
+    The posterior traces per-walker (the sampler vmaps it); a plain
+    pallas_call would batch to grid=(B,).  ``custom_vmap`` reroutes the
+    batched call to :func:`render_sersics_pallas_tiled` instead.
+    """
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def render(params, sky):
+        return render_sersics_pallas_one(params, sky, shape, interpret)
+
+    @render.def_vmap
+    def _rule(axis_size, in_batched, params, sky):  # noqa: ANN001
+        p_b, s_b = in_batched
+        if not p_b:
+            params = jnp.broadcast_to(params, (axis_size,) + params.shape)
+        if not s_b:
+            sky = jnp.broadcast_to(jnp.asarray(sky), (axis_size,))
+        out = render_sersics_pallas_tiled(params, sky, shape,
+                                          interpret=interpret)
+        return out, True
+
+    return render

@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""On-hardware smoke of every hardware-facing knob + fallback path.
+
+The round-2 lesson (PSFMC_LNPOST=pallas was broken ONLY on real TPU —
+interpret-mode CPU tests never caught it) says hardware-facing knobs
+need a real-chip run, not just the CPU matrix.  This sweeps:
+
+* the knob matrix: PSFMC_CONV=fft, PSFMC_KAPPA=newton,
+  PSFMC_RENDER=pallas, PSFMC_LNPOST=pallas, PSFMC_FASTMATH=0 —
+  each gets a short flagship-shaped fit; final mean lnp must agree with
+  the default-knob run within a few units (different numerics => slightly
+  different trajectories, same posterior),
+* the pure_callback prior fallback (families with no device-side
+  density, e.g. NonCentralT) inside the jitted sampling scan.
+
+Knobs are read at build_posterior() time, so one process (one tunnel
+session) covers the whole matrix.  Results go to stdout; paste the
+dated summary into CLAUDE.md.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import importlib.util  # noqa: E402
+
+spec_mod = importlib.util.spec_from_file_location(
+    "graft_entry", os.path.join(repo, "__graft_entry__.py")
+)
+graft = importlib.util.module_from_spec(spec_mod)
+spec_mod.loader.exec_module(graft)
+
+from psfmc_tpu.models.posterior import build_posterior  # noqa: E402
+from psfmc_tpu.models.spec import build_model_spec  # noqa: E402
+from psfmc_tpu.profiling import device_sync  # noqa: E402
+from psfmc_tpu.sampler.ensemble import EnsembleSampler  # noqa: E402
+
+BURN = 50
+ITER = 50
+CHAINS = 250
+
+KNOB_CONFIGS = [
+    ("default", {}),
+    ("conv=fft", {"PSFMC_CONV": "fft"}),
+    ("kappa=newton", {"PSFMC_KAPPA": "newton"}),
+    ("render=pallas", {"PSFMC_RENDER": "pallas"}),
+    ("lnpost=pallas", {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft"}),
+    ("fastmath=0", {"PSFMC_FASTMATH": "0"}),
+]
+
+KNOB_KEYS = [
+    "PSFMC_CONV", "PSFMC_KAPPA", "PSFMC_RENDER", "PSFMC_LNPOST",
+    "PSFMC_FASTMATH",
+]
+
+
+def run_config(name, env, comps, p0):
+    for k in KNOB_KEYS:
+        os.environ.pop(k, None)
+    os.environ.update(env)
+    t0 = time.time()
+    try:
+        spec = build_model_spec(comps)
+        fns = build_posterior(spec)
+        sampler = EnsembleSampler(CHAINS, spec.num_params, fns, seed=0)
+        sampler.init_state(p0)
+        sampler.run_burn(BURN)
+        sampler.reset()
+        sampler.run_sampling(ITER)
+        device_sync(sampler.state.positions)
+        warm = time.time() - t0
+        # steady-state: one more timed pass
+        t1 = time.time()
+        sampler.run_sampling(ITER)
+        device_sync(sampler.state.positions)
+        steady = time.time() - t1
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        acc = float(sampler.acceptance_fraction.mean())
+        # exercise the PSRF convergence check on the hardware-produced
+        # chain (the other hardware-untested path VERDICT r2 flagged)
+        from psfmc_tpu.analysis.statistics import check_convergence_psrf
+
+        psrf_ok = bool(check_convergence_psrf(sampler.chain))
+        return dict(name=name, ok=True, lnp=lnp, accept=acc,
+                    warm_s=warm, steady_s=steady, psrf_ran=psrf_ok)
+    except Exception as e:  # noqa: BLE001 - smoke must report, not die
+        traceback.print_exc()
+        return dict(name=name, ok=False, error=f"{type(e).__name__}: {e}")
+
+
+def smoke_pure_callback_prior():
+    """A prior with no device-side density inside the jitted scan."""
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Configuration, Sky
+
+    for k in KNOB_KEYS:
+        os.environ.pop(k, None)
+    rng = np.random.RandomState(0)
+    h = w = 32
+    psf = np.zeros((8, 8)); psf[4, 4] = 1.0
+    comps = [
+        Configuration(
+            obs_file=0.1 + rng.randn(h, w) * 0.01,
+            obsivm_file=np.full((h, w), 1e4),
+            psf_files=psf,
+            psfivm_files=np.ones_like(psf) * 1e8,
+            mag_zeropoint=25.0,
+        ),
+        # NonCentralT has no hand-written density -> jax.pure_callback
+        Sky(adu=D.NonCentralT(df=5.0, nc=0.0, loc=0.1, scale=0.05)),
+    ]
+    t0 = time.time()
+    try:
+        spec = build_model_spec(comps)
+        fns = build_posterior(spec)
+        sampler = EnsembleSampler(16, spec.num_params, fns, seed=0)
+        p0 = 0.1 + rng.randn(16, 1) * 0.01
+        sampler.init_state(p0)
+        sampler.run_burn(10)
+        sampler.reset()
+        sampler.run_sampling(10)
+        device_sync(sampler.state.positions)
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        assert np.isfinite(lnp), lnp
+        return dict(name="pure_callback prior (NonCentralT)", ok=True,
+                    lnp=lnp, warm_s=time.time() - t0)
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="pure_callback prior (NonCentralT)", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
+def main():
+    print(f"# devices: {jax.devices()}", flush=True)
+    t0 = time.time()
+    device_sync(jax.numpy.ones(4) * 2)
+    print(f"# tunnel first contact: {time.time() - t0:.1f} s", flush=True)
+
+    comps = graft._flagship_components()
+    rng = np.random.RandomState(0)
+    spec0 = build_model_spec(comps)
+    p0 = np.stack(
+        [
+            np.concatenate([np.ravel(s.dist.random(rng))
+                            for s in spec0.slots])
+            for _ in range(CHAINS)
+        ]
+    )
+    p0 = graft._enforce_axis_order(p0, spec0)
+
+    results = []
+    for name, env in KNOB_CONFIGS:
+        r = run_config(name, env, comps, p0)
+        results.append(r)
+        print(f"## {r}", flush=True)
+
+    r = smoke_pure_callback_prior()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    ref = next(r for r in results if r["name"] == "default")
+    print("\n=== SUMMARY ===")
+    all_ok = True
+    for r in results:
+        if not r.get("ok"):
+            print(f"FAIL  {r['name']}: {r.get('error')}")
+            all_ok = False
+            continue
+        line = f"PASS  {r['name']:<34s}"
+        if "steady_s" in r:
+            dl = r["lnp"] - ref["lnp"]
+            line += (f" steady={r['steady_s']:.3f}s warm={r['warm_s']:.1f}s "
+                     f"lnp={r['lnp']:.1f} (d={dl:+.1f}) acc={r['accept']:.2f}")
+            if abs(dl) > 20.0:
+                line += "  <-- LNP DIVERGES FROM DEFAULT"
+                all_ok = False
+        else:
+            line += f" lnp={r['lnp']:.1f} warm={r['warm_s']:.1f}s"
+        print(line)
+    print("ALL OK" if all_ok else "SMOKE FAILURES PRESENT")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
