@@ -456,6 +456,13 @@ class NUTSSampler:
             p0 = p0[best]
         z0 = self.transform.to_unconstrained(p0)
         z0 = jnp.asarray(z0, self.fns.dtype)
+        if self.sharding is not None:
+            # chain axis onto the mesh; downstream per-chain state
+            # (u, grad, momenta) inherits the layout through the jitted
+            # programs' sharding propagation
+            from ..parallel.multihost import put_sharded
+
+            z0 = put_sharded(z0, self.sharding)
         if key is None:
             self._key, key = jax.random.split(self._key)
         u0, g0 = jax.vmap(self._u_vg)(z0)

@@ -256,3 +256,36 @@ def test_sharded_ais_evidence_matches_unsharded():
             BoxGaussianPosterior(), nwalkers=60, nsteps=20, groups=6,
             seed=0, p0=p0[:60], mesh=walker_mesh(),
         )
+
+
+def test_nuts_sharded_matches_unsharded():
+    """NUTS chains shard over the mesh; trajectories stay identical."""
+    from psfmc_tpu.sampler.nuts import NUTSSampler
+    from tests.test_nuts import _IdentityTransform
+
+    post = GaussianPosterior()
+    nwalkers, dim = 8, 3
+    rng = np.random.RandomState(2)
+    p0 = rng.randn(nwalkers, dim) * 0.1 + np.asarray(post.mean)
+
+    mesh = walker_mesh()
+    sharding = walker_sharding(mesh)
+
+    kw = dict(dim=dim, posterior_fns=post, seed=4, image_shape=(2, 2),
+              transform=_IdentityTransform(dim))
+    s_sh = NUTSSampler(nwalkers=nwalkers, sharding=sharding, **kw)
+    s_sh.init_state(p0)
+    s_sh.run_burn(30)
+    s_sh.reset()
+    s_sh.run_sampling(20)
+
+    s_pl = NUTSSampler(nwalkers=nwalkers, **kw)
+    s_pl.init_state(p0)
+    s_pl.run_burn(30)
+    s_pl.reset()
+    s_pl.run_sampling(20)
+
+    assert np.allclose(s_sh.chain, s_pl.chain, atol=1e-8)
+    assert np.allclose(s_sh.lnprobability, s_pl.lnprobability, atol=1e-8)
+    # positions really live on the mesh
+    assert len(s_sh.state["z"].sharding.device_set) == 8
