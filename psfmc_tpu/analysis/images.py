@@ -133,9 +133,10 @@ def write_image_products(
     Multi-process runs write from the primary host only (SURVEY.md
     section 5); other hosts compute the same images and return.
     """
-    from ..parallel.multihost import is_primary
+    from ..parallel.multihost import barrier, is_primary
 
     if not is_primary():
+        barrier("write_image_products")
         return
     if "{}" not in output_name:
         output_name += "_{}"
@@ -156,6 +157,7 @@ def write_image_products(
             header=header,
             overwrite=True,
         )
+    barrier("write_image_products")
 
 
 def _add_stats_to_header(header, model, database):

@@ -25,7 +25,7 @@ import numpy as np
 
 from .io import fits
 from .io.table import Table
-from .parallel.multihost import is_primary
+from .parallel.multihost import barrier, is_primary
 
 __all__ = [
     "save_database",
@@ -124,9 +124,15 @@ def save_database(sampler, model, db_name, meta_dict=None):
             (k, v[0] if isinstance(v, tuple) else v)
             for k, v in tbl.meta.items()
         )
+        barrier("save_database")  # pairs with the primary's post-write
         return tbl
 
     tbl.write(db_name, format="fits", extname="TRACE", extra_hdus=extra_hdus)
+    # No host may proceed until the file is on disk: a follow-up driver
+    # call branches on the DB's existence (resume), and a non-primary
+    # host racing ahead would diverge control flow and deadlock the
+    # next collective.
+    barrier("save_database")
     return load_database(db_name)
 
 

@@ -35,7 +35,24 @@ __all__ = [
     "put_sharded",
     "put_replicated",
     "fetch",
+    "barrier",
 ]
+
+
+def barrier(name: str = "psfmc_barrier") -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Used after primary-host file writes so no process can race ahead
+    and observe a missing/partial trace database (e.g. a driver call
+    immediately following a fit, whose resume logic branches on the DB
+    file's existence — divergent control flow across hosts deadlocks
+    the next collective).
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def process_index() -> int:

@@ -20,6 +20,7 @@ def main():
     port = sys.argv[3]
     datadir = sys.argv[4]
     outdir = sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "fit"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
@@ -66,6 +67,32 @@ def main():
     )
 
     os.chdir(outdir)
+    if mode == "resume":
+        # SHARED outdir: run a short fit, then call the driver again
+        # asking for more retained samples — the second call must take
+        # the checkpoint-resume path on EVERY host (the post-write
+        # barrier in save_database guarantees host 1 sees the DB file
+        # before its own exists() check)
+        common = dict(
+            output_name="out_res",
+            burn=20,
+            chains=32,
+            seed=5,
+            mesh=mesh,
+        )
+        model = os.path.join(datadir, "model.py")
+        db1 = model_galaxy_mcmc(model, iterations=20, **common)
+        assert len(db1) == 32 * 20, len(db1)
+        db = model_galaxy_mcmc(model, iterations=40, **common)
+        assert len(db) == 32 * 40, len(db)
+        np.savez(
+            os.path.join(outdir, f"result_{pid}.npz"),
+            sky=np.asarray(db["0_Sky_adu"], dtype=np.float64),
+            mag=np.asarray(db["1_PointSource_mag"], dtype=np.float64),
+            lnp=np.asarray(db["lnprobability"], dtype=np.float64),
+        )
+        print(f"worker {pid}: resume done", flush=True)
+        return
     db = model_galaxy_mcmc(
         os.path.join(datadir, "model.py"),
         output_name="out_mp",

@@ -144,3 +144,60 @@ def test_two_process_sharded_fit(datadir, tmp_path):
     # the fit itself is sane (posterior found the injected source)
     assert np.mean(r0["mag"]) == pytest.approx(19.8, abs=0.15)
     assert 0.1 < float(r0["accept"]) < 0.9
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(datadir, tmp_path):
+    """Checkpoint-resume across hosts: a second driver call extending a
+    fit must take the resume branch on EVERY process (the post-write
+    barrier makes the DB visible before any host's exists() check —
+    without it a racing host diverges and the collectives deadlock)."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                worker,
+                str(pid),
+                str(NPROC),
+                str(port),
+                str(datadir),
+                str(shared),
+                "resume",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for pid in range(NPROC)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    r0 = np.load(shared / "result_0.npz")
+    r1 = np.load(shared / "result_1.npz")
+    for key in ("sky", "mag", "lnp"):
+        np.testing.assert_array_equal(r0[key], r1[key])
+    assert r0["lnp"].shape == (32 * 40,)
