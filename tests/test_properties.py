@@ -1,0 +1,145 @@
+"""Property-based robustness tests (hypothesis).
+
+Each property targets an invariant that example-based tests can only
+spot-check: the region rasterizer against matplotlib's independent
+even-odd implementation over random polygons, scipy parity of the
+device-side prior densities over random hyperparameters, and
+finiteness/positivity of the Sersic renderer over its whole parameter
+domain (the hot kernel must never emit NaN into the likelihood).
+"""
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+import jax.numpy as jnp
+
+from psfmc_tpu import distributions as D
+from psfmc_tpu.io.region import region_mask
+
+GRID = 24  # pixel grid for polygon properties
+
+
+def _edge_clear(verts, eps=2e-3):
+    """True when no 1-based pixel center sits within eps of any edge
+    (boundary pixels are tie-broken differently by different even-odd
+    implementations; the property only holds off the boundary)."""
+    pts = np.array(
+        [(x, y) for y in range(1, GRID + 1) for x in range(1, GRID + 1)],
+        dtype=float,
+    )
+    v = np.asarray(verts, dtype=float)
+    a = v
+    b = np.roll(v, -1, axis=0)
+    for (ax, ay), (bx, by) in zip(a, b):
+        d = np.hypot(bx - ax, by - ay)
+        if d < 1e-9:
+            return False
+        # distance from every pixel center to this segment
+        t = ((pts[:, 0] - ax) * (bx - ax) + (pts[:, 1] - ay) * (by - ay)) / (
+            d * d
+        )
+        t = np.clip(t, 0.0, 1.0)
+        px = ax + t * (bx - ax)
+        py = ay + t * (by - ay)
+        if np.min(np.hypot(pts[:, 0] - px, pts[:, 1] - py)) < eps:
+            return False
+    return True
+
+
+coord = st.floats(1.3, GRID - 0.3).map(lambda v: round(v, 3))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=9))
+def test_polygon_rasterizer_matches_matplotlib(verts):
+    from matplotlib.path import Path
+
+    if not _edge_clear(verts):
+        return  # boundary-ambiguous geometry: property does not apply
+    text = "image\npolygon(" + ",".join(
+        f"{x},{y}" for x, y in verts
+    ) + ")\n"
+    mask = region_mask(text, (GRID, GRID))
+    yg, xg = np.mgrid[1 : GRID + 1, 1 : GRID + 1].astype(float)
+    pts = np.column_stack([xg.ravel(), yg.ravel()])
+    expected = Path(list(verts)).contains_points(pts).reshape(GRID, GRID)
+    np.testing.assert_array_equal(mask, expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=9))
+def test_polygon_rasterizer_reversal_invariant(verts):
+    """Even-odd fill cannot depend on vertex orientation."""
+    fwd = "image\npolygon(" + ",".join(f"{x},{y}" for x, y in verts) + ")\n"
+    rev = "image\npolygon(" + ",".join(
+        f"{x},{y}" for x, y in reversed(verts)
+    ) + ")\n"
+    np.testing.assert_array_equal(
+        region_mask(fwd, (GRID, GRID)), region_mask(rev, (GRID, GRID))
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    a=st.floats(0.3, 8.0),
+    scale=st.floats(0.1, 10.0),
+    loc=st.floats(-5.0, 5.0),
+)
+def test_gamma_logp_parity_random_hyperparams(a, scale, loc):
+    d = D.Gamma(a=a, scale=scale, loc=loc)
+    xs = loc + scale * np.linspace(0.05, 8.0, 13)
+    want = d.logp(xs)
+    got = np.asarray(d.jax_logp(jnp.asarray(xs, jnp.float64)))
+    assert np.allclose(got, want, rtol=1e-7, atol=1e-7)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    c=st.floats(-0.45, 0.45),
+    scale=st.floats(0.2, 5.0),
+)
+def test_genextreme_logp_parity_random_hyperparams(c, scale):
+    d = D.GeneralExtreme(c=c, scale=scale)
+    xs = scale * np.linspace(-2.0, 2.0, 11)
+    want = d.logp(xs)
+    got = np.asarray(d.jax_logp(jnp.asarray(xs, jnp.float64)))
+    both_inf = np.isneginf(want) & np.isneginf(got)
+    ok = np.isclose(want, got, rtol=1e-6, atol=1e-7) | both_inf
+    assert ok.all(), (c, scale, xs[~ok], np.asarray(want)[~ok], got[~ok])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    x=st.floats(2.0, 30.0),
+    y=st.floats(2.0, 30.0),
+    mag=st.floats(15.0, 27.0),
+    reff=st.floats(0.5, 12.0),
+    ratio=st.floats(0.05, 1.0),
+    index=st.floats(0.3, 8.0),
+    angle=st.floats(-360.0, 360.0),
+)
+def test_sersic_render_always_finite_nonnegative(
+    x, y, mag, reff, ratio, index, angle
+):
+    """The hot kernel over its whole domain: finite, nonnegative,
+    no NaN even at pixel-center hits (x, y can land exactly on
+    integers) — NaN here poisons the whole likelihood."""
+    from psfmc_tpu.ops.coords import coord_grids
+    from psfmc_tpu.ops.sersic import render_sersic
+
+    xg, yg = coord_grids((32, 32), jnp.float32)
+    img = np.asarray(
+        render_sersic(
+            xg,
+            yg,
+            jnp.asarray([x, y], jnp.float32),
+            mag,
+            reff,
+            max(reff * ratio, 0.05),
+            index,
+            angle,
+            25.0,
+            True,
+        )
+    )
+    assert np.all(np.isfinite(img)), (x, y, mag, reff, ratio, index, angle)
+    assert np.all(img >= 0.0)
