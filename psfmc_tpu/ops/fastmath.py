@@ -69,20 +69,37 @@ def needs_accurate_transcendentals() -> bool:
     faster end-to-end on v5e, at ~0.2 log-posterior units of likelihood
     noise — fine for exploratory runs, not for production posteriors).
     """
-    import os
-
-    if os.environ.get("PSFMC_FASTMATH", "1") == "0":
+    if _fastmath_mode() == "0":
         return False
     return jax.default_backend() not in ("cpu",)
+
+
+def _fastmath_mode() -> str:
+    """PSFMC_FASTMATH: '1' (default, accurate exp+log), '0' (raw
+    hardware ops), 'mixed' (hardware exp + accurate log).
+
+    The error budget motivating 'mixed': the hw f32 ``log``'s ~1e-4 ABS
+    error is what poisons the likelihood (measured ~0.2 lnpost units of
+    noise, visibly widened posteriors), while the hw ``exp``'s ~6e-6
+    REL error contributes ~5x less — and the software exp recipe is
+    the pricier of the two.  'mixed' keeps the accuracy-critical log
+    replacement and the cheap hw exp.
+    """
+    import os
+
+    return os.environ.get("PSFMC_FASTMATH", "1")
 
 
 def exp_log_fns():
     """(exp, log) to use on the current backend — called at trace time.
 
     CPU's hardware ops are already correctly rounded (and faster than
-    the software recipes); accelerators get the accurate versions.
+    the software recipes); accelerators get the accurate versions
+    (hardware exp under ``PSFMC_FASTMATH=mixed``, see _fastmath_mode).
     """
     if needs_accurate_transcendentals():
+        if _fastmath_mode() == "mixed":
+            return jnp.exp, accurate_log
         return accurate_exp, accurate_log
     return jnp.exp, jnp.log
 
@@ -92,6 +109,8 @@ def exp_log_fns_unsafe():
     variants — for per-pixel code whose inputs are clamped positive and
     whose callers gate pathological thetas upstream."""
     if needs_accurate_transcendentals():
+        if _fastmath_mode() == "mixed":
+            return jnp.exp, accurate_log_unsafe
         return accurate_exp_unsafe, accurate_log_unsafe
     return jnp.exp, jnp.log
 

@@ -210,3 +210,24 @@ def test_accurate_transcendental_gradients():
             np.asarray(g, np.float64), np.exp(a.astype(np.float64)),
             rtol=1e-5,
         ), fn.__name__
+
+
+def test_fastmath_mode_selection(monkeypatch):
+    """PSFMC_FASTMATH=1|0|mixed pick the documented (exp, log) pairs."""
+    import jax.numpy as jnp
+
+    from psfmc_tpu.ops import fastmath
+
+    monkeypatch.setattr(fastmath.jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.setenv("PSFMC_FASTMATH", "1")
+    assert fastmath.exp_log_fns() == (
+        fastmath.accurate_exp, fastmath.accurate_log
+    )
+    monkeypatch.setenv("PSFMC_FASTMATH", "mixed")
+    e, lg = fastmath.exp_log_fns()
+    assert e is jnp.exp and lg is fastmath.accurate_log
+    e, lg = fastmath.exp_log_fns_unsafe()
+    assert e is jnp.exp and lg is fastmath.accurate_log_unsafe
+    monkeypatch.setenv("PSFMC_FASTMATH", "0")
+    assert fastmath.exp_log_fns() == (jnp.exp, jnp.log)
