@@ -83,6 +83,11 @@ def save_posterior_images(
         model.param_values = row_to_param_vector(best_row)
         imgs = model.render_images_batch(model._param_vector[None, :])
         for ftype in filetypes:
+            if ftype not in imgs:
+                # posterior-dispersion products (raw_model_std) are
+                # undefined for a single MAP sample
+                warn(f"{ftype} is not defined in MAP mode; skipping")
+                continue
             data = np.asarray(imgs[ftype][0], dtype=np.float64)
             data[~np.isfinite(data)] = bad_px_value
             output_data[ftype] = data
@@ -99,6 +104,11 @@ def save_posterior_images(
             model.replay_posterior_means(thetas, chunk=_REPLAY_CHUNK)
 
         for ftype in filetypes:
+            if ftype not in model.posterior_images:
+                # e.g. raw_model_std with accumulators restored from a
+                # pre-raw_sq checkpoint
+                warn(f"{ftype} was not accumulated for this run; skipping")
+                continue
             out_img = np.asarray(
                 model.posterior_images[ftype], dtype=np.float64
             ).copy()

@@ -214,6 +214,13 @@ class MultiComponentModel:
             k: np.asarray(v) for k, v in self._render_jit(theta).items()
         }
 
+    def raw_model_std(self):
+        """Per-pixel posterior STD of the raw model over retained
+        samples (beyond-reference uncertainty product; available after
+        sampling/replay, None otherwise).  Request it with
+        ``write_fits=(..., 'raw_model_std')``."""
+        return self.posterior_images.get("raw_model_std")
+
     def raw_model(self):
         """Raw model image (before PSF convolution)."""
         return self._current_images()["raw_model"]
@@ -358,6 +365,7 @@ class MultiComponentModel:
             "composite_ivm": 1.0 / carry["var"],
             "point_source_subtracted": obs - carry["ps_conv"],
         }
+        self._add_raw_std(carry)
         self.accumulated_samples = total
         return self.posterior_images
 
@@ -379,4 +387,24 @@ class MultiComponentModel:
             "composite_ivm": 1.0 / accum["var"].astype(np.float64),
             "point_source_subtracted": obs - accum["ps_conv"],
         }
+        self._add_raw_std(accum)
         self.accumulated_samples = sampler.accumulated_samples
+
+    def _add_raw_std(self, carry):
+        """Derive the raw-model per-pixel posterior STD product.
+
+        ``raw_sq`` is the running mean of ``raw^2`` over retained
+        samples (accumulated in the same device pass as the means), so
+        ``sqrt(E[raw^2] - E[raw]^2)`` is the exact per-pixel posterior
+        standard deviation of the unconvolved model — an uncertainty
+        map the reference cannot produce.  Written only when requested
+        (``write_fits=(..., 'raw_model_std')``); absent from old
+        checkpoints, in which case the product is simply not offered.
+        """
+        if "raw_sq" not in carry:
+            return
+        mean = np.asarray(carry["raw"], np.float64)
+        sq = np.asarray(carry["raw_sq"], np.float64)
+        self.posterior_images["raw_model_std"] = np.sqrt(
+            np.maximum(sq - mean * mean, 0.0)
+        )

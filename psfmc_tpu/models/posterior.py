@@ -353,7 +353,16 @@ class PosteriorFns:
             ps_conv = convolve(ps, f_psf)
 
         var_total = model_var + c["obs_var"]
-        return {"raw": raw, "conv": conv, "var": var_total, "ps_conv": ps_conv}
+        # raw_sq feeds the per-pixel posterior STD of the raw model (a
+        # beyond-reference uncertainty product): E[raw^2] accumulates in
+        # the same pass, sqrt(E[raw^2] - E[raw]^2) derived at write time
+        return {
+            "raw": raw,
+            "conv": conv,
+            "var": var_total,
+            "ps_conv": ps_conv,
+            "raw_sq": raw * raw,
+        }
 
     def _convolve_pair(self, raw_like, ps_like, sq_like, idx):
         """(conv, model_var, ps_conv) for one image triple + PSF index."""
@@ -436,6 +445,9 @@ class PosteriorFns:
             "conv": mean_conv,
             "var": mean_var,
             "ps_conv": mean_psc,
+            # ensemble mean of raw^2 (already computed for the variance
+            # convolution): feeds the raw-model posterior-std product
+            "raw_sq": jnp.sum(group_sq, axis=0),
         }
 
     def _lnpost_impl(self, theta, with_images=False):

@@ -13,11 +13,22 @@ fully sharded.  Posterior-image accumulators reduce over walkers
 
 Usage::
 
-    mesh = walker_mesh()                    # all local devices
+    mesh = walker_mesh()                    # all global devices
     sharding = walker_sharding(mesh)
     sampler = EnsembleSampler(..., sharding=sharding)
 
 or pass ``mesh=`` to ``model_galaxy_mcmc``.
+
+Multi-slice (DCN) note: a flat 1-D walker mesh is the right layout even
+when the global devices span DCN-connected slices.  The only
+communication is (a) the per-half-step partner gather of positions —
+``nwalkers x dim x 4`` bytes, kilobytes even at 8k walkers, so DCN
+latency is amortized by the milliseconds of batched render+conv compute
+per half-step — and (b) the posterior-image accumulator reduction,
+~0.3 MB once per retained step.  Neither is bandwidth-bound, so there
+is nothing for a hierarchical ICI-inner/DCN-outer mesh to save; the
+heavy data (per-walker images) never leaves its shard.  Host-side IO
+gating for multi-process runs lives in ``parallel.multihost``.
 """
 from __future__ import annotations
 

@@ -288,3 +288,48 @@ def test_replay_matches_on_device_accumulation(workdir):
         assert np.allclose(a, b, atol=0, rtol=0) or np.all(
             np.abs(a - b) / scale < 1e-3
         ), k
+
+
+def test_raw_model_std_product(workdir):
+    """The beyond-reference per-pixel posterior-STD image: requested
+    via write_fits, consistent with a direct per-sample computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from psfmc_tpu.analysis.images import default_filetypes
+    from psfmc_tpu.database import row_to_param_vector
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    db = model_galaxy_mcmc(
+        "model.py",
+        output_name="out_std",
+        iterations=40,
+        burn=40,
+        chains=16,
+        seed=11,
+        write_fits=tuple(default_filetypes) + ("raw_model_std",),
+    )
+    assert os.path.exists("out_std_raw_model_std.fits")
+    std_img = fits.getdata("out_std_raw_model_std.fits")
+    assert np.all(std_img >= 0)
+    assert std_img.max() > 0  # the source position varies over samples
+
+    # direct check: std over the per-sample raw renders of the SAME
+    # retained rows that fed the accumulators (the writer filters
+    # stuck walkers only for the header stats, not the accumulation)
+    model = MultiComponentModel(components="model.py")
+    thetas = np.stack(
+        [row_to_param_vector(r) for r in db[list(model.param_names)]]
+    )
+    raws = np.stack(
+        [
+            np.asarray(
+                jax.vmap(model.posterior_fns.carry_images)(
+                    jnp.asarray(chunk, model.posterior_fns.dtype)
+                )["raw"]
+            )
+            for chunk in np.array_split(thetas, 8)
+        ]
+    ).reshape(len(thetas), *std_img.shape)
+    direct = np.std(raws.astype(np.float64), axis=0)
+    np.testing.assert_allclose(std_img, direct, rtol=5e-3, atol=2e-6)
