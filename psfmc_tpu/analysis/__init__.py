@@ -5,6 +5,7 @@ from .statistics import (
     check_convergence_psrf,
     num_effective_samples,
     potential_scale_reduction,
+    summary,
 )
 
 __all__ = [
@@ -14,6 +15,7 @@ __all__ = [
     "check_convergence_psrf",
     "num_effective_samples",
     "potential_scale_reduction",
+    "summary",
 ]
 
 try:  # matplotlib is optional at import time

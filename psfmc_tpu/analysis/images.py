@@ -191,6 +191,26 @@ def _add_stats_to_header(header, model, database):
             val = f"({strmean}) +/- ({strstd})"
         model_stats[fits_abbr] = val
 
+    # Goodness of fit at the MAP sample: reduced chi^2 over good pixels
+    # (a quick-look fit-quality number the reference never reported)
+    try:
+        best = int(np.argmax(np.asarray(database["lnprobability"])))
+        best_row = database[list(model.param_names)][best]
+        theta_map = row_to_param_vector(best_row)
+        imgs = model.render_images_batch(theta_map[None, :])
+        resid = np.asarray(imgs["residual"][0], np.float64)
+        ivm = np.asarray(imgs["composite_ivm"][0], np.float64)
+        good = np.asarray(~model.spec.bad_px)
+        n_good = int(good.sum())
+        dof = max(n_good - model.num_params, 1)
+        chi2 = float(np.sum((resid * resid * ivm)[good]))
+        model_stats["MCCHI2NU"] = (
+            round(chi2 / dof, 4),
+            "reduced chi-squared of the MAP model",
+        )
+    except Exception as err:  # noqa: BLE001 - header stat must not kill IO
+        warn(f"could not compute MAP reduced chi^2: {err}")
+
     # PSF of the maximum-posterior sample (reference picked argmax of the
     # walker column by mistake, images.py:137 — use lnprobability).
     psf_selector = model.config.psf_selector

@@ -20,6 +20,7 @@ __all__ = [
     "num_effective_samples",
     "check_convergence_autocorr",
     "check_convergence_psrf",
+    "summary",
 ]
 
 
@@ -115,3 +116,38 @@ def check_convergence_psrf(chains, psrf_tol=0.05, verbose=0):
             print(f"param {p}: PSRF = {psrf}")
         converged &= abs(psrf - 1.0) < psrf_tol
     return bool(converged)
+
+
+def summary(database, percentiles=(16.0, 50.0, 84.0)):
+    """Posterior summary table: one row per scalar trace column.
+
+    Returns an OrderedDict mapping trace name (vector stochastics like
+    ``xy`` expand to ``name_0``/``name_1``) to a dict with ``mean``,
+    ``std`` and one ``p{q:g}`` entry per requested percentile —
+    everything promoted to f64 before reduction (the f32 summation
+    drift documented in the project notes corrupts means of long
+    chains).  A quick programmatic companion to the FITS header stats.
+    """
+    from collections import OrderedDict
+
+    out = OrderedDict()
+    skip = {"walker", "sample"}
+    for name in database.colnames:
+        if name in skip:
+            continue
+        col = np.asarray(database[name], dtype=np.float64)
+        cols = (
+            [(name, col)]
+            if col.ndim == 1
+            else [(f"{name}_{i}", col[:, i]) for i in range(col.shape[1])]
+        )
+        for cname, values in cols:
+            stats = {
+                "mean": float(np.mean(values)),
+                "std": float(np.std(values)),
+            }
+            qs = np.percentile(values, percentiles)
+            for q, v in zip(percentiles, qs):
+                stats[f"p{q:g}"] = float(v)
+            out[cname] = stats
+    return out

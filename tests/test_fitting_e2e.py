@@ -215,20 +215,23 @@ def test_resumed_run_keeps_accumulators(workdir, monkeypatch):
     monkeypatch.undo()
 
     replayed = {"n": 0}
-    real_batch = MultiComponentModel.render_images_batch
+    real_replay = MultiComponentModel.replay_posterior_means
 
     def counting(self, *a, **k):
         replayed["n"] += 1
-        return real_batch(self, *a, **k)
+        return real_replay(self, *a, **k)
 
-    monkeypatch.setattr(MultiComponentModel, "render_images_batch", counting)
+    monkeypatch.setattr(
+        MultiComponentModel, "replay_posterior_means", counting
+    )
     db2 = model_galaxy_mcmc(
         "model.py", output_name="out_ac", iterations=40, burn=20,
         chains=16, seed=6, checkpoint_interval=10,
     )
     assert db2.meta["MCITER"] == 40
-    # weighted mode's fast path renders nothing: streaming means carried
-    # across the resume cover every retained sample
+    # weighted mode's fast path replays nothing: streaming means carried
+    # across the resume cover every retained sample (the single MAP
+    # render for the MCCHI2NU header stat is not a replay)
     assert replayed["n"] == 0, "image writer fell back to chain replay"
 
 
@@ -333,3 +336,37 @@ def test_raw_model_std_product(workdir):
     ).reshape(len(thetas), *std_img.shape)
     direct = np.std(raws.astype(np.float64), axis=0)
     np.testing.assert_allclose(std_img, direct, rtol=5e-3, atol=2e-6)
+
+
+def test_map_reduced_chi2_in_headers(workdir):
+    """Posterior-image headers carry MCCHI2NU, equal to the reduced
+    chi^2 of an independent MAP re-render (goodness-of-fit number the
+    reference never wrote).  Note the absolute value sits BELOW 1 here:
+    the composite IVM includes PSF-mismatch variance scaling with
+    source brightness^2 while this synthetic scene has none — the
+    header must report the model's own noise budget, not assume it."""
+    from psfmc_tpu.database import row_to_param_vector
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    db = model_galaxy_mcmc(
+        "model.py",
+        output_name="out_chi2",
+        iterations=40,
+        burn=60,
+        chains=16,
+        seed=2,
+    )
+    hdr = fits.getheader("out_chi2_residual.fits")
+    chi2nu = float(hdr["MCCHI2NU"])
+    assert 0.0 < chi2nu < 2.0, chi2nu
+
+    model = MultiComponentModel(components="model.py")
+    best = int(np.argmax(np.asarray(db["lnprobability"])))
+    theta = row_to_param_vector(db[list(model.param_names)][best])
+    imgs = model.render_images_batch(theta[None])
+    resid = np.asarray(imgs["residual"][0], np.float64)
+    ivm = np.asarray(imgs["composite_ivm"][0], np.float64)
+    good = ~np.asarray(model.spec.bad_px)
+    dof = max(int(good.sum()) - model.num_params, 1)
+    expect = float(np.sum((resid * resid * ivm)[good])) / dof
+    assert chi2nu == pytest.approx(expect, rel=1e-3)

@@ -47,3 +47,37 @@ def test_float32_chain_moments_not_corrupted():
 
     wv = _within_variance(np.column_stack(traces32).astype(np.float64))
     assert abs(np.sqrt(wv) - true_std) / true_std < 0.02
+
+
+def test_summary_table():
+    """summary(): f64 stats per scalar trace, vector columns expanded."""
+    from collections import OrderedDict
+
+    import numpy as np
+    import pytest
+
+    from psfmc_tpu.analysis import summary
+    from psfmc_tpu.io.table import Table
+
+    rng = np.random.RandomState(0)
+    n = 4000
+    tbl = Table(
+        OrderedDict(
+            [
+                ("0_Sky_adu", rng.normal(0.5, 0.1, n)),
+                ("1_PointSource_xy", rng.normal([10.0, 20.0], 0.5, (n, 2))),
+                ("lnprobability", rng.normal(-100, 3, n)),
+                ("walker", np.zeros(n)),
+                ("sample", np.arange(n, dtype=float)),
+            ]
+        )
+    )
+    s = summary(tbl)
+    assert set(s) == {
+        "0_Sky_adu", "1_PointSource_xy_0", "1_PointSource_xy_1",
+        "lnprobability",
+    }
+    assert s["0_Sky_adu"]["mean"] == pytest.approx(0.5, abs=0.01)
+    assert s["0_Sky_adu"]["std"] == pytest.approx(0.1, abs=0.01)
+    assert s["1_PointSource_xy_1"]["p50"] == pytest.approx(20.0, abs=0.05)
+    assert s["0_Sky_adu"]["p16"] < s["0_Sky_adu"]["p84"]
