@@ -65,7 +65,10 @@ def save_posterior_images(
 
     _add_stats_to_header(header, model, database)
 
-    print("Saving posterior models")
+    from ..parallel.multihost import is_primary
+
+    if is_primary():
+        print("Saving posterior models")
     unknown = {ftype for ftype in filetypes if not hasattr(model, ftype)}
     if unknown:
         warn(

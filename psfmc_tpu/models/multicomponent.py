@@ -343,13 +343,28 @@ class MultiComponentModel:
                 cache[key] = means_prog
 
         sums, total = None, 0
+        m2_run, mean_run = None, None  # host f64 Chan merge for raw_m2
         for start in range(0, len(thetas), chunk):
             part = thetas[start : start + chunk]
-            m = means_prog(jnp.asarray(part, fns.dtype))
-            w = len(part)
-            part_sums = {
-                k: np.asarray(v, np.float64) * w for k, v in m.items()
+            m = {
+                k: np.asarray(v, np.float64)
+                for k, v in means_prog(jnp.asarray(part, fns.dtype)).items()
             }
+            w = len(part)
+            m2_part = m.pop("raw_m2", None)
+            if m2_part is not None:
+                # Chan parallel merge of the chunk's (mean, M2) into the
+                # running pair — same cancellation-free form the device
+                # accumulation uses, in f64 on host
+                if m2_run is None:
+                    m2_run, mean_run = m2_part, m["raw"]
+                else:
+                    delta = m["raw"] - mean_run
+                    m2_run = m2_run + m2_part + delta * delta * (
+                        total * w / (total + w)
+                    )
+                    mean_run = mean_run + delta * (w / (total + w))
+            part_sums = {k: v * w for k, v in m.items()}
             sums = (
                 part_sums
                 if sums is None
@@ -357,6 +372,8 @@ class MultiComponentModel:
             )
             total += w
         carry = {k: v / total for k, v in sums.items()}
+        if m2_run is not None:
+            carry["raw_m2"] = m2_run
         obs = np.asarray(self.spec.obs_data)
         self.posterior_images = {
             "raw_model": carry["raw"],
@@ -365,7 +382,7 @@ class MultiComponentModel:
             "composite_ivm": 1.0 / carry["var"],
             "point_source_subtracted": obs - carry["ps_conv"],
         }
-        self._add_raw_std(carry)
+        self._add_raw_std(carry, total)
         self.accumulated_samples = total
         return self.posterior_images
 
@@ -387,24 +404,29 @@ class MultiComponentModel:
             "composite_ivm": 1.0 / accum["var"].astype(np.float64),
             "point_source_subtracted": obs - accum["ps_conv"],
         }
-        self._add_raw_std(accum)
+        self._add_raw_std(accum, sampler.accumulated_samples)
         self.accumulated_samples = sampler.accumulated_samples
 
-    def _add_raw_std(self, carry):
+    def _add_raw_std(self, carry, count):
         """Derive the raw-model per-pixel posterior STD product.
 
-        ``raw_sq`` is the running mean of ``raw^2`` over retained
-        samples (accumulated in the same device pass as the means), so
-        ``sqrt(E[raw^2] - E[raw]^2)`` is the exact per-pixel posterior
-        standard deviation of the unconvolved model — an uncertainty
-        map the reference cannot produce.  Written only when requested
-        (``write_fits=(..., 'raw_model_std')``); absent from old
-        checkpoints, in which case the product is simply not offered.
+        ``raw_m2`` is the Welford sum of squared deviations of the raw
+        image over retained samples (Chan-merged on device — every term
+        O(std^2), so f32 carries it exactly even where the posterior
+        std is 1e-4 of the pixel mean; the naive E[raw^2]-E[raw]^2 form
+        is catastrophically cancelled there).  ``sqrt(M2 / n)`` is the
+        per-pixel posterior standard deviation of the unconvolved model
+        — an uncertainty map the reference cannot produce.  Written
+        only when requested (``write_fits=(..., 'raw_model_std')``);
+        NaN-poisoned (pre-raw_m2 checkpoint restore) or missing
+        accumulators simply withhold the product.
         """
-        if "raw_sq" not in carry:
+        m2 = carry.get("raw_m2")
+        if m2 is None or count < 2:
             return
-        mean = np.asarray(carry["raw"], np.float64)
-        sq = np.asarray(carry["raw_sq"], np.float64)
+        m2 = np.asarray(m2, np.float64)
+        if not np.all(np.isfinite(m2)):
+            return
         self.posterior_images["raw_model_std"] = np.sqrt(
-            np.maximum(sq - mean * mean, 0.0)
+            np.maximum(m2 / count, 0.0)
         )

@@ -353,16 +353,7 @@ class PosteriorFns:
             ps_conv = convolve(ps, f_psf)
 
         var_total = model_var + c["obs_var"]
-        # raw_sq feeds the per-pixel posterior STD of the raw model (a
-        # beyond-reference uncertainty product): E[raw^2] accumulates in
-        # the same pass, sqrt(E[raw^2] - E[raw]^2) derived at write time
-        return {
-            "raw": raw,
-            "conv": conv,
-            "var": var_total,
-            "ps_conv": ps_conv,
-            "raw_sq": raw * raw,
-        }
+        return {"raw": raw, "conv": conv, "var": var_total, "ps_conv": ps_conv}
 
     def _convolve_pair(self, raw_like, ps_like, sq_like, idx):
         """(conv, model_var, ps_conv) for one image triple + PSF index."""
@@ -440,14 +431,21 @@ class PosteriorFns:
         mean_conv = jnp.sum(conv_g, axis=0)
         mean_var = jnp.sum(var_g, axis=0) + self.constants["obs_var"]
         mean_psc = jnp.sum(psc_g, axis=0)
+        # Batch M2 (sum of squared deviations about THIS batch's mean)
+        # for the per-pixel posterior-std product.  Deviation form, not
+        # E[raw^2]-E[raw]^2: the deviations are O(posterior std) so f32
+        # carries them exactly, whereas the raw second moment is
+        # O(mean^2) and its cancellation noise (~1e-4 relative after
+        # 5e4 accumulation steps) would exceed the true variance for
+        # any pixel with std below ~1% of its mean (bright, well-
+        # constrained point sources — precisely the interesting ones).
+        raw_m2 = jnp.sum((raws - mean_raw[None]) ** 2, axis=0)
         return {
             "raw": mean_raw,
             "conv": mean_conv,
             "var": mean_var,
             "ps_conv": mean_psc,
-            # ensemble mean of raw^2 (already computed for the variance
-            # convolution): feeds the raw-model posterior-std product
-            "raw_sq": jnp.sum(group_sq, axis=0),
+            "raw_m2": raw_m2,
         }
 
     def _lnpost_impl(self, theta, with_images=False):

@@ -188,6 +188,10 @@ def render_sersics_pallas_tiled(params, sky, shape, tile=None,
         interpret = jax.default_backend() == "cpu"
     if tile is None:
         tile = _pick_tile(b)
+    elif b % tile:
+        # grid=(b//tile,) would silently leave the trailing b%tile
+        # walkers' output rows unwritten (garbage, no error)
+        raise ValueError(f"tile={tile} does not divide the batch {b}")
 
     kernel = _make_tiled_kernel(tile, num_sersics, h, w, dtype)
     # sky rides as a rank-3 (B, 1, 1) operand: Mosaic requires the last

@@ -166,11 +166,50 @@ def ensemble_image_means(images_fn, ensemble_means_fn, positions):
     (``ensemble_carry_means``: convolve the walker-mean renders once per
     PSF instead of per walker); falls back to vmapping the per-walker
     ``images_fn`` for posterior objects without one.
+
+    When the image basis contains ``raw``, the result additionally
+    carries ``raw_m2`` — the batch SUM of squared deviations about this
+    batch's mean raw image (the Welford batch statistic consumed by
+    :func:`merge_image_accumulators`; deviation form so f32 never sees
+    an O(mean^2) cancellation).
     """
     if ensemble_means_fn is not None:
         return ensemble_means_fn(positions)
     imgs = jax.vmap(images_fn)(positions)
-    return {k: jnp.mean(v, axis=0) for k, v in imgs.items()}
+    out = {k: jnp.mean(v, axis=0) for k, v in imgs.items()}
+    if "raw" in imgs:
+        out["raw_m2"] = jnp.sum((imgs["raw"] - out["raw"][None]) ** 2, axis=0)
+    return out
+
+
+def merge_image_accumulators(accum, count, means, nbatch):
+    """Merge one batch of ensemble image statistics into the carry.
+
+    ``accum`` holds running MEANS per image key plus (optionally) the
+    Welford ``raw_m2`` sum-of-squared-deviations; ``means`` is the
+    output of :func:`ensemble_image_means` for a batch of ``nbatch``
+    samples.  Mean keys use the standard incremental-mean update;
+    ``raw_m2`` uses the Chan parallel merge — every term is
+    O(std^2) x counts, so the per-pixel posterior variance stays exact
+    in f32 even when the mean is 1e4x the std (the naive
+    E[raw^2]-E[raw]^2 form is catastrophically cancelled there).
+    Returns ``(new_accum, new_count)``.
+    """
+    count_new = count + nbatch
+    out = {}
+    for k, v in accum.items():
+        if k == "raw_m2":
+            continue
+        dt = v.dtype
+        out[k] = v + nbatch * (means[k].astype(dt) - v) / count_new.astype(dt)
+    if "raw_m2" in accum:
+        dt = accum["raw_m2"].dtype
+        delta = means["raw"].astype(dt) - accum["raw"]  # vs the OLD mean
+        ratio = (count.astype(dt) * nbatch) / count_new.astype(dt)
+        out["raw_m2"] = (
+            accum["raw_m2"] + means["raw_m2"].astype(dt) + delta * delta * ratio
+        )
+    return out, count_new
 
 
 def make_step_fn(
@@ -236,14 +275,9 @@ def make_step_fn(
             means = ensemble_image_means(
                 images_fn, ensemble_means_fn, new_pos
             )
-            count = count + nwalkers
-            accum = {
-                k: accum[k]
-                + nwalkers
-                * (means[k].astype(accum[k].dtype) - accum[k])
-                / count.astype(accum[k].dtype)
-                for k in accum
-            }
+            accum, count = merge_image_accumulators(
+                accum, count, means, nwalkers
+            )
 
         moments = state.moments
         if accumulate and moments is not None:
@@ -486,7 +520,12 @@ class EnsembleSampler:
         lnp = self._batched_lnpost()(p0)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
         # accumulator keys discovered from a shape-only trace (no compute)
-        img_keys = jax.eval_shape(self._images_fn(), p0[0]).keys()
+        img_keys = list(jax.eval_shape(self._images_fn(), p0[0]).keys())
+        if "raw" in img_keys:
+            # Welford M2 of the raw image (per-pixel posterior std
+            # product) — produced by ensemble_image_means, not by the
+            # per-theta images_fn
+            img_keys.append("raw_m2")
         # Fresh small leaves are HOST numpy: pjit replicates them onto
         # whatever mesh the phase program runs over (including a multi-
         # host one, where a committed single-device jnp array would be
@@ -677,15 +716,21 @@ class EnsembleSampler:
         count = int(payload.get("accum_count", 0))
         if not accum or count <= 0 or self.state.accum is None:
             return
-        if set(accum) != set(self.state.accum):
-            return  # different image basis; keep fresh accumulators
+        dt = np.dtype(self.accum_dtype)
+        restored = {}
+        for k, v in self.state.accum.items():
+            if k in accum:
+                restored[k] = np.asarray(accum[k], dt)
+            elif k == "raw_m2":
+                # pre-raw_m2 (round-2) checkpoint: the MEAN accumulators
+                # are still fully valid — restore them and poison only
+                # the M2 so the std product reports unavailable instead
+                # of silently undercounting the restored samples
+                restored[k] = np.full(v.shape, np.nan, dt)
+            else:
+                return  # a mean key is missing: different image basis
         self.state = replace(
-            self.state,
-            accum={
-                k: np.asarray(accum[k], np.dtype(self.accum_dtype))
-                for k in self.state.accum
-            },
-            accum_count=np.int32(count),
+            self.state, accum=restored, accum_count=np.int32(count)
         )
 
     # -- emcee-compatible accessors ----------------------------------------

@@ -39,6 +39,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..parallel.multihost import fetch as _fetch
+
 __all__ = ["NUTSSampler", "nuts_kernel"]
 
 _MAX_DELTA = 1000.0  # divergence threshold on the Hamiltonian error
@@ -467,20 +469,26 @@ class NUTSSampler:
             self._key, key = jax.random.split(self._key)
         u0, g0 = jax.vmap(self._u_vg)(z0)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
-        img_keys = jax.eval_shape(self._images_fn(), jnp.zeros(
+        img_keys = list(jax.eval_shape(self._images_fn(), jnp.zeros(
             self.dim, self.fns.dtype
-        )).keys()
+        )).keys())
+        if "raw" in img_keys:
+            img_keys.append("raw_m2")  # Welford M2 (see EnsembleSampler)
+        dt = np.dtype(self.fns.dtype)
+        # fresh small leaves are HOST numpy (multi-process placement;
+        # see EnsembleSampler.init_state)
         self.state = {
             "z": z0,
             "u": u0,
             "grad": g0,
-            "key": key,
-            "eps": jnp.asarray(0.1 / max(self.zdim, 1) ** 0.25, self.fns.dtype),
-            "inv_mass": jnp.ones(self.zdim, self.fns.dtype),
+            "key": _fetch(key),
+            "eps": np.asarray(0.1 / max(self.zdim, 1) ** 0.25, dt),
+            "inv_mass": np.ones(self.zdim, dt),
             "accum": {
-                k: jnp.zeros((h, w), self.accum_dtype) for k in img_keys
+                k: np.zeros((h, w), np.dtype(self.accum_dtype))
+                for k in img_keys
             },
-            "accum_count": jnp.asarray(0, jnp.int32),
+            "accum_count": np.int32(0),
         }
         return self.state
 
@@ -500,9 +508,10 @@ class NUTSSampler:
         self._n_divergent = 0
         if self.state is not None:
             self.state["accum"] = {
-                k: jnp.zeros_like(v) for k, v in self.state["accum"].items()
+                k: np.zeros(v.shape, np.dtype(v.dtype))
+                for k, v in self.state["accum"].items()
             }
-            self.state["accum_count"] = jnp.asarray(0, jnp.int32)
+            self.state["accum_count"] = np.int32(0)
 
     # -- warmup ("burn") ----------------------------------------------------------
     def _warmup_program(self, nsteps: int):
@@ -639,8 +648,8 @@ class NUTSSampler:
         )
         alphas, n_lf, n_div = outs
         s.update(z=z, u=u, grad=g, key=key, eps=eps, inv_mass=inv_mass)
-        self._n_leapfrog_total += int(np.sum(np.asarray(n_lf)))
-        self._n_divergent += int(np.sum(np.asarray(n_div)))
+        self._n_leapfrog_total += int(np.sum(_fetch(n_lf)))
+        self._n_divergent += int(np.sum(_fetch(n_div)))
         if callback is not None:
             callback(nsteps, nsteps)
         return self
@@ -677,7 +686,10 @@ class NUTSSampler:
             return theta, lps[k_smp]
 
         def program(z, u, g, key, eps, inv_mass, accum, count):
-            from .ensemble import ensemble_image_means
+            from .ensemble import (
+                ensemble_image_means,
+                merge_image_accumulators,
+            )
 
             def body(carry, _):
                 z, u, g, key, accum, count = carry
@@ -690,14 +702,9 @@ class NUTSSampler:
                 thetas, lnps = jax.vmap(record_theta)(gkeys, z)
 
                 means = ensemble_image_means(images_fn, ens_means, thetas)
-                count = count + nchains
-                accum = {
-                    k: accum[k]
-                    + nchains
-                    * (means[k].astype(accum[k].dtype) - accum[k])
-                    / count.astype(accum[k].dtype)
-                    for k in accum
-                }
+                accum, count = merge_image_accumulators(
+                    accum, count, means, nchains
+                )
                 out = (
                     thetas,
                     lnps,
@@ -727,17 +734,17 @@ class NUTSSampler:
         z, u, g, key, accum, count = carry
         s.update(z=z, u=u, grad=g, key=key, accum=accum, accum_count=count)
         thetas, lnps, alphas, n_lf, n_div = outs
-        chain = np.moveaxis(np.asarray(thetas), 0, 1)  # (nchains, nsteps, dim)
-        lnprob = np.moveaxis(np.asarray(lnps), 0, 1)
+        chain = np.moveaxis(_fetch(thetas), 0, 1)  # (nchains, nsteps, dim)
+        lnprob = np.moveaxis(_fetch(lnps), 0, 1)
         if self._chain is None:
             self._chain, self._lnprob = chain, lnprob
         else:
             self._chain = np.concatenate([self._chain, chain], axis=1)
             self._lnprob = np.concatenate([self._lnprob, lnprob], axis=1)
         self._nsteps_total += nsteps
-        self._sum_accept += float(np.sum(np.asarray(alphas)))
-        self._n_leapfrog_total += int(np.sum(np.asarray(n_lf)))
-        self._n_divergent += int(np.sum(np.asarray(n_div)))
+        self._sum_accept += float(np.sum(_fetch(alphas)))
+        self._n_leapfrog_total += int(np.sum(_fetch(n_lf)))
+        self._n_divergent += int(np.sum(_fetch(n_div)))
 
     def run_sampling(self, nsteps: int, segment=None, callback=None):
         """Retained sampling; honors the driver's segment/callback
@@ -790,11 +797,13 @@ class NUTSSampler:
     def accumulated_images(self):
         if self.state is None:
             return None
-        return {k: np.asarray(v) for k, v in self.state["accum"].items()}
+        return {k: _fetch(v) for k, v in self.state["accum"].items()}
 
     @property
     def accumulated_samples(self):
-        return int(self.state["accum_count"]) if self.state else 0
+        if not self.state:
+            return 0
+        return int(_fetch(self.state["accum_count"]))
 
     @property
     def n_leapfrog_total(self):
@@ -819,21 +828,21 @@ class NUTSSampler:
         theta = np.stack(
             [
                 np.asarray(self.transform.to_constrained(z)[0], np.float64)
-                for z in np.asarray(s["z"], np.float64)
+                for z in _fetch(s["z"], np.float64)
             ]
         )
         return {
             "version": 2,
             "ntemps": 1,
             "positions": theta,
-            "log_prob": -np.asarray(s["u"], np.float64),
+            "log_prob": -_fetch(s["u"], np.float64),
             "naccept": np.zeros(self.nwalkers, np.int64),
             "nsteps": int(self._nsteps_total),
-            "key": np.asarray(s["key"]).astype(np.uint32),
-            "accum": {k: np.asarray(v) for k, v in s["accum"].items()},
-            "accum_count": int(s["accum_count"]),
-            "nuts_eps": float(s["eps"]),
-            "nuts_inv_mass": np.asarray(s["inv_mass"], np.float64),
+            "key": _fetch(s["key"]).astype(np.uint32),
+            "accum": {k: _fetch(v) for k, v in s["accum"].items()},
+            "accum_count": int(_fetch(s["accum_count"])),
+            "nuts_eps": float(_fetch(s["eps"])),
+            "nuts_inv_mass": _fetch(s["inv_mass"], np.float64),
             "sum_accept": float(self._sum_accept),
         }
 
@@ -843,21 +852,31 @@ class NUTSSampler:
             positions = positions[0]
         key = jnp.asarray(payload["key"], jnp.uint32)
         self.init_state(positions, key=key)
+        dt = np.dtype(self.fns.dtype)
         if payload.get("nuts_eps"):
-            self.state["eps"] = jnp.asarray(
-                payload["nuts_eps"], self.fns.dtype
-            )
+            self.state["eps"] = np.asarray(payload["nuts_eps"], dt)
         im = payload.get("nuts_inv_mass")
         if im is not None and np.shape(im) == (self.zdim,):
-            self.state["inv_mass"] = jnp.asarray(im, self.fns.dtype)
+            self.state["inv_mass"] = np.asarray(im, dt)
         accum = payload.get("accum")
         count = int(payload.get("accum_count", 0))
-        if accum and count > 0 and set(accum) == set(self.state["accum"]):
-            self.state["accum"] = {
-                k: jnp.asarray(accum[k], self.accum_dtype)
-                for k in self.state["accum"]
-            }
-            self.state["accum_count"] = jnp.asarray(count, jnp.int32)
+        if accum and count > 0:
+            adt = np.dtype(self.accum_dtype)
+            restored = {}
+            ok = True
+            for k, v in self.state["accum"].items():
+                if k in accum:
+                    restored[k] = np.asarray(accum[k], adt)
+                elif k == "raw_m2":
+                    # pre-raw_m2 checkpoint: means restore, M2 poisoned
+                    # so the std product reports unavailable
+                    restored[k] = np.full(v.shape, np.nan, adt)
+                else:
+                    ok = False
+                    break
+            if ok:
+                self.state["accum"] = restored
+                self.state["accum_count"] = np.int32(count)
         self._nsteps_total = int(payload.get("nsteps", 0))
         # restore the paired acceptance numerator: leaving it at zero
         # biases MCACCEPT toward zero after every resume

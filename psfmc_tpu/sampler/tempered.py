@@ -442,19 +442,17 @@ def make_pt_step_fn(
         accum = state.accum
         count = state.accum_count
         if accumulate:
-            from .ensemble import ensemble_image_means
+            from .ensemble import (
+                ensemble_image_means,
+                merge_image_accumulators,
+            )
 
             means = ensemble_image_means(
                 images_fn, ensemble_means_fn, pos[0]  # cold rung only
             )
-            count = count + nwalkers
-            accum = {
-                k: accum[k]
-                + nwalkers
-                * (means[k].astype(accum[k].dtype) - accum[k])
-                / count.astype(accum[k].dtype)
-                for k in accum
-            }
+            accum, count = merge_image_accumulators(
+                accum, count, means, nwalkers
+            )
 
         new_state = PTState(
             positions=pos,
@@ -667,7 +665,9 @@ class PTEnsembleSampler(EnsembleSampler):
         lnl = like_b(flat).reshape(self.ntemps, self.nwalkers)
         lnp = prior_b(flat).reshape(self.ntemps, self.nwalkers)
         h, w = self.image_shape if self.image_shape else self.fns.spec.shape
-        img_keys = jax.eval_shape(self._images_fn(), p0[0, 0]).keys()
+        img_keys = list(jax.eval_shape(self._images_fn(), p0[0, 0]).keys())
+        if "raw" in img_keys:
+            img_keys.append("raw_m2")  # Welford M2 (see EnsembleSampler)
         # fresh small leaves are HOST numpy (multi-process placement;
         # see EnsembleSampler.init_state)
         accum = {

@@ -128,6 +128,26 @@ def main():
     assert pt.chain.shape == (16, 4, model.num_params)
     assert np.all(np.isfinite(pt.lnprobability))
 
+    # NUTS over the same global mesh (chain axis sharded): a few
+    # adaptation + retained steps; chains must agree across hosts
+    from psfmc_tpu.sampler.nuts import NUTSSampler
+
+    nuts = NUTSSampler(
+        nwalkers=8,
+        dim=model.num_params,
+        posterior_fns=model.posterior_fns,
+        seed=13,
+        max_depth=4,
+        sharding=walker_sharding(mesh),
+    )
+    nuts.init_state(model.init_params_from_priors(64, random_state=rng))
+    nuts.run_burn(5)
+    nuts.reset()
+    nuts.run_sampling(5)
+    assert nuts.chain.shape == (8, 5, model.num_params)
+    assert np.all(np.isfinite(nuts.lnprobability))
+    nuts_payload = nuts.checkpoint_payload()  # multi-host fetch path
+
     np.savez(
         os.path.join(outdir, f"result_{pid}.npz"),
         sky=np.asarray(db["0_Sky_adu"], dtype=np.float64),
@@ -136,6 +156,8 @@ def main():
         accept=np.asarray(db.meta["MCACCEPT"], dtype=np.float64),
         pt_chain=pt.chain,
         pt_lnp=pt.lnprobability,
+        nuts_chain=nuts.chain,
+        nuts_positions=nuts_payload["positions"],
     )
     print(f"worker {pid}: done", flush=True)
 

@@ -138,7 +138,10 @@ def test_two_process_sharded_fit(datadir, tmp_path):
     # path replicates global arrays to all hosts)
     r0 = np.load(outdirs[0] / "result_0.npz")
     r1 = np.load(outdirs[1] / "result_1.npz")
-    for key in ("sky", "mag", "lnp", "accept", "pt_chain", "pt_lnp"):
+    for key in (
+        "sky", "mag", "lnp", "accept", "pt_chain", "pt_lnp",
+        "nuts_chain", "nuts_positions",
+    ):
         np.testing.assert_array_equal(r0[key], r1[key])
 
     # the fit itself is sane (posterior found the injected source)

@@ -272,6 +272,13 @@ def test_ensemble_carry_means_match_per_walker(rng):
         got = fns.ensemble_carry_means(jnp.asarray(thetas))
         per_walker = jax.vmap(fns.carry_images)(jnp.asarray(thetas))
         for k in got:
+            if k == "raw_m2":
+                # batch SUM of squared deviations, not a mean key
+                raws = np.asarray(per_walker["raw"], np.float64)
+                want = np.sum((raws - raws.mean(axis=0)) ** 2, axis=0)
+                assert np.allclose(np.asarray(got[k]), want, rtol=1e-9,
+                                   atol=1e-12), k
+                continue
             want = np.mean(np.asarray(per_walker[k]), axis=0)
             assert np.allclose(np.asarray(got[k]), want, rtol=1e-9,
                                atol=1e-12), k

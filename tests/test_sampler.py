@@ -211,3 +211,55 @@ def test_de_moves_recover_gaussian_moments(moves):
 
     with pytest.raises(ValueError):
         EnsembleSampler(nwalkers, 3, post, moves="bogus", image_shape=(2, 2))
+
+
+class BigMeanRawPosterior:
+    """Posterior whose 'raw' image has mean/std ~ 1e6: the adversarial
+    case for per-pixel posterior-variance accumulation in float32."""
+
+    dtype = jnp.float32
+
+    def __init__(self):
+        class _Spec:
+            shape = (2, 2)
+
+        self.spec = _Spec()
+
+    def log_posterior(self, theta):
+        return -0.5 * jnp.sum(theta * theta)
+
+    def log_posterior_and_images(self, theta):
+        raw = jnp.full((2, 2), 1.0e4, self.dtype) + 0.01 * theta[0]
+        return self.log_posterior(theta), {"raw": raw}
+
+
+def test_raw_m2_accumulation_survives_huge_mean():
+    """Welford/Chan image accumulation: per-pixel posterior std stays
+    exact in f32 at std/mean ~ 1e-6 — the naive E[raw^2]-E[raw]^2 form
+    is pure cancellation noise there (f32 ulp of mean^2=1e8 is ~8,
+    five orders above the true variance of 1e-4)."""
+    post = BigMeanRawPosterior()
+    nwalkers, dim = 32, 3
+    rng = np.random.RandomState(7)
+    s = EnsembleSampler(
+        nwalkers, dim, post, seed=3, image_shape=(2, 2)
+    )
+    s.init_state(rng.randn(nwalkers, dim))
+    s.run_sampling(300)
+
+    m2 = np.asarray(s.state.accum["raw_m2"], np.float64)
+    count = s.accumulated_samples
+    assert count == nwalkers * 300
+    got_std = np.sqrt(m2 / count)
+
+    # ground truth from the recorded chain (f64): raw = 1e4 + 0.01*t0
+    t0 = np.asarray(s.chain[:, :, 0], np.float64).ravel()
+    want_std = 0.01 * np.std(t0)
+    assert want_std > 1e-3  # the chain really moved
+    np.testing.assert_allclose(got_std, want_std, rtol=0.02)
+
+    # and the mean accumulator agrees with the chain mean
+    want_mean = 1.0e4 + 0.01 * np.mean(t0)
+    np.testing.assert_allclose(
+        np.asarray(s.state.accum["raw"], np.float64), want_mean, rtol=1e-6
+    )

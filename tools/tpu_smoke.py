@@ -62,8 +62,10 @@ KNOB_CONFIGS = [
     ("conv=fft", {"PSFMC_CONV": "fft"}),
     ("kappa=newton", {"PSFMC_KAPPA": "newton"}),
     ("render=pallas", {"PSFMC_RENDER": "pallas"}),
+    ("render=pallas_tiled", {"PSFMC_RENDER": "pallas_tiled"}),
     ("lnpost=pallas", {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft"}),
     ("fastmath=0", {"PSFMC_FASTMATH": "0"}),
+    ("fastmath=mixed", {"PSFMC_FASTMATH": "mixed"}),
 ]
 
 KNOB_KEYS = [
