@@ -11,14 +11,24 @@ TPU-first redesign: the reference evaluates priors through scipy inside
 its Python posterior.  Here each distribution *also* provides
 ``jax_logp(x)`` — a pure-JAX log-density with the frozen hyperparameters
 baked in — so the joint prior traces into the single XLA posterior
-computation (SURVEY.md section 7, step 2).  ~95 of the 103 families have
-hand-written pure-JAX densities (normalization constants needing scipy
-special functions are computed ONCE on the host from the frozen
-hyperparameters and baked in as literals); only the special-function-
-heavy tail (noncentral chi2/F/t, levy_stable, the KS statistics,
-kappa4, tukeylambda, skellam) falls back to a ``jax.pure_callback``
-into scipy — functional on CPU, not supported inside device scans on
-TPU, and each warns at trace time.
+computation (SURVEY.md section 7, step 2).  100 of the 103 families have
+hand-written pure-JAX densities (normalization constants and series/
+quadrature truncations needing scipy special functions are computed ONCE
+on the host from the frozen hyperparameters and baked in as literals;
+the noncentral families use Poisson-mixture logsumexp (chi2/F) and an
+all-positive Gauss-Legendre quadrature (t), tukeylambda inverts its
+quantile function on device with an implicit-gradient bisection).  The
+last three (levy_stable and the two KS statistic laws, whose densities
+have no closed form at all) evaluate through a tabulated device-side
+density: cubic-Hermite interpolation of the host-scipy logpdf on a
+4096-point asinh-transformed quantile grid, with linear log-tail
+extrapolation (exact power-law behavior for the stable laws).  No
+``jax.pure_callback`` remains on any standard-family path — host
+callbacks are UNIMPLEMENTED on the axon TPU backend (measured
+2026-08-17), so device-side evaluation is a hard requirement, not an
+optimization.  The callback fallback survives only for exotic cases a
+table cannot represent (vector-valued hyperparameters on a tail family)
+and warns at trace time.
 
 Host-side operations (``random`` for walker initialization, ``median``,
 ``interval`` for plot ranges) delegate to the frozen scipy object, which
@@ -694,6 +704,186 @@ def _lp_trapezoid(z, c, d):
     return jnp.where((z >= 0) & (z <= 1), lp, -jnp.inf)
 
 
+def _lp_ncx2(z, df, nc):
+    # Poisson mixture: ncx2(df, nc) = sum_k Pois(k; nc/2) chi2(df + 2k).
+    # nc is frozen, so the k range covering mass 1-~1e-18 and all per-k
+    # constants are host literals; the device computes one logsumexp.
+    lam = float(nc) / 2.0
+    if lam < 1e-12:
+        return _lp_chi2(z, df)
+    k_lo = int(max(0, np.floor(lam - 14 * np.sqrt(lam + 1) - 30)))
+    k_hi = int(np.ceil(lam + 14 * np.sqrt(lam + 1) + 30))
+    k = np.arange(k_lo, k_hi + 1, dtype=np.float64)
+    logw = -lam + k * np.log(lam) - _sspecial.gammaln(k + 1)
+    dfk = float(df) + 2 * k
+    const = logw - (dfk / 2) * np.log(2.0) - _sspecial.gammaln(dfk / 2)
+    zc = jnp.maximum(z, 1e-300)
+    lz = jnp.log(zc)
+    lp = jspecial.logsumexp(const + (dfk / 2 - 1.0) * lz[..., None], axis=-1)
+    return jnp.where(z > 0, lp - zc / 2, -jnp.inf)
+
+
+def _lp_ncf(z, dfn, dfd, nc):
+    # Same Poisson mixture through the F ratio: given k, the numerator
+    # chi2 has dfn+2k dof, so X = ((dfn+2k)/dfn) F(dfn+2k, dfd); the
+    # log1p(dfn x/dfd) factor is k-independent, leaving one logsumexp.
+    dfn, dfd = float(dfn), float(dfd)
+    lam = float(nc) / 2.0
+    if lam < 1e-12:
+        return _lp_f(z, dfn, dfd)
+    k_lo = int(max(0, np.floor(lam - 14 * np.sqrt(lam + 1) - 30)))
+    k_hi = int(np.ceil(lam + 14 * np.sqrt(lam + 1) + 30))
+    k = np.arange(k_lo, k_hi + 1, dtype=np.float64)
+    logw = -lam + k * np.log(lam) - _sspecial.gammaln(k + 1)
+    d1k = dfn + 2 * k
+    sk = dfn / d1k
+    const = (
+        logw
+        + (d1k / 2) * np.log(sk)  # jacobian + (d1k/2-1) powers of s_k
+        + (d1k / 2) * (np.log(d1k) - np.log(dfd))
+        - _sspecial.betaln(d1k / 2, dfd / 2)
+    )
+    zc = jnp.maximum(z, 1e-300)
+    A = jnp.log(zc)
+    B = jnp.log1p(dfn * zc / dfd)
+    a = const + (dfn / 2 + k - 1.0) * A[..., None] - ((d1k + dfd) / 2) * B[..., None]
+    lp = jspecial.logsumexp(a, axis=-1)
+    return jnp.where(z > 0, lp, -jnp.inf)
+
+
+def _lp_nct(z, df, nc):
+    # All-positive quadrature of the exact integral representation
+    #   f(t) = K (nu+t^2)^{-(nu+1)/2} e^{-(mu^2-b^2)/2} A(b),
+    #   b = mu t / sqrt(nu+t^2),  A(b) = int_0^inf y^nu e^{-(y-b)^2/2} dy.
+    # The substitution y = w sqrt(nu+t^2) makes the integrand width
+    # t-independent, so ONE host-fixed Gauss-Legendre rule covers every
+    # t (validated to <4e-9 abs vs scipy for nu in [1,30], |nc| to 12).
+    # A signed series (scipy's hyp1f1 route) cancels catastrophically in
+    # the t*nc<0 tail; every term here is positive.
+    nu, mu = float(df), float(nc)
+    if abs(mu) < 1e-14:
+        return _lp_t(z, nu)
+    y_hi = abs(mu) + 3.0 * np.sqrt(nu) + 14.0
+    n_nodes = max(192, int(np.ceil(10 * y_hi)))
+    yq, wq = np.polynomial.legendre.leggauss(n_nodes)
+    yq = 0.5 * y_hi * (yq + 1.0)
+    lwq = nu * np.log(np.maximum(yq, 1e-300)) + np.log(0.5 * y_hi * wq)
+    logK = (
+        np.log(2.0)
+        + (nu / 2) * np.log(nu / 2)
+        - _sspecial.gammaln(nu / 2)
+        - 0.5 * np.log(2 * np.pi)
+    )
+    fac = nu + z * z
+    b = mu * z / jnp.sqrt(fac)
+    logA = jspecial.logsumexp(lwq - 0.5 * (yq - b[..., None]) ** 2, axis=-1)
+    return (
+        logK
+        - (nu + 1) / 2 * jnp.log(fac)
+        - 0.5 * (mu * mu - b * b)
+        + logA
+    )
+
+
+def _lp_kappa4(z, h, k):
+    # Closed form: f = u^{1-k} g(u), u = (1-kx)^{1/k},
+    # g(u) = (1-hu)^{1/h-1} (h!=0) or e^{-u} (h=0); limits via host
+    # branching on the frozen shapes.  Support: 1-kx>0 (k!=0) and, for
+    # h>0 only, u <= 1/h (the h<0 branch has unbounded u).
+    h, k = float(h), float(k)
+    if abs(k) > 1e-12:
+        t = 1.0 - k * z
+        logu = jnp.log(jnp.maximum(t, 1e-300)) / k
+        in_k = t > 0
+    else:
+        logu = -z
+        in_k = jnp.ones(jnp.shape(z), dtype=bool)
+    u = jnp.exp(logu)
+    if abs(h) > 1e-12:
+        w = 1.0 - h * u
+        tail = (1.0 / h - 1.0) * jnp.log(jnp.maximum(w, 1e-300))
+        in_h = (w > 0) if h > 0 else jnp.ones(jnp.shape(z), dtype=bool)
+    else:
+        tail = -u
+        in_h = jnp.ones(jnp.shape(z), dtype=bool)
+    return jnp.where(in_k & in_h, (1.0 - k) * logu + tail, -jnp.inf)
+
+
+def _tukey_Q(p, lam):
+    if abs(lam) < 1e-12:
+        return jnp.log(p) - jnp.log1p(-p)
+    return (p**lam - (1.0 - p) ** lam) / lam
+
+
+def _tukey_Qp(p, lam):
+    if abs(lam) < 1e-12:
+        return 1.0 / (p * (1.0 - p))
+    return p ** (lam - 1.0) + (1.0 - p) ** (lam - 1.0)
+
+
+def _make_tukey_invert(lam):
+    """Invert the Tukey-lambda quantile function Q(p) = x on device.
+
+    70 bisection steps (Q is strictly increasing) nail p to f64
+    precision; the gradient comes from the implicit function theorem
+    (dp/dx = 1/Q'(p)) via custom_jvp — differentiating the bisection
+    loop itself would give an (incorrect) zero gradient, which would
+    silently break NUTS/MAP with a TukeyLambda prior.
+    """
+
+    @jax.custom_jvp
+    def invert(x):
+        lo = jnp.full(jnp.shape(x), 1e-15, x.dtype)
+        hi = jnp.full(jnp.shape(x), 1.0 - 1e-15, x.dtype)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            below = _tukey_Q(mid, lam) < x
+            return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 70, body, (lo, hi))
+        return 0.5 * (lo + hi)
+
+    @invert.defjvp
+    def _invert_jvp(primals, tangents):
+        (x,), (xdot,) = primals, tangents
+        p = invert(x)
+        return p, xdot / _tukey_Qp(p, lam)
+
+    return invert
+
+
+def _lp_tukeylambda(z, lam):
+    # pdf(x) = 1/Q'(F(x)) with Q the quantile function; F by bisection.
+    lam = float(lam)
+    p = _make_tukey_invert(lam)(jnp.asarray(z))
+    lp = -jnp.log(_tukey_Qp(p, lam))
+    if lam > 0:  # bounded support |x| <= 1/lam
+        lp = jnp.where(jnp.abs(z) <= 1.0 / lam, lp, -jnp.inf)
+    return lp
+
+
+def _lp_skellam(z, mu1, mu2):
+    # pmf(k) = e^{-(mu1+mu2)} (mu1/mu2)^{k/2} I_k(2 sqrt(mu1 mu2)).
+    # The Bessel argument is frozen, so I_|k|(x) is an all-positive
+    # logsumexp over a host-truncated series in m; exact for every k.
+    mu1, mu2 = float(mu1), float(mu2)
+    k = jnp.round(z)
+    x = 2.0 * np.sqrt(mu1 * mu2)
+    n_terms = int(np.ceil(x + 12 * np.sqrt(x + 1) + 25))
+    m = np.arange(n_terms, dtype=np.float64)
+    lhalf = np.log(max(x, 1e-300) / 2.0)
+    ak = jnp.abs(k)
+    a = (
+        (2 * m + ak[..., None]) * lhalf
+        - _sspecial.gammaln(m + 1)
+        - jspecial.gammaln(m + ak[..., None] + 1)
+    )
+    logI = jspecial.logsumexp(a, axis=-1)
+    return -(mu1 + mu2) + (k / 2.0) * np.log(mu1 / mu2) + logI
+
+
 def _lp_wrapcauchy(z, c):
     lp = (
         jnp.log1p(-c * c)
@@ -919,6 +1109,15 @@ _JAX_STD_LOGP = {
     "trapezoid": _lp_trapezoid,
     "wrapcauchy": _lp_wrapcauchy,
     "gausshyper": _lp_gausshyper,
+    # final special-function tail (round 3): exact device-side series /
+    # quadrature / inversion — previously pure_callback, which is
+    # UNIMPLEMENTED on the axon TPU backend
+    "ncx2": _lp_ncx2,
+    "ncf": _lp_ncf,
+    "nct": _lp_nct,
+    "kappa4": _lp_kappa4,
+    "tukeylambda": _lp_tukeylambda,
+    "skellam": _lp_skellam,
     # discrete long tail
     "boltzmann": _lp_boltzmann,
     "dlaplace": _lp_dlaplace,
@@ -927,6 +1126,104 @@ _JAX_STD_LOGP = {
     "planck": _lp_planck,
     "zipf": _lp_zipf,
 }
+
+
+class _LogpdfTable:
+    """Device-side tabulated log-density for families with no closed form.
+
+    Built ONCE per frozen distribution from host scipy: ``n`` grid
+    points uniform in t = asinh((x - median)/s) (s = IQR/1.349), the
+    grid spanning the [eps, 1-eps] quantile range, evaluated with cubic
+    Hermite interpolation (Catmull-Rom slopes, C1-differentiable).
+    Outside the grid the log-density extrapolates linearly in t; since
+    t ~ log|x| in the tails, that is a power law in |x| — the exact
+    asymptotic for the stable laws this backs (levy_stable, ksone,
+    kstwobign).  Interpolation error measured <2e-7 abs over the
+    0.999999-interval for all three shipped families.
+
+    Tables are host numpy (never committed device constants — those
+    fail at trace time on the axon backend, CLAUDE.md).
+    """
+
+    def __init__(self, rv_frozen, n=4096, eps=1e-12):
+        med = float(rv_frozen.median())
+        iqr = float(rv_frozen.ppf(0.75) - rv_frozen.ppf(0.25))
+        self.s = max(iqr / 1.349, 1e-12)
+        self.med = med
+        xlo = float(rv_frozen.ppf(eps))
+        xhi = float(rv_frozen.isf(eps))
+        if not (np.isfinite(xlo) and np.isfinite(xhi) and xhi > xlo):
+            raise ValueError("quantile range is not finite")
+        t0 = np.arcsinh((xlo - med) / self.s)
+        t1 = np.arcsinh((xhi - med) / self.s)
+        # Extend each edge outward (bisection probe) until logpdf nears
+        # the f64 floor, so light (e.g. Gaussian, kstwobign) tails are
+        # TABLED down to underflow rather than extrapolated — linear
+        # t-extrapolation is exact only for power-law tails.
+        tm = np.arcsinh(0.0)
+        a, b = rv_frozen.support()
+
+        def _probe(t):
+            x = med + self.s * np.sinh(t)
+            with np.errstate(all="ignore"):
+                v = float(rv_frozen.logpdf(x))
+            return np.isfinite(v) and v > -700.0
+
+        def _extend(t_edge, sign_hi):
+            target = tm + 3.0 * (t_edge - tm)
+            bound = b if sign_hi else a
+            if np.isfinite(bound):
+                t_bound = np.arcsinh((float(bound) - med) / self.s)
+                target = min(target, t_bound) if sign_hi else max(target, t_bound)
+            if _probe(target):
+                return target
+            good, bad = t_edge, target
+            for _ in range(20):
+                mid = 0.5 * (good + bad)
+                if _probe(mid):
+                    good = mid
+                else:
+                    bad = mid
+            return good
+
+        t0, t1 = _extend(t0, False), _extend(t1, True)
+        x = med + self.s * np.sinh(np.linspace(t0, t1, n))
+        with np.errstate(all="ignore"):
+            v = np.asarray(rv_frozen.logpdf(x), dtype=np.float64)
+        v[~np.isfinite(v)] = -745.0
+        v = np.clip(v, -745.0, None)
+        slope = np.empty_like(v)
+        slope[1:-1] = (v[2:] - v[:-2]) / 2
+        slope[0] = v[1] - v[0]
+        slope[-1] = v[-1] - v[-2]
+        self.t0, self.dt, self.n = t0, (t1 - t0) / (n - 1), n
+        self.v, self.slope = v, slope
+        # true support bounds: extrapolation must not leak probability
+        # outside a bounded support (e.g. ksone on [0, 1])
+        a, b = rv_frozen.support()
+        self.lo = float(a) if np.isfinite(a) else -np.inf
+        self.hi = float(b) if np.isfinite(b) else np.inf
+
+    def __call__(self, x):
+        v = jnp.asarray(self.v, x.dtype)
+        mm = jnp.asarray(self.slope, x.dtype)
+        t = jnp.arcsinh((x - self.med) / self.s)
+        u = (t - self.t0) / self.dt
+        i = jnp.clip(jnp.floor(u), 0, self.n - 2).astype(jnp.int32)
+        w = u - i
+        v0, v1 = v[i], v[i + 1]
+        m0, m1 = mm[i], mm[i + 1]
+        w2, w3 = w * w, w * w * w
+        val = (
+            (2 * w3 - 3 * w2 + 1) * v0
+            + (w3 - 2 * w2 + w) * m0
+            + (-2 * w3 + 3 * w2) * v1
+            + (w3 - w2) * m1
+        )
+        lo_val = v[0] + u * mm[0]
+        hi_val = v[self.n - 1] + (u - (self.n - 1)) * mm[self.n - 1]
+        val = jnp.where(u < 0, lo_val, jnp.where(u > self.n - 1, hi_val, val))
+        return jnp.where((x >= self.lo) & (x <= self.hi), val, -jnp.inf)
 
 
 class Distribution:
@@ -993,7 +1290,23 @@ class Distribution:
                 return fn(z, *self._shapes)
             z = (x - self._loc) / self._scale
             return fn(z, *self._shapes) - jnp.log(self._scale)
-        # Long-tail fallback: host callback into scipy (slow but complete).
+        # No closed form at all (levy_stable, ksone, kstwobign):
+        # tabulated device-side density on the frozen rv (loc/scale
+        # included), built once and cached on the instance.
+        if not self.is_discrete and all(
+            np.ndim(p) == 0 for p in (*self._shapes, self._loc, self._scale)
+        ):
+            table = getattr(self, "_logpdf_table", None)
+            if table is None:
+                try:
+                    table = _LogpdfTable(self.rv_frozen)
+                except Exception:  # non-finite quantile range etc.
+                    table = False
+                self._logpdf_table = table
+            if table is not False:
+                return table(x)
+        # Last resort: host callback into scipy (vector-valued params on
+        # a no-closed-form family, or a table build failure).
         from warnings import warn
 
         warn(

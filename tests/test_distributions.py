@@ -103,6 +103,19 @@ CASES = [
     (lambda: D.WrappedCauchy(c=0.4), np.linspace(-1, 7, 17)),
     (lambda: D.GaussHypergeometric(a=1.5, b=2.0, c=1.0, z=0.5),
      np.linspace(-0.2, 1.2, 17)),
+    # final special-function tail (round 3): exact device-side series /
+    # quadrature — previously pure_callback (broken on TPU backends)
+    (lambda: D.NonCentralChiSquared(df=3.0, nc=2.0), np.linspace(0.05, 20, 23)),
+    (lambda: D.NonCentralChiSquared(df=7.0, nc=40.0), np.linspace(1, 140, 23)),
+    (lambda: D.NonCentralF(dfn=5.0, dfd=7.0, nc=2.0), np.linspace(0.05, 8, 23)),
+    (lambda: D.NonCentralF(dfn=2.0, dfd=30.0, nc=15.0), np.linspace(0.05, 30, 23)),
+    (lambda: D.NonCentralT(df=4.0, nc=1.5), np.linspace(-6, 10, 23)),
+    (lambda: D.NonCentralT(df=2.0, nc=-3.0), np.linspace(-12, 6, 23)),
+    (lambda: D.Kappa4(h=0.5, k=0.3), np.linspace(-3, 3.5, 23)),
+    (lambda: D.Kappa4(h=-0.5, k=-0.3), np.linspace(-3, 6, 23)),
+    (lambda: D.Kappa4(h=0.0, k=0.0), np.linspace(-3, 6, 23)),
+    (lambda: D.Skellam(mu1=3.0, mu2=2.0), np.arange(-12.0, 16.0)),
+    (lambda: D.Skellam(mu1=40.0, mu2=10.0), np.arange(-10.0, 90.0, 3.0)),
     (lambda: D.Boltzmann(lambda_=0.7, N=10), np.arange(-1.0, 12.0)),
     (lambda: D.DiscreteLaplace(a=0.8), np.arange(-6.0, 7.0)),
     (lambda: D.Hypergeometric(M=20, n=7, N=12), np.arange(-1.0, 14.0)),
@@ -122,16 +135,81 @@ def test_jax_logp_matches_scipy(make_dist, xs):
     assert ok.all(), f"{type(dist).__name__}: {want[~ok]} vs {got[~ok]}"
 
 
-def test_fallback_callback_logp():
-    """Families without a hand-written JAX density fall back to scipy.
+@pytest.mark.parametrize("lam", [0.5, -0.5, 0.14, 0.0, -2.0])
+def test_tukeylambda_device_density(lam):
+    """Quantile-function inversion on device, implicit gradient."""
+    import jax
 
-    After round 3 the callback tail is only the special-function-heavy
-    families (noncentral chi2/F/t, levy_stable, KS statistics, kappa4,
-    tukeylambda, skellam).
-    """
-    dist = D.NonCentralT(df=4.0, nc=1.5)
-    xs = np.linspace(-2, 5, 7)
+    dist = D.TukeyLambda(lam=lam)
+    lo, hi = dist.interval(1 - 2e-6)
+    xs = np.linspace(lo, hi, 41)
     got = np.asarray(dist.jax_logp(jnp.asarray(xs, jnp.float64)))
+    assert np.allclose(got, dist.logp(xs), rtol=1e-6, atol=1e-6)
+    # out-of-support for lam>0
+    if lam > 0:
+        out = np.asarray(dist.jax_logp(jnp.asarray(1.0 / lam + 0.1)))
+        assert np.isneginf(out)
+    # bisection must carry the implicit-function gradient, not the
+    # (zero) iteration gradient — NUTS/MAP depend on it
+    g = jax.grad(lambda x: dist.jax_logp(x))(jnp.asarray(0.3, jnp.float64))
+    gn = (dist.logp(0.3 + 1e-6) - dist.logp(0.3 - 1e-6)) / 2e-6
+    assert np.isclose(float(g), gn, rtol=1e-4)
+
+
+def test_nct_gradient():
+    import jax
+
+    dist = D.NonCentralT(df=4.0, nc=1.5)
+    g = jax.grad(lambda x: dist.jax_logp(x))(jnp.asarray(0.7, jnp.float64))
+    gn = (dist.logp(0.7 + 1e-6) - dist.logp(0.7 - 1e-6)) / 2e-6
+    assert np.isclose(float(g), gn, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "make_dist",
+    [
+        lambda: D.KSOneSided(n=20),
+        lambda: D.KSTwoSided(),
+        lambda: D.LevyStable(alpha=1.5, beta=0.3),
+    ],
+    ids=["ksone", "kstwobign", "levy_stable"],
+)
+def test_tabulated_device_density(make_dist):
+    """No-closed-form families: tabulated cubic-Hermite density, no
+    host callback (pure_callback is UNIMPLEMENTED on the axon TPU
+    backend), heavy-tail extrapolation linear in asinh coordinates."""
+    import warnings
+
+    dist = make_dist()
+    lo, hi = dist.interval(1 - 2e-6)
+    xs = np.linspace(lo, hi, 101)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # callback path would warn
+        got = np.asarray(dist.jax_logp(jnp.asarray(xs, jnp.float64)))
+    want = dist.logp(xs)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-5), (
+        np.max(np.abs(got - want))
+    )
+    # beyond-grid behavior: bounded support masks to -inf; unbounded
+    # power-law tails extrapolate within a few percent of scipy
+    a, b = dist.rv_frozen.support()
+    if np.isfinite(b):
+        assert np.isneginf(float(dist.jax_logp(jnp.asarray(b + 0.1))))
+    else:
+        xt = dist.rv_frozen.isf(1e-12) * 5
+        got_t = float(dist.jax_logp(jnp.asarray(xt, jnp.float64)))
+        want_t = float(dist.logp(xt))
+        assert np.isclose(got_t, want_t, rtol=0.05), (got_t, want_t)
+
+
+def test_fallback_callback_logp():
+    """The pure_callback last resort survives only for exotic cases a
+    table cannot represent: vector-valued hyperparameters on a
+    no-closed-form family.  It must warn (it cannot run on TPU)."""
+    dist = D.KSOneSided(n=np.array([20, 30]))
+    xs = np.array([0.2, 0.3])
+    with pytest.warns(UserWarning, match="host callback"):
+        got = np.asarray(dist.jax_logp(jnp.asarray(xs, jnp.float64)))
     assert np.allclose(got, dist.logp(xs), rtol=1e-8)
 
 
