@@ -10,8 +10,10 @@ need a real-chip run, not just the CPU matrix.  This sweeps:
   each gets a short flagship-shaped fit; final mean lnp must agree with
   the default-knob run within a few units (different numerics => slightly
   different trajectories, same posterior),
-* the pure_callback prior fallback (families with no device-side
-  density, e.g. NonCentralT) inside the jitted sampling scan.
+* the round-3 long-tail prior machinery (noncentral series logsumexp,
+  nct quadrature, tukeylambda bisection loop, tabulated cubic-Hermite
+  gathers for levy_stable/KS) inside the jitted sampling scan — these
+  replaced the pure_callback fallback, which is UNIMPLEMENTED on axon.
 
 Knobs are read at build_posterior() time, so one process (one tunnel
 session) covers the whole matrix.  Results go to stdout; paste the
@@ -108,10 +110,19 @@ def run_config(name, env, comps, p0):
         return dict(name=name, ok=False, error=f"{type(e).__name__}: {e}")
 
 
-def smoke_pure_callback_prior():
-    """A prior with no device-side density inside the jitted scan."""
+def smoke_longtail_priors():
+    """Round-3 long-tail prior machinery inside the jitted scan.
+
+    One model whose every stochastic uses a family that previously fell
+    back to pure_callback: noncentral chi2/t (series logsumexp /
+    quadrature), kappa4 (closed form), tukeylambda (70-step bisection
+    fori_loop with custom_jvp), levy_stable + kstwobign (tabulated
+    cubic-Hermite gathers).  Failure mode being hunted: Mosaic/XLA
+    rejecting the gather/loop patterns on hardware, or the f32
+    densities degrading lnp to non-finite.
+    """
     from psfmc_tpu import distributions as D
-    from psfmc_tpu.models.components import Configuration, Sky
+    from psfmc_tpu.models.components import Configuration, Sersic, Sky
 
     for k in KNOB_KEYS:
         os.environ.pop(k, None)
@@ -126,15 +137,29 @@ def smoke_pure_callback_prior():
             psfivm_files=np.ones_like(psf) * 1e8,
             mag_zeropoint=25.0,
         ),
-        # NonCentralT has no hand-written density -> jax.pure_callback
-        Sky(adu=D.NonCentralT(df=5.0, nc=0.0, loc=0.1, scale=0.05)),
+        Sky(adu=D.NonCentralT(df=5.0, nc=1.0, loc=0.1, scale=0.05)),
+        Sersic(
+            xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+            mag=D.TukeyLambda(lam=0.14, loc=20.0, scale=0.5),
+            reff=D.NonCentralChiSquared(df=4.0, nc=2.0, loc=0.5,
+                                        scale=0.6),
+            reff_b=D.Kappa4(h=0.5, k=0.3, loc=1.0, scale=0.8),
+            index=D.LevyStable(alpha=1.8, beta=0.0, loc=2.0, scale=0.3),
+            angle=D.KSTwoSided(loc=0.0, scale=100.0),
+        ),
     ]
     t0 = time.time()
     try:
         spec = build_model_spec(comps)
         fns = build_posterior(spec)
-        sampler = EnsembleSampler(16, spec.num_params, fns, seed=0)
-        p0 = 0.1 + rng.randn(16, 1) * 0.01
+        sampler = EnsembleSampler(32, spec.num_params, fns, seed=0)
+        # medians + jitter, NOT raw draws: a raw LevyStable draw can
+        # land outside the Sersic domain (index <= 0) and strand that
+        # walker at -inf for the whole 20-step smoke
+        med = np.concatenate(
+            [np.ravel(s.dist.median()) for s in spec.slots]
+        )
+        p0 = med + rng.randn(32, med.size) * 0.02 * (1 + np.abs(med))
         sampler.init_state(p0)
         sampler.run_burn(10)
         sampler.reset()
@@ -142,11 +167,11 @@ def smoke_pure_callback_prior():
         device_sync(sampler.state.positions)
         lnp = float(np.mean(sampler.lnprobability[:, -1]))
         assert np.isfinite(lnp), lnp
-        return dict(name="pure_callback prior (NonCentralT)", ok=True,
+        return dict(name="long-tail device priors (6 families)", ok=True,
                     lnp=lnp, warm_s=time.time() - t0)
     except Exception as e:  # noqa: BLE001
         traceback.print_exc()
-        return dict(name="pure_callback prior (NonCentralT)", ok=False,
+        return dict(name="long-tail device priors (6 families)", ok=False,
                     error=f"{type(e).__name__}: {e}")
 
 
@@ -174,7 +199,7 @@ def main():
         results.append(r)
         print(f"## {r}", flush=True)
 
-    r = smoke_pure_callback_prior()
+    r = smoke_longtail_priors()
     results.append(r)
     print(f"## {r}", flush=True)
 
