@@ -54,22 +54,46 @@ def fused_lnl_supported(spec, conv_mode):
     )
 
 
-def _make_kernel(num_sersics, num_ps, h, w, dtype):
+def _make_kernel(num_sersics, num_ps, h, w, dtype, dot_mode="bf16x3"):
     exp_u, log_u = exp_log_fns_unsafe()
     _, log_safe = exp_log_fns()
     inv_2pi = float(0.5 / np.pi)
 
-    def dot(a, b):
+    def dot_highest(a, b):
         return jax.lax.dot_general(
             a,
             b,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            # Mosaic supports only DEFAULT/HIGHEST dot precision; the
-            # XLA path's bf16x3 (HIGH) is unavailable here, and bf16
-            # (DEFAULT) is likelihood-corrupting (CLAUDE.md), so: f32
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype,
         )
+
+    def dot_bf16x3(a, b):
+        # Mosaic exposes only DEFAULT/HIGHEST dot precision — bf16
+        # (DEFAULT) is likelihood-corrupting and f32 (HIGHEST) costs
+        # ~6 MXU passes (measured: the HIGHEST kernel ran 0.911 s vs
+        # 0.615 s XLA, the delta matching CONV_PRECISION=highest's
+        # cost).  So emulate XLA's bf16x3 (= the validated default
+        # accuracy of the XLA conv path) by hand: split each operand
+        # into leading/trailing bf16 halves (the split subtractions are
+        # exact in f32) and take the three significant cross products
+        # on the MXU with f32 accumulation.
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(dtype)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(dtype)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x,
+                y,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+    dot = dot_bf16x3 if dot_mode == "bf16x3" else dot_highest
 
     def kernel(
         sersic_ref,  # (1, S, 9)
@@ -223,7 +247,15 @@ def make_fused_lnl_batch(constants, spec, comp_specs, mag_zp, dtype,
             kxs.append(jnp.zeros(w, dtype))
         return packed, sky.reshape(1, 1), jnp.stack(fkys), jnp.stack(kxs)
 
-    kernel = _make_kernel(num_sersics, num_ps, h, w, dtype)
+    import os
+
+    # bf16x3 emulated dots by default for f32 (matches the XLA conv
+    # path's validated accuracy at ~half the HIGHEST MXU cost); f64
+    # keeps true-precision dots.  PSFMC_LNPOST_DOT=highest reverts.
+    dot_mode = os.environ.get(
+        "PSFMC_LNPOST_DOT", "bf16x3" if dtype == jnp.float32 else "highest"
+    )
+    kernel = _make_kernel(num_sersics, num_ps, h, w, dtype, dot_mode)
 
     def shared_spec(shape):
         nd = len(shape)

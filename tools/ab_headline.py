@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Same-process A/B of PSFMC_* knob configs at headline-bench scale.
+
+Separate bench.py runs vary 0.574-0.703 s across a single day (tunnel
++ chip state), so knob comparisons are only meaningful when every
+config is built and timed inside ONE process/tunnel session, ideally
+interleaved (CLAUDE.md round-3 methodology).  This tool runs each
+config's full 250-walker burn+sample pass ``--reps`` times in
+round-robin order and reports per-config best and median.
+
+Usage:
+    python tools/ab_headline.py                 # default config set
+    python tools/ab_headline.py --reps 3
+"""
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+import time
+
+import numpy as np
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+spec_mod = importlib.util.spec_from_file_location(
+    "graft_entry", os.path.join(repo, "__graft_entry__.py")
+)
+graft = importlib.util.module_from_spec(spec_mod)
+spec_mod.loader.exec_module(graft)
+
+from psfmc_tpu.models.posterior import build_posterior  # noqa: E402
+from psfmc_tpu.models.spec import build_model_spec  # noqa: E402
+from psfmc_tpu.profiling import device_sync  # noqa: E402
+from psfmc_tpu.sampler.ensemble import EnsembleSampler  # noqa: E402
+
+BURN = int(os.environ.get("BENCH_BURN", "200"))
+ITER = int(os.environ.get("BENCH_ITER", "200"))
+CHAINS = int(os.environ.get("BENCH_WALKERS", "250"))
+
+KNOB_KEYS = [
+    "PSFMC_CONV", "PSFMC_KAPPA", "PSFMC_RENDER", "PSFMC_LNPOST",
+    "PSFMC_FASTMATH", "PSFMC_LNPOST_DOT", "PSFMC_CONV_PRECISION",
+]
+
+DEFAULT_CONFIGS = [
+    ("xla-default", {}),
+    ("pallas-lnpost dot=highest",
+     {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft",
+      "PSFMC_LNPOST_DOT": "highest"}),
+    ("pallas-lnpost dot=bf16x3",
+     {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft",
+      "PSFMC_LNPOST_DOT": "bf16x3"}),
+]
+
+
+def build(env, comps):
+    for k in KNOB_KEYS:
+        os.environ.pop(k, None)
+    os.environ.update(env)
+    spec = build_model_spec(comps)
+    fns = build_posterior(spec)
+    return spec, fns
+
+
+def timed_pass(spec, fns, p0, seed):
+    sampler = EnsembleSampler(CHAINS, spec.num_params, fns, seed=seed)
+    sampler.init_state(p0)
+    t0 = time.time()
+    sampler.run_burn(BURN)
+    sampler.reset()
+    sampler.run_sampling(ITER)
+    device_sync(sampler.state.positions)
+    dt = time.time() - t0
+    lnp = float(np.mean(sampler.lnprobability[:, -1]))
+    return dt, lnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    print(f"# devices: {jax.devices()}", flush=True)
+    t0 = time.time()
+    device_sync(jax.numpy.ones(4) * 2)
+    print(f"# tunnel first contact: {time.time() - t0:.1f} s", flush=True)
+
+    comps = graft._flagship_components()
+    rng = np.random.RandomState(0)
+    spec0 = build_model_spec(comps)
+    p0 = np.stack(
+        [
+            np.concatenate([np.ravel(s.dist.random(rng))
+                            for s in spec0.slots])
+            for _ in range(CHAINS)
+        ]
+    )
+    p0 = graft._enforce_axis_order(p0, spec0)
+
+    built = []
+    for name, env in DEFAULT_CONFIGS:
+        t0 = time.time()
+        spec, fns = build(env, comps)
+        # warm every program once before any timing
+        dt, lnp = timed_pass(spec, fns, p0, seed=0)
+        print(f"# built+warmed {name}: {time.time()-t0:.1f}s "
+              f"(warm pass {dt:.3f}s lnp={lnp:.1f})", flush=True)
+        built.append((name, spec, fns, [], lnp))
+
+    for rep in range(args.reps):
+        for name, spec, fns, times, _ in built:
+            dt, _ = timed_pass(spec, fns, p0, seed=rep + 1)
+            times.append(dt)
+            print(f"  rep{rep} {name}: {dt:.3f}s", flush=True)
+
+    print("\n=== A/B SUMMARY "
+          f"({CHAINS} walkers x {BURN}+{ITER}, reps={args.reps}) ===")
+    base = min(built[0][3])
+    for name, _, _, times, lnp in built:
+        best, med = min(times), float(np.median(times))
+        print(f"{name:<28s} best={best:.3f}s median={med:.3f}s "
+              f"vs-base={best / base - 1:+.1%} lnp={lnp:.1f}")
+
+
+if __name__ == "__main__":
+    main()
