@@ -1160,7 +1160,6 @@ class _LogpdfTable:
         # the f64 floor, so light (e.g. Gaussian, kstwobign) tails are
         # TABLED down to underflow rather than extrapolated — linear
         # t-extrapolation is exact only for power-law tails.
-        tm = np.arcsinh(0.0)
         a, b = rv_frozen.support()
 
         def _probe(t):
@@ -1170,7 +1169,7 @@ class _LogpdfTable:
             return np.isfinite(v) and v > -700.0
 
         def _extend(t_edge, sign_hi):
-            target = tm + 3.0 * (t_edge - tm)
+            target = 3.0 * t_edge
             bound = b if sign_hi else a
             if np.isfinite(bound):
                 t_bound = np.arcsinh((float(bound) - med) / self.s)
@@ -1200,7 +1199,6 @@ class _LogpdfTable:
         self.v, self.slope = v, slope
         # true support bounds: extrapolation must not leak probability
         # outside a bounded support (e.g. ksone on [0, 1])
-        a, b = rv_frozen.support()
         self.lo = float(a) if np.isfinite(a) else -np.inf
         self.hi = float(b) if np.isfinite(b) else np.inf
 
@@ -1285,11 +1283,19 @@ class Distribution:
         fn = _JAX_STD_LOGP.get(type(self).scipy_name)
         x = jnp.asarray(x)
         if fn is not None:
-            if self.is_discrete:
-                z = x - self._loc
-                return fn(z, *self._shapes)
-            z = (x - self._loc) / self._scale
-            return fn(z, *self._shapes) - jnp.log(self._scale)
+            try:
+                if self.is_discrete:
+                    z = x - self._loc
+                    return fn(z, *self._shapes)
+                z = (x - self._loc) / self._scale
+                return fn(z, *self._shapes) - jnp.log(self._scale)
+            except TypeError:
+                # densities that bake host constants from the frozen
+                # shapes coerce them with float(), which rejects
+                # vector-valued hyperparameters — fall through to the
+                # table / callback paths instead of raising at trace
+                # time
+                pass
         # No closed form at all (levy_stable, ksone, kstwobign):
         # tabulated device-side density on the frozen rv (loc/scale
         # included), built once and cached on the instance.

@@ -15,32 +15,22 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import importlib.util
 import os
 import sys
 import time
 
 import numpy as np
 
-repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, repo)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_common import (  # noqa: E402
+    REPO, apply_knobs, flagship_setup, setup_jax_cache,
+)
+
+sys.path.insert(0, REPO)
 
 import jax  # noqa: E402
 
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
-
-spec_mod = importlib.util.spec_from_file_location(
-    "graft_entry", os.path.join(repo, "__graft_entry__.py")
-)
-graft = importlib.util.module_from_spec(spec_mod)
-spec_mod.loader.exec_module(graft)
+setup_jax_cache()
 
 from psfmc_tpu.models.posterior import build_posterior  # noqa: E402
 from psfmc_tpu.models.spec import build_model_spec  # noqa: E402
@@ -50,11 +40,6 @@ from psfmc_tpu.sampler.ensemble import EnsembleSampler  # noqa: E402
 BURN = int(os.environ.get("BENCH_BURN", "200"))
 ITER = int(os.environ.get("BENCH_ITER", "200"))
 CHAINS = int(os.environ.get("BENCH_WALKERS", "250"))
-
-KNOB_KEYS = [
-    "PSFMC_CONV", "PSFMC_KAPPA", "PSFMC_RENDER", "PSFMC_LNPOST",
-    "PSFMC_FASTMATH", "PSFMC_LNPOST_DOT", "PSFMC_CONV_PRECISION",
-]
 
 DEFAULT_CONFIGS = [
     ("xla-default", {}),
@@ -68,9 +53,7 @@ DEFAULT_CONFIGS = [
 
 
 def build(env, comps):
-    for k in KNOB_KEYS:
-        os.environ.pop(k, None)
-    os.environ.update(env)
+    apply_knobs(env)
     spec = build_model_spec(comps)
     fns = build_posterior(spec)
     return spec, fns
@@ -99,17 +82,7 @@ def main():
     device_sync(jax.numpy.ones(4) * 2)
     print(f"# tunnel first contact: {time.time() - t0:.1f} s", flush=True)
 
-    comps = graft._flagship_components()
-    rng = np.random.RandomState(0)
-    spec0 = build_model_spec(comps)
-    p0 = np.stack(
-        [
-            np.concatenate([np.ravel(s.dist.random(rng))
-                            for s in spec0.slots])
-            for _ in range(CHAINS)
-        ]
-    )
-    p0 = graft._enforce_axis_order(p0, spec0)
+    _, comps, _, p0 = flagship_setup(CHAINS)
 
     built = []
     for name, env in DEFAULT_CONFIGS:

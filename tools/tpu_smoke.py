@@ -28,27 +28,16 @@ import traceback
 
 import numpy as np
 
-repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, repo)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_common import (  # noqa: E402
+    REPO, apply_knobs, flagship_setup, setup_jax_cache,
+)
+
+sys.path.insert(0, REPO)
 
 import jax  # noqa: E402
 
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
-
-import importlib.util  # noqa: E402
-
-spec_mod = importlib.util.spec_from_file_location(
-    "graft_entry", os.path.join(repo, "__graft_entry__.py")
-)
-graft = importlib.util.module_from_spec(spec_mod)
-spec_mod.loader.exec_module(graft)
+setup_jax_cache()
 
 from psfmc_tpu.models.posterior import build_posterior  # noqa: E402
 from psfmc_tpu.models.spec import build_model_spec  # noqa: E402
@@ -70,16 +59,8 @@ KNOB_CONFIGS = [
     ("fastmath=mixed", {"PSFMC_FASTMATH": "mixed"}),
 ]
 
-KNOB_KEYS = [
-    "PSFMC_CONV", "PSFMC_KAPPA", "PSFMC_RENDER", "PSFMC_LNPOST",
-    "PSFMC_FASTMATH",
-]
-
-
 def run_config(name, env, comps, p0):
-    for k in KNOB_KEYS:
-        os.environ.pop(k, None)
-    os.environ.update(env)
+    apply_knobs(env)
     t0 = time.time()
     try:
         spec = build_model_spec(comps)
@@ -124,8 +105,7 @@ def smoke_longtail_priors():
     from psfmc_tpu import distributions as D
     from psfmc_tpu.models.components import Configuration, Sersic, Sky
 
-    for k in KNOB_KEYS:
-        os.environ.pop(k, None)
+    apply_knobs({})
     rng = np.random.RandomState(0)
     h = w = 32
     psf = np.zeros((8, 8)); psf[4, 4] = 1.0
@@ -181,17 +161,7 @@ def main():
     device_sync(jax.numpy.ones(4) * 2)
     print(f"# tunnel first contact: {time.time() - t0:.1f} s", flush=True)
 
-    comps = graft._flagship_components()
-    rng = np.random.RandomState(0)
-    spec0 = build_model_spec(comps)
-    p0 = np.stack(
-        [
-            np.concatenate([np.ravel(s.dist.random(rng))
-                            for s in spec0.slots])
-            for _ in range(CHAINS)
-        ]
-    )
-    p0 = graft._enforce_axis_order(p0, spec0)
+    _, comps, _, p0 = flagship_setup(CHAINS)
 
     results = []
     for name, env in KNOB_CONFIGS:
