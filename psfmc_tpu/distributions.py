@@ -1311,8 +1311,37 @@ class Distribution:
                 self._logpdf_table = table
             if table is not False:
                 return table(x)
-        # Last resort: host callback into scipy (vector-valued params on
-        # a no-closed-form family, or a table build failure).
+        # Vector-valued hyperparameters on a no-closed-form family:
+        # one scalar table per element (the element count is static —
+        # it is the stochastic's slot size), dispatched elementwise.
+        if not self.is_discrete and x.ndim == 1 and all(
+            np.ndim(p) <= 1 for p in (*self._shapes, self._loc, self._scale)
+        ):
+            tables = getattr(self, "_logpdf_tables", None)
+            if tables is None:
+                try:
+                    k = x.shape[0]
+                    bcast = np.broadcast_arrays(
+                        *(np.broadcast_to(np.asarray(p, np.float64), (k,))
+                          for p in (*self._shapes, self._loc, self._scale))
+                    )
+                    *shapes_b, loc_b, scale_b = bcast
+                    tables = [
+                        _LogpdfTable(self.rv_class(
+                            *(s[j] for s in shapes_b),
+                            loc=loc_b[j], scale=scale_b[j],
+                        ))
+                        for j in range(k)
+                    ]
+                except Exception:  # non-finite quantiles, bad broadcast
+                    tables = False
+                self._logpdf_tables = tables
+            if tables is not False and len(tables) == x.shape[0]:
+                return jnp.stack(
+                    [tables[j](x[j]) for j in range(len(tables))]
+                )
+        # Last resort: host callback into scipy (a table build failure,
+        # or a discrete vector-param family).
         from warnings import warn
 
         warn(

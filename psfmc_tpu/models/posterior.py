@@ -179,6 +179,45 @@ class PosteriorFns:
                     "PSFMC_LNPOST=pallas requires the dft convolution "
                     "mode and a single PSF; falling back to the XLA path"
                 )
+        elif self.lnpost_mode == "pallas_batched":
+            # Walker-batched fused conv+likelihood kernel: render stays
+            # in XLA (component-agnostic), the DFT+reduction runs tiled
+            # over walkers so every dot is a big GEMM
+            # (ops.pallas.lnpost_batched).
+            from ..ops.pallas.lnpost_batched import (
+                batched_lnl_supported,
+                make_batched_conv_lnl,
+            )
+
+            if batched_lnl_supported(spec):
+                lnl_kernel = make_batched_conv_lnl(
+                    self.constants, spec, dtype
+                )
+                raw_batch = jax.vmap(lambda th: self._raw_and_ps(th)[0])
+
+                def lnl_batch(thetas):
+                    return lnl_kernel(
+                        raw_batch(jnp.asarray(thetas, dtype))
+                    )
+
+                log_prior = self.log_prior
+
+                def log_posterior_batch(thetas):
+                    lp = jax.vmap(log_prior)(thetas).astype(dtype)
+                    lnl = lnl_batch(thetas)
+                    return jnp.where(
+                        jnp.isfinite(lp), lnl + lp, -jnp.inf
+                    )
+
+                self.log_posterior_batch = log_posterior_batch
+                self.log_likelihood_batch = lnl_batch
+            else:
+                import warnings
+
+                warnings.warn(
+                    "PSFMC_LNPOST=pallas_batched requires a single "
+                    "PSF; falling back to the XLA path"
+                )
         self.log_posterior_and_images = partial(
             self._lnpost_impl, with_images=True
         )

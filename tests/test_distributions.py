@@ -202,12 +202,36 @@ def test_tabulated_device_density(make_dist):
         assert np.isclose(got_t, want_t, rtol=0.05), (got_t, want_t)
 
 
-def test_fallback_callback_logp():
-    """The pure_callback last resort survives only for exotic cases a
-    table cannot represent: vector-valued hyperparameters on a
-    no-closed-form family.  It must warn (it cannot run on TPU)."""
+def test_vector_hyperparams_tabulated():
+    """Vector-valued hyperparameters on no-closed-form continuous
+    families build one scalar table per element — device-side, no host
+    callback (which is UNIMPLEMENTED on the axon TPU backend)."""
+    import warnings
+
     dist = D.KSOneSided(n=np.array([20, 30]))
     xs = np.array([0.2, 0.3])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # callback path would warn
+        got = np.asarray(dist.jax_logp(jnp.asarray(xs, jnp.float64)))
+    assert np.allclose(got, dist.logp(xs), rtol=1e-4, atol=1e-5)
+    # families whose closed form bakes scalar host constants fall
+    # through TypeError to the same per-element tables
+    d2 = D.NonCentralChiSquared(df=np.array([4.0, 6.0]),
+                                nc=np.array([2.0, 1.0]))
+    x2 = np.array([3.0, 5.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        g2 = np.asarray(d2.jax_logp(jnp.asarray(x2, jnp.float64)))
+    assert np.allclose(g2, d2.logp(x2), rtol=1e-4, atol=1e-5)
+
+
+def test_fallback_callback_logp():
+    """The pure_callback last resort survives only for cases a table
+    cannot represent: vector-valued hyperparameters on a DISCRETE
+    family with host-constant densities.  It must warn (it cannot run
+    on TPU)."""
+    dist = D.Skellam(mu1=np.array([2.0, 3.0]), mu2=np.array([1.0, 1.0]))
+    xs = np.array([1.0, 2.0])
     with pytest.warns(UserWarning, match="host callback"):
         got = np.asarray(dist.jax_logp(jnp.asarray(xs, jnp.float64)))
     assert np.allclose(got, dist.logp(xs), rtol=1e-8)

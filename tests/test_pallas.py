@@ -105,12 +105,13 @@ def test_pallas_posterior_mode(rng, gaussian_psf):
     assert np.allclose(lp, lx, rtol=1e-4)
 
 
+@pytest.mark.parametrize("lnpost_mode", ["pallas", "pallas_batched"])
 @pytest.mark.parametrize(
     "dot_mode,rtol,atol",
     [("highest", 2e-6, 2e-2), ("bf16x3", 5e-5, 1.0)],
 )
 def test_fused_lnpost_matches_xla(rng, gaussian_psf, monkeypatch,
-                                  dot_mode, rtol, atol):
+                                  dot_mode, rtol, atol, lnpost_mode):
     """The fused Pallas render+DFT+likelihood kernel matches the XLA
     posterior (interpret mode on CPU).
 
@@ -157,8 +158,11 @@ def test_fused_lnpost_matches_xla(rng, gaussian_psf, monkeypatch,
     spec = build_model_spec(comps)
 
     monkeypatch.setenv("PSFMC_CONV", "dft")
-    monkeypatch.setenv("PSFMC_LNPOST", "pallas")
+    monkeypatch.setenv("PSFMC_LNPOST", lnpost_mode)
     monkeypatch.setenv("PSFMC_LNPOST_DOT", dot_mode)
+    # tile 4 on a batch of 6: exercises both the multi-program grid and
+    # the pad-to-whole-tiles path of the walker-batched kernel
+    monkeypatch.setenv("PSFMC_LNPOST_TILE", "4")
     fns_fused = build_posterior(spec)
     assert hasattr(fns_fused, "log_posterior_batch")
     monkeypatch.setenv("PSFMC_LNPOST", "xla")
@@ -189,6 +193,61 @@ def test_fused_lnpost_matches_xla(rng, gaussian_psf, monkeypatch,
     s.init_state(p0)
     s.run_sampling(3)
     assert np.all(np.isfinite(s.lnprobability))
+
+
+def test_batched_lnpost_component_agnostic(rng, gaussian_psf, monkeypatch):
+    """pallas_batched covers components the per-walker fused kernel
+    whitelists away (Moffat): the render stays in XLA, so any component
+    mix must match the XLA posterior."""
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import (
+        Configuration, Moffat, Sky,
+    )
+    from psfmc_tpu.models.posterior import build_posterior
+    from psfmc_tpu.models.spec import build_model_spec
+
+    comps = [
+        Configuration(
+            obs_file=0.1 + rng.randn(32, 32) * 0.01,
+            obsivm_file=np.full((32, 32), 1e4),
+            psf_files=gaussian_psf,
+            psfivm_files=np.ones_like(gaussian_psf) * 1e6,
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=D.Normal(loc=0.1, scale=0.05)),
+        Moffat(
+            xy=D.Uniform(loc=np.array([10.0, 10.0]),
+                         scale=np.array([12.0, 12.0])),
+            mag=D.Uniform(loc=20.0, scale=3.0),
+            fwhm=D.Uniform(loc=2.0, scale=6.0),
+            fwhm_b=D.Uniform(loc=2.0, scale=6.0),
+            index=D.Uniform(loc=1.5, scale=3.0),
+            angle=D.Uniform(loc=0.0, scale=180.0),
+        ),
+    ]
+    spec = build_model_spec(comps)
+
+    monkeypatch.setenv("PSFMC_LNPOST", "pallas_batched")
+    fb = build_posterior(spec)
+    assert hasattr(fb, "log_posterior_batch")
+    monkeypatch.setenv("PSFMC_LNPOST", "xla")
+    fx = build_posterior(spec)
+
+    thetas = np.stack([
+        np.concatenate([np.ravel(s.dist.random(rng))
+                        for s in spec.slots])
+        for _ in range(5)
+    ])
+    a = np.asarray(
+        fb.log_posterior_batch(jnp.asarray(thetas, jnp.float32))
+    )
+    b = np.asarray(jax.vmap(fx.log_posterior)(
+        jnp.asarray(thetas, jnp.float32)
+    ))
+    finite = np.isfinite(b)
+    assert finite.any()
+    assert np.array_equal(finite, np.isfinite(a))
+    assert np.allclose(a[finite], b[finite], rtol=5e-5, atol=1.0)
 
 
 def test_pallas_tiled_matches_xla_render(rng):

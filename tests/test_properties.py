@@ -94,7 +94,11 @@ def test_gamma_logp_parity_random_hyperparams(a, scale, loc):
 
 @settings(max_examples=40, deadline=None)
 @given(
-    c=st.floats(-0.45, 0.45),
+    # subnormal c excluded: scipy's own general formula computes 1/c
+    # there (inf) and returns garbage, while our |c|<1e-12 Gumbel-limit
+    # branch is the correct limit — at every normal c (incl. exactly 0)
+    # the two agree, so parity only holds outside the denormals
+    c=st.floats(-0.45, 0.45, allow_subnormal=False),
     scale=st.floats(0.2, 5.0),
 )
 def test_genextreme_logp_parity_random_hyperparams(c, scale):

@@ -43,6 +43,10 @@ CHAINS = int(os.environ.get("BENCH_WALKERS", "250"))
 
 DEFAULT_CONFIGS = [
     ("xla-default", {}),
+    ("pallas-batched tile=8",
+     {"PSFMC_LNPOST": "pallas_batched", "PSFMC_LNPOST_TILE": "8"}),
+    ("pallas-batched tile=5",
+     {"PSFMC_LNPOST": "pallas_batched", "PSFMC_LNPOST_TILE": "5"}),
     ("pallas-lnpost dot=highest",
      {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft",
       "PSFMC_LNPOST_DOT": "highest"}),

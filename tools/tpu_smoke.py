@@ -55,6 +55,7 @@ KNOB_CONFIGS = [
     ("render=pallas", {"PSFMC_RENDER": "pallas"}),
     ("render=pallas_tiled", {"PSFMC_RENDER": "pallas_tiled"}),
     ("lnpost=pallas", {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft"}),
+    ("lnpost=pallas_batched", {"PSFMC_LNPOST": "pallas_batched"}),
     ("fastmath=0", {"PSFMC_FASTMATH": "0"}),
     ("fastmath=mixed", {"PSFMC_FASTMATH": "mixed"}),
 ]
