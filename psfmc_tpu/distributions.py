@@ -26,9 +26,10 @@ extrapolation (exact power-law behavior for the stable laws).  No
 ``jax.pure_callback`` remains on any standard-family path — host
 callbacks are UNIMPLEMENTED on the axon TPU backend (measured
 2026-08-17), so device-side evaluation is a hard requirement, not an
-optimization.  The callback fallback survives only for exotic cases a
-table cannot represent (vector-valued hyperparameters on a tail family)
-and warns at trace time.
+optimization.  Vector-valued hyperparameters route through the same
+machinery (per-element tables when the closed form bakes scalar host
+constants); the callback fallback survives only for discrete
+vector-hyperparameter families and warns at trace time.
 
 Host-side operations (``random`` for walker initialization, ``median``,
 ``interval`` for plot ranges) delegate to the frozen scipy object, which
