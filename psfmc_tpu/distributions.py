@@ -473,9 +473,12 @@ def _lp_genextreme(z, c):
     c = float(c)
     if abs(c) < 1e-12:
         return _lp_gumbel_r(z)
-    # scipy convention: support 1 - c*z > 0
-    t = jnp.maximum(1.0 - c * z, 1e-300)
-    logt = jnp.log(t)
+    # scipy convention: support 1 - c*z > 0.  log1p, not log(1-c*z):
+    # the 1/c factor below amplifies log's ~eps ABSOLUTE rounding of
+    # (1 - c*z) into a ~eps/|c| error (2.8e-4 at c=1e-12, found by the
+    # hypothesis boundary case right at the Gumbel-branch cutoff);
+    # log1p keeps full RELATIVE precision in c*z so the limit is smooth.
+    logt = jnp.log1p(jnp.maximum(-c * z, -1.0 + 1e-300))
     lp = -jnp.exp(logt / c) + (1.0 / c - 1.0) * logt
     return jnp.where(1.0 - c * z > 0, lp, -jnp.inf)
 
@@ -502,11 +505,12 @@ def _lp_gengamma(z, a, c):
 
 
 def _lp_genhalflogistic(z, c):
-    t = jnp.maximum(1.0 - c * z, 1e-300)
-    u = jnp.exp(jnp.log(t) / c)  # (1 - cz)^(1/c)
+    # log1p for the same 1/c error-amplification reason as genextreme
+    logt = jnp.log1p(jnp.maximum(-c * z, -1.0 + 1e-300))
+    u = jnp.exp(logt / c)  # (1 - cz)^(1/c)
     lp = (
         jnp.log(2.0)
-        + (1.0 / c - 1.0) * jnp.log(t)
+        + (1.0 / c - 1.0) * logt
         - 2.0 * jnp.log1p(u)
     )
     return jnp.where((z >= 0) & (z <= 1.0 / c), lp, -jnp.inf)

@@ -40,17 +40,30 @@ SIZES = tuple(
         "BENCH_SIZES", "64,128,192,256,384,512"
     ).split(",")
 )
-REPS = 30
+REPS = 20
 
 
-def time_fn(fn, *args):
-    out = fn(*args)  # compile
-    device_sync(out)
-    t0 = time.time()
-    for _ in range(REPS):
-        out = fn(*args)
-    device_sync(out)
-    return (time.time() - t0) / REPS
+def scan_timed(conv_one, imgs):
+    """Time REPS chained convolutions inside ONE dispatched program.
+
+    Standalone jit calls measure tunnel dispatch latency (~2-30 ms
+    each), not compute — CLAUDE.md: profile with scan-timed stages.
+    The scan carry feeds each output into the next input so nothing is
+    dead-code-eliminated or parallelized away.
+    """
+    def prog(x):
+        return jax.lax.scan(
+            lambda c, _: (conv_one(c), None), x, None, length=REPS
+        )[0]
+
+    prog_j = jax.jit(prog)
+    device_sync(prog_j(imgs))  # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        device_sync(prog_j(imgs))
+        best = min(best, (time.time() - t0) / REPS)
+    return best
 
 
 def main():
@@ -71,16 +84,15 @@ def main():
         ki = np.ascontiguousarray(fk.imag)
         mats = rdft_matrices((n, n), np.float32)
 
-        dft = jax.jit(lambda x, _m=mats, _r=kr, _i=ki: convolve_rdft(
-            x, _r, _i, _m))
-        fft = jax.jit(lambda x, _k=fk: convolve(x, _k))
+        dft = lambda x, _m=mats, _r=kr, _i=ki: convolve_rdft(x, _r, _i, _m)
+        fft = lambda x, _k=fk: convolve(x, _k)
 
-        a = np.asarray(dft(imgs))
-        b = np.asarray(fft(imgs))
+        a = np.asarray(jax.jit(dft)(imgs))
+        b = np.asarray(jax.jit(fft)(imgs))
         err = float(np.max(np.abs(a - b)) / np.max(np.abs(b)))
 
-        t_dft = time_fn(dft, imgs)
-        t_fft = time_fn(fft, imgs)
+        t_dft = scan_timed(dft, imgs)
+        t_fft = scan_timed(fft, imgs)
         winner = "dft" if t_dft < t_fft else "fft"
         rows.append((n, t_dft, t_fft, winner))
         print(f"N={n:4d}  dft={t_dft*1e3:8.3f} ms  fft={t_fft*1e3:8.3f} ms"
