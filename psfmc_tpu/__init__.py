@@ -59,3 +59,9 @@ try:  # pragma: no cover
     __all__.append("model_galaxy_map")
 except ImportError:
     pass
+try:  # pragma: no cover
+    from .batchfit import fit_batch, simulate_stack  # noqa: F401
+
+    __all__ += ["fit_batch", "simulate_stack"]
+except ImportError:
+    pass

@@ -1,0 +1,394 @@
+"""Batched multi-target fitting: K independent MCMC fits in ONE program.
+
+The reference's flagship production workflow — quasar/host detection and
+completeness simulations — fits the *same model* to many mock
+observations (inject a source realization into the field's noise, refit,
+ask whether it is recovered).  The reference runs those fits serially,
+one Python process each (its own parallelism is broken — reference
+fitting.py:55).  On TPU the target axis is perfectly data-parallel:
+every fit shares the compiled render/convolve/likelihood program and
+differs only in its observation plane, so we vmap the *entire*
+burn+sample scan over a stacked observation axis and shard that axis
+over the device mesh.  One compile, K fits, zero cross-target
+communication.
+
+Key design points:
+
+* :meth:`PosteriorFns.log_posterior_obs` evaluates the posterior
+  against a *traced* observation (data, variance, good-pixel mask)
+  instead of the spec's baked-in one — same renders, same priors.
+* Each target runs a full affine-invariant ensemble (the same
+  ``_stretch_half`` kernel the production sampler uses), with on-device
+  Welford posterior moments and MAP tracking in the scan carry, so the
+  device->host transfer per fit is O(num_params), not O(chain).
+* ``record_every`` optionally keeps a thinned chain per target for
+  convergence diagnostics; by default nothing but the summary leaves
+  the device.
+* ``mesh=`` shards the target axis (reusing the 1-D walker mesh — each
+  device gets whole fits, so the only collective is the final gather of
+  the tiny result pytree).
+
+Typical completeness loop::
+
+    model = MultiComponentModel('model_field.py')
+    obs, ivm, injected = simulate_stack(model, n_mocks=64, seed=1)
+    res = fit_batch(model, obs, ivm, burn=300, iterations=300,
+                    mesh=walker_mesh())
+    pulls = res.pulls(injected)        # (K, dim) recovery z-scores
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .parallel.multihost import fetch as _fetch
+from .parallel.multihost import put_sharded as _put_sharded
+from .sampler.ensemble import _stretch_half, welford_batch_update
+
+__all__ = ["BatchFitResult", "fit_batch", "simulate_stack"]
+
+
+@dataclass
+class BatchFitResult:
+    """Per-target posterior summaries from :func:`fit_batch`.
+
+    All arrays are host numpy with leading axis K (targets).
+    """
+
+    param_names: List[str]
+    mean: np.ndarray  # (K, dim) posterior means (all retained steps)
+    std: np.ndarray  # (K, dim) posterior stds
+    map_theta: np.ndarray  # (K, dim) best retained sample per target
+    map_lnp: np.ndarray  # (K,) its log-posterior
+    acceptance: np.ndarray  # (K,) mean acceptance fraction (retained)
+    chains: Optional[np.ndarray] = None  # (K, nrec, nwalkers, dim)
+    lnprob: Optional[np.ndarray] = None  # (K, nrec, nwalkers)
+
+    @property
+    def num_targets(self) -> int:
+        return self.mean.shape[0]
+
+    def pulls(self, injected) -> np.ndarray:
+        """(recovered mean - injected) / posterior std, per target/param.
+
+        The completeness-simulation bottom line: well-calibrated
+        recoveries have pulls ~ N(0, 1) per parameter.
+        """
+        injected = np.asarray(injected, np.float64)
+        if injected.shape != self.mean.shape:
+            raise ValueError(
+                f"injected shape {injected.shape} != {self.mean.shape}"
+            )
+        return (self.mean - injected) / np.maximum(self.std, 1e-300)
+
+
+def _as_model(model):
+    from .models.multicomponent import MultiComponentModel
+
+    if isinstance(model, MultiComponentModel):
+        return model
+    # component list or model-file path
+    return MultiComponentModel(model)
+
+
+def prepare_obs_stack(spec, obs_stack, ivm_stack, dtype=np.float32):
+    """Stacked observations -> the traced-obs dict fit_batch consumes.
+
+    Per-target bad pixels (non-finite data/ivm, ivm <= 0 — reference
+    utils.py:54-79 semantics) are unioned with the template spec's
+    static bad-pixel mask (which carries any region-file exclusions),
+    so mocks of the same field inherit its masking.
+    """
+    obs_stack = np.asarray(obs_stack, np.float64)
+    ivm_stack = np.asarray(ivm_stack, np.float64)
+    if obs_stack.ndim != 3 or obs_stack.shape != ivm_stack.shape:
+        raise ValueError(
+            "obs_stack and ivm_stack must both be (K, H, W); got "
+            f"{obs_stack.shape} and {ivm_stack.shape}"
+        )
+    if obs_stack.shape[1:] != tuple(spec.shape):
+        raise ValueError(
+            f"target shape {obs_stack.shape[1:]} != model shape "
+            f"{tuple(spec.shape)}"
+        )
+    bad = (
+        ~np.isfinite(obs_stack)
+        | ~np.isfinite(ivm_stack)
+        | (ivm_stack <= 0)
+        | np.asarray(spec.bad_px)[None]
+    )
+    with np.errstate(divide="ignore"):
+        var = np.where(bad, np.inf, 1.0 / np.where(bad, 1.0, ivm_stack))
+    return {
+        "obs_data": np.where(bad, 0.0, obs_stack).astype(dtype),
+        "obs_var": var.astype(dtype),
+        "good_px": ~bad,
+    }
+
+
+def _make_single_fit(
+    fns, nwalkers, dim, burn, iterations, a, moves, de_gamma0, record_every
+):
+    """Pure (key, p0, obs) -> result pytree for ONE target's full fit."""
+    half = nwalkers // 2
+
+    def lnpost_batch(thetas, obs):
+        out = jax.vmap(lambda th: fns.log_posterior_obs(th, obs))(thetas)
+        # pin the compute dtype: under x64 (tests) the prior term can
+        # promote to f64, which would mismatch the f32 scan carry
+        return out.astype(fns.dtype)
+
+    def make_step(obs, track):
+        def step(carry, _):
+            pos, lnp, naccept, key, mom, best_lnp, best_theta = carry
+            key, k0, k1, km = jax.random.split(key, 4)
+            if moves == "stretch":
+                use_de = None
+            elif moves == "de":
+                use_de = jnp.asarray(True)
+            else:  # mixed: both halves of a step use the same move
+                use_de = jax.random.bernoulli(km)
+            batch = lambda th: lnpost_batch(th, obs)  # noqa: E731
+            p0h, l0, acc0 = _stretch_half(
+                k0, pos[:half], lnp[:half], pos[half:], batch, a, dim,
+                use_de=use_de, gamma0=de_gamma0,
+            )
+            p1h, l1, acc1 = _stretch_half(
+                k1, pos[half:], lnp[half:], p0h, batch, a, dim,
+                use_de=use_de, gamma0=de_gamma0,
+            )
+            pos = jnp.concatenate([p0h, p1h], axis=0)
+            lnp = jnp.concatenate([l0, l1], axis=0)
+            naccept = naccept + (jnp.sum(acc0) + jnp.sum(acc1)).astype(
+                jnp.int32
+            )
+            if track:
+                mom = welford_batch_update(mom, pos)
+                m = jnp.argmax(lnp)
+                better = lnp[m] > best_lnp
+                best_lnp = jnp.where(better, lnp[m], best_lnp)
+                best_theta = jnp.where(better, pos[m], best_theta)
+            out = (pos, lnp) if (track and record_every) else None
+            return (pos, lnp, naccept, key, mom, best_lnp, best_theta), out
+
+        return step
+
+    def run(key, p0, obs):
+        p0 = jnp.asarray(p0, fns.dtype)
+        lnp0 = lnpost_batch(p0, obs)
+        mom = {
+            "mean": jnp.zeros(dim, fns.dtype),
+            "m2": jnp.zeros(dim, fns.dtype),
+            "n": jnp.zeros((), jnp.int32),
+        }
+        carry = (
+            p0,
+            lnp0,
+            jnp.zeros((), jnp.int32),
+            key,
+            mom,
+            jnp.asarray(-jnp.inf, fns.dtype),
+            jnp.zeros(dim, fns.dtype),
+        )
+        carry, _ = jax.lax.scan(
+            make_step(obs, track=False), carry, None, length=burn
+        )
+        # retained phase: reset acceptance so the reported fraction
+        # covers retained steps only (matches sampler.reset() semantics)
+        carry = carry[:2] + (jnp.zeros((), jnp.int32),) + carry[3:]
+        step = make_step(obs, track=True)
+        if record_every:
+            def outer(c, _):
+                c, _ = jax.lax.scan(step, c, None, length=record_every)
+                return c, (c[0], c[1])
+
+            carry, (chain, lnprob) = jax.lax.scan(
+                outer, carry, None, length=iterations // record_every
+            )
+        else:
+            carry, _ = jax.lax.scan(step, carry, None, length=iterations)
+            chain = lnprob = None
+        _pos, _lnp, naccept, _key, mom, best_lnp, best_theta = carry
+        n = jnp.maximum(mom["n"], 1)
+        mean = mom["mean"]
+        var = mom["m2"] / jnp.maximum(n - 1, 1).astype(fns.dtype)
+        out = {
+            "mean": mean,
+            "std": jnp.sqrt(var),
+            "map_theta": best_theta,
+            "map_lnp": best_lnp,
+            "acceptance": naccept.astype(jnp.float32)
+            / np.float32(iterations * nwalkers),
+        }
+        if record_every:
+            out["chain"] = chain
+            out["lnprob"] = lnprob
+        return out
+
+    return run
+
+
+def fit_batch(
+    model,
+    obs_stack,
+    ivm_stack,
+    nwalkers=None,
+    burn=500,
+    iterations=500,
+    seed=0,
+    a=2.0,
+    moves="stretch",
+    de_gamma0=None,
+    record_every=0,
+    mesh=None,
+):
+    """Fit the model independently to K stacked observations at once.
+
+    :param model: a MultiComponentModel, a component list, or a
+        model-file path.  Its Configuration supplies the PSF, mask,
+        zeropoint and image geometry shared by every target; its own
+        observation is only a template.
+    :param obs_stack: (K, H, W) observed images.
+    :param ivm_stack: (K, H, W) inverse-variance maps (same semantics
+        as the reference's obsivm_file, utils.py:54-79).
+    :param nwalkers: walkers per target (default ``2*dim + 2`` rounded
+        even, the reference default — reference fitting.py:52-53).
+    :param burn / iterations: steps per phase, every target alike.
+    :param moves: ``'stretch'`` | ``'de'`` | ``'mixed'`` — same proposal
+        families as :class:`EnsembleSampler`.
+    :param record_every: if > 0, also return chains thinned by this
+        factor (must divide ``iterations``); default records nothing
+        and ships only O(dim) summaries per target.
+    :param mesh: optional :func:`psfmc_tpu.parallel.walker_mesh` — the
+        TARGET axis is sharded over it (each device runs whole fits).
+        K is padded up to a mesh multiple internally; results are
+        trimmed back.
+    :returns: :class:`BatchFitResult`.
+    """
+    model = _as_model(model)
+    fns = model.posterior_fns
+    spec = model.spec
+    dim = spec.num_params
+    if nwalkers is None:
+        nwalkers = 2 * dim + 2
+        nwalkers += nwalkers % 2
+    if nwalkers % 2:
+        raise ValueError("nwalkers must be even for half-ensemble moves")
+    if moves not in ("stretch", "de", "mixed"):
+        raise ValueError(
+            f"unknown moves {moves!r}: expected 'stretch', 'de' or 'mixed'"
+        )
+    if record_every and iterations % record_every:
+        raise ValueError(
+            f"iterations={iterations} not divisible by "
+            f"record_every={record_every}"
+        )
+
+    obs = prepare_obs_stack(spec, obs_stack, ivm_stack, np.dtype(fns.dtype))
+    k_real = obs["obs_data"].shape[0]
+
+    # pad K to a mesh multiple by repeating the last target (trimmed off
+    # the results below) so every device gets the same number of fits
+    k = k_real
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        k = int(np.ceil(k_real / ndev) * ndev)
+        if k != k_real:
+            pad = k - k_real
+            obs = {
+                key: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for key, v in obs.items()
+            }
+
+    rng = np.random.RandomState(seed)
+    p0 = model.init_params_from_priors(
+        k * nwalkers, random_state=rng
+    ).reshape(k, nwalkers, dim)
+    keys = jax.random.split(jax.random.PRNGKey(seed), k)
+
+    run = _make_single_fit(
+        fns, nwalkers, dim, int(burn), int(iterations), a, moves,
+        de_gamma0, int(record_every),
+    )
+
+    cache = getattr(fns, "programs", None)
+    cache_key = (
+        "batchfit", nwalkers, dim, int(burn), int(iterations), a, moves,
+        de_gamma0, int(record_every),
+    )
+    if cache is not None and cache_key in cache:
+        prog = cache[cache_key]
+    else:
+        prog = jax.jit(jax.vmap(run))
+        if cache is not None:
+            cache[cache_key] = prog
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel.mesh import WALKER_AXIS
+
+        def shard(arr, extra_dims):
+            sh = NamedSharding(
+                mesh, PartitionSpec(WALKER_AXIS, *([None] * extra_dims))
+            )
+            return _put_sharded(np.asarray(arr), sh)
+
+        obs = {key: shard(v, 2) for key, v in obs.items()}
+        p0 = shard(p0, 2)
+        keys = shard(np.asarray(keys), 1)
+
+    out = prog(keys, p0, obs)
+
+    res = BatchFitResult(
+        param_names=list(spec.param_names),
+        mean=_fetch(out["mean"], np.float64)[:k_real],
+        std=_fetch(out["std"], np.float64)[:k_real],
+        map_theta=_fetch(out["map_theta"], np.float64)[:k_real],
+        map_lnp=_fetch(out["map_lnp"], np.float64)[:k_real],
+        acceptance=_fetch(out["acceptance"], np.float64)[:k_real],
+    )
+    if record_every:
+        res.chains = _fetch(out["chain"])[:k_real]
+        res.lnprob = _fetch(out["lnprob"])[:k_real]
+    return res
+
+
+def simulate_stack(model, n_mocks, seed=0, thetas=None, add_noise=True):
+    """K mock observations through the framework's own renderer.
+
+    Batched equivalent of ``MultiComponentModel.simulate`` (which this
+    reuses semantically: mock = PSF-convolved model + Gaussian noise at
+    the observation's variance map; never a parallel reimplementation
+    of the renderer — see the round-2 mode-swap lesson).  The returned
+    ivm stack is the template observation's ivm (mocks inherit the
+    field's noise model and bad pixels).
+
+    :returns: ``(obs_stack (K,H,W) f64, ivm_stack (K,H,W) f64,
+        thetas (K, dim) f64)``.
+    """
+    model = _as_model(model)
+    spec = model.spec
+    rng = np.random.RandomState(seed)
+    if thetas is None:
+        thetas = model.init_params_from_priors(n_mocks, random_state=rng)
+    thetas = np.asarray(thetas, np.float64)
+    if thetas.shape != (n_mocks, spec.num_params):
+        raise ValueError(
+            f"thetas shape {thetas.shape} != ({n_mocks}, {spec.num_params})"
+        )
+    conv = model.render_images_batch(thetas)["convolved_model"]
+    obs = np.asarray(conv, np.float64)
+    var = np.asarray(spec.obs_var, np.float64)
+    if add_noise:
+        sigma = np.where(np.isfinite(var), np.sqrt(var), 0.0)
+        obs = obs + rng.randn(*obs.shape) * sigma[None]
+    with np.errstate(divide="ignore"):
+        ivm = np.where(np.isfinite(var) & (var > 0), 1.0 / var, 0.0)
+    ivm_stack = np.broadcast_to(ivm, obs.shape).copy()
+    return obs, ivm_stack, thetas

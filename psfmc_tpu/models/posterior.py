@@ -365,8 +365,14 @@ class PosteriorFns:
         raw = raw + ps
         return raw, ps
 
-    def _images_impl(self, theta):
-        """The four independent carry images (see module docstring)."""
+    def _images_impl(self, theta, obs_var=None):
+        """The four independent carry images (see module docstring).
+
+        ``obs_var`` overrides the baked-in observation variance map with
+        a traced array — the batched multi-target fit path
+        (:mod:`psfmc_tpu.batchfit`) evaluates one compiled posterior
+        against a whole stack of observations.
+        """
         c = self.constants
         idx = self._psf_index(theta)
         raw, ps = self._raw_and_ps(theta)
@@ -391,7 +397,8 @@ class PosteriorFns:
             model_var = convolve(raw * raw, f_var)
             ps_conv = convolve(ps, f_psf)
 
-        var_total = model_var + c["obs_var"]
+        base_var = c["obs_var"] if obs_var is None else obs_var
+        var_total = model_var + base_var
         return {"raw": raw, "conv": conv, "var": var_total, "ps_conv": ps_conv}
 
     def _convolve_pair(self, raw_like, ps_like, sq_like, idx):
@@ -499,6 +506,26 @@ class PosteriorFns:
         if with_images:
             return lnpost, imgs
         return lnpost
+
+    def log_posterior_obs(self, theta, obs):
+        """lnpost against a *traced* observation instead of the baked one.
+
+        ``obs`` is a dict with ``obs_data`` (H, W), ``obs_var`` (H, W;
+        inf at bad pixels) and ``good_px`` (H, W bool) arrays.  Renders,
+        convolutions and the prior are identical to
+        :meth:`log_posterior`; only the data plane differs — this is
+        what lets :func:`psfmc_tpu.batchfit.fit_batch` evaluate one
+        compiled program against a whole stack of mock observations
+        (the completeness-simulation workflow the reference leaves to a
+        serial per-target loop).
+        """
+        theta = jnp.asarray(theta, self.dtype)
+        lp = self.log_prior(theta)
+        imgs = self._images_impl(theta, obs_var=obs["obs_var"])
+        resid = obs["obs_data"] - imgs["conv"]
+        ivm = 1.0 / imgs["var"]
+        lnl = gaussian_lnlike(resid, ivm, obs["good_px"])
+        return jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
 
     def _render_images(self, theta):
         """All five reference image types (models.py:213-226 blobs)."""

@@ -1,0 +1,190 @@
+"""Batched multi-target fitting (the completeness-simulation workflow).
+
+K independent ensemble fits run as ONE vmapped program
+(psfmc_tpu.batchfit); the reference runs these serially, one process
+per mock (its own parallelism is broken — reference fitting.py:55).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from psfmc_tpu import distributions as D
+from psfmc_tpu.batchfit import fit_batch, prepare_obs_stack, simulate_stack
+from psfmc_tpu.models.components import Configuration, PointSource, Sky
+from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+
+def _model(rng, noise=0.05):
+    """Small Sky + PointSource model at marginal-detection S/N.
+
+    Deliberately NOT a high-S/N source: a razor-thin posterior (std
+    ~1e-3 mag) needs thousands of ensemble steps before the chain MEAN
+    settles to sub-std precision, so recovery pulls would measure
+    burn-in length, not correctness.  At S/N ~ tens the posterior is
+    wide enough that a few hundred steps give calibrated ~N(0,1) pulls
+    (measured max |pull| 1.95 over 8 targets x 4 params at 400+400).
+    """
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 12) ** 2 + (yy - 12) ** 2) / (2 * 1.2**2))
+    psf /= psf.sum()
+    comps = [
+        Configuration(
+            obs_file=0.05 + rng.randn(h, w) * noise,
+            obsivm_file=np.full((h, w), 1.0 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full((h, w), 1e8),
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+        PointSource(
+            xy=D.Uniform(loc=np.array([9.0, 9.0]),
+                         scale=np.array([6.0, 6.0])),
+            mag=D.Uniform(loc=21.0, scale=1.0),
+        ),
+    ]
+    return MultiComponentModel(components=comps)
+
+
+def test_log_posterior_obs_matches_baked():
+    """The traced-obs posterior == the baked-constant posterior on the
+    template's own observation."""
+    model = _model(np.random.RandomState(0))
+    spec = model.spec
+    fns = model.posterior_fns
+    with np.errstate(divide="ignore"):
+        ivm = np.where(
+            np.isfinite(spec.obs_var) & (spec.obs_var > 0),
+            1.0 / spec.obs_var,
+            0.0,
+        )
+    obs = prepare_obs_stack(
+        spec, np.asarray(spec.obs_data)[None], ivm[None]
+    )
+    one = {k: jnp.asarray(v[0]) for k, v in obs.items()}
+    thetas = model.init_params_from_priors(
+        8, random_state=np.random.RandomState(1)
+    )
+    for th in thetas:
+        want = float(fns.log_posterior(jnp.asarray(th)))
+        got = float(fns.log_posterior_obs(jnp.asarray(th), one))
+        assert np.isclose(want, got, rtol=1e-6, atol=1e-5), (want, got)
+
+
+def test_prepare_obs_stack_masks():
+    model = _model(np.random.RandomState(2))
+    spec = model.spec
+    k, (h, w) = 2, spec.shape
+    obs = np.ones((k, h, w))
+    ivm = np.ones((k, h, w))
+    obs[0, 3, 4] = np.nan  # bad data pixel
+    ivm[1, 5, 6] = 0.0  # zero-weight pixel
+    stack = prepare_obs_stack(spec, obs, ivm)
+    assert not stack["good_px"][0, 3, 4]
+    assert not stack["good_px"][1, 5, 6]
+    assert stack["good_px"][0, 5, 6] and stack["good_px"][1, 3, 4]
+    assert np.isinf(stack["obs_var"][0, 3, 4])
+    assert stack["obs_data"][0, 3, 4] == 0.0  # sanitized, not NaN
+
+    with pytest.raises(ValueError):
+        prepare_obs_stack(spec, obs[:, :10], ivm[:, :10])
+    with pytest.raises(ValueError):
+        prepare_obs_stack(spec, obs, ivm[:1])
+
+
+def test_simulate_stack_shapes_and_determinism():
+    model = _model(np.random.RandomState(3))
+    obs1, ivm1, th1 = simulate_stack(model, 4, seed=5)
+    obs2, ivm2, th2 = simulate_stack(model, 4, seed=5)
+    assert obs1.shape == ivm1.shape == (4,) + tuple(model.spec.shape)
+    assert th1.shape == (4, model.spec.num_params)
+    assert np.array_equal(obs1, obs2) and np.array_equal(th1, th2)
+    # noiseless stack is exactly the batched convolved-model render
+    clean, _, _ = simulate_stack(model, 4, seed=5, thetas=th1,
+                                 add_noise=False)
+    render = model.render_images_batch(th1)["convolved_model"]
+    assert np.allclose(clean, render)
+
+
+def test_fit_batch_recovers_injections():
+    model = _model(np.random.RandomState(4))
+    # inject K point sources at distinct magnitudes/positions
+    dim = model.spec.num_params
+    names = model.spec.param_names
+    thetas = model.init_params_from_priors(
+        3, random_state=np.random.RandomState(6)
+    )
+    obs, ivm, injected = simulate_stack(model, 3, seed=7, thetas=thetas)
+
+    res = fit_batch(model, obs, ivm, burn=300, iterations=300, seed=8)
+    assert res.num_targets == 3
+    assert res.mean.shape == res.std.shape == (3, dim)
+    assert np.all(np.isfinite(res.map_lnp))
+    assert np.all((res.acceptance > 0.05) & (res.acceptance < 0.95)), (
+        res.acceptance
+    )
+    pulls = res.pulls(injected)
+    # calibrated recovery: pulls ~ N(0,1); 6 is a generous MCMC bound
+    assert np.all(np.abs(pulls) < 6.0), (names, pulls, res.std)
+    mag_cols = [i for i, n in enumerate(names) if n.endswith("_mag")]
+    assert np.all(res.std[:, mag_cols] < 0.5)
+    # MAP beats the posterior mean position in lnp for each target
+    for k in range(3):
+        lnp_mean = float(
+            model.posterior_fns.log_posterior_obs(
+                jnp.asarray(res.mean[k]),
+                {
+                    key: jnp.asarray(v[k])
+                    for key, v in prepare_obs_stack(
+                        model.spec, obs, ivm
+                    ).items()
+                },
+            )
+        )
+        assert res.map_lnp[k] >= lnp_mean - 1e-3
+
+
+def test_fit_batch_record_chains():
+    model = _model(np.random.RandomState(9))
+    obs, ivm, _ = simulate_stack(model, 2, seed=10)
+    res = fit_batch(
+        model, obs, ivm, burn=40, iterations=60, record_every=20, seed=11
+    )
+    nw = 2 * model.spec.num_params + 2
+    assert res.chains.shape == (2, 3, nw, model.spec.num_params)
+    assert res.lnprob.shape == (2, 3, nw)
+    # the recorded chain's best sample can't beat the tracked MAP
+    assert np.all(
+        res.lnprob.max(axis=(1, 2)) <= res.map_lnp + 1e-3
+    )
+    with pytest.raises(ValueError):
+        fit_batch(model, obs, ivm, burn=10, iterations=50, record_every=20)
+
+
+def test_fit_batch_mesh_parity_and_padding():
+    """Sharding the target axis changes nothing; K pads to the mesh."""
+    from psfmc_tpu.parallel.mesh import walker_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    model = _model(np.random.RandomState(12))
+    obs, ivm, _ = simulate_stack(model, 8, seed=13)
+
+    plain = fit_batch(model, obs, ivm, burn=60, iterations=60, seed=14)
+    mesh = walker_mesh()
+    sharded = fit_batch(
+        model, obs, ivm, burn=60, iterations=60, seed=14, mesh=mesh
+    )
+    assert np.allclose(plain.mean, sharded.mean, rtol=1e-5, atol=1e-6)
+    assert np.allclose(plain.std, sharded.std, rtol=1e-4, atol=1e-6)
+    assert np.array_equal(plain.acceptance, sharded.acceptance)
+
+    # K=3 on an 8-device mesh: padded internally, trimmed on return
+    res3 = fit_batch(
+        model, obs[:3], ivm[:3], burn=30, iterations=30, seed=15,
+        mesh=mesh,
+    )
+    assert res3.num_targets == 3
+    assert np.all(np.isfinite(res3.mean))
