@@ -66,6 +66,7 @@ class BatchFitResult:
     map_theta: np.ndarray  # (K, dim) best retained sample per target
     map_lnp: np.ndarray  # (K,) its log-posterior
     acceptance: np.ndarray  # (K,) mean acceptance fraction (retained)
+    param_lens: Optional[List[int]] = None  # slots per name (xy=2)
     chains: Optional[np.ndarray] = None  # (K, nrec, nwalkers, dim)
     lnprob: Optional[np.ndarray] = None  # (K, nrec, nwalkers)
 
@@ -85,6 +86,29 @@ class BatchFitResult:
                 f"injected shape {injected.shape} != {self.mean.shape}"
             )
         return (self.mean - injected) / np.maximum(self.std, 1e-300)
+
+    def psrf(self) -> np.ndarray:
+        """Gelman-Rubin R-hat per target/param from the recorded chains.
+
+        Each walker is one chain (the standard ensemble-sampler R-hat
+        convention).  Requires ``record_every`` to have been set;
+        values near 1 indicate converged retained sampling.
+        """
+        if self.chains is None:
+            raise ValueError(
+                "psrf() needs recorded chains: call fit_batch with "
+                "record_every > 0"
+            )
+        from .analysis.statistics import potential_scale_reduction
+
+        k, _nrec, nwalkers, dim = self.chains.shape
+        out = np.empty((k, dim))
+        for t in range(k):
+            for p in range(dim):
+                out[t, p] = potential_scale_reduction(
+                    [self.chains[t, :, w, p] for w in range(nwalkers)]
+                )
+        return out
 
 
 def _as_model(model):
@@ -352,11 +376,68 @@ def fit_batch(
         map_theta=_fetch(out["map_theta"], np.float64)[:k_real],
         map_lnp=_fetch(out["map_lnp"], np.float64)[:k_real],
         acceptance=_fetch(out["acceptance"], np.float64)[:k_real],
+        param_lens=list(spec.param_lens),
     )
     if record_every:
         res.chains = _fetch(out["chain"])[:k_real]
         res.lnprob = _fetch(out["lnprob"])[:k_real]
     return res
+
+
+def save_batch_results(res: BatchFitResult, path, injected=None):
+    """Write a batch-fit catalog as a FITS binary table.
+
+    One row per target; per parameter-slot columns ``<name>_mean``,
+    ``<name>_std``, ``<name>_map`` (vector slots like ``xy`` stay
+    2-wide columns), plus ``lnp_map`` and ``acceptance``.  With
+    ``injected`` given, ``<name>_true`` and ``<name>_pull`` columns
+    record the completeness-simulation truth and recovery z-scores.
+    IO is gated on process 0 (multi-host safe) like the trace database.
+    """
+    from collections import OrderedDict
+
+    from .io.table import Table
+    from .parallel.multihost import barrier, is_primary
+
+    cols = OrderedDict()
+    lens = res.param_lens or [1] * len(res.param_names)
+    pulls = res.pulls(injected) if injected is not None else None
+    off = 0
+    for name, size in zip(res.param_names, lens):
+        sl = slice(off, off + size)
+
+        def col(arr):
+            block = np.asarray(arr[:, sl], np.float64)
+            return block[:, 0] if size == 1 else block
+
+        cols[f"{name}_mean"] = col(res.mean)
+        cols[f"{name}_std"] = col(res.std)
+        cols[f"{name}_map"] = col(res.map_theta)
+        if injected is not None:
+            cols[f"{name}_true"] = col(np.asarray(injected, np.float64))
+            cols[f"{name}_pull"] = col(pulls)
+        off += size
+    cols["lnp_map"] = np.asarray(res.map_lnp, np.float64)
+    cols["acceptance"] = np.asarray(res.acceptance, np.float64)
+    meta = OrderedDict(
+        [
+            ("NTARGETS", (res.num_targets, "batch-fit targets")),
+            (
+                "MCINJECT",
+                (injected is not None, "injected truth recorded"),
+            ),
+        ]
+    )
+    if is_primary():
+        Table(cols, meta=meta).write(path, extname="BATCHFIT")
+    barrier("save_batch_results")  # file visible before any host returns
+
+
+def load_batch_results(path):
+    """Read a :func:`save_batch_results` catalog back as a Table."""
+    from .io.table import Table
+
+    return Table.read(path, extname="BATCHFIT")
 
 
 def simulate_stack(model, n_mocks, seed=0, thetas=None, add_noise=True):

@@ -1267,8 +1267,8 @@ class Distribution:
         self._value = self.random()
 
     # -- host-side (init, plotting) ------------------------------------
-    def random(self, random_state=None):
-        return self.rv_frozen.rvs(random_state=random_state)
+    def random(self, random_state=None, size=None):
+        return self.rv_frozen.rvs(size=size, random_state=random_state)
 
     def median(self):
         return self.rv_frozen.median()

@@ -152,6 +152,66 @@ class ComponentBase:
             logp += float(np.sum(prior.logp(prior.value)))
         return logp
 
+    # -- vectorized prior draws (init path) --------------------------------
+    def _batch_constraints(self, vals):
+        """Vectorized joint-constraint check over candidate draws.
+
+        ``vals`` maps attr name -> (m, size) candidate arrays (only the
+        stochastic attrs).  Returns an (m,) bool validity mask.
+        Subclasses with cross-attribute constraints (the ``-inf`` terms
+        in their ``log_priors``) must override to match.
+        """
+        m = len(next(iter(vals.values()))) if vals else 0
+        return np.ones(m, dtype=bool)
+
+    def draw_batch(self, n, random_state=None, max_tries=1000):
+        """(n, num_stochastics) prior draws, joint constraint enforced.
+
+        Vectorized rejection: all still-invalid rows are redrawn
+        together, so the cost is O(retry rounds) scipy calls instead of
+        O(walkers x tries) — the per-walker Python loop made
+        ``init_params_from_priors(608)`` cost 7 s of host time, longer
+        than the entire 16-target batched TPU fit it was seeding.
+        Draw distribution is identical to the scalar path: independent
+        prior draws conditioned on a finite joint component prior.
+        Does not mutate the priors' current values.
+        """
+        items = self.sorted_prior_items()
+        if not items:
+            return np.zeros((n, 0))
+        sizes = self.stochastic_lens()
+        out = np.empty((n, int(np.sum(sizes))))
+        need = np.arange(n)
+        for _try in range(max_tries):
+            m = len(need)
+            vals = {}
+            cols = []
+            valid = np.ones(m, dtype=bool)
+            for (name, prior), size in zip(items, sizes):
+                ev = np.shape(np.asarray(prior.value))
+                d = np.asarray(
+                    prior.random(random_state=random_state, size=(m,) + ev),
+                    dtype=float,
+                ).reshape(m, size)
+                if prior.is_discrete:
+                    d = np.rint(d)
+                vals[name] = d
+                cols.append(d)
+                # per-attr density can still be -inf at extreme draws
+                # (tabulated heavy tails underflow to the logpdf floor)
+                with np.errstate(all="ignore"):
+                    lp = np.asarray(prior.logp(d.reshape((m,) + ev)))
+                valid &= np.isfinite(lp.reshape(m, -1)).all(axis=1)
+            valid &= self._batch_constraints(vals)
+            out[need] = np.concatenate(cols, axis=1)
+            need = need[~valid]
+            if need.size == 0:
+                return out
+        raise RuntimeError(
+            f"Could not draw valid prior sample for "
+            f"{type(self).__name__} after {max_tries} tries"
+        )
+
 
 class Sky(ComponentBase):
     """Flat sky-offset component (reference Sky.py)."""
@@ -217,6 +277,12 @@ class Sersic(ComponentBase):
         logp += -np.inf if self.reff_b > self.reff else 0.0
         return logp
 
+    def _batch_constraints(self, vals):
+        ok = super()._batch_constraints(vals)
+        reff = vals.get("reff", self._constants.get("reff"))
+        reff_b = vals.get("reff_b", self._constants.get("reff_b"))
+        return ok & np.ravel(np.asarray(reff_b) <= np.asarray(reff))
+
 
 class Moffat(ComponentBase):
     """Moffat profile component (beyond the reference).
@@ -265,6 +331,14 @@ class Moffat(ComponentBase):
         logp += -np.inf if self.fwhm_b > self.fwhm else 0.0
         logp += -np.inf if self.index <= 1.0 else 0.0
         return logp
+
+    def _batch_constraints(self, vals):
+        ok = super()._batch_constraints(vals)
+        fwhm = vals.get("fwhm", self._constants.get("fwhm"))
+        fwhm_b = vals.get("fwhm_b", self._constants.get("fwhm_b"))
+        index = vals.get("index", self._constants.get("index"))
+        ok = ok & np.ravel(np.asarray(fwhm_b) <= np.asarray(fwhm))
+        return ok & np.ravel(np.asarray(index) > 1.0)
 
 
 class PSFSelector(ComponentBase):

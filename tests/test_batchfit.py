@@ -143,12 +143,14 @@ def test_fit_batch_recovers_injections():
                 },
             )
         )
-        assert res.map_lnp[k] >= lnp_mean - 1e-3
+        # 0.05 tolerance: map_lnp comes from the f32 in-scan path while
+        # this re-evaluation runs under x64 (few-1e-3 lnpost mismatch)
+        assert res.map_lnp[k] >= lnp_mean - 0.05
 
 
-def test_fit_batch_record_chains():
+def test_fit_batch_record_chains(tmp_path):
     model = _model(np.random.RandomState(9))
-    obs, ivm, _ = simulate_stack(model, 2, seed=10)
+    obs, ivm, injected = simulate_stack(model, 2, seed=10)
     res = fit_batch(
         model, obs, ivm, burn=40, iterations=60, record_every=20, seed=11
     )
@@ -159,8 +161,37 @@ def test_fit_batch_record_chains():
     assert np.all(
         res.lnprob.max(axis=(1, 2)) <= res.map_lnp + 1e-3
     )
+    rhat = res.psrf()
+    assert rhat.shape == (2, model.spec.num_params)
+    # only 3 recorded samples/walker here: the PSRF offset term makes
+    # sub-1 values legitimate; assert sanity, not convergence
+    assert np.all(np.isfinite(rhat)) and np.all((rhat > 0.3) & (rhat < 5))
     with pytest.raises(ValueError):
         fit_batch(model, obs, ivm, burn=10, iterations=50, record_every=20)
+
+    # FITS catalog roundtrip
+    from psfmc_tpu.batchfit import load_batch_results, save_batch_results
+
+    path = str(tmp_path / "batch_catalog.fits")
+    save_batch_results(res, path, injected=injected)
+    tbl = load_batch_results(path)
+    assert len(tbl) == 2
+    names = model.spec.param_names
+    assert np.allclose(tbl[f"{names[0]}_mean"], res.mean[:, 0])
+    assert np.allclose(tbl["lnp_map"], res.map_lnp)
+    # xy is a 2-wide vector column
+    xy_cols = [n for n in names if n.endswith("_xy")]
+    assert tbl[f"{xy_cols[0]}_mean"].shape == (2, 2)
+    pull_col = tbl[f"{names[0]}_pull"]
+    assert np.allclose(pull_col, res.pulls(injected)[:, 0])
+
+
+def test_fit_batch_psrf_requires_chains():
+    model = _model(np.random.RandomState(15))
+    obs, ivm, _ = simulate_stack(model, 1, seed=16)
+    res = fit_batch(model, obs, ivm, burn=10, iterations=10, seed=17)
+    with pytest.raises(ValueError):
+        res.psrf()
 
 
 def test_fit_batch_mesh_parity_and_padding():
