@@ -299,8 +299,7 @@ def fit_batch(
     spec = model.spec
     dim = spec.num_params
     if nwalkers is None:
-        nwalkers = 2 * dim + 2
-        nwalkers += nwalkers % 2
+        nwalkers = 2 * dim + 2  # reference default; always even
     if nwalkers % 2:
         raise ValueError("nwalkers must be even for half-ensemble moves")
     if moves not in ("stretch", "de", "mixed"):
@@ -400,7 +399,18 @@ def save_batch_results(res: BatchFitResult, path, injected=None):
     from .parallel.multihost import barrier, is_primary
 
     cols = OrderedDict()
-    lens = res.param_lens or [1] * len(res.param_names)
+    lens = res.param_lens
+    if lens is None:
+        # only safe when every slot is scalar — a silent all-ones
+        # fallback would shift every column after a 2-wide xy slot
+        if len(res.param_names) != res.mean.shape[1]:
+            raise ValueError(
+                "BatchFitResult.param_lens is required when parameter "
+                "slots are not all scalar (found "
+                f"{len(res.param_names)} names for {res.mean.shape[1]} "
+                "slots)"
+            )
+        lens = [1] * len(res.param_names)
     pulls = res.pulls(injected) if injected is not None else None
     off = 0
     for name, size in zip(res.param_names, lens):

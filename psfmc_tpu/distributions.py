@@ -478,9 +478,15 @@ def _lp_genextreme(z, c):
     # (1 - c*z) into a ~eps/|c| error (2.8e-4 at c=1e-12, found by the
     # hypothesis boundary case right at the Gumbel-branch cutoff);
     # log1p keeps full RELATIVE precision in c*z so the limit is smooth.
-    logt = jnp.log1p(jnp.maximum(-c * z, -1.0 + 1e-300))
+    # Out-of-support values go through the double-where (a plain clamp
+    # at -1+1e-300 IS -1.0 — 1e-300 is far below ulp(1) — and log1p(-1)
+    # = -inf would poison gradients through the unselected branch).
+    inside = 1.0 - c * z > 0
+    logt = jnp.where(
+        inside, jnp.log1p(jnp.where(inside, -c * z, 0.0)), np.log(1e-300)
+    )
     lp = -jnp.exp(logt / c) + (1.0 / c - 1.0) * logt
-    return jnp.where(1.0 - c * z > 0, lp, -jnp.inf)
+    return jnp.where(inside, lp, -jnp.inf)
 
 
 def _lp_genexpon(z, a, b, c):
@@ -505,8 +511,16 @@ def _lp_gengamma(z, a, c):
 
 
 def _lp_genhalflogistic(z, c):
-    # log1p for the same 1/c error-amplification reason as genextreme
-    logt = jnp.log1p(jnp.maximum(-c * z, -1.0 + 1e-300))
+    # log1p for the same 1/c error-amplification reason as genextreme.
+    # The support is CLOSED at z = 1/c where 1-cz underflows to 0: floor
+    # logt at log(1e-300) so the boundary keeps the correct limits
+    # (-inf-like for c<1, log 2 at c=1, divergent for c>1 — scipy's own
+    # formula returns NaN there for c>1).  Double-where, not a clamp:
+    # -1+1e-300 IS -1.0 in f64 and log1p(-1) = -inf poisons gradients.
+    pos = 1.0 - c * z > 0
+    logt = jnp.where(
+        pos, jnp.log1p(jnp.where(pos, -c * z, 0.0)), np.log(1e-300)
+    )
     u = jnp.exp(logt / c)  # (1 - cz)^(1/c)
     lp = (
         jnp.log(2.0)

@@ -189,11 +189,30 @@ class ComponentBase:
             valid = np.ones(m, dtype=bool)
             for (name, prior), size in zip(items, sizes):
                 ev = np.shape(np.asarray(prior.value))
-                d = np.asarray(
-                    prior.random(random_state=random_state, size=(m,) + ev),
-                    dtype=float,
-                ).reshape(m, size)
-                if prior.is_discrete:
+                try:
+                    d = np.asarray(
+                        prior.random(
+                            random_state=random_state, size=(m,) + ev
+                        ),
+                        dtype=float,
+                    ).reshape(m, size)
+                except TypeError:
+                    # duck-typed prior without a size= kwarg (anything
+                    # _is_stochastic accepts): per-row scalar draws
+                    d = np.stack(
+                        [
+                            np.ravel(
+                                np.asarray(
+                                    prior.random(
+                                        random_state=random_state
+                                    ),
+                                    dtype=float,
+                                )
+                            )
+                            for _ in range(m)
+                        ]
+                    )
+                if getattr(prior, "is_discrete", False):
                     d = np.rint(d)
                 vals[name] = d
                 cols.append(d)

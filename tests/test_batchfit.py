@@ -186,6 +186,49 @@ def test_fit_batch_record_chains(tmp_path):
     assert np.allclose(pull_col, res.pulls(injected)[:, 0])
 
 
+def test_fit_batch_multipsf():
+    """Batched fits with a discrete PSF index (2-PSF stack).
+
+    Covers draw_batch on the PSFSelector's DiscreteUniform and the
+    PSF-stack gather under the traced-obs posterior.
+    """
+    rng = np.random.RandomState(21)
+    h = w = 24
+    yy, xx = np.mgrid[0:16, 0:16].astype(float)
+    narrow = np.exp(-((xx - 8) ** 2 + (yy - 8) ** 2) / (2 * 1.0**2))
+    narrow /= narrow.sum()
+    wide = np.exp(-((xx - 8) ** 2 + (yy - 8) ** 2) / (2 * 3.0**2))
+    wide /= wide.sum()
+    model = MultiComponentModel([
+        Configuration(
+            obs_file=0.05 + rng.randn(h, w) * 0.05,
+            obsivm_file=np.full((h, w), 400.0),
+            psf_files=[narrow, wide],
+            psfivm_files=[np.ones_like(narrow) * 1e8] * 2,
+            mag_zeropoint=25.0,
+        ),
+        Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+        PointSource(
+            xy=D.Uniform(loc=np.array([9.0, 9.0]),
+                         scale=np.array([6.0, 6.0])),
+            mag=D.Uniform(loc=21.0, scale=1.0),
+        ),
+    ])
+    assert model.spec.param_names[-1] == "PSF_Index"
+    # batch prior draws land on the discrete support {0, 1}
+    p0 = model.init_params_from_priors(
+        64, random_state=np.random.RandomState(22)
+    )
+    idx = p0[:, -1]
+    assert set(np.unique(idx)) <= {0.0, 1.0}
+    assert len(np.unique(idx)) == 2  # both PSFs actually drawn
+
+    obs, ivm, _ = simulate_stack(model, 2, seed=23)
+    res = fit_batch(model, obs, ivm, burn=60, iterations=60, seed=24)
+    assert np.all(np.isfinite(res.mean))
+    assert np.all(np.isfinite(res.map_lnp))
+
+
 def test_fit_batch_psrf_requires_chains():
     model = _model(np.random.RandomState(15))
     obs, ivm, _ = simulate_stack(model, 1, seed=16)

@@ -52,7 +52,6 @@ def main():
     model = MultiComponentModel(graft._flagship_components())
     dim = model.spec.num_params
     nwalkers = 2 * dim + 2
-    nwalkers += nwalkers % 2
     print(
         f"# flagship model: dim={dim}, {nwalkers} walkers/target, "
         f"{STEPS}+{STEPS} steps, K={K} targets",

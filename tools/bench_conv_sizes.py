@@ -78,7 +78,11 @@ def main():
     rows = []
     for n in SIZES:
         imgs = rng.rand(BATCH, n, n).astype(np.float32)
+        # normalized kernel: the scan chains convolutions through the
+        # carry, and an unnormalized random kernel (sum ~ n^2/8) would
+        # overflow f32 to inf within a few reps
         psf = rng.rand(n // 2, n // 2).astype(np.float32)
+        psf /= psf.sum()
         fk = pad_and_rfft_image(psf, (n, n)).astype(np.complex64)
         kr = np.ascontiguousarray(fk.real)
         ki = np.ascontiguousarray(fk.imag)
