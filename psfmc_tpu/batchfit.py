@@ -270,6 +270,7 @@ def fit_batch(
     de_gamma0=None,
     record_every=0,
     mesh=None,
+    chunk=None,
 ):
     """Fit the model independently to K stacked observations at once.
 
@@ -292,6 +293,12 @@ def fit_batch(
         TARGET axis is sharded over it (each device runs whole fits).
         K is padded up to a mesh multiple internally; results are
         trimmed back.
+    :param chunk: targets per compiled program call.  The measured
+        per-chip sweet spot is ~16-32 flagship targets (larger batches
+        go HBM-bound); very large K should set ``chunk`` so every
+        chunk reuses one compiled program shape and device memory stays
+        bounded.  Rounded up to a mesh multiple.  Default: all K in
+        one call.
     :returns: :class:`BatchFitResult`.
     """
     model = _as_model(model)
@@ -315,24 +322,13 @@ def fit_batch(
     obs = prepare_obs_stack(spec, obs_stack, ivm_stack, np.dtype(fns.dtype))
     k_real = obs["obs_data"].shape[0]
 
-    # pad K to a mesh multiple by repeating the last target (trimmed off
-    # the results below) so every device gets the same number of fits
-    k = k_real
-    if mesh is not None:
-        ndev = int(mesh.devices.size)
-        k = int(np.ceil(k_real / ndev) * ndev)
-        if k != k_real:
-            pad = k - k_real
-            obs = {
-                key: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                for key, v in obs.items()
-            }
-
-    rng = np.random.RandomState(seed)
-    p0 = model.init_params_from_priors(
-        k * nwalkers, random_state=rng
-    ).reshape(k, nwalkers, dim)
-    keys = jax.random.split(jax.random.PRNGKey(seed), k)
+    # chunking: every chunk runs the SAME compiled program shape.  The
+    # per-chunk target count is padded to a mesh multiple (each device
+    # gets whole fits); the final short chunk pads by repeating its
+    # last target, trimmed off the concatenated results below.
+    quantum = int(mesh.devices.size) if mesh is not None else 1
+    per_chunk = k_real if chunk is None else min(int(chunk), k_real)
+    per_chunk = max(quantum, int(np.ceil(per_chunk / quantum) * quantum))
 
     run = _make_single_fit(
         fns, nwalkers, dim, int(burn), int(iterations), a, moves,
@@ -341,8 +337,8 @@ def fit_batch(
 
     cache = getattr(fns, "programs", None)
     cache_key = (
-        "batchfit", nwalkers, dim, int(burn), int(iterations), a, moves,
-        de_gamma0, int(record_every),
+        "batchfit", per_chunk, nwalkers, dim, int(burn), int(iterations),
+        a, moves, de_gamma0, int(record_every),
     )
     if cache is not None and cache_key in cache:
         prog = cache[cache_key]
@@ -356,30 +352,59 @@ def fit_batch(
 
         from .parallel.mesh import WALKER_AXIS
 
-        def shard(arr, extra_dims):
+        def place(arr, extra_dims):
             sh = NamedSharding(
                 mesh, PartitionSpec(WALKER_AXIS, *([None] * extra_dims))
             )
             return _put_sharded(np.asarray(arr), sh)
+    else:
+        def place(arr, _extra_dims):
+            return arr
 
-        obs = {key: shard(v, 2) for key, v in obs.items()}
-        p0 = shard(p0, 2)
-        keys = shard(np.asarray(keys), 1)
+    rng = np.random.RandomState(seed)
+    base_key = jax.random.PRNGKey(seed)
+    outs = []
+    for start in range(0, k_real, per_chunk):
+        sl = slice(start, min(start + per_chunk, k_real))
+        chunk_obs = {key: v[sl] for key, v in obs.items()}
+        pad = per_chunk - (sl.stop - sl.start)
+        if pad:
+            chunk_obs = {
+                key: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for key, v in chunk_obs.items()
+            }
+        p0 = model.init_params_from_priors(
+            per_chunk * nwalkers, random_state=rng
+        ).reshape(per_chunk, nwalkers, dim)
+        keys = jax.random.split(
+            jax.random.fold_in(base_key, start), per_chunk
+        )
+        out = prog(
+            place(np.asarray(keys), 1),
+            place(p0, 2),
+            {key: place(v, 2) for key, v in chunk_obs.items()},
+        )
+        outs.append(
+            jax.tree_util.tree_map(
+                lambda x: _fetch(x)[: per_chunk - pad], out
+            )
+        )
 
-    out = prog(keys, p0, obs)
-
+    merged = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *outs
+    )
     res = BatchFitResult(
         param_names=list(spec.param_names),
-        mean=_fetch(out["mean"], np.float64)[:k_real],
-        std=_fetch(out["std"], np.float64)[:k_real],
-        map_theta=_fetch(out["map_theta"], np.float64)[:k_real],
-        map_lnp=_fetch(out["map_lnp"], np.float64)[:k_real],
-        acceptance=_fetch(out["acceptance"], np.float64)[:k_real],
+        mean=np.asarray(merged["mean"], np.float64),
+        std=np.asarray(merged["std"], np.float64),
+        map_theta=np.asarray(merged["map_theta"], np.float64),
+        map_lnp=np.asarray(merged["map_lnp"], np.float64),
+        acceptance=np.asarray(merged["acceptance"], np.float64),
         param_lens=list(spec.param_lens),
     )
     if record_every:
-        res.chains = _fetch(out["chain"])[:k_real]
-        res.lnprob = _fetch(out["lnprob"])[:k_real]
+        res.chains = merged["chain"]
+        res.lnprob = merged["lnprob"]
     return res
 
 
