@@ -45,6 +45,7 @@ def main():
         make_example_data.main()
 
     from psfmc_tpu.batchfit import (
+        completeness_fraction,
         fit_batch,
         save_batch_results,
         simulate_stack,
@@ -78,6 +79,15 @@ def main():
             "host parameters) — expect inflated reff/index pulls; "
             "use STEPS>=2000 for converged completeness numbers."
         )
+
+    if N_MOCKS >= 16:
+        centers, frac, counts = completeness_fraction(
+            res, injected, "1_PointSource_mag", bins=4
+        )
+        print("\ncompleteness vs injected PS mag (default criterion):")
+        for c, f, n in zip(centers, frac, counts):
+            bar = "" if np.isnan(f) else "#" * int(round(f * 20))
+            print(f"  mag {c:6.2f}  n={n:3d}  {f:5.0%}  {bar}")
 
     out = "out_completeness_catalog.fits"
     save_batch_results(res, out, injected=injected)

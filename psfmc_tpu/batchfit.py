@@ -408,6 +408,68 @@ def fit_batch(
     return res
 
 
+def completeness_fraction(
+    res: BatchFitResult,
+    injected,
+    param,
+    bins=8,
+    recovered=None,
+):
+    """Recovered fraction binned by an injected parameter value.
+
+    The completeness-curve bottom line of an injection study: what
+    fraction of sources injected at a given magnitude (or size, ...)
+    does the fit recover?
+
+    :param param: parameter name (e.g. ``'1_PointSource_mag'``) whose
+        INJECTED value defines the binning axis; must be a scalar slot.
+    :param bins: bin count, or an explicit bin-edge array.
+    :param recovered: predicate ``(res, injected) -> (K,) bool``.
+        The default calls a target recovered when the named parameter's
+        posterior pull is within 3 and its std is smaller than the
+        prior draw spread (i.e. the data, not the prior, constrained
+        it).  Real studies should pass their own detection criterion —
+        this default is a sensible starting point, not a standard.
+    :returns: ``(bin_centers, fraction, counts)`` — fraction is NaN for
+        empty bins.
+    """
+    injected = np.asarray(injected, np.float64)
+    lens = res.param_lens or [1] * len(res.param_names)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    try:
+        i = res.param_names.index(param)
+    except ValueError:
+        raise ValueError(
+            f"unknown parameter {param!r}: expected one of "
+            f"{res.param_names}"
+        ) from None
+    if lens[i] != 1:
+        raise ValueError(f"{param!r} is a vector slot; bin on a scalar")
+    col = offs[i]
+    x = injected[:, col]
+
+    if recovered is None:
+        pull = (res.mean[:, col] - x) / np.maximum(res.std[:, col], 1e-300)
+        spread = np.std(x) if len(x) > 1 else np.inf
+        ok = (np.abs(pull) < 3.0) & (res.std[:, col] < max(spread, 1e-12))
+    else:
+        ok = np.asarray(recovered(res, injected), bool)
+
+    edges = (
+        np.histogram_bin_edges(x, bins=bins)
+        if np.isscalar(bins)
+        else np.asarray(bins, np.float64)
+    )
+    idx = np.clip(np.digitize(x, edges) - 1, 0, len(edges) - 2)
+    counts = np.bincount(idx, minlength=len(edges) - 1)
+    hits = np.bincount(idx, weights=ok.astype(float),
+                       minlength=len(edges) - 1)
+    with np.errstate(invalid="ignore"):
+        frac = np.where(counts > 0, hits / np.maximum(counts, 1), np.nan)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, frac, counts
+
+
 def save_batch_results(res: BatchFitResult, path, injected=None):
     """Write a batch-fit catalog as a FITS binary table.
 

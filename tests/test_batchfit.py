@@ -261,6 +261,54 @@ def test_fit_batch_multipsf():
     assert np.all(np.isfinite(res.map_lnp))
 
 
+def test_completeness_fraction():
+    """Synthetic completeness curve: bright recovered, faint lost."""
+    from psfmc_tpu.batchfit import BatchFitResult, completeness_fraction
+
+    rng = np.random.RandomState(30)
+    k = 200
+    names = ["0_Sky_adu", "1_PointSource_mag", "1_PointSource_xy"]
+    lens = [1, 1, 2]
+    injected = np.zeros((k, 4))
+    mags = rng.uniform(20.0, 24.0, k)
+    injected[:, 1] = mags
+    # bright (<22): tight, unbiased; faint: std blown to the prior
+    # width and the mean biased off truth
+    std = np.where(mags < 22.0, 0.05, 3.0)
+    mean = injected.copy()
+    mean[:, 1] = np.where(
+        mags < 22.0, mags + 0.02 * rng.randn(k), mags + 5.0
+    )
+    res = BatchFitResult(
+        param_names=names,
+        mean=mean,
+        std=np.broadcast_to(std[:, None], (k, 4)).copy(),
+        map_theta=mean.copy(),
+        map_lnp=np.zeros(k),
+        acceptance=np.full(k, 0.3),
+        param_lens=lens,
+    )
+    centers, frac, counts = completeness_fraction(
+        res, injected, "1_PointSource_mag", bins=np.array([20, 22, 24.0])
+    )
+    assert counts.sum() == k
+    assert frac[0] > 0.95  # bright bin fully recovered
+    assert frac[1] < 0.15  # faint bin lost (blown std + 5-mag bias)
+    assert np.allclose(centers, [21.0, 23.0])
+
+    # custom predicate wins
+    _c, f2, _n = completeness_fraction(
+        res, injected, "1_PointSource_mag", bins=2,
+        recovered=lambda r, inj: np.ones(k, bool),
+    )
+    assert np.all(f2[~np.isnan(f2)] == 1.0)
+
+    with pytest.raises(ValueError):
+        completeness_fraction(res, injected, "1_PointSource_xy")
+    with pytest.raises(ValueError):
+        completeness_fraction(res, injected, "nope")
+
+
 def test_fit_batch_psrf_requires_chains():
     model = _model(np.random.RandomState(15))
     obs, ivm, _ = simulate_stack(model, 1, seed=16)
