@@ -148,6 +148,22 @@ def main():
     assert np.all(np.isfinite(nuts.lnprobability))
     nuts_payload = nuts.checkpoint_payload()  # multi-host fetch path
 
+    # batched multi-target fit with the TARGET axis sharded over the
+    # global mesh; catalog written by the primary only
+    from psfmc_tpu.batchfit import (
+        fit_batch,
+        save_batch_results,
+        simulate_stack,
+    )
+
+    obs_stack, ivm_stack, injected = simulate_stack(model, 4, seed=17)
+    bres = fit_batch(
+        model, obs_stack, ivm_stack, burn=10, iterations=10, seed=19,
+        mesh=mesh,
+    )
+    assert bres.num_targets == 4
+    save_batch_results(bres, "out_batch.fits", injected=injected)
+
     np.savez(
         os.path.join(outdir, f"result_{pid}.npz"),
         sky=np.asarray(db["0_Sky_adu"], dtype=np.float64),
@@ -158,6 +174,9 @@ def main():
         pt_lnp=pt.lnprobability,
         nuts_chain=nuts.chain,
         nuts_positions=nuts_payload["positions"],
+        batch_mean=bres.mean,
+        batch_std=bres.std,
+        batch_map_lnp=bres.map_lnp,
     )
     print(f"worker {pid}: done", flush=True)
 

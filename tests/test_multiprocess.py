@@ -127,6 +127,7 @@ def test_two_process_sharded_fit(datadir, tmp_path):
     )
     assert "out_mp_db.fits" in primary_files
     assert "out_mp_residual.fits" in primary_files
+    assert "out_batch.fits" in primary_files  # batch-fit catalog
     secondary_files = sorted(
         f.name for f in outdirs[1].iterdir() if f.name != "result_1.npz"
     )
@@ -141,6 +142,7 @@ def test_two_process_sharded_fit(datadir, tmp_path):
     for key in (
         "sky", "mag", "lnp", "accept", "pt_chain", "pt_lnp",
         "nuts_chain", "nuts_positions",
+        "batch_mean", "batch_std", "batch_map_lnp",
     ):
         np.testing.assert_array_equal(r0[key], r1[key])
 
