@@ -33,19 +33,46 @@ class _CollectBareExprs(ast.NodeTransformer):
     ``Sersic(...)`` becomes ``__psfmc_components__.append(Sersic(...))``
     (the reference uses ``+= [...]``; append is equivalent and keeps the
     accumulator a plain list).
+
+    Module-level single-name assignments are ALSO appended
+    (``host = Sersic(...)`` adds ``host``): naming a component is how a
+    model file references it elsewhere — ``PointSource(xy=Tied(host,
+    'xy'))`` — and the reference would silently DROP an assigned
+    component.  Non-component values are filtered after exec, and the
+    collected list is de-duplicated by identity, so plain scalar
+    assignments (``total_mag = 20.7``) and the name-then-bare-expression
+    idiom both behave.
     """
 
-    def visit_Expr(self, node):
-        call = ast.Call(
-            func=ast.Attribute(
-                value=ast.Name(id=_ACC_NAME, ctx=ast.Load()),
-                attr="append",
-                ctx=ast.Load(),
-            ),
-            args=[node.value],
-            keywords=[],
+    @staticmethod
+    def _append_of(value_node):
+        return ast.Expr(
+            value=ast.Call(
+                func=ast.Attribute(
+                    value=ast.Name(id=_ACC_NAME, ctx=ast.Load()),
+                    attr="append",
+                    ctx=ast.Load(),
+                ),
+                args=[value_node],
+                keywords=[],
+            )
         )
-        return ast.copy_location(ast.Expr(value=call), node)
+
+    def visit_Expr(self, node):
+        return ast.copy_location(self._append_of(node.value), node)
+
+    def visit_Assign(self, node):
+        targets = node.targets
+        if len(targets) == 1 and isinstance(targets[0], ast.Name):
+            appender = ast.copy_location(
+                self._append_of(
+                    ast.Name(id=targets[0].id, ctx=ast.Load())
+                ),
+                node,
+            )
+            ast.fix_missing_locations(appender)
+            return [node, appender]
+        return node
 
 
 @contextlib.contextmanager
@@ -90,7 +117,13 @@ def component_list_from_string(source, filename="<model>", model_dir=""):
             value=ast.List(elts=[], ctx=ast.Load()),
         )
     )
-    tree.body = header + [_CollectBareExprs().visit(node) for node in tree.body]
+    body = []
+    transformer = _CollectBareExprs()
+    for node in tree.body:
+        new = transformer.visit(node)
+        # visit_Assign returns [assign, append] — flatten
+        body.extend(new if isinstance(new, list) else [new])
+    tree.body = header + body
     ast.fix_missing_locations(tree)
 
     namespace = {}
@@ -98,11 +131,12 @@ def component_list_from_string(source, filename="<model>", model_dir=""):
     with _working_dir(model_dir):
         exec(code, namespace)
 
-    return [
-        comp
-        for comp in namespace[_ACC_NAME]
-        if isinstance(comp, ComponentBase)
-    ]
+    out, seen = [], set()
+    for comp in namespace[_ACC_NAME]:
+        if isinstance(comp, ComponentBase) and id(comp) not in seen:
+            seen.add(id(comp))
+            out.append(comp)
+    return out
 
 
 def component_list_from_file(filename):

@@ -7,6 +7,7 @@ from .components import (
     PSFSelector,
     Sersic,
     Sky,
+    Tied,
 )
 from .posterior import IMAGE_TYPES, PosteriorFns, build_posterior
 from .spec import CompSpec, ModelSpec, ParamSlot, build_model_spec
@@ -19,6 +20,7 @@ __all__ = [
     "PSFSelector",
     "Sersic",
     "Sky",
+    "Tied",
     "IMAGE_TYPES",
     "PosteriorFns",
     "build_posterior",

@@ -39,11 +39,45 @@ __all__ = [
     "Moffat",
     "Configuration",
     "PSFSelector",
+    "Tied",
 ]
 
 
 def _is_stochastic(value):
     return isinstance(value, Distribution) or hasattr(value, "logp")
+
+
+class Tied:
+    """Share another component's stochastic attribute (beyond the
+    reference: GALFIT-style parameter coupling psfMC lacks).
+
+    ``PointSource(xy=Tied(host, 'xy'), mag=...)`` pins the quasar to
+    its host's centroid: both components render from the SAME slot of
+    the parameter vector, so the tie is exact by construction, costs
+    zero extra parameters, and the tied attribute contributes no trace
+    column (the shared slot keeps the *owner's* name).  If the
+    referenced attribute is a constant, the tie resolves to that
+    constant.  Chains (a tie to a tie) resolve transitively; cycles are
+    rejected at spec build.
+
+    Host-side attribute reads dereference the tie (``ps.xy`` returns
+    the host's current xy).  Note: a cross-component joint constraint
+    whose operand is tied (e.g. a Sersic whose ``reff`` is tied to
+    another component) cannot be enforced during vectorized prior-draw
+    init — it is skipped there and enforced exactly by the device-side
+    log-prior during sampling.
+    """
+
+    def __init__(self, component, attr):
+        if not isinstance(component, ComponentBase):
+            raise TypeError(
+                "Tied(component, attr): component must be a model "
+                f"component, got {type(component).__name__}"
+            )
+        if not isinstance(attr, str):
+            raise TypeError("Tied(component, attr): attr must be a string")
+        self.component = component
+        self.attr = attr
 
 
 class ComponentBase:
@@ -83,7 +117,13 @@ class ComponentBase:
         if name in priors:
             return priors[name].value
         if name in constants:
-            return constants[name]
+            val = constants[name]
+            if isinstance(val, Tied):
+                # dereference: read the referenced component's current
+                # value (host-side convenience; the device posterior
+                # resolves ties to shared slots at spec build)
+                return getattr(val.component, val.attr)
+            return val
         raise AttributeError(name)
 
     # -- introspection (canonical alphabetical order) ---------------------
@@ -300,6 +340,10 @@ class Sersic(ComponentBase):
         ok = super()._batch_constraints(vals)
         reff = vals.get("reff", self._constants.get("reff"))
         reff_b = vals.get("reff_b", self._constants.get("reff_b"))
+        if isinstance(reff, Tied) or isinstance(reff_b, Tied):
+            # tied operand is drawn by ANOTHER component's batch; the
+            # device log-prior enforces the constraint during sampling
+            return ok
         return ok & np.ravel(np.asarray(reff_b) <= np.asarray(reff))
 
 
@@ -356,8 +400,11 @@ class Moffat(ComponentBase):
         fwhm = vals.get("fwhm", self._constants.get("fwhm"))
         fwhm_b = vals.get("fwhm_b", self._constants.get("fwhm_b"))
         index = vals.get("index", self._constants.get("index"))
-        ok = ok & np.ravel(np.asarray(fwhm_b) <= np.asarray(fwhm))
-        return ok & np.ravel(np.asarray(index) > 1.0)
+        if not (isinstance(fwhm, Tied) or isinstance(fwhm_b, Tied)):
+            ok = ok & np.ravel(np.asarray(fwhm_b) <= np.asarray(fwhm))
+        if not isinstance(index, Tied):
+            ok = ok & np.ravel(np.asarray(index) > 1.0)
+        return ok
 
 
 class PSFSelector(ComponentBase):

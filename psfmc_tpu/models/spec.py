@@ -91,12 +91,36 @@ class ModelSpec:
 
 
 def _resolve(component, attr, slot_map):
-    """('theta', (offset, size)) if stochastic else ('const', value)."""
-    key = (id(component), attr)
-    if key in slot_map:
-        slot = slot_map[key]
-        return ("theta", (slot.offset, slot.size))
-    return ("const", component._constants[attr])
+    """('theta', (offset, size)) if stochastic else ('const', value).
+
+    ``Tied(other, attr)`` values resolve transitively to the referenced
+    component's slot (both render rules then read the SAME parameter-
+    vector slice) or to its constant; cycles are rejected.
+    """
+    from .components import Tied
+
+    seen = set()
+    while True:
+        key = (id(component), attr)
+        if key in slot_map:
+            slot = slot_map[key]
+            return ("theta", (slot.offset, slot.size))
+        if key in seen:
+            raise ValueError(
+                f"Tied cycle through {type(component).__name__}.{attr}"
+            )
+        seen.add(key)
+        try:
+            val = component._constants[attr]
+        except KeyError:
+            raise ValueError(
+                f"Tied target {type(component).__name__}.{attr} has no "
+                "value — is the referenced component part of the model?"
+            ) from None
+        if isinstance(val, Tied):
+            component, attr = val.component, val.attr
+            continue
+        return ("const", val)
 
 
 def build_model_spec(

@@ -287,10 +287,14 @@ def test_replay_matches_on_device_accumulation(workdir):
     assert mcm.accumulated_samples == flat.shape[0]
     for k in accumulated:
         a, b = accumulated[k], mcm.posterior_images[k]
+        # f32 sum-order differences between the scan accumulation and
+        # the chunked replay are O(1e-7) absolute; near-zero-mean
+        # residual pixels need the absolute term (pure relative
+        # tolerance blows up where the mean crosses zero)
         scale = np.maximum(np.abs(a), 1e-6)
-        assert np.allclose(a, b, atol=0, rtol=0) or np.all(
-            np.abs(a - b) / scale < 1e-3
-        ), k
+        assert np.all(np.abs(a - b) < 1e-3 * scale + 1e-6), (
+            k, float(np.max(np.abs(a - b))),
+        )
 
 
 def test_raw_model_std_product(workdir):
