@@ -1,4 +1,5 @@
 """Model layer: components, static spec, jitted posterior, composite model."""
+from .joint import JointModel, JointPosteriorFns, build_joint_specs
 from .components import (
     ComponentBase,
     Configuration,
@@ -21,6 +22,9 @@ __all__ = [
     "Sersic",
     "Sky",
     "Tied",
+    "JointModel",
+    "JointPosteriorFns",
+    "build_joint_specs",
     "IMAGE_TYPES",
     "PosteriorFns",
     "build_posterior",

@@ -1,0 +1,256 @@
+"""Joint multi-band fitting: one posterior over several observations.
+
+Simultaneous multi-band quasar/host decomposition — the standard
+next step beyond the reference's one-band-at-a-time workflow: each
+band has its own observation, PSF stack and per-band components
+(typically its own magnitudes), while structural parameters (centroid,
+effective radius, axis ratio, angle, Sersic index) are shared across
+bands with :class:`~psfmc_tpu.models.components.Tied`.
+
+TPU-first design: the whole joint posterior is ONE jitted scalar
+function over a single global parameter vector,
+
+    lnpost(theta) = log_prior(theta) + sum_b lnL_b(theta),
+
+where the global prior is evaluated once over the union slot layout
+(ties contribute no slots, so nothing double counts) and each band's
+likelihood is the same render -> convolve -> masked-Gaussian chain the
+single-band posterior uses, against that band's data plane.  The bands
+sum INSIDE one program, so a vmapped walker batch still fuses across
+bands.
+
+Usage::
+
+    host_r = Sersic(xy=Uniform(...), mag=Uniform(...), reff=..., ...)
+    host_g = Sersic(xy=Tied(host_r, 'xy'), reff=Tied(host_r, 'reff'),
+                    reff_b=Tied(host_r, 'reff_b'),
+                    index=Tied(host_r, 'index'),
+                    angle=Tied(host_r, 'angle'),
+                    mag=Uniform(...))                  # per-band mag
+    model = JointModel([[config_r, Sky(...), host_r],
+                        [config_g, Sky(...), host_g]])
+    sampler = EnsembleSampler(nw, model.num_params, model.posterior_fns)
+
+``JointModel`` exposes the ``MultiComponentModel`` surface the sampler
+and trace database need (``num_params``, ``param_names``,
+``param_lens``, ``init_params_from_priors``), so chains save/load with
+``save_database(sampler, model, ...)`` unchanged.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .components import ComponentBase, Configuration
+from .posterior import PosteriorFns, make_log_prior
+from .spec import ModelSpec, build_param_slots, comp_spec_for
+
+__all__ = ["JointModel", "JointPosteriorFns", "build_joint_specs"]
+
+
+def build_joint_specs(bands):
+    """Compile per-band component lists into band ModelSpecs + layout.
+
+    :param bands: list of component lists; each must contain its own
+        :class:`Configuration`.  Components may reference other bands'
+        components via ``Tied`` (resolved against the global layout).
+    :returns: ``(band_specs, slots, num_params, all_comp_specs)`` —
+        band specs carry GLOBAL offsets in their render rules and an
+        EMPTY slot list (band posteriors contribute likelihood only;
+        the prior is evaluated once over ``slots``).
+    """
+    band_lists, configs = [], []
+    all_components: List[ComponentBase] = []
+    for comps in bands:
+        comps = list(comps)
+        cfgs = [c for c in comps if isinstance(c, Configuration)]
+        if not cfgs:
+            raise ValueError(
+                "every band needs its own Configuration component"
+            )
+        config = cfgs[0]
+        comps = [c for c in comps if not isinstance(c, Configuration)]
+        comps.append(config.psf_selector)
+        configs.append(config)
+        band_lists.append(comps)
+        all_components.extend(comps)
+
+    # canonical global naming: band order, file order within band
+    for count, comp in enumerate(all_components):
+        comp.update_stochastic_names(count=count)
+
+    slots, slot_map, num_params = build_param_slots(all_components)
+
+    band_specs = []
+    all_comp_specs = []
+    for comps, config in zip(band_lists, configs):
+        comp_specs = [comp_spec_for(c, slot_map) for c in comps]
+        all_comp_specs.extend(comp_specs)
+        band_specs.append(
+            ModelSpec(
+                comp_specs=comp_specs,
+                # empty: the band posterior contributes ONLY its
+                # likelihood; slot priors + constraints live in the
+                # joint prior so nothing double counts
+                slots=[],
+                num_params=num_params,
+                shape=tuple(config.obs_data.shape),
+                mag_zeropoint=float(config.mag_zeropoint),
+                obs_data=np.asarray(config.obs_data, np.float64),
+                obs_var=np.asarray(config.obs_var, np.float64),
+                bad_px=np.asarray(config.bad_px, bool),
+                f_psf_stack=np.stack(config.psf_selector.psf_list),
+                f_var_stack=np.stack(config.psf_selector.var_list),
+                num_psfs=len(config.psf_selector.psf_list),
+            )
+        )
+    return band_specs, slots, num_params, all_comp_specs
+
+
+class JointSpec:
+    """Global layout + per-band specs (PosteriorFns-compatible shell)."""
+
+    def __init__(self, band_specs, slots, num_params, comp_specs):
+        self.band_specs = band_specs
+        self.slots = slots
+        self.num_params = num_params
+        self.comp_specs = comp_specs  # all bands (transforms, MAP)
+        self.shape = band_specs[0].shape
+        self.mag_zeropoint = band_specs[0].mag_zeropoint
+
+    @property
+    def param_names(self):
+        return [s.name for s in self.slots]
+
+    @property
+    def param_fits_abbrs(self):
+        return [s.fitsname for s in self.slots]
+
+    @property
+    def param_lens(self):
+        return [s.size for s in self.slots]
+
+
+class JointPosteriorFns:
+    """Pure joint posterior: global prior + one likelihood per band.
+
+    Duck-types the :class:`PosteriorFns` surface the samplers consume
+    (``dtype``, ``spec``, ``log_posterior``, ``log_prior``,
+    ``carry_images``, ``log_posterior_and_images``, ``programs``).
+    Carry images are per band under ``b{i}_*`` keys (arbitrary band
+    shapes supported — the sampler sizes accumulators by shape
+    inference).
+    """
+
+    def __init__(self, jspec: JointSpec, dtype=jnp.float32):
+        self.spec = jspec
+        self.dtype = dtype
+        self.band_fns = [
+            PosteriorFns(bs, dtype=dtype) for bs in jspec.band_specs
+        ]
+        self.log_prior = make_log_prior(
+            jspec.slots, jspec.comp_specs, dtype
+        )
+        self.programs = {}
+
+        def log_posterior(theta):
+            theta = jnp.asarray(theta, dtype)
+            lp = self.log_prior(theta)
+            lnl = jnp.asarray(0.0, dtype)
+            for f in self.band_fns:
+                lnl = lnl + f.log_likelihood(theta)
+            out = jnp.where(jnp.isfinite(lp), lp + lnl, -jnp.inf)
+            return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+        def carry_images(theta):
+            theta = jnp.asarray(theta, dtype)
+            out = {}
+            for i, f in enumerate(self.band_fns):
+                for k, v in f._images_impl(theta).items():
+                    out[f"b{i}_{k}"] = v
+            return out
+
+        self.log_posterior = log_posterior
+        self.carry_images = carry_images
+        self.log_posterior_and_images = lambda theta: (
+            log_posterior(theta), carry_images(theta)
+        )
+        self.batched_lnpost = jax.jit(jax.vmap(log_posterior))
+
+    def render_images(self, theta):
+        """Per-band reference image dicts, keyed ``b{i}_<type>``."""
+        from .posterior import carry_to_reference_images
+
+        theta = jnp.asarray(theta, self.dtype)
+        out = {}
+        for i, f in enumerate(self.band_fns):
+            imgs = carry_to_reference_images(
+                f._images_impl(theta), f.constants["obs_data"]
+            )
+            for k, v in imgs.items():
+                out[f"b{i}_{k}"] = v
+        return out
+
+
+class JointModel:
+    """Host facade over a joint multi-band model.
+
+    Provides the ``MultiComponentModel`` subset the samplers and trace
+    database consume; build one from a list of per-band component
+    lists (each with its own Configuration).
+    """
+
+    def __init__(self, bands, dtype=jnp.float32):
+        band_specs, slots, num_params, all_cs = build_joint_specs(bands)
+        self.spec = JointSpec(band_specs, slots, num_params, all_cs)
+        self.posterior_fns = JointPosteriorFns(self.spec, dtype=dtype)
+        # unique components in global order (shared instances once) for
+        # prior draws
+        self._components = []
+        seen = set()
+        for comps in bands:
+            comps = list(comps)
+            cfgs = [c for c in comps if isinstance(c, Configuration)]
+            ordered = [
+                c for c in comps if not isinstance(c, Configuration)
+            ] + [cfgs[0].psf_selector]
+            for c in ordered:
+                if id(c) not in seen:
+                    seen.add(id(c))
+                    self._components.append(c)
+
+    @property
+    def num_params(self):
+        return self.spec.num_params
+
+    @property
+    def param_names(self):
+        return self.spec.param_names
+
+    @property
+    def param_fits_abbrs(self):
+        return self.spec.param_fits_abbrs
+
+    @property
+    def param_lens(self):
+        return self.spec.param_lens
+
+    def init_params_from_priors(self, nwalkers, random_state=None,
+                                max_tries=1000):
+        """Vectorized prior draws over the global layout (see
+        MultiComponentModel.init_params_from_priors)."""
+        if random_state is None:
+            random_state = np.random.RandomState()
+        cols = [
+            comp.draw_batch(
+                nwalkers, random_state=random_state, max_tries=max_tries
+            )
+            for comp in self._components
+        ]
+        if not cols:
+            return np.zeros((nwalkers, 0))
+        return np.concatenate(cols, axis=1)

@@ -56,6 +56,48 @@ def _getter(params, theta, name):
     return jax.lax.dynamic_slice(theta, (offset,), (size,))
 
 
+def make_log_prior(slots, comp_specs, dtype):
+    """Pure log-prior over parameter slots + per-component constraints.
+
+    Shared by the single-observation :class:`PosteriorFns` and the
+    joint multi-band posterior (which evaluates the prior ONCE over the
+    global slot layout while summing per-band likelihoods).
+    """
+
+    def log_prior(theta):
+        lp = jnp.asarray(0.0, dtype)
+        for slot in slots:
+            if slot.size == 1:
+                x = theta[slot.offset]
+            else:
+                x = jax.lax.dynamic_slice(
+                    theta, (slot.offset,), (slot.size,)
+                )
+            lp = lp + jnp.sum(slot.dist.jax_logp(x))
+        # axis-order constraints: Sersic reff >= reff_b (reference
+        # Sersic.py:41-45) and the Moffat analogue fwhm >= fwhm_b;
+        # Moffat also requires beta > 1 (finite total flux — the
+        # flux normalization F = pi a b I0/(beta-1) goes negative
+        # below it, which would render negative-flux 'sources')
+        for cs in comp_specs:
+            if cs.kind == "sersic":
+                a = _getter(cs.params, theta, "reff")
+                b = _getter(cs.params, theta, "reff_b")
+            elif cs.kind == "moffat":
+                a = _getter(cs.params, theta, "fwhm")
+                b = _getter(cs.params, theta, "fwhm_b")
+                beta = _getter(cs.params, theta, "index")
+                lp = jnp.where(
+                    jnp.asarray(beta) <= 1.0, -jnp.inf, lp
+                )
+            else:
+                continue
+            lp = jnp.where(b > a, -jnp.inf, lp)
+        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+    return log_prior
+
+
 class PosteriorFns:
     """Bundle of pure functions over a fixed ModelSpec.
 
@@ -240,40 +282,8 @@ class PosteriorFns:
 
     # -- prior ------------------------------------------------------------
     def _make_log_prior(self):
-        spec = self.spec
-
-        def log_prior(theta):
-            lp = jnp.asarray(0.0, self.dtype)
-            for slot in spec.slots:
-                if slot.size == 1:
-                    x = theta[slot.offset]
-                else:
-                    x = jax.lax.dynamic_slice(
-                        theta, (slot.offset,), (slot.size,)
-                    )
-                lp = lp + jnp.sum(slot.dist.jax_logp(x))
-            # axis-order constraints: Sersic reff >= reff_b (reference
-            # Sersic.py:41-45) and the Moffat analogue fwhm >= fwhm_b;
-            # Moffat also requires beta > 1 (finite total flux — the
-            # flux normalization F = pi a b I0/(beta-1) goes negative
-            # below it, which would render negative-flux 'sources')
-            for cs in spec.comp_specs:
-                if cs.kind == "sersic":
-                    a = _getter(cs.params, theta, "reff")
-                    b = _getter(cs.params, theta, "reff_b")
-                elif cs.kind == "moffat":
-                    a = _getter(cs.params, theta, "fwhm")
-                    b = _getter(cs.params, theta, "fwhm_b")
-                    beta = _getter(cs.params, theta, "index")
-                    lp = jnp.where(
-                        jnp.asarray(beta) <= 1.0, -jnp.inf, lp
-                    )
-                else:
-                    continue
-                lp = jnp.where(b > a, -jnp.inf, lp)
-            return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
-
-        return log_prior
+        return make_log_prior(self.spec.slots, self.spec.comp_specs,
+                              self.dtype)
 
     # -- renders ------------------------------------------------------------
     def _psf_index(self, theta):
@@ -506,6 +516,20 @@ class PosteriorFns:
         if with_images:
             return lnpost, imgs
         return lnpost
+
+    def log_likelihood(self, theta):
+        """Data term alone (no prior): the masked Gaussian lnL.
+
+        The joint multi-band posterior (:mod:`psfmc_tpu.models.joint`)
+        sums one band-likelihood per observation and adds the global
+        prior exactly once — band PosteriorFns contribute only this.
+        """
+        theta = jnp.asarray(theta, self.dtype)
+        c = self.constants
+        imgs = self._images_impl(theta)
+        resid = c["obs_data"] - imgs["conv"]
+        ivm = 1.0 / imgs["var"]
+        return gaussian_lnlike(resid, ivm, c["good_px"])
 
     def log_posterior_obs(self, theta, obs):
         """lnpost against a *traced* observation instead of the baked one.

@@ -123,6 +123,82 @@ def _resolve(component, attr, slot_map):
         return ("const", val)
 
 
+def comp_spec_for(comp, slot_map) -> CompSpec:
+    """Static render rule for one component against a slot map."""
+    if isinstance(comp, Sky):
+        return CompSpec("sky", {"adu": _resolve(comp, "adu", slot_map)})
+    if isinstance(comp, PointSource):
+        return CompSpec(
+            "pointsource",
+            {
+                "xy": _resolve(comp, "xy", slot_map),
+                "mag": _resolve(comp, "mag", slot_map),
+            },
+            static={"shift_method": comp.shift_method},
+        )
+    if isinstance(comp, Sersic):
+        return CompSpec(
+            "sersic",
+            {
+                attr: _resolve(comp, attr, slot_map)
+                for attr in (
+                    "xy", "mag", "reff", "reff_b", "index", "angle",
+                )
+            },
+            static={"angle_degrees": comp.angle_degrees},
+        )
+    if isinstance(comp, Moffat):
+        return CompSpec(
+            "moffat",
+            {
+                attr: _resolve(comp, attr, slot_map)
+                for attr in (
+                    "xy", "mag", "fwhm", "fwhm_b", "index", "angle",
+                )
+            },
+            static={"angle_degrees": comp.angle_degrees},
+        )
+    if isinstance(comp, PSFSelector):
+        return CompSpec(
+            "psfselector",
+            {"psf_index": _resolve(comp, "psf_index", slot_map)},
+        )
+    raise TypeError(f"Unknown component type: {type(comp).__name__}")
+
+
+def build_param_slots(components) -> tuple:
+    """Global flat layout over a component list -> (slots, slot_map, dim).
+
+    File order, alphabetical within component; a component instance
+    appearing more than once contributes slots ONCE (shared between its
+    occurrences).
+    """
+    slots: List[ParamSlot] = []
+    slot_map = {}
+    offset = 0
+    seen = set()
+    for ci, comp in enumerate(components):
+        if id(comp) in seen:
+            continue
+        seen.add(id(comp))
+        for attr, prior in comp.sorted_prior_items():
+            size = int(np.asarray(prior.value).size)
+            slot = ParamSlot(
+                comp_index=ci,
+                attr=attr,
+                offset=offset,
+                size=size,
+                name=prior.name,
+                fitsname=prior.fitsname,
+                dist=prior,
+                is_discrete=getattr(prior, "is_discrete", False),
+            )
+            slots.append(slot)
+            slot_map[(id(comp), attr)] = slot
+            offset += size
+    return slots, slot_map, offset
+
+
 def build_model_spec(
     components: List[ComponentBase],
     config: Optional[Configuration] = None,
@@ -149,88 +225,9 @@ def build_model_spec(
         component.update_stochastic_names(count=count)
 
     # Build the flat layout: file order, alphabetical within component.
-    slots: List[ParamSlot] = []
-    slot_map = {}
-    offset = 0
-    for ci, comp in enumerate(components):
-        for attr, prior in comp.sorted_prior_items():
-            size = int(np.asarray(prior.value).size)
-            slot = ParamSlot(
-                comp_index=ci,
-                attr=attr,
-                offset=offset,
-                size=size,
-                name=prior.name,
-                fitsname=prior.fitsname,
-                dist=prior,
-                is_discrete=getattr(prior, "is_discrete", False),
-            )
-            slots.append(slot)
-            slot_map[(id(comp), attr)] = slot
-            offset += size
+    slots, slot_map, offset = build_param_slots(components)
 
-    comp_specs: List[CompSpec] = []
-    for comp in components:
-        if isinstance(comp, Sky):
-            comp_specs.append(
-                CompSpec("sky", {"adu": _resolve(comp, "adu", slot_map)})
-            )
-        elif isinstance(comp, PointSource):
-            comp_specs.append(
-                CompSpec(
-                    "pointsource",
-                    {
-                        "xy": _resolve(comp, "xy", slot_map),
-                        "mag": _resolve(comp, "mag", slot_map),
-                    },
-                    static={"shift_method": comp.shift_method},
-                )
-            )
-        elif isinstance(comp, Sersic):
-            comp_specs.append(
-                CompSpec(
-                    "sersic",
-                    {
-                        attr: _resolve(comp, attr, slot_map)
-                        for attr in (
-                            "xy",
-                            "mag",
-                            "reff",
-                            "reff_b",
-                            "index",
-                            "angle",
-                        )
-                    },
-                    static={"angle_degrees": comp.angle_degrees},
-                )
-            )
-        elif isinstance(comp, Moffat):
-            comp_specs.append(
-                CompSpec(
-                    "moffat",
-                    {
-                        attr: _resolve(comp, attr, slot_map)
-                        for attr in (
-                            "xy",
-                            "mag",
-                            "fwhm",
-                            "fwhm_b",
-                            "index",
-                            "angle",
-                        )
-                    },
-                    static={"angle_degrees": comp.angle_degrees},
-                )
-            )
-        elif isinstance(comp, PSFSelector):
-            comp_specs.append(
-                CompSpec(
-                    "psfselector",
-                    {"psf_index": _resolve(comp, "psf_index", slot_map)},
-                )
-            )
-        else:
-            raise TypeError(f"Unknown component type: {type(comp).__name__}")
+    comp_specs = [comp_spec_for(comp, slot_map) for comp in components]
 
     f_psf_stack = np.stack(config.psf_selector.psf_list)
     f_var_stack = np.stack(config.psf_selector.var_list)

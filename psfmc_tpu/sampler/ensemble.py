@@ -518,21 +518,30 @@ class EnsembleSampler:
         if key is None:
             self._key, key = jax.random.split(self._key)
         lnp = self._batched_lnpost()(p0)
-        h, w = self.image_shape if self.image_shape else self.fns.spec.shape
-        # accumulator keys discovered from a shape-only trace (no compute)
-        img_keys = list(jax.eval_shape(self._images_fn(), p0[0]).keys())
-        if "raw" in img_keys:
+        # accumulator keys AND shapes discovered from a shape-only trace
+        # (no compute) — joint multi-band posteriors carry per-band
+        # images whose shapes may differ, so never assume one (h, w)
+        img_shapes = {
+            k: (
+                self.image_shape
+                if self.image_shape
+                else tuple(s.shape)
+            )
+            for k, s in jax.eval_shape(self._images_fn(), p0[0]).items()
+        }
+        if "raw" in img_shapes:
             # Welford M2 of the raw image (per-pixel posterior std
             # product) — produced by ensemble_image_means, not by the
             # per-theta images_fn
-            img_keys.append("raw_m2")
+            img_shapes["raw_m2"] = img_shapes["raw"]
         # Fresh small leaves are HOST numpy: pjit replicates them onto
         # whatever mesh the phase program runs over (including a multi-
         # host one, where a committed single-device jnp array would be
         # an incompatible-devices error); after the first segment they
         # come back as properly laid-out global device arrays.
         accum = {
-            k: np.zeros((h, w), np.dtype(self.accum_dtype)) for k in img_keys
+            k: np.zeros(shp, np.dtype(self.accum_dtype))
+            for k, shp in img_shapes.items()
         }
         self.state = EnsembleState(
             positions=p0,
