@@ -219,12 +219,34 @@ def _checkpoint_hdus(payload):
 
     accum = payload.get("accum")
     if accum and int(payload.get("accum_count", 0)) > 0:
-        img_cols = OrderedDict(
-            (name, np.asarray(img, dtype=np.float64)) for name, img in accum.items()
-        )
-        img_hdr, img_raw = fits.make_bintable_hdu(
-            list(img_cols.keys()), img_cols, extname="CKPTIMGS"
-        )
+        shapes = {name: np.asarray(img).shape for name, img in accum.items()}
+        if len(set(shapes.values())) == 1:
+            # uniform shapes (single-band): rows = H, width = W — the
+            # v2.1 layout, kept for checkpoint compatibility
+            img_cols = OrderedDict(
+                (name, np.asarray(img, dtype=np.float64))
+                for name, img in accum.items()
+            )
+            img_hdr, img_raw = fits.make_bintable_hdu(
+                list(img_cols.keys()), img_cols, extname="CKPTIMGS"
+            )
+        else:
+            # mixed shapes (joint multi-band accumulators): one ROW of
+            # per-column array cells (bintable widths may differ per
+            # column only with a single row); shapes ride meta cards
+            img_cols = OrderedDict(
+                (name, np.asarray(img, np.float64).ravel()[None, :])
+                for name, img in accum.items()
+            )
+            img_meta = [
+                (f"CKIMSH{i}", ("%d,%d" % shapes[name],
+                                f"shape of column {i}"))
+                for i, name in enumerate(img_cols)
+            ]
+            img_hdr, img_raw = fits.make_bintable_hdu(
+                list(img_cols.keys()), img_cols, meta=img_meta,
+                extname="CKPTIMGS",
+            )
         hdus.append((img_hdr, img_raw))
 
     inv_mass = payload.get("nuts_inv_mass")
@@ -314,10 +336,18 @@ def load_checkpoint(db_name):
     if payload["accum_count"] > 0:
         try:
             imgs = Table.read(db_name, format="fits", extname="CKPTIMGS")
-            payload["accum"] = {
-                name: np.asarray(imgs[name], dtype=np.float64)
-                for name in imgs.colnames
-            }
+            accum = {}
+            for i, name in enumerate(imgs.colnames):
+                col = np.asarray(imgs[name], dtype=np.float64)
+                shape_card = imgs.meta.get(f"CKIMSH{i}")
+                if shape_card is not None:
+                    # mixed-shape layout: single row of array cells
+                    shape = tuple(
+                        int(v) for v in str(shape_card).split(",")
+                    )
+                    col = col.reshape(shape)
+                accum[name] = col
+            payload["accum"] = accum
         except IOError:
             payload["accum_count"] = 0
     accs = ckpt.meta.get("CKPTACCS")

@@ -239,6 +239,68 @@ class JointModel:
     def param_lens(self):
         return self.spec.param_lens
 
+    def save_posterior_images(self, sampler, output_name,
+                              database=None, filetypes=None):
+        """Write each band's five posterior-mean image products.
+
+        Maps the sampler's per-band carry accumulators (``b{i}_raw`` …)
+        to the reference image types exactly like the single-band
+        writer (IVM averaged as variance) and writes
+        ``<output_name>_b{i}_<type>.fits`` per band.  With a trace
+        ``database``, per-parameter posterior mean/std cards are added
+        under the FITS abbreviations.  Multi-process safe (primary-host
+        writes, like all product IO).
+        """
+        from ..analysis.images import (
+            default_filetypes,
+            write_image_products,
+        )
+        from ..database import annotate_metadata
+        from ..io import fits
+
+        accum = sampler.accumulated_images
+        n = sampler.accumulated_samples
+        if accum is None or n == 0:
+            raise ValueError(
+                "sampler has no accumulated images: run retained "
+                "sampling first"
+            )
+        filetypes = filetypes or default_filetypes
+        for i, bs in enumerate(self.spec.band_specs):
+            obs = np.asarray(bs.obs_data)
+            conv = accum[f"b{i}_conv"].astype(np.float64)
+            var = accum[f"b{i}_var"].astype(np.float64)
+            psc = accum[f"b{i}_ps_conv"].astype(np.float64)
+            images = {
+                "raw_model": accum[f"b{i}_raw"].astype(np.float64),
+                "convolved_model": conv,
+                "residual": obs - conv,
+                "composite_ivm": 1.0 / var,
+                "point_source_subtracted": obs - psc,
+            }
+            header = fits.Header()
+            header.set("MCBAND", i, "joint-fit band index")
+            header.set("MCACCUM", int(n), "posterior samples averaged")
+            if database is not None:
+                stats = {}
+                for name, abbr in zip(self.param_names,
+                                      self.param_fits_abbrs):
+                    col = np.asarray(database[name], np.float64)
+                    m, sd = np.mean(col, axis=0), np.std(col, axis=0)
+                    if np.ndim(m) == 0:
+                        stats[abbr] = f"{m:0.4g} +/- {sd:0.4g}"
+                    else:
+                        stats[abbr] = (
+                            "(" + ",".join(f"{v:0.4g}" for v in m)
+                            + ") +/- ("
+                            + ",".join(f"{v:0.4g}" for v in sd) + ")"
+                        )
+                for key, value in annotate_metadata(stats).items():
+                    header.set(key, value[0], value[1])
+            write_image_products(
+                f"{output_name}_b{i}", images, header, filetypes
+            )
+
     def init_params_from_priors(self, nwalkers, random_state=None,
                                 max_tries=1000):
         """Vectorized prior draws over the global layout (see

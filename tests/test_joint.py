@@ -192,6 +192,44 @@ def test_joint_fit_recovers_shared_structure_and_band_mags():
     assert all(np.all(np.isfinite(v)) for v in acc.values())
 
 
+def test_joint_nuts_runs():
+    """Gradient NUTS over the joint posterior (transforms built from
+    the JointSpec's global slots + all bands' comp_specs)."""
+    from psfmc_tpu.sampler.nuts import NUTSSampler
+
+    rng = np.random.RandomState(14)
+    host_a = _host()
+    bands = [
+        [_config(rng), Sky(adu=D.Normal(loc=0.05, scale=0.05)), host_a],
+        [_config(rng, noise=0.08), Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+         _tied_host(host_a)],
+    ]
+    joint = JointModel(bands)
+    nuts = NUTSSampler(
+        nwalkers=4,
+        dim=joint.num_params,
+        posterior_fns=joint.posterior_fns,
+        seed=15,
+        max_depth=4,
+    )
+    nuts.init_state(joint.init_params_from_priors(
+        32, random_state=np.random.RandomState(16)
+    ))
+    nuts.run_burn(5)
+    nuts.reset()
+    nuts.run_sampling(5)
+    assert nuts.chain.shape == (4, 5, joint.num_params)
+    assert np.all(np.isfinite(nuts.lnprobability))
+    # the axis-order constraint holds on every draw (dependent bound in
+    # the transform, keyed off the GLOBAL tied slots)
+    names = joint.param_names
+    off = dict(zip(names, np.cumsum([0] + joint.param_lens)))
+    flat = nuts.chain.reshape(-1, joint.num_params)
+    assert np.all(
+        flat[:, off["1_Sersic_reff_b"]] <= flat[:, off["1_Sersic_reff"]]
+    )
+
+
 def test_joint_database_roundtrip(tmp_path):
     from psfmc_tpu.database import load_database, save_database
 
@@ -199,7 +237,10 @@ def test_joint_database_roundtrip(tmp_path):
     host_a = _host()
     bands = [
         [_config(rng), Sky(adu=D.Normal(loc=0.05, scale=0.05)), host_a],
-        [_config(rng, noise=0.06), Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+        # different band shape: exercises the mixed-shape accumulator
+        # checkpoint layout and per-band image products
+        [_config(rng, h=20, w=20, noise=0.06),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)),
          _tied_host(host_a)],
     ]
     joint = JointModel(bands)
@@ -217,3 +258,27 @@ def test_joint_database_roundtrip(tmp_path):
     assert len(db) == nw * 10
     for name in joint.param_names:
         assert name in db.colnames
+
+    # per-band posterior image products
+    from psfmc_tpu.io import fits
+
+    joint.save_posterior_images(s, str(tmp_path / "out_j"), database=db)
+    for b, shape in ((0, (24, 24)), (1, (20, 20))):
+        for ftype in ("raw_model", "residual", "composite_ivm"):
+            p = str(tmp_path / f"out_j_b{b}_{ftype}.fits")
+            data = fits.getdata(p)
+            assert data.shape == shape
+            assert np.all(np.isfinite(data))
+    hdr = fits.getheader(str(tmp_path / "out_j_b1_raw_model.fits"))
+    assert hdr["MCBAND"] == 1
+    assert hdr["MCACCUM"] == nw * 10
+
+    # mixed-shape accumulators roundtrip through the checkpoint (the
+    # uniform-(H,W)-columns layout cannot hold them; they ride a
+    # single-row array-cell layout with shape cards)
+    from psfmc_tpu.database import load_checkpoint
+
+    ck = load_checkpoint(path)
+    for k, v in s.accumulated_images.items():
+        assert ck["accum"][k].shape == v.shape, k
+        np.testing.assert_allclose(ck["accum"][k], v, rtol=1e-6)

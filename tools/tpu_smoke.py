@@ -156,6 +156,79 @@ def smoke_longtail_priors():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_joint_multiband():
+    """Joint two-band posterior (tied structure, mixed shapes) on HW.
+
+    New composition to validate on hardware: two likelihood chains of
+    DIFFERENT image sizes summed inside one jitted scalar, vmapped over
+    walkers, scanned over steps.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models import JointModel, Tied
+    from psfmc_tpu.models.components import (
+        Configuration,
+        PointSource,
+        Sky,
+    )
+
+    apply_knobs({})
+    rng = np.random.RandomState(0)
+
+    def cfg(h, w, noise, sig):
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        psf = np.exp(
+            -((xx - w // 2) ** 2 + (yy - h // 2) ** 2) / (2 * sig**2)
+        )
+        psf /= psf.sum()
+        return Configuration(
+            obs_file=0.05 + rng.randn(h, w) * noise,
+            obsivm_file=np.full((h, w), 1 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full((h, w), 1e8),
+            mag_zeropoint=25.0,
+        )
+
+    t0 = time.time()
+    try:
+        ps_a = PointSource(
+            xy=D.Uniform(loc=(20.0, 20.0), scale=(24.0, 24.0)),
+            mag=D.Uniform(loc=20.5, scale=1.5),
+        )
+        ps_b = PointSource(
+            xy=Tied(ps_a, "xy"), mag=D.Uniform(loc=21.0, scale=1.5)
+        )
+        joint = JointModel([
+            [cfg(64, 64, 0.05, 1.5),
+             Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_a],
+            [cfg(48, 48, 0.08, 2.5),
+             Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_b],
+        ])
+        nw = 32
+        sampler = EnsembleSampler(
+            nw, joint.num_params, joint.posterior_fns, seed=0,
+            moves="mixed",
+        )
+        sampler.init_state(joint.init_params_from_priors(
+            nw, random_state=rng
+        ))
+        sampler.run_burn(10)
+        sampler.reset()
+        sampler.run_sampling(10)
+        device_sync(sampler.state.positions)
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        acc = sampler.accumulated_images
+        assert np.isfinite(lnp), lnp
+        assert acc["b0_raw"].shape == (64, 64)
+        assert acc["b1_raw"].shape == (48, 48)
+        assert all(np.all(np.isfinite(v)) for v in acc.values())
+        return dict(name="joint 2-band (tied, mixed shapes)", ok=True,
+                    lnp=lnp, warm_s=time.time() - t0)
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="joint 2-band (tied, mixed shapes)", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def main():
     print(f"# devices: {jax.devices()}", flush=True)
     t0 = time.time()
@@ -171,6 +244,10 @@ def main():
         print(f"## {r}", flush=True)
 
     r = smoke_longtail_priors()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_joint_multiband()
     results.append(r)
     print(f"## {r}", flush=True)
 
