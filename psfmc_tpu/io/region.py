@@ -138,6 +138,13 @@ def _polygon_inside(vertices, xg, yg):
     x1, y1 = vertices[:, 0], vertices[:, 1]
     x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
     for ax, ay, bx, by in zip(x1, y1, x2, y2):
+        # canonical endpoint order: the intersection formula is not
+        # FP-symmetric under (a, b) swap, so without this a pixel
+        # center within 1 ulp of an edge could flip when the vertex
+        # list is traversed in the opposite direction (hypothesis
+        # found such a triangle) — the mask must not depend on winding
+        if (ay, ax) > (by, bx):
+            ax, ay, bx, by = bx, by, ax, ay
         # does the horizontal ray at yg cross this edge?
         crosses = (ay > yg) != (by > yg)
         if not crosses.any():

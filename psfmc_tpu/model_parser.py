@@ -34,14 +34,20 @@ class _CollectBareExprs(ast.NodeTransformer):
     (the reference uses ``+= [...]``; append is equivalent and keeps the
     accumulator a plain list).
 
-    Module-level single-name assignments are ALSO appended
-    (``host = Sersic(...)`` adds ``host``): naming a component is how a
-    model file references it elsewhere — ``PointSource(xy=Tied(host,
-    'xy'))`` — and the reference would silently DROP an assigned
-    component.  Non-component values are filtered after exec, and the
-    collected list is de-duplicated by identity, so plain scalar
-    assignments (``total_mag = 20.7``) and the name-then-bare-expression
-    idiom both behave.
+    Assignments are deliberately NOT collected: auto-appending
+    ``host = Sersic(...)`` would silently change component membership
+    and ordering for existing model files (the parameter-vector layout
+    convention forbids silent changes).  To name a component — e.g. so
+    a tie can reference it, ``PointSource(xy=Tied(host, 'xy'))`` —
+    assign it AND mention it as a bare expression where it belongs::
+
+        host = Sersic(...)
+        host                        # <- adds it, at this position
+        PointSource(xy=Tied(host, 'xy'), mag=...)
+
+    The collected list is de-duplicated by identity (mentioning a name
+    twice is safe), and components that were assigned but never
+    mentioned trigger a loud warning after exec.
     """
 
     @staticmethod
@@ -60,19 +66,6 @@ class _CollectBareExprs(ast.NodeTransformer):
 
     def visit_Expr(self, node):
         return ast.copy_location(self._append_of(node.value), node)
-
-    def visit_Assign(self, node):
-        targets = node.targets
-        if len(targets) == 1 and isinstance(targets[0], ast.Name):
-            appender = ast.copy_location(
-                self._append_of(
-                    ast.Name(id=targets[0].id, ctx=ast.Load())
-                ),
-                node,
-            )
-            ast.fix_missing_locations(appender)
-            return [node, appender]
-        return node
 
 
 @contextlib.contextmanager
@@ -117,13 +110,9 @@ def component_list_from_string(source, filename="<model>", model_dir=""):
             value=ast.List(elts=[], ctx=ast.Load()),
         )
     )
-    body = []
-    transformer = _CollectBareExprs()
-    for node in tree.body:
-        new = transformer.visit(node)
-        # visit_Assign returns [assign, append] — flatten
-        body.extend(new if isinstance(new, list) else [new])
-    tree.body = header + body
+    tree.body = header + [
+        _CollectBareExprs().visit(node) for node in tree.body
+    ]
     ast.fix_missing_locations(tree)
 
     namespace = {}
@@ -136,6 +125,24 @@ def component_list_from_string(source, filename="<model>", model_dir=""):
         if isinstance(comp, ComponentBase) and id(comp) not in seen:
             seen.add(id(comp))
             out.append(comp)
+
+    # a component assigned to a name but never mentioned as a bare
+    # expression is NOT part of the model (reference semantics) — warn
+    # loudly, since silently dropping it is a classic footgun
+    orphans = [
+        name
+        for name, val in namespace.items()
+        if isinstance(val, ComponentBase) and id(val) not in seen
+    ]
+    if orphans:
+        import warnings
+
+        warnings.warn(
+            f"model file assigns component(s) {orphans} that are never "
+            "mentioned as bare expressions — they are NOT included in "
+            "the model.  Add the bare name on its own line where the "
+            "component belongs."
+        )
     return out
 
 

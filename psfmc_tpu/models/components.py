@@ -121,8 +121,25 @@ class ComponentBase:
             if isinstance(val, Tied):
                 # dereference: read the referenced component's current
                 # value (host-side convenience; the device posterior
-                # resolves ties to shared slots at spec build)
-                return getattr(val.component, val.attr)
+                # resolves ties to shared slots at spec build).
+                # Iterative with a cycle guard — a recursive getattr
+                # would hit RecursionError on a tie cycle instead of a
+                # clean error
+                seen = {(id(self), name)}
+                comp, attr = val.component, val.attr
+                while True:
+                    key = (id(comp), attr)
+                    if key in seen:
+                        raise ValueError(
+                            f"Tied cycle through "
+                            f"{type(comp).__name__}.{attr}"
+                        )
+                    seen.add(key)
+                    nxt = comp.__dict__.get("_constants", {}).get(attr)
+                    if isinstance(nxt, Tied):
+                        comp, attr = nxt.component, nxt.attr
+                        continue
+                    return getattr(comp, attr)
             return val
         raise AttributeError(name)
 

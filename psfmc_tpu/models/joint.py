@@ -83,7 +83,29 @@ def build_joint_specs(bands):
     for count, comp in enumerate(all_components):
         comp.update_stochastic_names(count=count)
 
+    # single-band convention names a stochastic PSF index the bare
+    # 'PSF_Index' (DB-column parity); with more than one stochastic
+    # selector in the joint layout that would collide and the name-keyed
+    # trace columns would silently overwrite each other — disambiguate
+    # per band
+    stoch_selectors = [
+        (bi, comps[-1])
+        for bi, comps in enumerate(band_lists)
+        if "psf_index" in comps[-1]._priors
+    ]
+    if len(stoch_selectors) > 1:
+        for bi, sel in stoch_selectors:
+            prior = sel._priors["psf_index"]
+            prior.name = f"B{bi}_PSF_Index"
+            prior.fitsname = f"B{bi}PSFIX"
+
     slots, slot_map, num_params = build_param_slots(all_components)
+    names = [s.name for s in slots]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate parameter names in the joint layout: {dupes}"
+        )
 
     band_specs = []
     all_comp_specs = []
@@ -108,7 +130,17 @@ def build_joint_specs(bands):
                 num_psfs=len(config.psf_selector.psf_list),
             )
         )
-    return band_specs, slots, num_params, all_comp_specs
+    # unique components in global order (shared instances once) — the
+    # SAME list the slot layout was built from, so prior-draw columns
+    # cannot misalign with it
+    unique_components = []
+    seen = set()
+    for comp in all_components:
+        if id(comp) not in seen:
+            seen.add(id(comp))
+            unique_components.append(comp)
+    return (band_specs, slots, num_params, all_comp_specs,
+            unique_components)
 
 
 class JointSpec:
@@ -181,6 +213,20 @@ class JointPosteriorFns:
         )
         self.batched_lnpost = jax.jit(jax.vmap(log_posterior))
 
+    def ensemble_carry_means(self, thetas):
+        """Walker-mean carry images per band, linearity-exploited.
+
+        Delegates to each band's ``ensemble_carry_means`` (convolve the
+        walker-mean renders once per PSF instead of per walker — the
+        accumulation shortcut the single-band headline depends on) and
+        prefixes the keys ``b{i}_``.
+        """
+        out = {}
+        for i, f in enumerate(self.band_fns):
+            for k, v in f.ensemble_carry_means(thetas).items():
+                out[f"b{i}_{k}"] = v
+        return out
+
     def render_images(self, theta):
         """Per-band reference image dicts, keyed ``b{i}_<type>``."""
         from .posterior import carry_to_reference_images
@@ -205,23 +251,11 @@ class JointModel:
     """
 
     def __init__(self, bands, dtype=jnp.float32):
-        band_specs, slots, num_params, all_cs = build_joint_specs(bands)
+        (band_specs, slots, num_params, all_cs,
+         components) = build_joint_specs(bands)
         self.spec = JointSpec(band_specs, slots, num_params, all_cs)
         self.posterior_fns = JointPosteriorFns(self.spec, dtype=dtype)
-        # unique components in global order (shared instances once) for
-        # prior draws
-        self._components = []
-        seen = set()
-        for comps in bands:
-            comps = list(comps)
-            cfgs = [c for c in comps if isinstance(c, Configuration)]
-            ordered = [
-                c for c in comps if not isinstance(c, Configuration)
-            ] + [cfgs[0].psf_selector]
-            for c in ordered:
-                if id(c) not in seen:
-                    seen.add(id(c))
-                    self._components.append(c)
+        self._components = components
 
     @property
     def num_params(self):
@@ -245,11 +279,18 @@ class JointModel:
 
         Maps the sampler's per-band carry accumulators (``b{i}_raw`` …)
         to the reference image types exactly like the single-band
-        writer (IVM averaged as variance) and writes
+        writer (IVM averaged as variance, via the shared
+        ``carry_to_reference_images`` rule) and writes
         ``<output_name>_b{i}_<type>.fits`` per band.  With a trace
         ``database``, per-parameter posterior mean/std cards are added
         under the FITS abbreviations.  Multi-process safe (primary-host
         writes, like all product IO).
+
+        Caveat vs the single-band writer: the accumulators average
+        EVERY walker's retained states — the stuck-walker filter +
+        replay path (analysis.images) is single-band only, so inspect
+        ``sampler.acceptance_fraction`` / per-walker lnp before
+        trusting products from a run with stranded walkers.
         """
         from ..analysis.images import (
             default_filetypes,
@@ -257,6 +298,7 @@ class JointModel:
         )
         from ..database import annotate_metadata
         from ..io import fits
+        from .posterior import carry_to_reference_images
 
         accum = sampler.accumulated_images
         n = sampler.accumulated_samples
@@ -268,16 +310,11 @@ class JointModel:
         filetypes = filetypes or default_filetypes
         for i, bs in enumerate(self.spec.band_specs):
             obs = np.asarray(bs.obs_data)
-            conv = accum[f"b{i}_conv"].astype(np.float64)
-            var = accum[f"b{i}_var"].astype(np.float64)
-            psc = accum[f"b{i}_ps_conv"].astype(np.float64)
-            images = {
-                "raw_model": accum[f"b{i}_raw"].astype(np.float64),
-                "convolved_model": conv,
-                "residual": obs - conv,
-                "composite_ivm": 1.0 / var,
-                "point_source_subtracted": obs - psc,
+            carries = {
+                k: accum[f"b{i}_{k}"].astype(np.float64)
+                for k in ("raw", "conv", "var", "ps_conv")
             }
+            images = carry_to_reference_images(carries, obs)
             header = fits.Header()
             header.set("MCBAND", i, "joint-fit band index")
             header.set("MCACCUM", int(n), "posterior samples averaged")

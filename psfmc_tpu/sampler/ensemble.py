@@ -159,6 +159,37 @@ def _stretch_half(key, active_pos, active_lnp, comp_pos, lnpost_batch, a, dim,
     return new_pos, new_lnp, accept.astype(jnp.int32)
 
 
+def fresh_image_accumulators(images_fn, example_theta, image_shape,
+                             accum_dtype):
+    """Zero accumulators keyed AND shaped by a shape-only trace.
+
+    Joint multi-band posteriors carry per-band images of different
+    shapes, so shapes come from ``jax.eval_shape`` per key, never one
+    assumed (H, W).  The legacy ``image_shape`` override forces a
+    single shape and is rejected when the carries are mixed-shape.
+    Every raw-image key (``raw`` or ``*_raw``) gets a Welford M2
+    companion (``<key>_m2``) for the per-pixel posterior-std product.
+    Leaves are HOST numpy: pjit replicates them onto whatever mesh the
+    phase program runs over (committed single-device arrays would be an
+    incompatible-devices error on a multi-host mesh).
+    """
+    shapes = {
+        k: tuple(s.shape)
+        for k, s in jax.eval_shape(images_fn, example_theta).items()
+    }
+    if image_shape:
+        if len(set(shapes.values())) > 1:
+            raise ValueError(
+                "image_shape override is ambiguous for a posterior with "
+                f"mixed carry-image shapes {sorted(set(shapes.values()))}"
+            )
+        shapes = {k: tuple(image_shape) for k in shapes}
+    for k in [k for k in shapes if k == "raw" or k.endswith("_raw")]:
+        shapes[k + "_m2"] = shapes[k]
+    dt = np.dtype(accum_dtype)
+    return {k: np.zeros(s, dt) for k, s in shapes.items()}
+
+
 def ensemble_image_means(images_fn, ensemble_means_fn, positions):
     """Mean carry images over the ensemble's current positions.
 
@@ -177,8 +208,11 @@ def ensemble_image_means(images_fn, ensemble_means_fn, positions):
         return ensemble_means_fn(positions)
     imgs = jax.vmap(images_fn)(positions)
     out = {k: jnp.mean(v, axis=0) for k, v in imgs.items()}
-    if "raw" in imgs:
-        out["raw_m2"] = jnp.sum((imgs["raw"] - out["raw"][None]) ** 2, axis=0)
+    for k in list(imgs):
+        if k == "raw" or k.endswith("_raw"):
+            out[k + "_m2"] = jnp.sum(
+                (imgs[k] - out[k][None]) ** 2, axis=0
+            )
     return out
 
 
@@ -198,17 +232,18 @@ def merge_image_accumulators(accum, count, means, nbatch):
     count_new = count + nbatch
     out = {}
     for k, v in accum.items():
-        if k == "raw_m2":
+        if k.endswith("raw_m2"):
             continue
         dt = v.dtype
         out[k] = v + nbatch * (means[k].astype(dt) - v) / count_new.astype(dt)
-    if "raw_m2" in accum:
-        dt = accum["raw_m2"].dtype
-        delta = means["raw"].astype(dt) - accum["raw"]  # vs the OLD mean
+    for k, v in accum.items():
+        if not k.endswith("raw_m2"):
+            continue
+        base = k[: -len("_m2")]  # 'raw' / 'b0_raw' (joint multi-band)
+        dt = v.dtype
+        delta = means[base].astype(dt) - accum[base]  # vs the OLD mean
         ratio = (count.astype(dt) * nbatch) / count_new.astype(dt)
-        out["raw_m2"] = (
-            accum["raw_m2"] + means["raw_m2"].astype(dt) + delta * delta * ratio
-        )
+        out[k] = v + means[k].astype(dt) + delta * delta * ratio
     return out, count_new
 
 
@@ -518,31 +553,11 @@ class EnsembleSampler:
         if key is None:
             self._key, key = jax.random.split(self._key)
         lnp = self._batched_lnpost()(p0)
-        # accumulator keys AND shapes discovered from a shape-only trace
-        # (no compute) — joint multi-band posteriors carry per-band
-        # images whose shapes may differ, so never assume one (h, w)
-        img_shapes = {
-            k: (
-                self.image_shape
-                if self.image_shape
-                else tuple(s.shape)
-            )
-            for k, s in jax.eval_shape(self._images_fn(), p0[0]).items()
-        }
-        if "raw" in img_shapes:
-            # Welford M2 of the raw image (per-pixel posterior std
-            # product) — produced by ensemble_image_means, not by the
-            # per-theta images_fn
-            img_shapes["raw_m2"] = img_shapes["raw"]
-        # Fresh small leaves are HOST numpy: pjit replicates them onto
-        # whatever mesh the phase program runs over (including a multi-
-        # host one, where a committed single-device jnp array would be
-        # an incompatible-devices error); after the first segment they
-        # come back as properly laid-out global device arrays.
-        accum = {
-            k: np.zeros(shp, np.dtype(self.accum_dtype))
-            for k, shp in img_shapes.items()
-        }
+        # keys + shapes from a shape-only trace; M2 buffers per raw key
+        # (see fresh_image_accumulators — shared by every sampler)
+        accum = fresh_image_accumulators(
+            self._images_fn(), p0[0], self.image_shape, self.accum_dtype
+        )
         self.state = EnsembleState(
             positions=p0,
             log_prob=lnp,

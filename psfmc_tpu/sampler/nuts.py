@@ -468,15 +468,12 @@ class NUTSSampler:
         if key is None:
             self._key, key = jax.random.split(self._key)
         u0, g0 = jax.vmap(self._u_vg)(z0)
-        h, w = self.image_shape if self.image_shape else self.fns.spec.shape
-        img_keys = list(jax.eval_shape(self._images_fn(), jnp.zeros(
-            self.dim, self.fns.dtype
-        )).keys())
-        if "raw" in img_keys:
-            img_keys.append("raw_m2")  # Welford M2 (see EnsembleSampler)
+        from .ensemble import fresh_image_accumulators
+
         dt = np.dtype(self.fns.dtype)
         # fresh small leaves are HOST numpy (multi-process placement;
-        # see EnsembleSampler.init_state)
+        # see EnsembleSampler.init_state); accumulator keys + per-key
+        # shapes from a shape-only trace (joint posteriors mix shapes)
         self.state = {
             "z": z0,
             "u": u0,
@@ -484,10 +481,12 @@ class NUTSSampler:
             "key": _fetch(key),
             "eps": np.asarray(0.1 / max(self.zdim, 1) ** 0.25, dt),
             "inv_mass": np.ones(self.zdim, dt),
-            "accum": {
-                k: np.zeros((h, w), np.dtype(self.accum_dtype))
-                for k in img_keys
-            },
+            "accum": fresh_image_accumulators(
+                self._images_fn(),
+                jnp.zeros(self.dim, self.fns.dtype),
+                self.image_shape,
+                self.accum_dtype,
+            ),
             "accum_count": np.int32(0),
         }
         return self.state

@@ -664,15 +664,15 @@ class PTEnsembleSampler(EnsembleSampler):
         flat = p0.reshape(self.ntemps * self.nwalkers, self.dim)
         lnl = like_b(flat).reshape(self.ntemps, self.nwalkers)
         lnp = prior_b(flat).reshape(self.ntemps, self.nwalkers)
-        h, w = self.image_shape if self.image_shape else self.fns.spec.shape
-        img_keys = list(jax.eval_shape(self._images_fn(), p0[0, 0]).keys())
-        if "raw" in img_keys:
-            img_keys.append("raw_m2")  # Welford M2 (see EnsembleSampler)
+        from .ensemble import fresh_image_accumulators
+
         # fresh small leaves are HOST numpy (multi-process placement;
-        # see EnsembleSampler.init_state)
-        accum = {
-            k: np.zeros((h, w), np.dtype(self.accum_dtype)) for k in img_keys
-        }
+        # see EnsembleSampler.init_state); accumulator keys + per-key
+        # shapes from a shape-only trace (joint posteriors mix shapes)
+        accum = fresh_image_accumulators(
+            self._images_fn(), p0[0, 0], self.image_shape,
+            self.accum_dtype,
+        )
         # evidence accumulators match the COMPUTED lnL dtype: under x64
         # the priors' numpy-f64 hyperparameters promote lnL to f64 even
         # for an f32 posterior, and the scan carry must stay invariant

@@ -201,7 +201,9 @@ def test_joint_nuts_runs():
     host_a = _host()
     bands = [
         [_config(rng), Sky(adu=D.Normal(loc=0.05, scale=0.05)), host_a],
-        [_config(rng, noise=0.08), Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+        # mixed band shapes: NUTS accumulators must size per key
+        [_config(rng, h=20, w=20, noise=0.08),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)),
          _tied_host(host_a)],
     ]
     joint = JointModel(bands)
@@ -228,6 +230,50 @@ def test_joint_nuts_runs():
     assert np.all(
         flat[:, off["1_Sersic_reff_b"]] <= flat[:, off["1_Sersic_reff"]]
     )
+
+
+def test_joint_multipsf_index_names_unique():
+    """Two bands each with a stochastic PSF index: the single-band
+    'PSF_Index' name would collide (and silently overwrite name-keyed
+    trace columns) — joint layouts disambiguate per band."""
+    rng = np.random.RandomState(20)
+    h = w = 24
+    yy, xx = np.mgrid[0:12, 0:12].astype(float)
+    p1 = np.exp(-((xx - 6) ** 2 + (yy - 6) ** 2) / (2 * 1.0**2))
+    p2 = np.exp(-((xx - 6) ** 2 + (yy - 6) ** 2) / (2 * 2.5**2))
+    p1 /= p1.sum()
+    p2 /= p2.sum()
+
+    def cfg(noise):
+        return Configuration(
+            obs_file=0.05 + rng.randn(h, w) * noise,
+            obsivm_file=np.full((h, w), 1.0 / noise**2),
+            psf_files=[p1, p2],
+            psfivm_files=[np.ones_like(p1) * 1e8] * 2,
+            mag_zeropoint=25.0,
+        )
+
+    ps_a = PointSource(
+        xy=D.Uniform(loc=np.array([9.0, 9.0]), scale=np.array([6.0, 6.0])),
+        mag=D.Uniform(loc=20.5, scale=1.5),
+    )
+    ps_b = PointSource(xy=Tied(ps_a, "xy"),
+                       mag=D.Uniform(loc=21.0, scale=1.5))
+    joint = JointModel([
+        [cfg(0.05), Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_a],
+        [cfg(0.08), Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_b],
+    ])
+    names = joint.param_names
+    assert "B0_PSF_Index" in names and "B1_PSF_Index" in names
+    assert "PSF_Index" not in names
+    assert len(set(names)) == len(names)
+    th = joint.init_params_from_priors(
+        4, random_state=np.random.RandomState(21)
+    )
+    lnp = np.asarray(
+        jax.vmap(joint.posterior_fns.log_posterior)(jnp.asarray(th))
+    )
+    assert np.all(np.isfinite(lnp))
 
 
 def test_joint_database_roundtrip(tmp_path):

@@ -168,7 +168,8 @@ PointSource(xy=Tied(host, 'xy'), mag=Uniform(loc=20.2, scale=1.5))
 """
     comps = component_list_from_string(src, model_dir=str(tmp_path))
     kinds = [type(c).__name__ for c in comps]
-    # the assigned host appears exactly ONCE despite name + bare-expr
+    # the assigned host joins at its BARE-EXPRESSION position (assigning
+    # alone does not add it — reference ordering semantics), exactly once
     assert kinds == ["Configuration", "Sky", "Sersic", "PointSource"]
     assert all(isinstance(c, ComponentBase) for c in comps)
     spec = build_model_spec(comps)
@@ -181,6 +182,23 @@ PointSource(xy=Tied(host, 'xy'), mag=Uniform(loc=20.2, scale=1.5))
     )
     lnp = np.asarray(jax.vmap(fns.log_posterior)(jnp.asarray(theta)))
     assert np.all(np.isfinite(lnp))
+
+    # a component assigned but never mentioned is DROPPED with a warning
+    src_orphan = src.replace("host\nPointSource", "PointSource")
+    with pytest.warns(UserWarning, match="never.*mentioned"):
+        comps2 = component_list_from_string(
+            src_orphan, model_dir=str(tmp_path)
+        )
+    assert [type(c).__name__ for c in comps2] == [
+        "Configuration", "Sky", "PointSource",
+    ]
+
+    # host-side Tied cycle dereference raises cleanly, not RecursionError
+    a = PointSource(xy=None, mag=D.Uniform(loc=21.0, scale=1.0))
+    b = PointSource(xy=Tied(a, "xy"), mag=D.Uniform(loc=21.0, scale=1.0))
+    a.xy = Tied(b, "xy")
+    with pytest.raises(ValueError, match="cycle"):
+        _ = a.xy
 
 
 def test_tied_fit_recovers_cocentered_source():
