@@ -273,6 +273,37 @@ class JointModel:
     def param_lens(self):
         return self.spec.param_lens
 
+    def simulate(self, theta=None, random_state=None, add_noise=True):
+        """Mock observation per band: convolved model + Gaussian noise.
+
+        The joint-fit injection step (multi-band completeness sims) —
+        same semantics as ``MultiComponentModel.simulate`` per band,
+        all bands at ONE shared parameter vector.
+
+        :returns: ``(mocks, theta)`` — a list of (H_b, W_b) float64
+            images (one per band) and the (num_params,) vector that
+            generated them.
+        """
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        if theta is None:
+            theta = self.init_params_from_priors(1, random_state=rng)[0]
+        theta = np.asarray(theta, np.float64)
+        th = jnp.asarray(theta, self.posterior_fns.dtype)
+        mocks = []
+        for bs, f in zip(self.spec.band_specs,
+                         self.posterior_fns.band_fns):
+            conv = np.asarray(f._images_impl(th)["conv"], np.float64)
+            if add_noise:
+                var = np.asarray(bs.obs_var, np.float64)
+                sigma = np.where(np.isfinite(var), np.sqrt(var), 0.0)
+                conv = conv + rng.randn(*conv.shape) * sigma
+            mocks.append(conv)
+        return mocks, theta
+
     def save_posterior_images(self, sampler, output_name,
                               database=None, filetypes=None):
         """Write each band's five posterior-mean image products.

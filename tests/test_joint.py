@@ -232,6 +232,30 @@ def test_joint_nuts_runs():
     )
 
 
+def test_joint_simulate():
+    """Per-band mocks at one shared parameter vector."""
+    rng = np.random.RandomState(17)
+    host_a = _host()
+    joint = JointModel([
+        [_config(rng), Sky(adu=D.Normal(loc=0.05, scale=0.05)), host_a],
+        [_config(rng, h=16, w=16, noise=0.08),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)), _tied_host(host_a)],
+    ])
+    mocks, theta = joint.simulate(random_state=18)
+    assert len(mocks) == 2
+    assert mocks[0].shape == (24, 24) and mocks[1].shape == (16, 16)
+    assert theta.shape == (joint.num_params,)
+    # deterministic; noiseless == the band's convolved render
+    mocks2, theta2 = joint.simulate(random_state=18)
+    assert np.array_equal(theta, theta2)
+    assert all(np.array_equal(a, b) for a, b in zip(mocks, mocks2))
+    clean, _ = joint.simulate(theta=theta, add_noise=False)
+    th = jnp.asarray(theta, jnp.float32)
+    for f, img in zip(joint.posterior_fns.band_fns, clean):
+        conv = np.asarray(f._images_impl(th)["conv"], np.float64)
+        np.testing.assert_allclose(img, conv)
+
+
 def test_joint_multipsf_index_names_unique():
     """Two bands each with a stochastic PSF index: the single-band
     'PSF_Index' name would collide (and silently overwrite name-keyed
