@@ -20,10 +20,11 @@ import numpy as np
 # integrated autocorrelation time of ~180 steps, so retained chains
 # must be well past 10x that to pass the convergence check; the mixed
 # stretch+DE proposals cut the degeneracy's autocorrelation further.
+# Env-tunable for quick smokes (BURN=100 ITERATIONS=100 CHAINS=50).
 MC_ARGS = {
-    "burn": 1000,
-    "iterations": 2000,
-    "chains": 250,
+    "burn": int(os.environ.get("BURN", "1000")),
+    "iterations": int(os.environ.get("ITERATIONS", "2000")),
+    "chains": int(os.environ.get("CHAINS", "250")),
     "moves": "mixed",
 }
 
