@@ -272,6 +272,45 @@ def test_joint_parallel_tempering_and_evidence():
     assert np.isfinite(lnz) and err >= 0.0
 
 
+def test_joint_map_fit():
+    """Gradient MAP on the joint posterior finds the injected source."""
+    from psfmc_tpu.optimize import fit_map
+
+    rng = np.random.RandomState(25)
+    ps_a = PointSource(
+        xy=D.Uniform(loc=np.array([9.0, 9.0]), scale=np.array([6.0, 6.0])),
+        mag=D.Uniform(loc=20.5, scale=1.5),
+    )
+    ps_b = PointSource(xy=Tied(ps_a, "xy"),
+                       mag=D.Uniform(loc=21.0, scale=1.5))
+    joint = JointModel([
+        [_config(rng), Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_a],
+        [_config(rng, h=16, w=16, noise=0.08),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_b],
+    ])
+    names = joint.param_names
+    off = dict(zip(names, np.cumsum([0] + joint.param_lens)))
+    truth = joint.init_params_from_priors(
+        1, random_state=np.random.RandomState(26)
+    )[0]
+    truth[off["1_PointSource_xy"]:off["1_PointSource_xy"] + 2] = [11.2, 9.7]
+    truth[off["1_PointSource_mag"]] = 21.2
+    truth[off["4_PointSource_mag"]] = 21.9
+    mocks, _ = joint.simulate(theta=truth, random_state=27)
+    for f, mock in zip(joint.posterior_fns.band_fns, mocks):
+        f.constants["obs_data"] = np.asarray(mock, np.float32)
+
+    res = fit_map(joint.posterior_fns, n_starts=16, steps=300, seed=28)
+    assert np.isfinite(res.lnpost)
+    got = res.theta
+    assert abs(got[off["1_PointSource_mag"]] - 21.2) < 0.1
+    assert abs(got[off["4_PointSource_mag"]] - 21.9) < 0.15
+    assert np.all(
+        np.abs(got[off["1_PointSource_xy"]:off["1_PointSource_xy"] + 2]
+               - [11.2, 9.7]) < 0.3
+    )
+
+
 def test_joint_simulate():
     """Per-band mocks at one shared parameter vector."""
     rng = np.random.RandomState(17)
