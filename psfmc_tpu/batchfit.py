@@ -114,8 +114,11 @@ class BatchFitResult:
 def _as_model(model):
     from .models.multicomponent import MultiComponentModel
 
-    if isinstance(model, MultiComponentModel):
-        return model
+    if isinstance(model, MultiComponentModel) or (
+        hasattr(model, "posterior_fns")
+        and hasattr(model, "init_params_from_priors")
+    ):
+        return model  # MultiComponentModel or JointModel (duck-typed)
     # component list or model-file path
     return MultiComponentModel(model)
 
@@ -155,14 +158,48 @@ def prepare_obs_stack(spec, obs_stack, ivm_stack, dtype=np.float32):
     }
 
 
+def _lnpost_obs_for(fns):
+    """theta, traced-obs-dict -> lnpost; single-band or joint.
+
+    Joint posteriors (``band_fns`` attribute) take a FLAT obs dict with
+    ``b{i}_``-prefixed keys (one data plane per band): the global slot
+    prior evaluates once, each band adds its own constraints +
+    likelihood — the same decomposition the baked-constant joint
+    posterior uses.
+    """
+    band_fns = getattr(fns, "band_fns", None)
+    if band_fns is None:
+        return fns.log_posterior_obs
+
+    from .models.posterior import make_log_prior
+
+    slot_prior = make_log_prior(fns.spec.slots, [], fns.dtype)
+
+    def lnpost_obs(theta, obs):
+        theta = jnp.asarray(theta, fns.dtype)
+        lp = slot_prior(theta)
+        tot = lp
+        for i, f in enumerate(band_fns):
+            ob = {
+                key: obs[f"b{i}_{key}"]
+                for key in ("obs_data", "obs_var", "good_px")
+            }
+            tot = tot + f.log_posterior_obs(theta, ob)
+        out = jnp.where(jnp.isfinite(lp), tot, -jnp.inf)
+        return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+    return lnpost_obs
+
+
 def _make_single_fit(
     fns, nwalkers, dim, burn, iterations, a, moves, de_gamma0, record_every
 ):
     """Pure (key, p0, obs) -> result pytree for ONE target's full fit."""
     half = nwalkers // 2
+    lnpost_obs = _lnpost_obs_for(fns)
 
     def lnpost_batch(thetas, obs):
-        out = jax.vmap(lambda th: fns.log_posterior_obs(th, obs))(thetas)
+        out = jax.vmap(lambda th: lnpost_obs(th, obs))(thetas)
         # pin the compute dtype: under x64 (tests) the prior term can
         # promote to f64, which would mismatch the f32 scan carry
         return out.astype(fns.dtype)
@@ -319,8 +356,38 @@ def fit_batch(
             f"record_every={record_every}"
         )
 
-    obs = prepare_obs_stack(spec, obs_stack, ivm_stack, np.dtype(fns.dtype))
-    k_real = obs["obs_data"].shape[0]
+    band_specs = getattr(spec, "band_specs", None)
+    if band_specs is None:
+        obs = prepare_obs_stack(
+            spec, obs_stack, ivm_stack, np.dtype(fns.dtype)
+        )
+        k_real = obs["obs_data"].shape[0]
+    else:
+        # joint model: one (K, H_b, W_b) stack per band, flattened into
+        # b{i}_-prefixed keys so the chunk/shard plumbing is unchanged
+        if len(obs_stack) != len(band_specs) or len(ivm_stack) != len(
+            band_specs
+        ):
+            raise ValueError(
+                f"joint fit_batch needs one obs/ivm stack per band "
+                f"({len(band_specs)}), got {len(obs_stack)}/"
+                f"{len(ivm_stack)}"
+            )
+        obs = {}
+        k_real = None
+        for i, (bs, ob, iv) in enumerate(
+            zip(band_specs, obs_stack, ivm_stack)
+        ):
+            d = prepare_obs_stack(bs, ob, iv, np.dtype(fns.dtype))
+            k = d["obs_data"].shape[0]
+            if k_real is None:
+                k_real = k
+            elif k != k_real:
+                raise ValueError(
+                    f"bands disagree on target count: {k_real} vs {k}"
+                )
+            for key, v in d.items():
+                obs[f"b{i}_{key}"] = v
 
     # chunking: every chunk runs the SAME compiled program shape.  The
     # per-chunk target count is padded to a mesh multiple (each device
@@ -560,13 +627,31 @@ def simulate_stack(model, n_mocks, seed=0, thetas=None, add_noise=True):
         raise ValueError(
             f"thetas shape {thetas.shape} != ({n_mocks}, {spec.num_params})"
         )
+
+    def _mock_band(conv_batch, var):
+        obs = np.asarray(conv_batch, np.float64)
+        if add_noise:
+            sigma = np.where(np.isfinite(var), np.sqrt(var), 0.0)
+            obs = obs + rng.randn(*obs.shape) * sigma[None]
+        with np.errstate(divide="ignore"):
+            ivm = np.where(np.isfinite(var) & (var > 0), 1.0 / var, 0.0)
+        return obs, np.broadcast_to(ivm, obs.shape).copy()
+
+    band_specs = getattr(spec, "band_specs", None)
+    if band_specs is not None:
+        # joint model: one mock stack per band at the SAME thetas
+        fns = model.posterior_fns
+        th = jnp.asarray(thetas, fns.dtype)
+        obs_list, ivm_list = [], []
+        for bs, f in zip(band_specs, fns.band_fns):
+            conv = np.asarray(
+                jax.vmap(lambda t, _f=f: _f._images_impl(t)["conv"])(th)
+            )
+            ob, iv = _mock_band(conv, np.asarray(bs.obs_var, np.float64))
+            obs_list.append(ob)
+            ivm_list.append(iv)
+        return obs_list, ivm_list, thetas
+
     conv = model.render_images_batch(thetas)["convolved_model"]
-    obs = np.asarray(conv, np.float64)
-    var = np.asarray(spec.obs_var, np.float64)
-    if add_noise:
-        sigma = np.where(np.isfinite(var), np.sqrt(var), 0.0)
-        obs = obs + rng.randn(*obs.shape) * sigma[None]
-    with np.errstate(divide="ignore"):
-        ivm = np.where(np.isfinite(var) & (var > 0), 1.0 / var, 0.0)
-    ivm_stack = np.broadcast_to(ivm, obs.shape).copy()
+    obs, ivm_stack = _mock_band(conv, np.asarray(spec.obs_var, np.float64))
     return obs, ivm_stack, thetas

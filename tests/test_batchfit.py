@@ -309,6 +309,83 @@ def test_completeness_fraction():
         completeness_fraction(res, injected, "nope")
 
 
+def test_fit_batch_joint_model():
+    """Multi-band completeness sims: K joint fits in one program."""
+    from psfmc_tpu.models import JointModel, Sersic, Tied
+
+    rng = np.random.RandomState(40)
+
+    def cfg(h, w, noise, sig):
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        psf = np.exp(
+            -((xx - w // 2) ** 2 + (yy - h // 2) ** 2) / (2 * sig**2)
+        )
+        psf /= psf.sum()
+        return Configuration(
+            obs_file=0.05 + rng.randn(h, w) * noise,
+            obsivm_file=np.full((h, w), 1.0 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full((h, w), 1e8),
+            mag_zeropoint=25.0,
+        )
+
+    ps_a = PointSource(
+        xy=D.Uniform(loc=np.array([9.0, 9.0]), scale=np.array([6.0, 6.0])),
+        mag=D.Uniform(loc=21.0, scale=1.0),
+    )
+    ps_b = PointSource(xy=Tied(ps_a, "xy"),
+                       mag=D.Uniform(loc=21.5, scale=1.0))
+    joint = JointModel([
+        [cfg(24, 24, 0.05, 1.2),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_a],
+        [cfg(16, 16, 0.08, 2.0),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_b],
+    ])
+    obs_list, ivm_list, injected = simulate_stack(joint, 3, seed=41)
+    assert len(obs_list) == 2
+    assert obs_list[0].shape == (3, 24, 24)
+    assert obs_list[1].shape == (3, 16, 16)
+
+    # mixed moves + generous burn: joint razor posteriors mix slowly
+    # once the minimal-size ensemble contracts (CLAUDE.md joint gotcha;
+    # a 300-step stretch-only burn left ~1 in 4 targets at 19 sigma)
+    res = fit_batch(joint, obs_list, ivm_list, burn=600, iterations=300,
+                    seed=42, moves="mixed")
+    assert res.num_targets == 3
+    assert res.mean.shape == (3, joint.num_params)
+    assert np.all(np.isfinite(res.map_lnp))
+    pulls = res.pulls(injected)
+    assert np.all(np.abs(pulls) < 6.0), (joint.param_names, pulls)
+
+    # band-count mismatch is rejected
+    with pytest.raises(ValueError, match="per band"):
+        fit_batch(joint, obs_list[:1], ivm_list, burn=5, iterations=5)
+
+    # exactness anchor: the traced-obs joint lnpost at the template
+    # observation equals the baked joint lnpost
+    from psfmc_tpu.batchfit import _lnpost_obs_for
+
+    lnpost_obs = _lnpost_obs_for(joint.posterior_fns)
+    obs_flat = {}
+    for i, bs in enumerate(joint.spec.band_specs):
+        with np.errstate(divide="ignore"):
+            ivm = np.where(
+                np.isfinite(bs.obs_var) & (bs.obs_var > 0),
+                1.0 / bs.obs_var, 0.0,
+            )
+        d = prepare_obs_stack(bs, np.asarray(bs.obs_data)[None],
+                              ivm[None])
+        for key, v in d.items():
+            obs_flat[f"b{i}_{key}"] = jnp.asarray(v[0])
+    th = joint.init_params_from_priors(
+        4, random_state=np.random.RandomState(43)
+    )
+    for t in th:
+        want = float(joint.posterior_fns.log_posterior(jnp.asarray(t)))
+        got = float(lnpost_obs(jnp.asarray(t), obs_flat))
+        assert np.isclose(want, got, rtol=1e-6, atol=1e-4), (want, got)
+
+
 def test_fit_batch_psrf_requires_chains():
     model = _model(np.random.RandomState(15))
     obs, ivm, _ = simulate_stack(model, 1, seed=16)
