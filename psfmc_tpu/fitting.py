@@ -281,7 +281,14 @@ def model_galaxy_mcmc(
         output_name = "out_" + os.path.basename(name).replace(".py", "")
     output_name += "_{}"
 
-    mc_model = MultiComponentModel(components=model_file)
+    if hasattr(model_file, "posterior_fns"):
+        # prepared model object: MultiComponentModel or JointModel —
+        # the whole driver (phases, convergence retries, checkpoints,
+        # DB) is model-agnostic; only the image products branch below
+        mc_model = model_file
+    else:
+        mc_model = MultiComponentModel(components=model_file)
+    is_joint = hasattr(mc_model.posterior_fns, "band_fns")
 
     sampler_name = sampler
     if chains is None:
@@ -427,9 +434,31 @@ def model_galaxy_mcmc(
             checkpoint_interval=checkpoint_interval,
         )
 
-    save_posterior_images(
-        mc_model, database, output_name=output_name, filetypes=write_fits
-    )
+    if is_joint:
+        # joint multi-band products: one set of the five image types
+        # per band, from the sampler's per-band accumulators
+        if sampler.accumulated_samples == 0:
+            ckpt = load_checkpoint(db_name)
+            if ckpt is not None and ckpt.get("accum"):
+                sampler.restore_state(ckpt)
+        if sampler.accumulated_samples > 0:
+            mc_model.save_posterior_images(
+                sampler,
+                output_name[: -len("_{}")],
+                database=database,
+                filetypes=write_fits,
+            )
+        else:
+            warn(
+                "no accumulated images available for the joint model "
+                "(no retained sampling ran and the checkpoint has no "
+                "accumulators); skipping image products"
+            )
+    else:
+        save_posterior_images(
+            mc_model, database, output_name=output_name,
+            filetypes=write_fits,
+        )
     return database
 
 

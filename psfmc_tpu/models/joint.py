@@ -273,6 +273,11 @@ class JointModel:
     def param_lens(self):
         return self.spec.param_lens
 
+    def set_accumulated_from_sampler(self, sampler):
+        """Driver hook: the joint image writer reads the sampler's
+        per-band accumulators directly, so only the count is kept."""
+        self.accumulated_samples = sampler.accumulated_samples
+
     def simulate(self, theta=None, random_state=None, add_noise=True):
         """Mock observation per band: convolved model + Gaussian noise.
 

@@ -311,6 +311,47 @@ def test_joint_map_fit():
     )
 
 
+def test_joint_driver_end_to_end(tmp_path, monkeypatch):
+    """model_galaxy_mcmc accepts a JointModel: full driver run with
+    convergence machinery, DB + checkpoint, per-band image products,
+    and checkpoint resume."""
+    from psfmc_tpu import model_galaxy_mcmc
+    from psfmc_tpu.io import fits
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(30)
+    host_a = _host()
+    bands = [
+        [_config(rng), Sky(adu=D.Normal(loc=0.05, scale=0.05)), host_a],
+        [_config(rng, h=20, w=20, noise=0.08),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)), _tied_host(host_a)],
+    ]
+    joint = JointModel(bands)
+    nw = 2 * joint.num_params + 2
+
+    db = model_galaxy_mcmc(
+        joint, output_name="out_jd", burn=30, iterations=40, chains=nw,
+        max_iterations=1, convergence_check=lambda s: True, seed=31,
+    )
+    assert len(db) == nw * 40
+    for name in joint.param_names:
+        assert name in db.colnames
+    for b, shape in ((0, (24, 24)), (1, (20, 20))):
+        for ftype in ("raw_model", "residual", "composite_ivm",
+                      "convolved_model", "point_source_subtracted"):
+            data = fits.getdata(f"out_jd_b{b}_{ftype}.fits")
+            assert data.shape == shape, (b, ftype)
+            assert np.all(np.isfinite(data))
+
+    # resume: a second call asking for more retained samples extends
+    # the existing chain from the checkpoint
+    db2 = model_galaxy_mcmc(
+        joint, output_name="out_jd", burn=30, iterations=80, chains=nw,
+        max_iterations=1, convergence_check=lambda s: True, seed=31,
+    )
+    assert len(db2) == nw * 80
+
+
 def test_joint_simulate():
     """Per-band mocks at one shared parameter vector."""
     rng = np.random.RandomState(17)
