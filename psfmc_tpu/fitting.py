@@ -168,7 +168,10 @@ def model_galaxy_evidence(
     """
     from .sampler.ais import ais_evidence
 
-    mc_model = MultiComponentModel(components=model_file)
+    if hasattr(model_file, "posterior_fns"):
+        mc_model = model_file  # prepared model (incl. JointModel)
+    else:
+        mc_model = MultiComponentModel(components=model_file)
     rng = np.random.RandomState(seed)
     p0 = mc_model.init_params_from_priors(nwalkers, random_state=rng)
     return ais_evidence(
