@@ -112,15 +112,9 @@ class BatchFitResult:
 
 
 def _as_model(model):
-    from .models.multicomponent import MultiComponentModel
+    from .models.multicomponent import as_model
 
-    if isinstance(model, MultiComponentModel) or (
-        hasattr(model, "posterior_fns")
-        and hasattr(model, "init_params_from_priors")
-    ):
-        return model  # MultiComponentModel or JointModel (duck-typed)
-    # component list or model-file path
-    return MultiComponentModel(model)
+    return as_model(model)
 
 
 def prepare_obs_stack(spec, obs_stack, ivm_stack, dtype=np.float32):
@@ -311,13 +305,17 @@ def fit_batch(
 ):
     """Fit the model independently to K stacked observations at once.
 
-    :param model: a MultiComponentModel, a component list, or a
-        model-file path.  Its Configuration supplies the PSF, mask,
-        zeropoint and image geometry shared by every target; its own
-        observation is only a template.
-    :param obs_stack: (K, H, W) observed images.
-    :param ivm_stack: (K, H, W) inverse-variance maps (same semantics
-        as the reference's obsivm_file, utils.py:54-79).
+    :param model: a MultiComponentModel, a component list, a
+        model-file path, or a :class:`psfmc_tpu.models.JointModel`.
+        The model's Configuration(s) supply the PSF, mask, zeropoint
+        and image geometry shared by every target; their own
+        observations are only templates.
+    :param obs_stack: (K, H, W) observed images — or, for a joint
+        model, a LIST of one (K, H_b, W_b) stack per band
+        (``simulate_stack`` returns the right structure either way).
+    :param ivm_stack: inverse-variance maps, same structure as
+        ``obs_stack`` (reference obsivm_file semantics,
+        utils.py:54-79).
     :param nwalkers: walkers per target (default ``2*dim + 2`` rounded
         even, the reference default — reference fitting.py:52-53).
     :param burn / iterations: steps per phase, every target alike.
@@ -639,14 +637,22 @@ def simulate_stack(model, n_mocks, seed=0, thetas=None, add_noise=True):
 
     band_specs = getattr(spec, "band_specs", None)
     if band_specs is not None:
-        # joint model: one mock stack per band at the SAME thetas
+        # joint model: one mock stack per band at the SAME thetas.
+        # Batched renders are jitted once and cached on the posterior's
+        # shared program cache (an eager vmap would re-trace and
+        # dispatch op-by-op on every call).
         fns = model.posterior_fns
         th = jnp.asarray(thetas, fns.dtype)
         obs_list, ivm_list = [], []
-        for bs, f in zip(band_specs, fns.band_fns):
-            conv = np.asarray(
-                jax.vmap(lambda t, _f=f: _f._images_impl(t)["conv"])(th)
-            )
+        for i, (bs, f) in enumerate(zip(band_specs, fns.band_fns)):
+            key = ("joint_conv_batch", i)
+            prog = fns.programs.get(key)
+            if prog is None:
+                prog = jax.jit(
+                    jax.vmap(lambda t, _f=f: _f._images_impl(t)["conv"])
+                )
+                fns.programs[key] = prog
+            conv = np.asarray(prog(th))
             ob, iv = _mock_band(conv, np.asarray(bs.obs_var, np.float64))
             obs_list.append(ob)
             ivm_list.append(iv)

@@ -28,7 +28,7 @@ import numpy as np
 from .analysis.images import default_filetypes, save_posterior_images
 from .analysis.statistics import check_convergence_autocorr
 from .database import load_checkpoint, load_database, save_database
-from .models.multicomponent import MultiComponentModel
+from .models.multicomponent import MultiComponentModel, as_model
 from .parallel.multihost import is_primary
 from .sampler.ensemble import EnsembleSampler
 
@@ -80,7 +80,14 @@ def model_galaxy_map(
     if "{}" not in output_name:
         output_name += "_{}"
 
-    mc_model = MultiComponentModel(components=model_file)
+    mc_model = as_model(model_file)
+    if hasattr(mc_model.posterior_fns, "band_fns"):
+        raise NotImplementedError(
+            "model_galaxy_map's quick-look image products are "
+            "single-band; for joint models run psfmc_tpu.fit_map on "
+            "model.posterior_fns directly (tested) and render per band "
+            "with posterior_fns.render_images"
+        )
     rng = np.random.RandomState(seed)
     pool = mc_model.init_params_from_priors(
         max(4 * n_starts, 128), random_state=rng
@@ -168,10 +175,7 @@ def model_galaxy_evidence(
     """
     from .sampler.ais import ais_evidence
 
-    if hasattr(model_file, "posterior_fns"):
-        mc_model = model_file  # prepared model (incl. JointModel)
-    else:
-        mc_model = MultiComponentModel(components=model_file)
+    mc_model = as_model(model_file)  # prepared models pass through
     rng = np.random.RandomState(seed)
     p0 = mc_model.init_params_from_priors(nwalkers, random_state=rng)
     return ais_evidence(
@@ -284,13 +288,11 @@ def model_galaxy_mcmc(
         output_name = "out_" + os.path.basename(name).replace(".py", "")
     output_name += "_{}"
 
-    if hasattr(model_file, "posterior_fns"):
-        # prepared model object: MultiComponentModel or JointModel —
-        # the whole driver (phases, convergence retries, checkpoints,
-        # DB) is model-agnostic; only the image products branch below
-        mc_model = model_file
-    else:
-        mc_model = MultiComponentModel(components=model_file)
+    # prepared model objects (MultiComponentModel or JointModel) pass
+    # through — the whole driver (phases, convergence retries,
+    # checkpoints, DB) is model-agnostic; only the image-products
+    # branch below differs
+    mc_model = as_model(model_file)
     is_joint = hasattr(mc_model.posterior_fns, "band_fns")
 
     sampler_name = sampler
@@ -439,14 +441,28 @@ def model_galaxy_mcmc(
 
     if is_joint:
         # joint multi-band products: one set of the five image types
-        # per band, from the sampler's per-band accumulators
+        # per band, from the sampler's per-band accumulators.  When the
+        # run skipped sampling (DB already complete), read the
+        # accumulators straight off the checkpoint — restoring full
+        # sampler state would pay a joint-posterior compile + batched
+        # lnpost eval just to rewrite images
+        accum_src = sampler
         if sampler.accumulated_samples == 0:
             ckpt = load_checkpoint(db_name)
-            if ckpt is not None and ckpt.get("accum"):
-                sampler.restore_state(ckpt)
-        if sampler.accumulated_samples > 0:
+            if (
+                ckpt is not None
+                and ckpt.get("accum")
+                and int(ckpt.get("accum_count", 0)) > 0
+            ):
+                from types import SimpleNamespace
+
+                accum_src = SimpleNamespace(
+                    accumulated_images=ckpt["accum"],
+                    accumulated_samples=int(ckpt["accum_count"]),
+                )
+        if accum_src.accumulated_samples > 0:
             mc_model.save_posterior_images(
-                sampler,
+                accum_src,
                 output_name[: -len("_{}")],
                 database=database,
                 filetypes=write_fits,

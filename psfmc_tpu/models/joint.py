@@ -313,6 +313,10 @@ class JointModel:
                               database=None, filetypes=None):
         """Write each band's five posterior-mean image products.
 
+        ``sampler`` is any object exposing ``accumulated_images`` /
+        ``accumulated_samples`` (a live sampler, or a shim over a
+        loaded checkpoint's accumulators).
+
         Maps the sampler's per-band carry accumulators (``b{i}_raw`` …)
         to the reference image types exactly like the single-band
         writer (IVM averaged as variance, via the shared
@@ -343,7 +347,9 @@ class JointModel:
                 "sampler has no accumulated images: run retained "
                 "sampling first"
             )
-        filetypes = filetypes or default_filetypes
+        # None -> defaults; an explicitly EMPTY list writes nothing
+        # (same contract as the single-band writer)
+        filetypes = default_filetypes if filetypes is None else filetypes
         for i, bs in enumerate(self.spec.band_specs):
             obs = np.asarray(bs.obs_data)
             carries = {

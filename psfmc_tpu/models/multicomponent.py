@@ -36,6 +36,23 @@ from .spec import build_model_spec
 __all__ = ["MultiComponentModel"]
 
 
+def as_model(model):
+    """Normalize a model argument: prepared instances pass through.
+
+    Accepts a :class:`MultiComponentModel` or
+    :class:`~psfmc_tpu.models.joint.JointModel` (anything exposing
+    ``posterior_fns`` + ``init_params_from_priors``) unchanged;
+    component lists and model-file paths build a fresh
+    MultiComponentModel.  The single dispatch rule shared by every
+    driver entry point (model_galaxy_mcmc / _evidence / fit_batch).
+    """
+    if hasattr(model, "posterior_fns") and hasattr(
+        model, "init_params_from_priors"
+    ):
+        return model
+    return MultiComponentModel(components=model)
+
+
 class MultiComponentModel:
     """Composite 2D surface-brightness model over a component list.
 
