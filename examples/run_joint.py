@@ -12,6 +12,10 @@ Everything here is synthetic and generated through the framework's own
 renderer (``JointModel.simulate``), so the printed recovery is an
 end-to-end statistical check.  Runs in ~a minute on CPU; sizes are
 env-tunable (STEPS=..., SIZE=...).
+
+This script drives the sampler directly to show the pieces; the
+one-liner equivalent with convergence retries + checkpoint resume is
+``model_galaxy_mcmc(joint_model, output_name=..., burn=..., iterations=...)``.
 """
 import os
 import sys
