@@ -41,16 +41,58 @@ def as_model(model):
 
     Accepts a :class:`MultiComponentModel` or
     :class:`~psfmc_tpu.models.joint.JointModel` (anything exposing
-    ``posterior_fns`` + ``init_params_from_priors``) unchanged;
-    component lists and model-file paths build a fresh
-    MultiComponentModel.  The single dispatch rule shared by every
-    driver entry point (model_galaxy_mcmc / _evidence / fit_batch).
+    ``posterior_fns`` + ``init_params_from_priors``) unchanged.
+    Component lists and model-file paths build a fresh model — and a
+    file/list with MULTIPLE ``Configuration`` components builds a
+    JointModel, each Configuration starting a new band (the components
+    that follow it belong to that band), so joint multi-band fits are
+    declarable as ordinary model files::
+
+        Configuration(obs_file='sci_r.fits', ...)   # band 0
+        host = Sersic(...)
+        host
+        Configuration(obs_file='sci_g.fits', ...)   # band 1
+        Sersic(xy=Tied(host, 'xy'), ..., mag=Uniform(...))
+
+    The single dispatch rule shared by every driver entry point
+    (model_galaxy_mcmc / _evidence / fit_batch).
     """
     if hasattr(model, "posterior_fns") and hasattr(
         model, "init_params_from_priors"
     ):
         return model
-    return MultiComponentModel(components=model)
+    if isinstance(model, str):
+        from ..model_parser import component_list_from_file
+
+        try:
+            components = component_list_from_file(model)
+        except IOError as err:
+            raise IOError(
+                f"Unable to open model file {model}. Does it exist?"
+            ) from err
+    else:
+        components = list(model)
+
+    n_cfg = sum(isinstance(c, Configuration) for c in components)
+    if n_cfg <= 1:
+        return MultiComponentModel(components=components)
+
+    # multi-band model file: split into bands at each Configuration
+    from .joint import JointModel
+
+    if not isinstance(components[0], Configuration):
+        raise ValueError(
+            "a multi-band model must start with its first band's "
+            "Configuration (components before the first Configuration "
+            "have no band to belong to)"
+        )
+    bands = []
+    for comp in components:
+        if isinstance(comp, Configuration):
+            bands.append([comp])
+        else:
+            bands[-1].append(comp)
+    return JointModel(bands)
 
 
 class MultiComponentModel:
@@ -77,6 +119,16 @@ class MultiComponentModel:
             raise ValueError(
                 "Unable to find the Configuration component, required "
                 "for setting up input images."
+            )
+        if len(configs) > 1:
+            import warnings
+
+            warnings.warn(
+                f"{len(configs)} Configuration components given to the "
+                "single-observation MultiComponentModel — only the "
+                "first is used.  For a joint multi-band fit pass the "
+                "components through as_model()/model_galaxy_mcmc (each "
+                "Configuration starts a band) or build a JointModel."
             )
         self.config = configs[0]
 

@@ -311,6 +311,68 @@ def test_joint_map_fit():
     )
 
 
+def test_joint_model_file_two_configurations(tmp_path, monkeypatch):
+    """A model FILE with two Configurations becomes a JointModel: each
+    Configuration starts a band; the driver runs the joint fit."""
+    from psfmc_tpu import model_galaxy_mcmc
+    from psfmc_tpu.io import fits
+    from psfmc_tpu.models.multicomponent import as_model
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(33)
+    for band, (hw, noise, sig) in enumerate(((24, 0.2, 1.2),
+                                             (18, 0.3, 2.0))):
+        yy, xx = np.mgrid[0:hw, 0:hw].astype(float)
+        psf = np.exp(-((xx - hw // 2) ** 2 + (yy - hw // 2) ** 2)
+                     / (2 * sig**2))
+        psf /= psf.sum()
+        fits.writeto(f"sci{band}.fits",
+                     (0.05 + rng.randn(hw, hw) * noise).astype(np.float32))
+        fits.writeto(f"ivm{band}.fits",
+                     np.full((hw, hw), 1 / noise**2, np.float32))
+        fits.writeto(f"psf{band}.fits", psf.astype(np.float32))
+        fits.writeto(f"pivm{band}.fits",
+                     np.full((hw, hw), 1e8, np.float32))
+    (tmp_path / "joint_model.py").write_text("""
+from numpy import array
+Configuration(obs_file='sci0.fits', obsivm_file='ivm0.fits',
+              psf_files='psf0.fits', psfivm_files='pivm0.fits',
+              mag_zeropoint=25.0)
+Sky(adu=Normal(loc=0.05, scale=0.05))
+ps = PointSource(xy=Uniform(loc=array([7., 7.]), scale=array([8., 8.])),
+                 mag=Uniform(loc=21.0, scale=1.0))
+ps
+Configuration(obs_file='sci1.fits', obsivm_file='ivm1.fits',
+              psf_files='psf1.fits', psfivm_files='pivm1.fits',
+              mag_zeropoint=25.0)
+Sky(adu=Normal(loc=0.05, scale=0.05))
+PointSource(xy=Tied(ps, 'xy'), mag=Uniform(loc=21.3, scale=1.0))
+""")
+    model = as_model("joint_model.py")
+    assert hasattr(model.posterior_fns, "band_fns")
+    assert len(model.spec.band_specs) == 2
+    assert model.spec.band_specs[0].shape == (24, 24)
+    assert model.spec.band_specs[1].shape == (18, 18)
+
+    nw = 2 * model.num_params + 2
+    db = model_galaxy_mcmc(
+        "joint_model.py", output_name="out_jf", burn=20, iterations=20,
+        chains=nw, max_iterations=1, convergence_check=lambda s: True,
+        seed=34,
+    )
+    assert len(db) == nw * 20
+    assert fits.getdata("out_jf_b1_raw_model.fits").shape == (18, 18)
+
+    # single-observation class warns (not silently drops) on 2 configs
+    import pytest as _pytest
+
+    from psfmc_tpu.model_parser import component_list_from_file
+
+    comps = component_list_from_file(str(tmp_path / "joint_model.py"))
+    with _pytest.warns(UserWarning, match="only the first"):
+        MultiComponentModel(components=comps)
+
+
 def test_joint_driver_end_to_end(tmp_path, monkeypatch):
     """model_galaxy_mcmc accepts a JointModel: full driver run with
     convergence machinery, DB + checkpoint, per-band image products,
