@@ -68,7 +68,7 @@ class Tied:
     log-prior during sampling.
     """
 
-    def __init__(self, component, attr):
+    def __init__(self, component, attr, frame="pixel"):
         if not isinstance(component, ComponentBase):
             raise TypeError(
                 "Tied(component, attr): component must be a model "
@@ -76,8 +76,21 @@ class Tied:
             )
         if not isinstance(attr, str):
             raise TypeError("Tied(component, attr): attr must be a string")
+        if frame not in ("pixel", "sky"):
+            raise ValueError(
+                f"Tied frame {frame!r}: expected 'pixel' or 'sky'"
+            )
+        if frame == "sky" and attr != "xy":
+            raise ValueError("frame='sky' ties apply only to 'xy'")
         self.component = component
         self.attr = attr
+        # 'pixel' (default): share the raw slot value.  'sky': the two
+        # components mark the SAME SKY POSITION — in a joint multi-band
+        # model whose bands have different WCS, the tied xy is mapped
+        # through the owner band's WCS into the user band's pixel frame
+        # (a local affine, exact to TAN curvature over the field).
+        # Host-side attribute reads still return the owner's raw value.
+        self.frame = frame
 
 
 class ComponentBase:

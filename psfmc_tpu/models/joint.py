@@ -107,10 +107,21 @@ def build_joint_specs(bands):
             f"duplicate parameter names in the joint layout: {dupes}"
         )
 
+    # WCS frames for frame='sky' ties: every component maps to ITS
+    # band's frame (None entries mean "no usable WCS on that band")
+    from .spec import config_wcs_frame
+
+    wcs_map = {}
+    for comps, config in zip(band_lists, configs):
+        frame = config_wcs_frame(config)
+        if frame is not None:
+            for c in comps:
+                wcs_map[id(c)] = frame
+
     band_specs = []
     all_comp_specs = []
     for comps, config in zip(band_lists, configs):
-        comp_specs = [comp_spec_for(c, slot_map) for c in comps]
+        comp_specs = [comp_spec_for(c, slot_map, wcs_map) for c in comps]
         all_comp_specs.extend(comp_specs)
         band_specs.append(
             ModelSpec(

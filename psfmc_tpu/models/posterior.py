@@ -50,6 +50,13 @@ def _getter(params, theta, name):
     kind, payload = params[name]
     if kind == "const":
         return payload
+    if kind == "theta_affine":
+        # frame='sky' tie: owner-band pixel slot mapped into this
+        # band's pixel frame (A, b are host-numpy constants baked into
+        # the trace; see spec._pixel_affine)
+        offset, size, a, b = payload
+        x = jax.lax.dynamic_slice(theta, (offset,), (size,))
+        return jnp.asarray(a, x.dtype) @ x + jnp.asarray(b, x.dtype)
     offset, size = payload
     if size == 1:
         return theta[offset]

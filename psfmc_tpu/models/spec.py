@@ -90,21 +90,71 @@ class ModelSpec:
         return [s.size for s in self.slots]
 
 
-def _resolve(component, attr, slot_map):
+def _pixel_affine(frame_from, frame_to):
+    """Local affine (A, b) mapping 0-based pixels from one band's frame
+    to another's through the sky (pixel_a -> world -> pixel_b).
+
+    Exact up to TAN curvature across the field (negligible over
+    HST-scale cutouts); linearized by finite differences at the source
+    band's image center.  ``frame_*`` are (MiniWCS, ref_xy) pairs.
+    """
+    wcs_from, ref = frame_from
+    wcs_to, _ = frame_to
+
+    def fwd(p):
+        ra, dec = wcs_from.pixel_to_sky(p[0] + 1.0, p[1] + 1.0)
+        x, y = wcs_to.sky_to_pixel(ra, dec)
+        return np.array([float(x) - 1.0, float(y) - 1.0])
+
+    p0 = np.asarray(ref, float)
+    f0 = fwd(p0)
+    a = np.stack(
+        [
+            (fwd(p0 + np.array([1.0, 0.0])) - f0),
+            (fwd(p0 + np.array([0.0, 1.0])) - f0),
+        ],
+        axis=1,
+    )
+    return a, f0 - a @ p0
+
+
+def _resolve(component, attr, slot_map, wcs_map=None):
     """('theta', (offset, size)) if stochastic else ('const', value).
 
     ``Tied(other, attr)`` values resolve transitively to the referenced
     component's slot (both render rules then read the SAME parameter-
-    vector slice) or to its constant; cycles are rejected.
+    vector slice) or to its constant; cycles are rejected.  A
+    ``frame='sky'`` tie anywhere in the chain resolves to
+    ``('theta_affine', (offset, size, A, b))``: the owner's pixel
+    position maps through the owner band's WCS into the user band's
+    frame (same SKY position, different pixel grids).
     """
     from .components import Tied
 
+    user = component
+    sky = False
     seen = set()
     while True:
         key = (id(component), attr)
         if key in slot_map:
             slot = slot_map[key]
-            return ("theta", (slot.offset, slot.size))
+            if not sky:
+                return ("theta", (slot.offset, slot.size))
+            if slot.size != 2:
+                raise ValueError("frame='sky' ties need a 2-vector xy")
+            if wcs_map is None:
+                raise ValueError(
+                    "frame='sky' tie in a context without WCS frames"
+                )
+            f_owner = wcs_map.get(id(component))
+            f_user = wcs_map.get(id(user))
+            if f_owner is None or f_user is None:
+                raise ValueError(
+                    "frame='sky' tie requires WCS headers (CRVAL + "
+                    "CD/CDELT/PC) on every involved band's observation"
+                )
+            a, b = _pixel_affine(f_owner, f_user)
+            return ("theta_affine", (slot.offset, slot.size, a, b))
         if key in seen:
             raise ValueError(
                 f"Tied cycle through {type(component).__name__}.{attr}"
@@ -118,21 +168,48 @@ def _resolve(component, attr, slot_map):
                 "value — is the referenced component part of the model?"
             ) from None
         if isinstance(val, Tied):
+            sky = sky or val.frame == "sky"
             component, attr = val.component, val.attr
             continue
+        if sky:
+            raise ValueError(
+                "frame='sky' tie resolves to a constant — give the "
+                "owner component a stochastic xy or tie in pixel frame"
+            )
         return ("const", val)
 
 
-def comp_spec_for(comp, slot_map) -> CompSpec:
+def config_wcs_frame(config):
+    """(MiniWCS, ref_xy) for a Configuration with real WCS, else None.
+
+    Used by frame='sky' ties; requires CRVAL + a CD/CDELT/PC scale in
+    the observation header (defaults would silently produce garbage
+    affines)."""
+    hdr = getattr(config, "obs_header", None)
+    if hdr is None:
+        return None
+    try:
+        keys = set(hdr.keys())
+    except Exception:
+        return None
+    if "CRVAL1" not in keys or not ({"CD1_1", "CDELT1", "PC1_1"} & keys):
+        return None
+    from ..io.wcs import MiniWCS
+
+    h, w = config.obs_data.shape
+    return (MiniWCS(hdr), (w / 2.0, h / 2.0))
+
+
+def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
     """Static render rule for one component against a slot map."""
     if isinstance(comp, Sky):
-        return CompSpec("sky", {"adu": _resolve(comp, "adu", slot_map)})
+        return CompSpec("sky", {"adu": _resolve(comp, "adu", slot_map, wcs_map)})
     if isinstance(comp, PointSource):
         return CompSpec(
             "pointsource",
             {
-                "xy": _resolve(comp, "xy", slot_map),
-                "mag": _resolve(comp, "mag", slot_map),
+                "xy": _resolve(comp, "xy", slot_map, wcs_map),
+                "mag": _resolve(comp, "mag", slot_map, wcs_map),
             },
             static={"shift_method": comp.shift_method},
         )
@@ -140,7 +217,7 @@ def comp_spec_for(comp, slot_map) -> CompSpec:
         return CompSpec(
             "sersic",
             {
-                attr: _resolve(comp, attr, slot_map)
+                attr: _resolve(comp, attr, slot_map, wcs_map)
                 for attr in (
                     "xy", "mag", "reff", "reff_b", "index", "angle",
                 )
@@ -151,7 +228,7 @@ def comp_spec_for(comp, slot_map) -> CompSpec:
         return CompSpec(
             "moffat",
             {
-                attr: _resolve(comp, attr, slot_map)
+                attr: _resolve(comp, attr, slot_map, wcs_map)
                 for attr in (
                     "xy", "mag", "fwhm", "fwhm_b", "index", "angle",
                 )
@@ -161,7 +238,7 @@ def comp_spec_for(comp, slot_map) -> CompSpec:
     if isinstance(comp, PSFSelector):
         return CompSpec(
             "psfselector",
-            {"psf_index": _resolve(comp, "psf_index", slot_map)},
+            {"psf_index": _resolve(comp, "psf_index", slot_map, wcs_map)},
         )
     raise TypeError(f"Unknown component type: {type(comp).__name__}")
 
@@ -227,7 +304,11 @@ def build_model_spec(
     # Build the flat layout: file order, alphabetical within component.
     slots, slot_map, offset = build_param_slots(components)
 
-    comp_specs = [comp_spec_for(comp, slot_map) for comp in components]
+    frame = config_wcs_frame(config)
+    wcs_map = {id(c): frame for c in components} if frame else {}
+    comp_specs = [
+        comp_spec_for(comp, slot_map, wcs_map) for comp in components
+    ]
 
     f_psf_stack = np.stack(config.psf_selector.psf_list)
     f_var_stack = np.stack(config.psf_selector.var_list)

@@ -4,6 +4,7 @@ Beyond the reference (one band at a time): per-band observations/PSFs/
 magnitudes with structural parameters shared across bands via Tied.
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -309,6 +310,127 @@ def test_joint_map_fit():
         np.abs(got[off["1_PointSource_xy"]:off["1_PointSource_xy"] + 2]
                - [11.2, 9.7]) < 0.3
     )
+
+
+def _wcs_header(crpix, crval, cd):
+    from psfmc_tpu.io import fits
+
+    hdr = fits.Header()
+    hdr.set("CRPIX1", crpix[0])
+    hdr.set("CRPIX2", crpix[1])
+    hdr.set("CRVAL1", crval[0])
+    hdr.set("CRVAL2", crval[1])
+    hdr.set("CD1_1", cd[0][0])
+    hdr.set("CD1_2", cd[0][1])
+    hdr.set("CD2_1", cd[1][0])
+    hdr.set("CD2_2", cd[1][1])
+    return hdr
+
+
+def test_sky_frame_tie(tmp_path):
+    """frame='sky' ties map the shared position through each band's WCS
+    (different pixel scales, rotations and reference points)."""
+    from psfmc_tpu.io import fits
+    from psfmc_tpu.io.wcs import MiniWCS
+
+    rng = np.random.RandomState(35)
+    s_a = 0.05 / 3600.0  # 0.05 arcsec/px
+    s_b = 0.075 / 3600.0  # coarser AND rotated 90 deg
+    hdr_a = _wcs_header((12.5, 12.5), (150.0, 2.0),
+                        [[-s_a, 0.0], [0.0, s_a]])
+    hdr_b = _wcs_header((9.5, 9.5), (150.0 + 2e-4, 2.0 - 1e-4),
+                        [[0.0, -s_b], [s_b, 0.0]])
+
+    def band(hw, hdr, noise, sig, tag):
+        yy, xx = np.mgrid[0:hw, 0:hw].astype(float)
+        psf = np.exp(-((xx - hw // 2) ** 2 + (yy - hw // 2) ** 2)
+                     / (2 * sig**2))
+        psf /= psf.sum()
+        fits.writeto(str(tmp_path / f"sci{tag}.fits"),
+                     (0.0 + rng.randn(hw, hw) * noise).astype(np.float32),
+                     header=hdr)
+        fits.writeto(str(tmp_path / f"ivm{tag}.fits"),
+                     np.full((hw, hw), 1 / noise**2, np.float32))
+        fits.writeto(str(tmp_path / f"psf{tag}.fits"),
+                     psf.astype(np.float32))
+        fits.writeto(str(tmp_path / f"pivm{tag}.fits"),
+                     np.full((hw, hw), 1e8, np.float32))
+        return Configuration(
+            obs_file=str(tmp_path / f"sci{tag}.fits"),
+            obsivm_file=str(tmp_path / f"ivm{tag}.fits"),
+            psf_files=str(tmp_path / f"psf{tag}.fits"),
+            psfivm_files=str(tmp_path / f"pivm{tag}.fits"),
+            mag_zeropoint=25.0,
+        )
+
+    cfg_a = band(24, hdr_a, 0.05, 1.2, "a")
+    cfg_b = band(18, hdr_b, 0.08, 1.8, "b")
+    ps_a = PointSource(
+        xy=D.Uniform(loc=np.array([9.0, 9.0]), scale=np.array([6.0, 6.0])),
+        mag=D.Uniform(loc=21.0, scale=1.0),
+    )
+    ps_b = PointSource(xy=Tied(ps_a, "xy", frame="sky"),
+                       mag=D.Uniform(loc=21.3, scale=1.0))
+    joint = JointModel([
+        [cfg_a, Sky(adu=D.Normal(loc=0.0, scale=0.02)), ps_a],
+        [cfg_b, Sky(adu=D.Normal(loc=0.0, scale=0.02)), ps_b],
+    ])
+
+    # the band-B render rule carries the affine
+    cs_b = joint.spec.band_specs[1].comp_specs
+    kind, payload = next(
+        c for c in cs_b if c.kind == "pointsource"
+    ).params["xy"]
+    assert kind == "theta_affine"
+    _off, _size, a, b = payload
+
+    # affine == the composed WCS mapping, to TAN-curvature precision
+    wa, wb = MiniWCS(hdr_a), MiniWCS(hdr_b)
+    for p in ([9.0, 9.0], [14.2, 11.7], [11.0, 15.5]):
+        ra, dec = wa.pixel_to_sky(p[0] + 1, p[1] + 1)
+        qx, qy = wb.sky_to_pixel(ra, dec)
+        want = np.array([float(qx) - 1, float(qy) - 1])
+        got = a @ np.asarray(p) + b
+        assert np.allclose(got, want, atol=1e-6), (p, got, want)
+
+    # end to end: injecting at xy_a puts band B's source at the mapped
+    # pixel (peak of the noiseless render)
+    names = joint.param_names
+    off = dict(zip(names, np.cumsum([0] + joint.param_lens)))
+    theta = joint.init_params_from_priors(
+        1, random_state=np.random.RandomState(36)
+    )[0]
+    theta[off["1_PointSource_xy"]:off["1_PointSource_xy"] + 2] = [10.3, 12.6]
+    imgs = joint.posterior_fns.render_images(
+        jnp.asarray(theta, jnp.float32)
+    )
+    raw_b = np.asarray(imgs["b1_raw_model"])
+    peak = np.unravel_index(np.argmax(raw_b), raw_b.shape)  # (row=y, x)
+    ra, dec = wa.pixel_to_sky(10.3 + 1, 12.6 + 1)
+    qx, qy = wb.sky_to_pixel(ra, dec)
+    assert abs(peak[1] - (float(qx) - 1)) <= 1.0
+    assert abs(peak[0] - (float(qy) - 1)) <= 1.0
+
+    # frame='sky' without WCS headers fails loudly
+    psf_nw = np.zeros((8, 8))
+    psf_nw[4, 4] = 1.0
+    cfg_nw = Configuration(
+        obs_file=0.05 + rng.randn(16, 16) * 0.1,
+        obsivm_file=np.full((16, 16), 100.0),
+        psf_files=psf_nw,
+        psfivm_files=np.full((8, 8), 1e8),
+        mag_zeropoint=25.0,
+    )
+    ps_c = PointSource(xy=Tied(ps_a, "xy", frame="sky"),
+                       mag=D.Uniform(loc=21.0, scale=1.0))
+    with pytest.raises(ValueError, match="WCS"):
+        JointModel([
+            [cfg_a, ps_a],
+            [cfg_nw, ps_c],
+        ])
+
+    with pytest.raises(ValueError, match="only to 'xy'"):
+        Tied(ps_a, "mag", frame="sky")
 
 
 def test_joint_model_file_two_configurations(tmp_path, monkeypatch):
