@@ -68,7 +68,7 @@ class Tied:
     log-prior during sampling.
     """
 
-    def __init__(self, component, attr, frame="pixel"):
+    def __init__(self, component, attr, frame="pixel", offset=None):
         if not isinstance(component, ComponentBase):
             raise TypeError(
                 "Tied(component, attr): component must be a model "
@@ -82,6 +82,14 @@ class Tied:
             )
         if frame == "sky" and attr != "xy":
             raise ValueError("frame='sky' ties apply only to 'xy'")
+        if offset is not None and not _is_stochastic(offset):
+            raise TypeError(
+                "Tied offset= must be a prior distribution (e.g. "
+                "Normal(loc=[0, 0], scale=0.1) for a sub-pixel "
+                "registration uncertainty)"
+            )
+        if offset is not None and attr != "xy":
+            raise ValueError("Tied offset= applies only to 'xy'")
         self.component = component
         self.attr = attr
         # 'pixel' (default): share the raw slot value.  'sky': the two
@@ -91,6 +99,12 @@ class Tied:
         # (a local affine, exact to TAN curvature over the field).
         # Host-side attribute reads still return the owner's raw value.
         self.frame = frame
+        # optional FREE registration offset: the user component renders
+        # at tie(owner xy) + offset, where offset gets its own slots
+        # under the user component's attr name (the trace column then
+        # records the OFFSET, not the absolute position) — marginalizes
+        # cross-band astrometric registration errors
+        self.offset = offset
 
 
 class ComponentBase:
@@ -108,11 +122,20 @@ class ComponentBase:
     def __init__(self):
         object.__setattr__(self, "_priors", {})
         object.__setattr__(self, "_constants", {})
+        object.__setattr__(self, "_tied_offsets", {})
 
     # -- attribute routing ----------------------------------------------
     def __setattr__(self, name, value):
         if name in type(self)._stochastic_attrs:
-            if _is_stochastic(value):
+            self._tied_offsets.pop(name, None)
+            if isinstance(value, Tied) and value.offset is not None:
+                # offset-tie: the OFFSET prior owns this attr's slots
+                # (and its trace column); the tie itself rides
+                # _tied_offsets and is composed at spec build
+                self._priors[name] = value.offset
+                self._constants.pop(name, None)
+                self._tied_offsets[name] = value
+            elif _is_stochastic(value):
                 self._priors[name] = value
                 self._constants.pop(name, None)
             else:

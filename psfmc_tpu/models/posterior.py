@@ -57,6 +57,13 @@ def _getter(params, theta, name):
         offset, size, a, b = payload
         x = jax.lax.dynamic_slice(theta, (offset,), (size,))
         return jnp.asarray(a, x.dtype) @ x + jnp.asarray(b, x.dtype)
+    if kind == "theta_affine_offset":
+        # offset-tie: tie(base) + this component's own free offset
+        # slots (registration-error marginalization)
+        offset, size, a, b, own = payload
+        x = jax.lax.dynamic_slice(theta, (offset,), (size,))
+        o = jax.lax.dynamic_slice(theta, (own,), (size,))
+        return jnp.asarray(a, x.dtype) @ x + jnp.asarray(b, x.dtype) + o
     offset, size = payload
     if size == 1:
         return theta[offset]

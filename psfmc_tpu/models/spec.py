@@ -127,16 +127,72 @@ def _resolve(component, attr, slot_map, wcs_map=None):
     ``frame='sky'`` tie anywhere in the chain resolves to
     ``('theta_affine', (offset, size, A, b))``: the owner's pixel
     position maps through the owner band's WCS into the user band's
-    frame (same SKY position, different pixel grids).
+    frame (same SKY position, different pixel grids).  An offset-tie
+    (``Tied(..., offset=prior)``) composes the tie with this
+    component's own offset slots:
+    ``('theta_affine_offset', (base_offset, size, A, b, own_offset))``
+    renders ``A @ theta[base] + b + theta[own]``.
+    """
+    tied_off = component.__dict__.get("_tied_offsets", {}).get(attr)
+    if tied_off is None:
+        return _resolve_tie(component, attr, None, slot_map, wcs_map)
+
+    # offset-tie: this component's slots hold the OFFSET; the base
+    # position resolves through the tie chain like a pure tie would
+    own = slot_map[(id(component), attr)]
+    kind, payload = _resolve_tie(
+        component, attr, tied_off, slot_map, wcs_map
+    )
+    if kind == "theta":
+        boff, size = payload
+        return ("theta_affine_offset",
+                (boff, size, np.eye(own.size), np.zeros(own.size),
+                 own.offset))
+    if kind == "theta_affine":
+        boff, size, a, b = payload
+        return ("theta_affine_offset", (boff, size, a, b, own.offset))
+    # constant base: A=0 zeroes the dummy slice, b carries the
+    # constant -> const + theta[own]
+    return (
+        "theta_affine_offset",
+        (
+            own.offset,
+            own.size,
+            np.zeros((own.size, own.size)),
+            np.asarray(payload, float).reshape(own.size),
+            own.offset,
+        ),
+    )
+
+
+def _resolve_tie(user_component, user_attr, first_tie, slot_map, wcs_map):
+    """Resolve a (possibly tied) attribute to its render-rule payload.
+
+    ``first_tie`` short-circuits the first hop (used by offset-ties,
+    whose tie object lives in ``_tied_offsets``, not ``_constants``).
     """
     from .components import Tied
 
-    user = component
+    user = component = user_component
+    attr = user_attr
     sky = False
     seen = set()
+    if first_tie is not None:
+        seen.add((id(component), attr))
+        sky = first_tie.frame == "sky"
+        component, attr = first_tie.component, first_tie.attr
     while True:
         key = (id(component), attr)
         if key in slot_map:
+            if (
+                component.__dict__.get("_tied_offsets", {}).get(attr)
+                is not None
+                and component is not user
+            ):
+                raise ValueError(
+                    "tying onto an offset-tied attribute is not "
+                    "supported (chain the tie to its base instead)"
+                )
             slot = slot_map[key]
             if not sky:
                 return ("theta", (slot.offset, slot.size))

@@ -433,6 +433,74 @@ def test_sky_frame_tie(tmp_path):
         Tied(ps_a, "mag", frame="sky")
 
 
+def test_offset_tie_registration_margin():
+    """Tied(..., offset=prior): tie(base) + free per-band registration
+    offset, marginalized with its own prior/slots/trace column."""
+    rng = np.random.RandomState(37)
+    ps_a = PointSource(
+        xy=D.Uniform(loc=np.array([9.0, 9.0]), scale=np.array([6.0, 6.0])),
+        mag=D.Uniform(loc=21.0, scale=1.0),
+    )
+    ps_b = PointSource(
+        xy=Tied(ps_a, "xy",
+                offset=D.Normal(loc=np.array([0.0, 0.0]), scale=0.2)),
+        mag=D.Uniform(loc=21.3, scale=1.0),
+    )
+    joint = JointModel([
+        [_config(rng), Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_a],
+        [_config(rng, h=20, w=20, noise=0.08),
+         Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_b],
+    ])
+    names = joint.param_names
+    # the offset owns band B's xy slots (trace column records the
+    # OFFSET, not the absolute position)
+    assert "4_PointSource_xy" in names
+    cs = next(
+        c for c in joint.spec.band_specs[1].comp_specs
+        if c.kind == "pointsource"
+    )
+    kind, payload = cs.params["xy"]
+    assert kind == "theta_affine_offset"
+    boff, size, a, b, own = payload
+    assert np.allclose(a, np.eye(2)) and np.allclose(b, 0.0)
+
+    off = dict(zip(names, np.cumsum([0] + joint.param_lens)))
+    theta = joint.init_params_from_priors(
+        1, random_state=np.random.RandomState(38)
+    )[0]
+    theta[off["1_PointSource_xy"]:off["1_PointSource_xy"] + 2] = [10.0, 11.0]
+    theta[off["4_PointSource_xy"]:off["4_PointSource_xy"] + 2] = [1.5, -2.0]
+    imgs = joint.posterior_fns.render_images(
+        jnp.asarray(theta, jnp.float32)
+    )
+    raw_b = np.asarray(imgs["b1_raw_model"])
+    peak = np.unravel_index(np.argmax(raw_b), raw_b.shape)  # (y, x)
+    assert abs(peak[1] - (10.0 + 1.5)) <= 1.0
+    assert abs(peak[0] - (11.0 - 2.0)) <= 1.0
+
+    # the offset prior contributes to the joint prior
+    lp0 = float(joint.posterior_fns.log_prior(jnp.asarray(theta)))
+    t2 = theta.copy()
+    t2[off["4_PointSource_xy"]] = 0.0  # closer to the Normal(0, .2) peak
+    lp1 = float(joint.posterior_fns.log_prior(jnp.asarray(t2)))
+    assert lp1 > lp0
+
+    # prior draws include the offset; lnpost finite
+    th = joint.init_params_from_priors(
+        6, random_state=np.random.RandomState(39)
+    )
+    lnp = np.asarray(
+        jax.vmap(joint.posterior_fns.log_posterior)(jnp.asarray(th))
+    )
+    assert np.all(np.isfinite(lnp))
+
+    # offset= rejects non-xy attrs and non-priors
+    with pytest.raises(ValueError, match="only to 'xy'"):
+        Tied(ps_a, "mag", offset=D.Normal(loc=0.0, scale=0.1))
+    with pytest.raises(TypeError, match="prior distribution"):
+        Tied(ps_a, "xy", offset=0.5)
+
+
 def test_joint_model_file_two_configurations(tmp_path, monkeypatch):
     """A model FILE with two Configurations becomes a JointModel: each
     Configuration starts a band; the driver runs the joint fit."""
