@@ -61,7 +61,10 @@ class Tied:
     rejected at spec build.
 
     Host-side attribute reads dereference the tie (``ps.xy`` returns
-    the host's current xy).  Note: a cross-component joint constraint
+    the host's current xy) — EXCEPT offset-ties (``offset=`` given),
+    where the attribute reads the OFFSET prior's value, matching its
+    trace column, not a dereferenced absolute position.  Note: a
+    cross-component joint constraint
     whose operand is tied (e.g. a Sersic whose ``reff`` is tied to
     another component) cannot be enforced during vectorized prior-draw
     init — it is skipped there and enforced exactly by the device-side

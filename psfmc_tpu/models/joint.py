@@ -108,14 +108,22 @@ def build_joint_specs(bands):
         )
 
     # WCS frames for frame='sky' ties: every component maps to ITS
-    # band's frame (None entries mean "no usable WCS on that band")
+    # band's frame (None entries mean "no usable WCS on that band").
+    # A component instance shared between bands with different frames
+    # has no well-defined frame — mark it ambiguous so a sky tie
+    # touching it fails loudly instead of silently using one band.
     from .spec import config_wcs_frame
 
     wcs_map = {}
     for comps, config in zip(band_lists, configs):
         frame = config_wcs_frame(config)
-        if frame is not None:
-            for c in comps:
+        if frame is None:
+            continue
+        for c in comps:
+            prev = wcs_map.get(id(c))
+            if prev is not None and prev is not frame:
+                wcs_map[id(c)] = "ambiguous"
+            else:
                 wcs_map[id(c)] = frame
 
     band_specs = []

@@ -53,17 +53,28 @@ def _getter(params, theta, name):
     if kind == "theta_affine":
         # frame='sky' tie: owner-band pixel slot mapped into this
         # band's pixel frame (A, b are host-numpy constants baked into
-        # the trace; see spec._pixel_affine)
+        # the trace; see spec._pixel_affine).  HIGHEST precision: the
+        # TPU default matmul is bf16 and this coordinate feeds the
+        # render -> likelihood (CLAUDE.md precision rule).
         offset, size, a, b = payload
         x = jax.lax.dynamic_slice(theta, (offset,), (size,))
-        return jnp.asarray(a, x.dtype) @ x + jnp.asarray(b, x.dtype)
+        return (
+            jnp.dot(jnp.asarray(a, x.dtype), x,
+                    precision=jax.lax.Precision.HIGHEST)
+            + jnp.asarray(b, x.dtype)
+        )
     if kind == "theta_affine_offset":
         # offset-tie: tie(base) + this component's own free offset
         # slots (registration-error marginalization)
         offset, size, a, b, own = payload
         x = jax.lax.dynamic_slice(theta, (offset,), (size,))
         o = jax.lax.dynamic_slice(theta, (own,), (size,))
-        return jnp.asarray(a, x.dtype) @ x + jnp.asarray(b, x.dtype) + o
+        return (
+            jnp.dot(jnp.asarray(a, x.dtype), x,
+                    precision=jax.lax.Precision.HIGHEST)
+            + jnp.asarray(b, x.dtype)
+            + o
+        )
     offset, size = payload
     if size == 1:
         return theta[offset]

@@ -151,16 +151,15 @@ def _resolve(component, attr, slot_map, wcs_map=None):
     if kind == "theta_affine":
         boff, size, a, b = payload
         return ("theta_affine_offset", (boff, size, a, b, own.offset))
-    # constant base: A=0 zeroes the dummy slice, b carries the
-    # constant -> const + theta[own]
+    # constant base -> const + theta[own]: exactly the existing
+    # theta_affine kind with an identity map of the offset slots
     return (
-        "theta_affine_offset",
+        "theta_affine",
         (
             own.offset,
             own.size,
-            np.zeros((own.size, own.size)),
+            np.eye(own.size),
             np.asarray(payload, float).reshape(own.size),
-            own.offset,
         ),
     )
 
@@ -176,14 +175,31 @@ def _resolve_tie(user_component, user_attr, first_tie, slot_map, wcs_map):
     user = component = user_component
     attr = user_attr
     sky = False
+    # the component whose band's WCS interprets the terminal slot as
+    # pixels for the USER's sky position.  A sky hop user->X means
+    # "user shares X's SKY position", and X's sky position is
+    # WCS(X's band) applied to whatever theta X renders — so each SKY
+    # hop moves the frame to its target, while pixel hops only change
+    # which slot the raw value comes from (they share numbers, not sky
+    # positions).
+    frame_comp = component
     seen = set()
     if first_tie is not None:
         seen.add((id(component), attr))
-        sky = first_tie.frame == "sky"
+        if first_tie.frame == "sky":
+            sky = True
+            frame_comp = first_tie.component
         component, attr = first_tie.component, first_tie.attr
     while True:
         key = (id(component), attr)
         if key in slot_map:
+            if component is user and first_tie is not None:
+                # an offset-tie chain that loops back to the user's own
+                # (offset) slot has no base position at all
+                raise ValueError(
+                    f"Tied cycle through "
+                    f"{type(component).__name__}.{attr}"
+                )
             if (
                 component.__dict__.get("_tied_offsets", {}).get(attr)
                 is not None
@@ -202,12 +218,18 @@ def _resolve_tie(user_component, user_attr, first_tie, slot_map, wcs_map):
                 raise ValueError(
                     "frame='sky' tie in a context without WCS frames"
                 )
-            f_owner = wcs_map.get(id(component))
+            f_owner = wcs_map.get(id(frame_comp))
             f_user = wcs_map.get(id(user))
             if f_owner is None or f_user is None:
                 raise ValueError(
                     "frame='sky' tie requires WCS headers (CRVAL + "
                     "CD/CDELT/PC) on every involved band's observation"
+                )
+            if isinstance(f_owner, str) or isinstance(f_user, str):
+                raise ValueError(
+                    "frame='sky' tie involves a component shared "
+                    "between bands with different WCS — its frame is "
+                    "ambiguous; give each band its own component"
                 )
             a, b = _pixel_affine(f_owner, f_user)
             return ("theta_affine", (slot.offset, slot.size, a, b))
@@ -224,7 +246,9 @@ def _resolve_tie(user_component, user_attr, first_tie, slot_map, wcs_map):
                 "value — is the referenced component part of the model?"
             ) from None
         if isinstance(val, Tied):
-            sky = sky or val.frame == "sky"
+            if val.frame == "sky":
+                sky = True
+                frame_comp = val.component
             component, attr = val.component, val.attr
             continue
         if sky:
