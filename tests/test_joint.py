@@ -433,6 +433,72 @@ def test_sky_frame_tie(tmp_path):
         Tied(ps_a, "mag", frame="sky")
 
 
+def test_sky_tie_mixed_chain_uses_sky_hop_frame(tmp_path):
+    """user --sky--> A --pixel--> C(slot): the affine must map from
+    band A's WCS (the sky hop's target interprets the raw slot value in
+    ITS grid), not from band C's."""
+    from psfmc_tpu.io import fits
+    from psfmc_tpu.io.wcs import MiniWCS
+
+    rng = np.random.RandomState(44)
+    s = 0.05 / 3600.0
+    hdrs = [
+        _wcs_header((12.5, 12.5), (150.0, 2.0), [[-s, 0.0], [0.0, s]]),
+        _wcs_header((9.5, 9.5), (150.0 + 1e-4, 2.0), [[0.0, -1.5 * s],
+                                                      [1.5 * s, 0.0]]),
+        # band C: WILDLY different frame — if the affine wrongly used
+        # it, the mapping would be off by many pixels
+        _wcs_header((5.0, 5.0), (151.0, 2.5), [[-4 * s, 0.0],
+                                               [0.0, 4 * s]]),
+    ]
+    cfgs = []
+    for i, (hw, hdr) in enumerate(zip((24, 20, 16), hdrs)):
+        yy, xx = np.mgrid[0:hw, 0:hw].astype(float)
+        psf = np.exp(-((xx - hw // 2) ** 2 + (yy - hw // 2) ** 2) / 2.0)
+        psf /= psf.sum()
+        fits.writeto(str(tmp_path / f"s{i}.fits"),
+                     (rng.randn(hw, hw) * 0.1).astype(np.float32),
+                     header=hdr)
+        fits.writeto(str(tmp_path / f"i{i}.fits"),
+                     np.full((hw, hw), 100.0, np.float32))
+        fits.writeto(str(tmp_path / f"p{i}.fits"), psf.astype(np.float32))
+        fits.writeto(str(tmp_path / f"q{i}.fits"),
+                     np.full((hw, hw), 1e8, np.float32))
+        cfgs.append(Configuration(
+            obs_file=str(tmp_path / f"s{i}.fits"),
+            obsivm_file=str(tmp_path / f"i{i}.fits"),
+            psf_files=str(tmp_path / f"p{i}.fits"),
+            psfivm_files=str(tmp_path / f"q{i}.fits"),
+            mag_zeropoint=25.0,
+        ))
+
+    ps_c = PointSource(
+        xy=D.Uniform(loc=np.array([6.0, 6.0]), scale=np.array([4.0, 4.0])),
+        mag=D.Uniform(loc=21.0, scale=1.0),
+    )
+    ps_a = PointSource(xy=Tied(ps_c, "xy"),  # pixel tie: raw value in A
+                       mag=D.Uniform(loc=21.0, scale=1.0))
+    ps_b = PointSource(xy=Tied(ps_a, "xy", frame="sky"),
+                       mag=D.Uniform(loc=21.0, scale=1.0))
+    joint = JointModel([
+        [cfgs[0], ps_a],
+        [cfgs[1], ps_b],
+        [cfgs[2], ps_c],
+    ])
+    kind, payload = next(
+        c for c in joint.spec.band_specs[1].comp_specs
+        if c.kind == "pointsource"
+    ).params["xy"]
+    assert kind == "theta_affine"
+    _o, _s, a, b = payload
+    wa, wb = MiniWCS(hdrs[0]), MiniWCS(hdrs[1])
+    p = np.array([7.3, 8.1])
+    ra, dec = wa.pixel_to_sky(p[0] + 1, p[1] + 1)
+    qx, qy = wb.sky_to_pixel(ra, dec)
+    want = np.array([float(qx) - 1, float(qy) - 1])
+    assert np.allclose(a @ p + b, want, atol=1e-6), (a @ p + b, want)
+
+
 def test_offset_tie_registration_margin():
     """Tied(..., offset=prior): tie(base) + free per-band registration
     offset, marginalized with its own prior/slots/trace column."""
