@@ -329,13 +329,32 @@ class ComponentBase:
 
 
 class Sky(ComponentBase):
-    """Flat sky-offset component (reference Sky.py)."""
+    """Sky background component (reference Sky.py).
 
-    _stochastic_attrs = ("adu",)
+    Beyond the reference's flat offset (Sky.py:14-16), the optional
+    ``dx``/``dy`` attributes add a GALFIT-style tilted-plane gradient
+    (ADU per pixel along the x/y axes, zero at the image center):
 
-    def __init__(self, adu=None):
+    ``sky(x, y) = adu + dx*(x - (W-1)/2) + dy*(y - (H-1)/2)``
+
+    Real mosaicked/drizzled cutouts often carry residual background
+    slopes that a flat sky absorbs into the faint-galaxy wings; a free
+    gradient marginalizes them instead.  When ``dx``/``dy`` are omitted
+    the component is the reference's flat sky with an identical
+    parameter-vector layout (they contribute no slots at all).
+    """
+
+    _stochastic_attrs = ("adu", "dx", "dy")
+
+    def __init__(self, adu=None, dx=None, dy=None):
         super().__init__()
         self.adu = adu
+        # only register when given: absent gradients must not disturb
+        # the canonical slot layout of existing flat-sky models
+        if dx is not None:
+            self.dx = dx
+        if dy is not None:
+            self.dy = dy
 
 
 class PointSource(ComponentBase):

@@ -333,6 +333,23 @@ class PosteriorFns:
             if cs.kind == "sky":
                 adu = _getter(cs.params, theta, "adu")
                 sky = sky + jnp.asarray(adu, self.dtype)
+                if "dx" in cs.params or "dy" in cs.params:
+                    # tilted-plane gradient about the image center
+                    # (components.Sky docstring); rides ``raw`` directly
+                    # so every render mode (XLA/Pallas) composes with it
+                    h, w = self.spec.shape
+                    plane = jnp.zeros((), self.dtype)
+                    if "dx" in cs.params:
+                        dx = jnp.asarray(
+                            _getter(cs.params, theta, "dx"), self.dtype
+                        )
+                        plane = plane + dx * (c["xg"] - (w - 1) / 2.0)
+                    if "dy" in cs.params:
+                        dy = jnp.asarray(
+                            _getter(cs.params, theta, "dy"), self.dtype
+                        )
+                        plane = plane + dy * (c["yg"] - (h - 1) / 2.0)
+                    raw = raw + plane
             elif cs.kind == "pointsource":
                 xy = _getter(cs.params, theta, "xy")
                 xy = jnp.asarray(xy, self.dtype)

@@ -283,7 +283,13 @@ def config_wcs_frame(config):
 def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
     """Static render rule for one component against a slot map."""
     if isinstance(comp, Sky):
-        return CompSpec("sky", {"adu": _resolve(comp, "adu", slot_map, wcs_map)})
+        params = {"adu": _resolve(comp, "adu", slot_map, wcs_map)}
+        # gradient attrs are optional; include a rule only when the
+        # component actually has one (flat-sky specs stay byte-identical)
+        for g in ("dx", "dy"):
+            if g in comp._priors or g in comp._constants:
+                params[g] = _resolve(comp, g, slot_map, wcs_map)
+        return CompSpec("sky", params)
     if isinstance(comp, PointSource):
         return CompSpec(
             "pointsource",

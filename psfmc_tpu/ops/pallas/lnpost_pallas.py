@@ -43,14 +43,21 @@ def fused_lnl_supported(spec, conv_mode):
     silently dropping them from the likelihood.
     """
     known = {"sky", "pointsource", "sersic", "psfselector"}
-    kinds_ok = all(
-        cs.kind in known for cs in getattr(spec, "comp_specs", ())
+    specs = getattr(spec, "comp_specs", ())
+    kinds_ok = all(cs.kind in known for cs in specs)
+    # the kernel renders sky as one scalar; a gradient (tilted-plane)
+    # sky would be silently flattened — fall back to XLA instead
+    flat_sky = all(
+        not ({"dx", "dy"} & set(cs.params))
+        for cs in specs
+        if cs.kind == "sky"
     )
     return (
         pallas_available()
         and conv_mode == "dft"
         and getattr(spec, "num_psfs", 1) == 1
         and kinds_ok
+        and flat_sky
     )
 
 
