@@ -375,7 +375,17 @@ class PointSource(ComponentBase):
 
 
 class Sersic(ComponentBase):
-    """Sersic profile component (reference Sersic.py)."""
+    """Sersic profile component (reference Sersic.py).
+
+    Beyond the reference, the optional ``c0`` attribute bends the
+    isophotes GALFIT-style: the generalized radius is
+    ``r^c = |u|^c + |v|^c`` with ``c = c0 + 2`` — ``c0 > 0`` boxy,
+    ``c0 < 0`` disky, omitted = the reference's pure ellipse with an
+    identical parameter layout (``c0`` contributes no slot).  Total
+    flux stays exactly ``mag`` (superellipse area renormalization, see
+    :func:`psfmc_tpu.ops.sersic.render_sersic_gen`).  Support:
+    ``c0 > -1.95`` (enforced by the joint prior).
+    """
 
     _fits_abbrs = (
         ("Sersic", "SER"),
@@ -384,7 +394,9 @@ class Sersic(ComponentBase):
         ("index", "N"),
         ("angle", "ANG"),
     )
-    _stochastic_attrs = ("xy", "mag", "reff", "reff_b", "index", "angle")
+    _stochastic_attrs = (
+        "xy", "mag", "reff", "reff_b", "index", "angle", "c0",
+    )
 
     def __init__(
         self,
@@ -395,6 +407,7 @@ class Sersic(ComponentBase):
         index=None,
         angle=None,
         angle_degrees=False,
+        c0=None,
     ):
         super().__init__()
         self.xy = xy
@@ -404,22 +417,35 @@ class Sersic(ComponentBase):
         self.index = index
         self.angle = angle
         self.angle_degrees = angle_degrees
+        # only register when given: an absent c0 must not disturb the
+        # canonical slot layout of existing elliptical models
+        if c0 is not None:
+            self.c0 = c0
 
     def log_priors(self):
         logp = super().log_priors()
         # Semi-major axis must exceed semi-minor (reference Sersic.py:41-45)
         logp += -np.inf if self.reff_b > self.reff else 0.0
+        try:
+            c0 = self.c0
+        except AttributeError:
+            c0 = None
+        if c0 is not None:
+            logp += -np.inf if np.any(np.asarray(c0) <= -1.95) else 0.0
         return logp
 
     def _batch_constraints(self, vals):
         ok = super()._batch_constraints(vals)
         reff = vals.get("reff", self._constants.get("reff"))
         reff_b = vals.get("reff_b", self._constants.get("reff_b"))
-        if isinstance(reff, Tied) or isinstance(reff_b, Tied):
+        if not (isinstance(reff, Tied) or isinstance(reff_b, Tied)):
             # tied operand is drawn by ANOTHER component's batch; the
             # device log-prior enforces the constraint during sampling
-            return ok
-        return ok & np.ravel(np.asarray(reff_b) <= np.asarray(reff))
+            ok = ok & np.ravel(np.asarray(reff_b) <= np.asarray(reff))
+        c0 = vals.get("c0", self._constants.get("c0"))
+        if c0 is not None and not isinstance(c0, Tied):
+            ok = ok & np.ravel(np.asarray(c0) > -1.95)
+        return ok
 
 
 class Moffat(ComponentBase):

@@ -108,6 +108,13 @@ def make_log_prior(slots, comp_specs, dtype):
             if cs.kind == "sersic":
                 a = _getter(cs.params, theta, "reff")
                 b = _getter(cs.params, theta, "reff_b")
+                if "c0" in cs.params:
+                    # boxiness support: c = c0 + 2 must stay usefully
+                    # positive (render exponents are 2/c)
+                    c0 = _getter(cs.params, theta, "c0")
+                    lp = jnp.where(
+                        jnp.asarray(c0) <= -1.95, -jnp.inf, lp
+                    )
             elif cs.kind == "moffat":
                 a = _getter(cs.params, theta, "fwhm")
                 b = _getter(cs.params, theta, "fwhm_b")
@@ -379,6 +386,28 @@ class PosteriorFns:
                 )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
+                if "c0" in cs.params:
+                    # boxy/disky isophotes render on the XLA path in
+                    # every mode (the Pallas kernels pack the 9-scalar
+                    # elliptical form only); composition is additive so
+                    # mixing with packed elliptical components is exact
+                    from ..ops.sersic import render_sersic_gen
+
+                    raw = raw + render_sersic_gen(
+                        c["xg"],
+                        c["yg"],
+                        xy,
+                        _getter(cs.params, theta, "mag"),
+                        _getter(cs.params, theta, "reff"),
+                        _getter(cs.params, theta, "reff_b"),
+                        _getter(cs.params, theta, "index"),
+                        _getter(cs.params, theta, "angle"),
+                        _getter(cs.params, theta, "c0"),
+                        self.mag_zp,
+                        cs.static["angle_degrees"],
+                        kappa_mode=self.kappa_mode,
+                    )
+                    continue
                 args = (
                     xy,
                     _getter(cs.params, theta, "mag"),

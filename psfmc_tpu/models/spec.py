@@ -300,14 +300,19 @@ def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
             static={"shift_method": comp.shift_method},
         )
     if isinstance(comp, Sersic):
+        params = {
+            attr: _resolve(comp, attr, slot_map, wcs_map)
+            for attr in (
+                "xy", "mag", "reff", "reff_b", "index", "angle",
+            )
+        }
+        # boxiness is optional; include a rule only when the component
+        # has one (elliptical specs stay byte-identical)
+        if "c0" in comp._priors or "c0" in comp._constants:
+            params["c0"] = _resolve(comp, "c0", slot_map, wcs_map)
         return CompSpec(
             "sersic",
-            {
-                attr: _resolve(comp, attr, slot_map, wcs_map)
-                for attr in (
-                    "xy", "mag", "reff", "reff_b", "index", "angle",
-                )
-            },
+            params,
             static={"angle_degrees": comp.angle_degrees},
         )
     if isinstance(comp, Moffat):

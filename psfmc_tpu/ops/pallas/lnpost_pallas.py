@@ -45,12 +45,16 @@ def fused_lnl_supported(spec, conv_mode):
     known = {"sky", "pointsource", "sersic", "psfselector"}
     specs = getattr(spec, "comp_specs", ())
     kinds_ok = all(cs.kind in known for cs in specs)
-    # the kernel renders sky as one scalar; a gradient (tilted-plane)
-    # sky would be silently flattened — fall back to XLA instead
+    # the kernel renders sky as one scalar and sersics in the 9-scalar
+    # elliptical form; a gradient (tilted-plane) sky or a boxy (c0)
+    # sersic would be silently mis-rendered — fall back to XLA instead
     flat_sky = all(
         not ({"dx", "dy"} & set(cs.params))
         for cs in specs
         if cs.kind == "sky"
+    )
+    elliptical = all(
+        "c0" not in cs.params for cs in specs if cs.kind == "sersic"
     )
     return (
         pallas_available()
@@ -58,6 +62,7 @@ def fused_lnl_supported(spec, conv_mode):
         and getattr(spec, "num_psfs", 1) == 1
         and kinds_ok
         and flat_sky
+        and elliptical
     )
 
 

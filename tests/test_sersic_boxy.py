@@ -1,0 +1,254 @@
+"""Boxy/disky Sersic isophotes (GALFIT-style c0 — beyond the reference).
+
+Anchors: exact degeneration to the elliptical renderer at c0=0, exact
+total-flux normalization for any c0 (superellipse area factor), the
+boxy/disky diagonal-brightness signature, layout invariance for
+elliptical models, prior support, and mock-injection recovery through
+the public fit driver.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.special import gamma as scipy_gamma
+
+from psfmc_tpu import distributions as D
+from psfmc_tpu.models.components import Configuration, Sersic, Sky
+from psfmc_tpu.models.posterior import build_posterior
+from psfmc_tpu.models.spec import build_model_spec
+from psfmc_tpu.ops.sersic import (
+    render_sersic,
+    render_sersic_gen,
+    sersic_gen_area_factor,
+)
+
+
+def _grids(n):
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    return jnp.asarray(xx), jnp.asarray(yy)
+
+
+def test_area_factor_matches_scipy():
+    for c in (0.5, 1.0, 2.0, 2.7, 4.0, 10.0):
+        want = 4.0 * scipy_gamma(1 + 1 / c) ** 2 / scipy_gamma(1 + 2 / c)
+        got = float(sersic_gen_area_factor(jnp.asarray(c, jnp.float64)))
+        assert got == pytest.approx(want, rel=1e-12), c
+    assert float(
+        sersic_gen_area_factor(jnp.asarray(2.0, jnp.float64))
+    ) == pytest.approx(np.pi, rel=1e-12)
+
+
+def test_c0_zero_degenerates_to_elliptical():
+    xg, yg = _grids(64)
+    args = (
+        jnp.asarray([31.2, 30.7], jnp.float64),
+        21.5,
+        6.3,
+        5.1,
+        2.4,
+        25.35,
+        26.2303,
+    )
+    ell = np.asarray(render_sersic(xg, yg, *args, angle_degrees=True))
+    gen = np.asarray(
+        render_sersic_gen(
+            xg, yg, *args[:6], 0.0, args[6], angle_degrees=True
+        )
+    )
+    assert np.allclose(gen, ell, rtol=1e-10, atol=0)
+
+
+def test_total_flux_c0_invariant():
+    """mag stays the total magnitude for any c0: the superellipse area
+    renormalization makes the image sum c0-invariant (pixel point
+    sampling carries a ~2% bias shared with the elliptical renderer,
+    so the anchor is the c0=0 sum, plus a loose absolute check)."""
+    n = 256
+    xg, yg = _grids(n)
+    mag, zp = 22.0, 25.0
+    flux = 10 ** (-0.4 * (mag - zp))
+
+    def total(c0):
+        img = np.asarray(
+            render_sersic_gen(
+                xg,
+                yg,
+                jnp.asarray([127.3, 128.2], jnp.float64),
+                mag,
+                4.0,
+                3.0,
+                1.0,
+                20.0,
+                c0,
+                zp,
+                angle_degrees=True,
+            )
+        )
+        return img.sum()
+
+    base = total(0.0)
+    assert base == pytest.approx(flux, rel=0.03)
+    for c0 in (-0.8, 1.2, 3.0):
+        assert total(c0) == pytest.approx(base, rel=0.01), c0
+
+
+def test_boxy_brightens_disky_dims_the_diagonal():
+    """At equal elliptical radius, a boxy profile (c0>0) is brighter on
+    the diagonal of the scaled frame, a disky one fainter."""
+    n = 129
+    xg, yg = _grids(n)
+    cen = jnp.asarray([64.0, 64.0], jnp.float64)
+    kw = dict(angle_degrees=True)
+    # angle=-90 puts the +90deg-convention major axis along +x; circular
+    # axes make the scaled frame the pixel frame
+    args = (cen, 21.0, 8.0, 8.0, 1.5, -90.0)
+
+    def at(img, dx, dy):
+        return np.asarray(img)[64 + dy, 64 + dx]
+
+    r = 12
+    d = int(round(r / np.sqrt(2)))
+    imgs = {
+        c0: render_sersic_gen(xg, yg, *args, c0, 25.0, **kw)
+        for c0 in (-0.7, 0.0, 1.0)
+    }
+    for c0, img in imgs.items():
+        # axis point is identical up to the flux renormalization factor
+        ratio_axis = at(img, r, 0) / at(imgs[0.0], r, 0)
+        ratio_diag = at(img, d, d) / at(imgs[0.0], d, d)
+        if c0 > 0:
+            assert ratio_diag > ratio_axis * 1.05
+        elif c0 < 0:
+            assert ratio_diag < ratio_axis * 0.95
+
+
+def _config(obs, noise, psf):
+    return Configuration(
+        obs_file=obs,
+        obsivm_file=np.full(obs.shape, 1.0 / noise**2),
+        psf_files=psf,
+        psfivm_files=np.full_like(psf, 1e8),
+        mag_zeropoint=25.0,
+    )
+
+
+def test_layout_and_prior_support(rng, gaussian_psf):
+    cfg = _config(np.zeros((32, 32)), 0.01, gaussian_psf)
+
+    def sersic(**kw):
+        return Sersic(
+            xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+            mag=D.Uniform(loc=20.0, scale=2.0),
+            reff=D.Uniform(loc=2.0, scale=6.0),
+            reff_b=D.Uniform(loc=2.0, scale=6.0),
+            index=1.5,
+            angle=30.0,
+            angle_degrees=True,
+            **kw,
+        )
+
+    # elliptical layout untouched; c0 slots in alphabetically
+    spec_e = build_model_spec([cfg, sersic()])
+    assert spec_e.param_names == [
+        "0_Sersic_mag", "0_Sersic_reff", "0_Sersic_reff_b", "0_Sersic_xy",
+    ]
+    assert all(
+        "c0" not in cs.params
+        for cs in spec_e.comp_specs
+        if cs.kind == "sersic"
+    )
+    spec_b = build_model_spec(
+        [cfg, sersic(c0=D.Uniform(loc=-1.0, scale=2.0))]
+    )
+    assert spec_b.param_names == [
+        "0_Sersic_c0", "0_Sersic_mag", "0_Sersic_reff", "0_Sersic_reff_b",
+        "0_Sersic_xy",
+    ]
+    fns = build_posterior(spec_b, dtype=jnp.float64)
+    good = np.array([0.5, 21.0, 5.0, 4.0, 16.0, 15.0])
+    assert np.isfinite(float(fns.log_posterior(jnp.asarray(good))))
+    # support edge: the device prior rejects c0 <= -1.95 even if the
+    # declared prior allowed it
+    comp = sersic(c0=D.Uniform(loc=-3.0, scale=4.0))
+    spec_w = build_model_spec([cfg, comp])
+    fns_w = build_posterior(spec_w, dtype=jnp.float64)
+    bad = np.array([-2.5, 21.0, 5.0, 4.0, 16.0, 15.0])
+    assert float(fns_w.log_posterior(jnp.asarray(bad))) == -np.inf
+    # vectorized prior-draw init respects the same constraint
+    draws = comp.draw_batch(256, random_state=np.random.RandomState(0))
+    assert np.all(draws[:, 0] > -1.95)
+    # host-side joint prior agrees
+    comp.set_stochastic_values(bad)
+    assert comp.log_priors() == -np.inf
+
+
+def test_fused_kernel_rejects_c0(rng, gaussian_psf):
+    from psfmc_tpu.ops.pallas.lnpost_pallas import fused_lnl_supported
+
+    cfg = _config(np.zeros((32, 32)), 0.01, gaussian_psf)
+    spec = build_model_spec([
+        cfg,
+        Sersic(
+            xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+            mag=D.Uniform(loc=20.0, scale=2.0),
+            reff=D.Uniform(loc=2.0, scale=6.0),
+            reff_b=D.Uniform(loc=2.0, scale=6.0),
+            index=1.5,
+            angle=30.0,
+            angle_degrees=True,
+            c0=D.Uniform(loc=-0.5, scale=1.0),
+        ),
+    ])
+    assert not fused_lnl_supported(spec, "dft")
+
+
+def test_c0_recovery(rng, gaussian_psf):
+    """Short ensemble fit recovers an injected boxy c0 from a
+    framework-generated mock."""
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    noise = 0.002
+    c0_t = 0.9
+
+    def comps(cfg):
+        return [
+            cfg,
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            Sersic(
+                xy=D.Uniform(loc=(13.0, 13.0), scale=(6.0, 6.0)),
+                mag=D.Uniform(loc=20.0, scale=2.0),
+                reff=5.0,
+                reff_b=4.0,
+                index=1.5,
+                angle=30.0,
+                angle_degrees=True,
+                c0=D.Uniform(loc=-1.0, scale=3.0),
+            ),
+        ]
+
+    # truth theta layout: [0_Sky_adu, 1_Sersic_c0, 1_Sersic_mag, xy]
+    truth = np.array([0.05, c0_t, 20.8, 16.2, 15.7])
+    spec_g = build_model_spec(
+        comps(_config(np.zeros((32, 32)), noise, gaussian_psf))
+    )
+    fns_g = build_posterior(spec_g, dtype=jnp.float64)
+    conv = np.asarray(
+        fns_g.render_images(jnp.asarray(truth))["convolved_model"]
+    )
+    obs = conv + rng.randn(32, 32) * noise
+    spec = build_model_spec(comps(_config(obs, noise, gaussian_psf)))
+    assert spec.param_names[1] == "1_Sersic_c0"
+    fns = build_posterior(spec, dtype=jnp.float64)
+    nw = 16
+    p0 = truth[None, :] + rng.randn(nw, truth.size) * np.array(
+        [0.01, 0.1, 0.05, 0.1, 0.1]
+    )
+    sampler = EnsembleSampler(nw, spec.num_params, fns, seed=0)
+    sampler.init_state(p0)
+    sampler.run_burn(200)
+    sampler.reset()
+    sampler.run_sampling(150)
+    flat = np.asarray(sampler.chain).reshape(-1, spec.num_params)
+    mean, std = flat.mean(axis=0), flat.std(axis=0)
+    assert abs(mean[1] - c0_t) < 5 * std[1] + 0.05
+    # a boxy injection must be detected as boxy with confidence
+    assert mean[1] > 3 * std[1]
