@@ -377,14 +377,22 @@ class PointSource(ComponentBase):
 class Sersic(ComponentBase):
     """Sersic profile component (reference Sersic.py).
 
-    Beyond the reference, the optional ``c0`` attribute bends the
-    isophotes GALFIT-style: the generalized radius is
-    ``r^c = |u|^c + |v|^c`` with ``c = c0 + 2`` — ``c0 > 0`` boxy,
-    ``c0 < 0`` disky, omitted = the reference's pure ellipse with an
-    identical parameter layout (``c0`` contributes no slot).  Total
-    flux stays exactly ``mag`` (superellipse area renormalization, see
-    :func:`psfmc_tpu.ops.sersic.render_sersic_gen`).  Support:
-    ``c0 > -1.95`` (enforced by the joint prior).
+    Beyond the reference, two optional GALFIT-style shape freedoms
+    (each contributes no slot when omitted — elliptical models keep an
+    identical parameter layout):
+
+    * ``c0`` — boxiness: the generalized radius is
+      ``r^c = |u|^c + |v|^c`` with ``c = c0 + 2`` (``c0 > 0`` boxy,
+      ``c0 < 0`` disky).  Support: ``c0 > -1.95``.
+    * ``f1..f4`` (+ ``f1_phi..f4_phi``) — azimuthal Fourier modes: the
+      isophote is bent by ``1 + sum_m f_m cos(m*theta - f_m_phi)``
+      with ``theta`` measured from the major axis in the scaled frame
+      (``m=1`` lopsidedness, ``m=3`` asymmetry, ``m=4`` extra
+      boxiness/diskiness; phases in the same units as ``angle``).
+      Support: ``sum |f_m| <= 0.9``.  An omitted phase is constant 0.
+
+    Total flux stays exactly ``mag`` for any shape (isophote-area
+    renormalization, see :func:`psfmc_tpu.ops.sersic.render_sersic_gen`).
     """
 
     _fits_abbrs = (
@@ -394,8 +402,10 @@ class Sersic(ComponentBase):
         ("index", "N"),
         ("angle", "ANG"),
     )
+    _fourier_modes = (1, 2, 3, 4)
     _stochastic_attrs = (
         "xy", "mag", "reff", "reff_b", "index", "angle", "c0",
+        "f1", "f1_phi", "f2", "f2_phi", "f3", "f3_phi", "f4", "f4_phi",
     )
 
     def __init__(
@@ -408,6 +418,7 @@ class Sersic(ComponentBase):
         angle=None,
         angle_degrees=False,
         c0=None,
+        **shape_kw,
     ):
         super().__init__()
         self.xy = xy
@@ -417,21 +428,51 @@ class Sersic(ComponentBase):
         self.index = index
         self.angle = angle
         self.angle_degrees = angle_degrees
-        # only register when given: an absent c0 must not disturb the
-        # canonical slot layout of existing elliptical models
+        # only register when given: absent shape params must not
+        # disturb the canonical slot layout of existing models
         if c0 is not None:
             self.c0 = c0
+        fnames = {
+            n for m in self._fourier_modes for n in (f"f{m}", f"f{m}_phi")
+        }
+        for name, val in shape_kw.items():
+            if name not in fnames:
+                raise TypeError(
+                    f"Sersic() got an unexpected keyword argument "
+                    f"{name!r}"
+                )
+            if val is not None:
+                setattr(self, name, val)
+        for m in self._fourier_modes:
+            if self._has(f"f{m}_phi") and not self._has(f"f{m}"):
+                raise ValueError(
+                    f"f{m}_phi given without its amplitude f{m}"
+                )
+
+    def _has(self, attr):
+        return attr in self._priors or attr in self._constants
+
+    def _shape_value(self, attr):
+        """Current value of an optional shape attr, or None."""
+        try:
+            return getattr(self, attr)
+        except AttributeError:
+            return None
 
     def log_priors(self):
         logp = super().log_priors()
         # Semi-major axis must exceed semi-minor (reference Sersic.py:41-45)
         logp += -np.inf if self.reff_b > self.reff else 0.0
-        try:
-            c0 = self.c0
-        except AttributeError:
-            c0 = None
+        c0 = self._shape_value("c0")
         if c0 is not None:
             logp += -np.inf if np.any(np.asarray(c0) <= -1.95) else 0.0
+        amp_sum = 0.0
+        for m in self._fourier_modes:
+            a = self._shape_value(f"f{m}")
+            if a is not None:
+                amp_sum = amp_sum + np.abs(np.asarray(a, float))
+        if np.any(np.asarray(amp_sum) > 0.9):
+            logp += -np.inf
         return logp
 
     def _batch_constraints(self, vals):
@@ -445,6 +486,15 @@ class Sersic(ComponentBase):
         c0 = vals.get("c0", self._constants.get("c0"))
         if c0 is not None and not isinstance(c0, Tied):
             ok = ok & np.ravel(np.asarray(c0) > -1.95)
+        amp_sum = None
+        for m in self._fourier_modes:
+            a = vals.get(f"f{m}", self._constants.get(f"f{m}"))
+            if a is None or isinstance(a, Tied):
+                continue
+            a = np.abs(np.ravel(np.asarray(a, float)))
+            amp_sum = a if amp_sum is None else amp_sum + a
+        if amp_sum is not None:
+            ok = ok & (amp_sum <= 0.9)
         return ok
 
 

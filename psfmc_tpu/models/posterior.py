@@ -115,6 +115,21 @@ def make_log_prior(slots, comp_specs, dtype):
                     lp = jnp.where(
                         jnp.asarray(c0) <= -1.95, -jnp.inf, lp
                     )
+                amp_sum = None
+                for m in (1, 2, 3, 4):
+                    if f"f{m}" in cs.params:
+                        amp = jnp.abs(
+                            jnp.asarray(
+                                _getter(cs.params, theta, f"f{m}")
+                            )
+                        )
+                        amp_sum = (
+                            amp if amp_sum is None else amp_sum + amp
+                        )
+                if amp_sum is not None:
+                    # perturbation factor 1 + f must stay positive
+                    # everywhere (render floors it at 0.05 as a guard)
+                    lp = jnp.where(amp_sum > 0.9, -jnp.inf, lp)
             elif cs.kind == "moffat":
                 a = _getter(cs.params, theta, "fwhm")
                 b = _getter(cs.params, theta, "fwhm_b")
@@ -386,13 +401,31 @@ class PosteriorFns:
                 )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
-                if "c0" in cs.params:
-                    # boxy/disky isophotes render on the XLA path in
-                    # every mode (the Pallas kernels pack the 9-scalar
-                    # elliptical form only); composition is additive so
-                    # mixing with packed elliptical components is exact
+                shaped = "c0" in cs.params or any(
+                    f"f{m}" in cs.params for m in (1, 2, 3, 4)
+                )
+                if shaped:
+                    # boxy/disky/Fourier isophotes render on the XLA
+                    # path in every mode (the Pallas kernels pack the
+                    # 9-scalar elliptical form only); composition is
+                    # additive so mixing with packed elliptical
+                    # components is exact
                     from ..ops.sersic import render_sersic_gen
 
+                    fourier = tuple(
+                        (
+                            m,
+                            _getter(cs.params, theta, f"f{m}"),
+                            _getter(cs.params, theta, f"f{m}_phi"),
+                        )
+                        for m in (1, 2, 3, 4)
+                        if f"f{m}" in cs.params
+                    )
+                    c0 = (
+                        _getter(cs.params, theta, "c0")
+                        if "c0" in cs.params
+                        else 0.0
+                    )
                     raw = raw + render_sersic_gen(
                         c["xg"],
                         c["yg"],
@@ -402,10 +435,11 @@ class PosteriorFns:
                         _getter(cs.params, theta, "reff_b"),
                         _getter(cs.params, theta, "index"),
                         _getter(cs.params, theta, "angle"),
-                        _getter(cs.params, theta, "c0"),
+                        c0,
                         self.mag_zp,
                         cs.static["angle_degrees"],
                         kappa_mode=self.kappa_mode,
+                        fourier=fourier,
                     )
                     continue
                 args = (

@@ -306,10 +306,19 @@ def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
                 "xy", "mag", "reff", "reff_b", "index", "angle",
             )
         }
-        # boxiness is optional; include a rule only when the component
-        # has one (elliptical specs stay byte-identical)
+        # shape freedoms are optional; include rules only when the
+        # component has them (elliptical specs stay byte-identical)
         if "c0" in comp._priors or "c0" in comp._constants:
             params["c0"] = _resolve(comp, "c0", slot_map, wcs_map)
+        for m in comp._fourier_modes:
+            amp = f"f{m}"
+            if amp in comp._priors or amp in comp._constants:
+                params[amp] = _resolve(comp, amp, slot_map, wcs_map)
+                phi = f"{amp}_phi"
+                if phi in comp._priors or phi in comp._constants:
+                    params[phi] = _resolve(comp, phi, slot_map, wcs_map)
+                else:
+                    params[phi] = ("const", 0.0)
         return CompSpec(
             "sersic",
             params,

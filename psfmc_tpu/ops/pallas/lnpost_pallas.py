@@ -54,7 +54,9 @@ def fused_lnl_supported(spec, conv_mode):
         if cs.kind == "sky"
     )
     elliptical = all(
-        "c0" not in cs.params for cs in specs if cs.kind == "sersic"
+        not ({"c0", "f1", "f2", "f3", "f4"} & set(cs.params))
+        for cs in specs
+        if cs.kind == "sersic"
     )
     return (
         pallas_available()

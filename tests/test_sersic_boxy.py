@@ -252,3 +252,178 @@ def test_c0_recovery(rng, gaussian_psf):
     assert abs(mean[1] - c0_t) < 5 * std[1] + 0.05
     # a boxy injection must be detected as boxy with confidence
     assert mean[1] > 3 * std[1]
+
+
+# ---- azimuthal Fourier modes -----------------------------------------
+
+
+def test_fourier_zero_amp_degenerates_to_elliptical():
+    xg, yg = _grids(64)
+    args = (
+        jnp.asarray([31.2, 30.7], jnp.float64),
+        21.5, 6.3, 5.1, 2.4, 25.35,
+    )
+    ell = np.asarray(
+        render_sersic_gen(
+            xg, yg, *args, 0.0, 26.2303, angle_degrees=True
+        )
+    )
+    gen = np.asarray(
+        render_sersic_gen(
+            xg, yg, *args, 0.0, 26.2303, angle_degrees=True,
+            fourier=((1, 0.0, 0.0), (3, 0.0, 10.0)),
+        )
+    )
+    # area factor goes through the azimuthal quadrature instead of the
+    # closed form — spectral convergence keeps them equal to ~1e-12
+    assert np.allclose(gen, ell, rtol=1e-9, atol=0)
+
+
+def test_fourier_flux_invariant_and_combined_with_c0():
+    n = 256
+    xg, yg = _grids(n)
+    mag, zp = 22.0, 25.0
+
+    def total(c0, fourier):
+        img = np.asarray(
+            render_sersic_gen(
+                xg, yg,
+                jnp.asarray([127.3, 128.2], jnp.float64),
+                mag, 4.0, 3.0, 1.0, 20.0, c0, zp,
+                angle_degrees=True, fourier=fourier,
+            )
+        )
+        return img.sum()
+
+    base = total(0.0, ())
+    for c0, fourier in [
+        (0.0, ((1, 0.35, 0.0),)),
+        (0.0, ((1, 0.2, 30.0), (3, 0.15, -20.0), (4, 0.1, 5.0))),
+        (0.8, ((1, 0.3, 45.0),)),
+        (-0.6, ((2, 0.25, 0.0),)),
+    ]:
+        assert total(c0, fourier) == pytest.approx(base, rel=0.015), (
+            c0, fourier,
+        )
+
+
+def test_fourier_m1_lopsided_and_phase():
+    """m=1, phase 0 brightens the +major-axis side; phase 90deg rotates
+    the bright side to +v (the minor axis)."""
+    n = 129
+    xg, yg = _grids(n)
+    cen = jnp.asarray([64.0, 64.0], jnp.float64)
+    # angle=-90 puts the major axis along +x; circular axes
+    common = (cen, 21.0, 8.0, 8.0, 1.5, -90.0)
+
+    def img(fourier):
+        return np.asarray(
+            render_sersic_gen(
+                xg, yg, *common, 0.0, 25.0, angle_degrees=True,
+                fourier=fourier,
+            )
+        )
+
+    r = 12
+    i0 = img(((1, 0.3, 0.0),))
+    assert i0[64, 64 + r] > 1.3 * i0[64, 64 - r]
+    assert i0[64 + r, 64] == pytest.approx(i0[64 - r, 64], rel=1e-6)
+    i90 = img(((1, 0.3, 90.0),))
+    assert i90[64 + r, 64] > 1.3 * i90[64 - r, 64]
+    assert i90[64, 64 + r] == pytest.approx(i90[64, 64 - r], rel=1e-6)
+
+
+def test_fourier_layout_priors_and_validation(rng, gaussian_psf):
+    cfg = _config(np.zeros((32, 32)), 0.01, gaussian_psf)
+
+    def sersic(**kw):
+        return Sersic(
+            xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+            mag=D.Uniform(loc=20.0, scale=2.0),
+            reff=5.0, reff_b=4.0, index=1.5, angle=30.0,
+            angle_degrees=True, **kw,
+        )
+
+    spec = build_model_spec([
+        cfg,
+        sersic(f1=D.Uniform(loc=-0.5, scale=1.0),
+               f1_phi=D.Uniform(loc=0.0, scale=360.0),
+               f3=0.1),
+    ])
+    assert spec.param_names == [
+        "0_Sersic_f1", "0_Sersic_f1_phi", "0_Sersic_mag", "0_Sersic_xy",
+    ]
+    rule = next(c for c in spec.comp_specs if c.kind == "sersic")
+    assert rule.params["f3"] == ("const", 0.1)
+    assert rule.params["f3_phi"] == ("const", 0.0)  # omitted phase
+
+    fns = build_posterior(spec, dtype=jnp.float64)
+    good = np.array([0.3, 45.0, 21.0, 16.0, 15.0])
+    assert np.isfinite(float(fns.log_posterior(jnp.asarray(good))))
+    # sum|a_m| = 0.85 + 0.1 > 0.9 -> rejected on device
+    bad = np.array([0.85, 45.0, 21.0, 16.0, 15.0])
+    assert float(fns.log_posterior(jnp.asarray(bad))) == -np.inf
+
+    comp = sersic(f1=D.Uniform(loc=-2.0, scale=4.0))
+    draws = comp.draw_batch(256, random_state=np.random.RandomState(0))
+    assert np.all(np.abs(draws[:, 0]) <= 0.9)
+    comp.set_stochastic_values(np.array([1.5, 21.0, 16.0, 15.0]))
+    assert comp.log_priors() == -np.inf
+
+    with pytest.raises(ValueError):
+        sersic(f2_phi=10.0)  # phase without amplitude
+    with pytest.raises(TypeError):
+        Sersic(xy=(1.0, 1.0), mag=20.0, reff=3.0, reff_b=2.0,
+               index=1.0, angle=0.0, f9=0.1)
+
+    from psfmc_tpu.ops.pallas.lnpost_pallas import fused_lnl_supported
+
+    assert not fused_lnl_supported(spec, "dft")
+
+
+def test_fourier_recovery(rng, gaussian_psf):
+    """Short ensemble fit recovers an injected m=1 lopsidedness."""
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    noise = 0.002
+    f1_t = 0.35
+
+    def comps(cfg):
+        return [
+            cfg,
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            Sersic(
+                xy=D.Uniform(loc=(13.0, 13.0), scale=(6.0, 6.0)),
+                mag=D.Uniform(loc=20.0, scale=2.0),
+                reff=5.0, reff_b=4.0, index=1.5, angle=30.0,
+                angle_degrees=True,
+                f1=D.Uniform(loc=-0.8, scale=1.6),
+            ),
+        ]
+
+    # layout: [0_Sky_adu, 1_Sersic_f1, 1_Sersic_mag, xy]
+    truth = np.array([0.05, f1_t, 20.8, 16.2, 15.7])
+    spec_g = build_model_spec(
+        comps(_config(np.zeros((32, 32)), noise, gaussian_psf))
+    )
+    fns_g = build_posterior(spec_g, dtype=jnp.float64)
+    conv = np.asarray(
+        fns_g.render_images(jnp.asarray(truth))["convolved_model"]
+    )
+    obs = conv + rng.randn(32, 32) * noise
+    spec = build_model_spec(comps(_config(obs, noise, gaussian_psf)))
+    assert spec.param_names[1] == "1_Sersic_f1"
+    fns = build_posterior(spec, dtype=jnp.float64)
+    nw = 16
+    p0 = truth[None, :] + rng.randn(nw, truth.size) * np.array(
+        [0.01, 0.05, 0.05, 0.1, 0.1]
+    )
+    sampler = EnsembleSampler(nw, spec.num_params, fns, seed=0)
+    sampler.init_state(p0)
+    sampler.run_burn(200)
+    sampler.reset()
+    sampler.run_sampling(150)
+    flat = np.asarray(sampler.chain).reshape(-1, spec.num_params)
+    mean, std = flat.mean(axis=0), flat.std(axis=0)
+    assert abs(mean[1] - f1_t) < 5 * std[1] + 0.03
+    assert mean[1] > 3 * std[1]
