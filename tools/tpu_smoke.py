@@ -156,6 +156,87 @@ def smoke_longtail_priors():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_shaped_sersic():
+    """Boxy + Fourier-mode Sersic render path on hardware.
+
+    The generalized renderer adds a max-factored log-space power chain,
+    Chebyshev azimuth recurrences and an on-device area quadrature that
+    the flagship never exercises — all inside the jitted sampling scan.
+    Failure modes hunted: the extra exp/log chains degrading lnp on the
+    TPU VPU, or XLA/Mosaic rejecting the new fusion pattern.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Configuration, Sersic, Sky
+
+    apply_knobs({})
+    rng = np.random.RandomState(0)
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * 1.5**2))
+    psf /= psf.sum()
+    noise = 0.002
+
+    def comps(obs):
+        cfg = Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((h, w), 1 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full_like(psf, 1e8),
+            mag_zeropoint=25.0,
+        )
+        return [
+            cfg,
+            Sky(adu=D.Normal(loc=0.05, scale=0.05),
+                dx=D.Normal(loc=0.0, scale=0.01)),
+            Sersic(
+                xy=D.Uniform(loc=(13.0, 13.0), scale=(6.0, 6.0)),
+                mag=D.Uniform(loc=20.0, scale=2.0),
+                reff=5.0, reff_b=4.0, index=1.5, angle=30.0,
+                angle_degrees=True,
+                c0=D.Uniform(loc=-1.0, scale=2.0),
+                f1=D.Uniform(loc=-0.6, scale=1.2),
+            ),
+        ]
+
+    t0 = time.time()
+    try:
+        import jax.numpy as jnp
+
+        spec_g = build_model_spec(comps(np.zeros((h, w))))
+        fns_g = build_posterior(spec_g)
+        # layout: adu, dx, c0, f1, mag, x, y
+        truth = np.array([0.05, 2e-3, 0.7, 0.3, 20.8, 16.2, 15.7])
+        conv = np.asarray(
+            fns_g.render_images(jnp.asarray(truth))["convolved_model"]
+        )
+        obs = conv + rng.randn(h, w) * noise
+        spec = build_model_spec(comps(obs))
+        fns = build_posterior(spec)
+        nw = 32
+        sampler = EnsembleSampler(nw, spec.num_params, fns, seed=0)
+        # per-parameter jitter scales: dx rides a 2e-3 ADU/px scale —
+        # a flat 0.02 jitter there starts 10 sigma out and the short
+        # smoke reads mid-recovery instead of near-truth lnp
+        jit = np.array([2e-3, 2e-4, 0.02, 0.02, 0.01, 0.05, 0.05])
+        p0 = truth[None, :] + rng.randn(nw, truth.size) * jit
+        sampler.init_state(p0)
+        sampler.run_burn(10)
+        sampler.reset()
+        sampler.run_sampling(10)
+        device_sync(sampler.state.positions)
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        # CPU reference value ~ +4.9e3 (lnpost at injected truth);
+        # require the hardware run to land in the same regime
+        assert np.isfinite(lnp), lnp
+        assert lnp > 4000.0, lnp
+        return dict(name="shaped sersic (c0+f1) + sky gradient", ok=True,
+                    lnp=lnp, warm_s=time.time() - t0)
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="shaped sersic (c0+f1) + sky gradient", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_joint_multiband():
     """Joint two-band posterior (tied structure, mixed shapes) on HW.
 
@@ -244,6 +325,10 @@ def main():
         print(f"## {r}", flush=True)
 
     r = smoke_longtail_priors()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_shaped_sersic()
     results.append(r)
     print(f"## {r}", flush=True)
 
