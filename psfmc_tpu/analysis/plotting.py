@@ -83,6 +83,13 @@ def _get_trace(trace_name, db, model=None):
     Derived names (reference plotting.py:60-109):
     ``<c1>_<c2>_magdiff``, ``<c1>_<c2>_centerdist``,
     ``<n>_Sersic_axisratio``, ``<n>_Sersic_sbeff``.
+
+    Like the reference, derived traces read only DB columns, so they
+    see stochastic parameters (constants are not trace columns).  The
+    ``sbeff`` boxiness correction therefore applies when ``c0`` was
+    fit; Fourier-mode area corrections are not applied (their phases
+    may be non-stochastic and invisible here — for shaped fits quote
+    surface brightness from the posterior images instead).
     """
     name_comps = trace_name.split("_")
     try:
@@ -115,6 +122,17 @@ def _get_trace(trace_name, db, model=None):
                 np.asarray(db[prefix + "reff"]),
                 np.asarray(db[prefix + "reff_b"]),
             )
+            if prefix + "c0" in db.colnames:
+                # boxy/disky fits renormalize flux by the superellipse
+                # area (ops/isophote.py) — mirror it here so mu_e stays
+                # the true surface brightness at r_e
+                import scipy.special as sp
+
+                c = np.asarray(db[prefix + "c0"]) + 2.0
+                area = (
+                    4.0 * sp.gamma(1 + 1 / c) ** 2 / sp.gamma(1 + 2 / c)
+                )
+                trace = trace * (np.pi / area)
             if model is not None and model.obs_header is not None:
                 wcs = MiniWCS(model.obs_header)
                 px_area = proj_plane_pixel_area(wcs) * 3600**2

@@ -182,6 +182,16 @@ class ComponentBase:
             return val
         raise AttributeError(name)
 
+    def _has(self, attr):
+        return attr in self._priors or attr in self._constants
+
+    def _shape_value(self, attr):
+        """Current value of an optional attribute, or None if absent."""
+        try:
+            return getattr(self, attr)
+        except AttributeError:
+            return None
+
     # -- introspection (canonical alphabetical order) ---------------------
     def sorted_prior_items(self):
         return sorted(self._priors.items())
@@ -374,6 +384,76 @@ class PointSource(ComponentBase):
         self.shift_method = shift_method
 
 
+_FOURIER_MODES = (1, 2, 3, 4)
+_SHAPE_ATTRS = ("c0",) + tuple(
+    n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
+)
+
+
+def _register_shape_attrs(comp, c0, shape_kw):
+    """Register the optional isophote-shape attrs (c0, f1..f4, phases).
+
+    Only attrs actually given land in the component (absent shape
+    params must not disturb the canonical slot layout of existing
+    models); a phase without its amplitude is rejected.
+    """
+    if c0 is not None:
+        comp.c0 = c0
+    fnames = {
+        n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
+    }
+    for name, val in shape_kw.items():
+        if name not in fnames:
+            raise TypeError(
+                f"{type(comp).__name__}() got an unexpected keyword "
+                f"argument {name!r}"
+            )
+        if val is not None:
+            setattr(comp, name, val)
+    for m in _FOURIER_MODES:
+        if comp._has(f"f{m}_phi") and not comp._has(f"f{m}"):
+            raise ValueError(
+                f"f{m}_phi given without its amplitude f{m}"
+            )
+
+
+def _shape_log_prior_terms(comp):
+    """-inf contribution of the isophote-shape support, else 0.
+
+    Support: ``c0 > -1.95`` (the render exponents are 2/(c0+2)) and
+    ``sum_m |f_m| <= 0.9`` (the perturbation factor 1 + f must stay
+    positive everywhere).
+    """
+    c0 = comp._shape_value("c0")
+    if c0 is not None and np.any(np.asarray(c0) <= -1.95):
+        return -np.inf
+    amp_sum = 0.0
+    for m in _FOURIER_MODES:
+        a = comp._shape_value(f"f{m}")
+        if a is not None:
+            amp_sum = amp_sum + np.abs(np.asarray(a, float))
+    if np.any(np.asarray(amp_sum) > 0.9):
+        return -np.inf
+    return 0.0
+
+
+def _shape_batch_ok(comp, vals, ok):
+    """Vectorized isophote-shape constraints for prior-draw batches."""
+    c0 = vals.get("c0", comp._constants.get("c0"))
+    if c0 is not None and not isinstance(c0, Tied):
+        ok = ok & np.ravel(np.asarray(c0) > -1.95)
+    amp_sum = None
+    for m in _FOURIER_MODES:
+        a = vals.get(f"f{m}", comp._constants.get(f"f{m}"))
+        if a is None or isinstance(a, Tied):
+            continue
+        a = np.abs(np.ravel(np.asarray(a, float)))
+        amp_sum = a if amp_sum is None else amp_sum + a
+    if amp_sum is not None:
+        ok = ok & (amp_sum <= 0.9)
+    return ok
+
+
 class Sersic(ComponentBase):
     """Sersic profile component (reference Sersic.py).
 
@@ -402,11 +482,10 @@ class Sersic(ComponentBase):
         ("index", "N"),
         ("angle", "ANG"),
     )
-    _fourier_modes = (1, 2, 3, 4)
+    _fourier_modes = _FOURIER_MODES
     _stochastic_attrs = (
-        "xy", "mag", "reff", "reff_b", "index", "angle", "c0",
-        "f1", "f1_phi", "f2", "f2_phi", "f3", "f3_phi", "f4", "f4_phi",
-    )
+        "xy", "mag", "reff", "reff_b", "index", "angle",
+    ) + _SHAPE_ATTRS
 
     def __init__(
         self,
@@ -428,51 +507,13 @@ class Sersic(ComponentBase):
         self.index = index
         self.angle = angle
         self.angle_degrees = angle_degrees
-        # only register when given: absent shape params must not
-        # disturb the canonical slot layout of existing models
-        if c0 is not None:
-            self.c0 = c0
-        fnames = {
-            n for m in self._fourier_modes for n in (f"f{m}", f"f{m}_phi")
-        }
-        for name, val in shape_kw.items():
-            if name not in fnames:
-                raise TypeError(
-                    f"Sersic() got an unexpected keyword argument "
-                    f"{name!r}"
-                )
-            if val is not None:
-                setattr(self, name, val)
-        for m in self._fourier_modes:
-            if self._has(f"f{m}_phi") and not self._has(f"f{m}"):
-                raise ValueError(
-                    f"f{m}_phi given without its amplitude f{m}"
-                )
-
-    def _has(self, attr):
-        return attr in self._priors or attr in self._constants
-
-    def _shape_value(self, attr):
-        """Current value of an optional shape attr, or None."""
-        try:
-            return getattr(self, attr)
-        except AttributeError:
-            return None
+        _register_shape_attrs(self, c0, shape_kw)
 
     def log_priors(self):
         logp = super().log_priors()
         # Semi-major axis must exceed semi-minor (reference Sersic.py:41-45)
         logp += -np.inf if self.reff_b > self.reff else 0.0
-        c0 = self._shape_value("c0")
-        if c0 is not None:
-            logp += -np.inf if np.any(np.asarray(c0) <= -1.95) else 0.0
-        amp_sum = 0.0
-        for m in self._fourier_modes:
-            a = self._shape_value(f"f{m}")
-            if a is not None:
-                amp_sum = amp_sum + np.abs(np.asarray(a, float))
-        if np.any(np.asarray(amp_sum) > 0.9):
-            logp += -np.inf
+        logp += _shape_log_prior_terms(self)
         return logp
 
     def _batch_constraints(self, vals):
@@ -483,19 +524,7 @@ class Sersic(ComponentBase):
             # tied operand is drawn by ANOTHER component's batch; the
             # device log-prior enforces the constraint during sampling
             ok = ok & np.ravel(np.asarray(reff_b) <= np.asarray(reff))
-        c0 = vals.get("c0", self._constants.get("c0"))
-        if c0 is not None and not isinstance(c0, Tied):
-            ok = ok & np.ravel(np.asarray(c0) > -1.95)
-        amp_sum = None
-        for m in self._fourier_modes:
-            a = vals.get(f"f{m}", self._constants.get(f"f{m}"))
-            if a is None or isinstance(a, Tied):
-                continue
-            a = np.abs(np.ravel(np.asarray(a, float)))
-            amp_sum = a if amp_sum is None else amp_sum + a
-        if amp_sum is not None:
-            ok = ok & (amp_sum <= 0.9)
-        return ok
+        return _shape_batch_ok(self, vals, ok)
 
 
 class Moffat(ComponentBase):
@@ -508,6 +537,9 @@ class Moffat(ComponentBase):
     joint constraint ``fwhm >= fwhm_b``, position ``angle`` (+90deg
     convention), concentration ``index`` = the Moffat beta (> 1 for a
     finite total flux; the renderer is exactly flux-normalized).
+    Takes the same optional isophote-shape parameters as
+    :class:`Sersic` (``c0`` boxiness, ``f1..f4`` Fourier modes) with
+    identical support constraints and exact flux renormalization.
     """
 
     _fits_abbrs = (
@@ -517,7 +549,10 @@ class Moffat(ComponentBase):
         ("index", "B"),
         ("angle", "ANG"),
     )
-    _stochastic_attrs = ("xy", "mag", "fwhm", "fwhm_b", "index", "angle")
+    _fourier_modes = _FOURIER_MODES
+    _stochastic_attrs = (
+        "xy", "mag", "fwhm", "fwhm_b", "index", "angle",
+    ) + _SHAPE_ATTRS
 
     def __init__(
         self,
@@ -528,6 +563,8 @@ class Moffat(ComponentBase):
         index=None,
         angle=None,
         angle_degrees=False,
+        c0=None,
+        **shape_kw,
     ):
         super().__init__()
         self.xy = xy
@@ -537,6 +574,7 @@ class Moffat(ComponentBase):
         self.index = index
         self.angle = angle
         self.angle_degrees = angle_degrees
+        _register_shape_attrs(self, c0, shape_kw)
 
     def log_priors(self):
         logp = super().log_priors()
@@ -544,6 +582,7 @@ class Moffat(ComponentBase):
         # beta <= 1 has no finite total flux (negative normalization)
         logp += -np.inf if self.fwhm_b > self.fwhm else 0.0
         logp += -np.inf if self.index <= 1.0 else 0.0
+        logp += _shape_log_prior_terms(self)
         return logp
 
     def _batch_constraints(self, vals):
@@ -555,7 +594,7 @@ class Moffat(ComponentBase):
             ok = ok & np.ravel(np.asarray(fwhm_b) <= np.asarray(fwhm))
         if not isinstance(index, Tied):
             ok = ok & np.ravel(np.asarray(index) > 1.0)
-        return ok
+        return _shape_batch_ok(self, vals, ok)
 
 
 class PSFSelector(ComponentBase):

@@ -81,6 +81,21 @@ def _getter(params, theta, name):
     return jax.lax.dynamic_slice(theta, (offset,), (size,))
 
 
+def _shape_args(cs, theta):
+    """(shaped, c0, fourier) render arguments for a radial profile."""
+    fourier = tuple(
+        (
+            m,
+            _getter(cs.params, theta, f"f{m}"),
+            _getter(cs.params, theta, f"f{m}_phi"),
+        )
+        for m in (1, 2, 3, 4)
+        if f"f{m}" in cs.params
+    )
+    c0 = _getter(cs.params, theta, "c0") if "c0" in cs.params else 0.0
+    return bool(fourier) or "c0" in cs.params, c0, fourier
+
+
 def make_log_prior(slots, comp_specs, dtype):
     """Pure log-prior over parameter slots + per-component constraints.
 
@@ -108,28 +123,6 @@ def make_log_prior(slots, comp_specs, dtype):
             if cs.kind == "sersic":
                 a = _getter(cs.params, theta, "reff")
                 b = _getter(cs.params, theta, "reff_b")
-                if "c0" in cs.params:
-                    # boxiness support: c = c0 + 2 must stay usefully
-                    # positive (render exponents are 2/c)
-                    c0 = _getter(cs.params, theta, "c0")
-                    lp = jnp.where(
-                        jnp.asarray(c0) <= -1.95, -jnp.inf, lp
-                    )
-                amp_sum = None
-                for m in (1, 2, 3, 4):
-                    if f"f{m}" in cs.params:
-                        amp = jnp.abs(
-                            jnp.asarray(
-                                _getter(cs.params, theta, f"f{m}")
-                            )
-                        )
-                        amp_sum = (
-                            amp if amp_sum is None else amp_sum + amp
-                        )
-                if amp_sum is not None:
-                    # perturbation factor 1 + f must stay positive
-                    # everywhere (render floors it at 0.05 as a guard)
-                    lp = jnp.where(amp_sum > 0.9, -jnp.inf, lp)
             elif cs.kind == "moffat":
                 a = _getter(cs.params, theta, "fwhm")
                 b = _getter(cs.params, theta, "fwhm_b")
@@ -140,6 +133,23 @@ def make_log_prior(slots, comp_specs, dtype):
             else:
                 continue
             lp = jnp.where(b > a, -jnp.inf, lp)
+            # isophote-shape support (both radial profiles):
+            if "c0" in cs.params:
+                # boxiness: c = c0 + 2 must stay usefully positive
+                # (render exponents are 2/c)
+                c0 = _getter(cs.params, theta, "c0")
+                lp = jnp.where(jnp.asarray(c0) <= -1.95, -jnp.inf, lp)
+            amp_sum = None
+            for m in (1, 2, 3, 4):
+                if f"f{m}" in cs.params:
+                    amp = jnp.abs(
+                        jnp.asarray(_getter(cs.params, theta, f"f{m}"))
+                    )
+                    amp_sum = amp if amp_sum is None else amp_sum + amp
+            if amp_sum is not None:
+                # perturbation factor 1 + f must stay positive
+                # everywhere (render floors it at 0.05 as a guard)
+                lp = jnp.where(amp_sum > 0.9, -jnp.inf, lp)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
     return log_prior
@@ -385,9 +395,7 @@ class PosteriorFns:
                     self.dtype,
                 )
             elif cs.kind == "moffat":
-                from ..ops.moffat import render_moffat
-
-                raw = raw + render_moffat(
+                args = (
                     c["xg"],
                     c["yg"],
                     jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype),
@@ -396,14 +404,29 @@ class PosteriorFns:
                     _getter(cs.params, theta, "fwhm_b"),
                     _getter(cs.params, theta, "index"),
                     _getter(cs.params, theta, "angle"),
-                    self.mag_zp,
-                    cs.static["angle_degrees"],
                 )
+                shaped, c0, fourier = _shape_args(cs, theta)
+                if shaped:
+                    from ..ops.moffat import render_moffat_gen
+
+                    raw = raw + render_moffat_gen(
+                        *args,
+                        c0,
+                        self.mag_zp,
+                        cs.static["angle_degrees"],
+                        fourier=fourier,
+                    )
+                else:
+                    from ..ops.moffat import render_moffat
+
+                    raw = raw + render_moffat(
+                        *args,
+                        self.mag_zp,
+                        cs.static["angle_degrees"],
+                    )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
-                shaped = "c0" in cs.params or any(
-                    f"f{m}" in cs.params for m in (1, 2, 3, 4)
-                )
+                shaped, c0, fourier = _shape_args(cs, theta)
                 if shaped:
                     # boxy/disky/Fourier isophotes render on the XLA
                     # path in every mode (the Pallas kernels pack the
@@ -412,20 +435,6 @@ class PosteriorFns:
                     # components is exact
                     from ..ops.sersic import render_sersic_gen
 
-                    fourier = tuple(
-                        (
-                            m,
-                            _getter(cs.params, theta, f"f{m}"),
-                            _getter(cs.params, theta, f"f{m}_phi"),
-                        )
-                        for m in (1, 2, 3, 4)
-                        if f"f{m}" in cs.params
-                    )
-                    c0 = (
-                        _getter(cs.params, theta, "c0")
-                        if "c0" in cs.params
-                        else 0.0
-                    )
                     raw = raw + render_sersic_gen(
                         c["xg"],
                         c["yg"],

@@ -280,6 +280,26 @@ def config_wcs_frame(config):
     return (MiniWCS(hdr), (w / 2.0, h / 2.0))
 
 
+def _add_shape_rules(comp, params, slot_map, wcs_map):
+    """Optional isophote-shape rules (c0, Fourier modes).
+
+    Included only when the component has them (elliptical specs stay
+    byte-identical); an amplitude with no declared phase gets a
+    constant-zero phase rule.
+    """
+    if "c0" in comp._priors or "c0" in comp._constants:
+        params["c0"] = _resolve(comp, "c0", slot_map, wcs_map)
+    for m in comp._fourier_modes:
+        amp = f"f{m}"
+        if amp in comp._priors or amp in comp._constants:
+            params[amp] = _resolve(comp, amp, slot_map, wcs_map)
+            phi = f"{amp}_phi"
+            if phi in comp._priors or phi in comp._constants:
+                params[phi] = _resolve(comp, phi, slot_map, wcs_map)
+            else:
+                params[phi] = ("const", 0.0)
+
+
 def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
     """Static render rule for one component against a slot map."""
     if isinstance(comp, Sky):
@@ -306,33 +326,23 @@ def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
                 "xy", "mag", "reff", "reff_b", "index", "angle",
             )
         }
-        # shape freedoms are optional; include rules only when the
-        # component has them (elliptical specs stay byte-identical)
-        if "c0" in comp._priors or "c0" in comp._constants:
-            params["c0"] = _resolve(comp, "c0", slot_map, wcs_map)
-        for m in comp._fourier_modes:
-            amp = f"f{m}"
-            if amp in comp._priors or amp in comp._constants:
-                params[amp] = _resolve(comp, amp, slot_map, wcs_map)
-                phi = f"{amp}_phi"
-                if phi in comp._priors or phi in comp._constants:
-                    params[phi] = _resolve(comp, phi, slot_map, wcs_map)
-                else:
-                    params[phi] = ("const", 0.0)
+        _add_shape_rules(comp, params, slot_map, wcs_map)
         return CompSpec(
             "sersic",
             params,
             static={"angle_degrees": comp.angle_degrees},
         )
     if isinstance(comp, Moffat):
+        params = {
+            attr: _resolve(comp, attr, slot_map, wcs_map)
+            for attr in (
+                "xy", "mag", "fwhm", "fwhm_b", "index", "angle",
+            )
+        }
+        _add_shape_rules(comp, params, slot_map, wcs_map)
         return CompSpec(
             "moffat",
-            {
-                attr: _resolve(comp, attr, slot_map, wcs_map)
-                for attr in (
-                    "xy", "mag", "fwhm", "fwhm_b", "index", "angle",
-                )
-            },
+            params,
             static={"angle_degrees": comp.angle_degrees},
         )
     if isinstance(comp, PSFSelector):

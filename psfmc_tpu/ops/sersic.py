@@ -32,7 +32,6 @@ the sample.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
@@ -191,61 +190,10 @@ def sersic_profile_core(dx, dy, m00, m01, m10, m11, kappa, rp, sbeff,
 
 
 def sersic_gen_area_factor(c):
-    """Area of the unit superellipse ``|u|^c + |v|^c <= 1``.
+    """Superellipse area factor (see :mod:`.isophote`); pi at c=2."""
+    from .isophote import superellipse_area_factor
 
-    ``4 * Gamma(1 + 1/c)^2 / Gamma(1 + 2/c)`` — equals pi at ``c = 2``
-    (the pure ellipse).  Replacing pi with this factor in the Sersic
-    flux normalization keeps ``mag`` the exact total magnitude for any
-    boxiness exponent (the same R(C0) renormalization GALFIT applies).
-    """
-    exp_, _ = exp_log_fns()
-    c = jnp.asarray(c)
-    return exp_(
-        jnp.log(4.0)
-        + 2.0 * gammaln(1.0 + 1.0 / c)
-        - gammaln(1.0 + 2.0 / c)
-    )
-
-
-_FOURIER_QUAD_NODES = 256
-_FOURIER_FLOOR = 0.05
-
-
-def _fourier_area_factor(c, fourier, angle_degrees, exp_, log_):
-    """Isophote area factor by midpoint quadrature over azimuth.
-
-    The area inside the perturbed generalized isophote
-    ``r_gen = t * (1 + f(theta))`` is ``t^2 * reff * reff_b * A`` with
-
-        ``A = 1/2 * Integral rho(theta)^2 (1 + f(theta))^2 dtheta``,
-        ``rho(theta) = (|cos|^c + |sin|^c)^(-1/c)``
-
-    — equals ``pi`` for the unperturbed ellipse and
-    :func:`sersic_gen_area_factor` for the pure superellipse.  Midpoint
-    nodes avoid exact 0/pi/2 azimuths (256 does not hit them), and the
-    integrand is smooth + periodic so the midpoint rule converges
-    spectrally.  ``c`` and the mode amplitudes/phases may be traced.
-    """
-    import numpy as np
-
-    j = np.arange(_FOURIER_QUAD_NODES)
-    th = (j + 0.5) * (2.0 * np.pi / _FOURIER_QUAD_NODES)
-    sc2 = np.cos(th) ** 2  # host constants
-    ss2 = np.sin(th) ** 2
-    lsc = jnp.asarray(np.log(sc2))
-    lss = jnp.asarray(np.log(ss2))
-    half_c = 0.5 * c
-    lm = jnp.maximum(lsc * half_c, lss * half_c)
-    t = exp_(lsc * half_c - lm) + exp_(lss * half_c - lm)
-    log_rho2 = -(lm + log_(t)) * (2.0 / c)
-    f = jnp.zeros_like(th)
-    for m, amp, phi in fourier:
-        phi_r = jnp.deg2rad(phi) if angle_degrees else phi
-        f = f + amp * jnp.cos(m * th - phi_r)
-    g = jnp.maximum(1.0 + f, _FOURIER_FLOOR)
-    return (np.pi / _FOURIER_QUAD_NODES) * jnp.sum(
-        exp_(log_rho2) * g * g
-    )
+    return superellipse_area_factor(c)
 
 
 def render_sersic_gen(
@@ -283,7 +231,7 @@ def render_sersic_gen(
     Total flux stays exactly ``mag`` for any shape: the flux
     normalization uses the exact superellipse area factor, and under
     Fourier perturbation the isophote area factor by spectral azimuthal
-    quadrature (:func:`_fourier_area_factor`).
+    quadrature (:func:`psfmc_tpu.ops.isophote.isophote_area_factor`).
 
     Numerics: powers are computed max-factored in log space (no
     intermediate overflow for any physical ``c``); the prior layer
@@ -293,54 +241,24 @@ def render_sersic_gen(
     the elliptical-gradient closed form — an O(1/12 px^2) term whose
     shape dependence is second order (documented approximation).
     """
+    from .isophote import generalized_log_sq_radius, isophote_area_factor
+
     x, y, m00, m01, m10, m11, kappa, rp, sbeff = sersic_scalar_params(
         xy, mag, reff, reff_b, index, angle, mag_zp, angle_degrees,
         kappa_mode,
     )
     c = jnp.asarray(c0) + 2.0
-    if fourier:
-        acc_exp, acc_log = exp_log_fns()
-        area = _fourier_area_factor(
-            c, fourier, angle_degrees, acc_exp, acc_log
-        )
-    else:
-        area = sersic_gen_area_factor(c)
-    sbeff = sbeff * (jnp.pi / area)
+    sbeff = sbeff * (
+        jnp.pi / isophote_area_factor(c, fourier, angle_degrees)
+    )
     exp_, log_ = exp_log_fns_unsafe()
     dx = xg - x
     dy = yg - y
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
-    su = jnp.maximum(u * u, _TINY)
-    sv = jnp.maximum(v * v, _TINY)
-    lsu = log_(su)
-    lsv = log_(sv)
-    lm = jnp.maximum(lsu, lsv)
-    half_c = 0.5 * c
-    t = exp_((lsu - lm) * half_c) + exp_((lsv - lm) * half_c)
-    log_sq_r = jnp.maximum(lm + log_(t) * (2.0 / c), jnp.log(_TINY))
-    if fourier:
-        # azimuth in the scaled frame via Chebyshev recurrences — no
-        # per-mode trig, no atan2
-        rinv = jax.lax.rsqrt(su + sv)
-        cos1 = u * rinv
-        sin1 = v * rinv
-        f = jnp.zeros_like(log_sq_r)
-        cos_m, sin_m = cos1, sin1
-        mode = {m: (amp, phi) for m, amp, phi in fourier}
-        for m in range(1, max(mode) + 1):
-            if m in mode:
-                amp, phi = mode[m]
-                phi_r = jnp.deg2rad(phi) if angle_degrees else phi
-                f = f + amp * (
-                    jnp.cos(phi_r) * cos_m + jnp.sin(phi_r) * sin_m
-                )
-            cos_m, sin_m = (
-                cos_m * cos1 - sin_m * sin1,
-                sin_m * cos1 + cos_m * sin1,
-            )
-        g = jnp.maximum(1.0 + f, _FOURIER_FLOOR)
-        log_sq_r = log_sq_r - 2.0 * log_(g)
+    log_sq_r = generalized_log_sq_radius(
+        u, v, c, fourier, angle_degrees, exp_, log_
+    )
     p = exp_(log_sq_r * rp)
     sb = exp_(-kappa * (p - 1.0))
     sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)

@@ -427,3 +427,65 @@ def test_fourier_recovery(rng, gaussian_psf):
     mean, std = flat.mean(axis=0), flat.std(axis=0)
     assert abs(mean[1] - f1_t) < 5 * std[1] + 0.03
     assert mean[1] > 3 * std[1]
+
+
+# ---- shared shape machinery on Moffat --------------------------------
+
+
+def test_moffat_shapes():
+    """Moffat gets the same isophote freedom: zero-shape degeneration,
+    flux invariance, and the constraint plumbing."""
+    from psfmc_tpu.models.components import Moffat
+    from psfmc_tpu.ops.moffat import render_moffat, render_moffat_gen
+
+    n = 256
+    xg, yg = _grids(n)
+    mag, zp = 22.0, 25.0
+    args = (
+        jnp.asarray([127.3, 128.2], jnp.float64),
+        mag, 7.0, 5.0, 2.8, 20.0,
+    )
+    ell = np.asarray(render_moffat(xg, yg, *args, zp, angle_degrees=True))
+    gen = np.asarray(
+        render_moffat_gen(xg, yg, *args, 0.0, zp, angle_degrees=True)
+    )
+    assert np.allclose(gen, ell, rtol=1e-10, atol=0)
+
+    def total(c0, fourier):
+        return np.asarray(
+            render_moffat_gen(
+                xg, yg, *args, c0, zp, angle_degrees=True,
+                fourier=fourier,
+            )
+        ).sum()
+
+    base = total(0.0, ())
+    for c0, fourier in [(0.9, ()), (-0.6, ()), (0.5, ((1, 0.3, 40.0),))]:
+        assert total(c0, fourier) == pytest.approx(base, rel=0.015), (
+            c0, fourier,
+        )
+
+    # spec/prior plumbing: layout + device constraint
+    yy, xx = np.mgrid[0:32, 0:32].astype(float)
+    psf = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / 4.5)
+    psf /= psf.sum()
+    cfg = _config(np.full((32, 32), 0.05), 0.01, psf)
+    comp = Moffat(
+        xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+        mag=D.Uniform(loc=20.0, scale=2.0),
+        fwhm=6.0, fwhm_b=5.0, index=2.8, angle=0.0, angle_degrees=True,
+        c0=D.Uniform(loc=-1.0, scale=2.0),
+        f1=D.Uniform(loc=-0.5, scale=1.0),
+    )
+    spec = build_model_spec([cfg, comp])
+    assert spec.param_names == [
+        "0_Moffat_c0", "0_Moffat_f1", "0_Moffat_mag", "0_Moffat_xy",
+    ]
+    fns = build_posterior(spec, dtype=jnp.float64)
+    good = np.array([0.5, 0.2, 21.0, 16.0, 15.0])
+    assert np.isfinite(float(fns.log_posterior(jnp.asarray(good))))
+    bad_c0 = np.array([-1.99, 0.2, 21.0, 16.0, 15.0])
+    assert float(fns.log_posterior(jnp.asarray(bad_c0))) == -np.inf
+    draws = comp.draw_batch(128, random_state=np.random.RandomState(0))
+    assert np.all(draws[:, 0] > -1.95)
+    assert np.all(np.abs(draws[:, 1]) <= 0.9)
