@@ -489,3 +489,39 @@ def test_moffat_shapes():
     draws = comp.draw_batch(128, random_state=np.random.RandomState(0))
     assert np.all(draws[:, 0] > -1.95)
     assert np.all(np.abs(draws[:, 1]) <= 0.9)
+
+
+def test_shaped_posterior_is_differentiable(rng, gaussian_psf):
+    """NUTS/MAP differentiate through the shape machinery: the area
+    quadrature, the log-space power chain and the Chebyshev azimuth
+    recurrences (incl. the rsqrt near the profile center) must give
+    finite gradients."""
+    import jax
+
+    cfg = _config(np.full((32, 32), 0.05), 0.01, gaussian_psf)
+    comp = Sersic(
+        xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+        mag=D.Uniform(loc=20.0, scale=2.0),
+        reff=D.Uniform(loc=2.0, scale=6.0),
+        reff_b=D.Uniform(loc=2.0, scale=6.0),
+        index=D.Uniform(loc=0.8, scale=3.0),
+        angle=D.Uniform(loc=0.0, scale=180.0),
+        angle_degrees=True,
+        c0=D.Uniform(loc=-1.0, scale=2.0),
+        f1=D.Uniform(loc=-0.5, scale=1.0),
+        f1_phi=D.Uniform(loc=0.0, scale=360.0),
+        f3=D.Uniform(loc=-0.3, scale=0.6),
+    )
+    spec = build_model_spec([cfg, comp])
+    fns = build_posterior(spec, dtype=jnp.float64)
+    # alphabetical: angle, c0, f1, f1_phi, f3, index, mag, reff, reff_b, xy
+    theta = jnp.asarray(
+        [30.0, 0.5, 0.25, 40.0, -0.1, 1.5, 21.0, 5.0, 4.0, 16.0, 15.5]
+    )
+    g = jax.grad(fns.log_posterior)(theta)
+    assert np.all(np.isfinite(np.asarray(g))), np.asarray(g)
+    # exact pixel-center hit: xy on an integer pixel stresses the
+    # rsqrt/clamp guards in the azimuth recurrence
+    theta_hit = theta.at[9].set(16.0).at[10].set(15.0)
+    g2 = jax.grad(fns.log_posterior)(theta_hit)
+    assert np.all(np.isfinite(np.asarray(g2))), np.asarray(g2)
