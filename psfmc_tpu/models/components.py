@@ -672,6 +672,12 @@ class Configuration(ComponentBase):
     :param mask_file: optional FITS mask (nonzero = exclude) or ds9
         region file defining the fit region.
     :param mag_zeropoint: magnitude of 1 count/second.
+    :param likelihood: per-pixel likelihood family — ``'gaussian'``
+        (reference parity, default) or ``'student'`` (robust Student-t,
+        beyond the reference: unmasked cosmic rays / artifacts get
+        heavy-tailed wings instead of quadratically dominating the fit).
+    :param likelihood_df: Student-t degrees of freedom (static; 3-8
+        are typical robust choices).  Ignored for ``'gaussian'``.
     """
 
     def __init__(
@@ -682,9 +688,18 @@ class Configuration(ComponentBase):
         psfivm_files,
         mask_file=None,
         mag_zeropoint=0,
+        likelihood="gaussian",
+        likelihood_df=4.0,
     ):
         super().__init__()
         self.mag_zeropoint = mag_zeropoint
+        # validate eagerly: a typo'd likelihood should fail at model
+        # build, not at the first posterior evaluation
+        from ..ops.likelihood import make_lnlike
+
+        make_lnlike(likelihood, likelihood_df)
+        self.likelihood = likelihood
+        self.likelihood_df = float(likelihood_df)
 
         obs_hdr, obs_data, obs_var, bad_px = preprocess_obs(
             obs_file, obsivm_file, mask_file

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fourier import convolve
-from ..ops.likelihood import gaussian_lnlike
+from ..ops.likelihood import gaussian_lnlike, make_lnlike
 from ..ops.pointsource import render_pointsource_dense
 from ..ops.sersic import render_sersic
 from .spec import ModelSpec
@@ -238,6 +238,12 @@ class PosteriorFns:
             self.constants["rdft_mats"] = rdft_matrices((h, w), rdtype)
         self.mag_zp = float(spec.mag_zeropoint)
 
+        # per-pixel likelihood family (spec.likelihood): 'gaussian'
+        # (reference parity) or 'student' (robust, static df)
+        self._lnlike = make_lnlike(
+            getattr(spec, "likelihood", "gaussian"),
+            getattr(spec, "likelihood_df", 4.0),
+        )
         self.log_prior = self._make_log_prior()
         self.log_posterior = partial(self._lnpost_impl, with_images=False)
         # Optional fully-fused Pallas likelihood (render + DFT convs +
@@ -625,7 +631,7 @@ class PosteriorFns:
         imgs = self._images_impl(theta)
         resid = c["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        lnl = gaussian_lnlike(resid, ivm, c["good_px"])
+        lnl = self._lnlike(resid, ivm, c["good_px"])
         lnpost = jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
         if with_images:
             return lnpost, imgs
@@ -643,7 +649,7 @@ class PosteriorFns:
         imgs = self._images_impl(theta)
         resid = c["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        return gaussian_lnlike(resid, ivm, c["good_px"])
+        return self._lnlike(resid, ivm, c["good_px"])
 
     def log_posterior_obs(self, theta, obs):
         """lnpost against a *traced* observation instead of the baked one.
@@ -662,7 +668,7 @@ class PosteriorFns:
         imgs = self._images_impl(theta, obs_var=obs["obs_var"])
         resid = obs["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        lnl = gaussian_lnlike(resid, ivm, obs["good_px"])
+        lnl = self._lnlike(resid, ivm, obs["good_px"])
         return jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
 
     def _render_images(self, theta):

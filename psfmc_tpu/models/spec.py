@@ -76,6 +76,10 @@ class ModelSpec:
     f_psf_stack: np.ndarray  # (npsf, H, W//2+1) complex
     f_var_stack: np.ndarray
     num_psfs: int
+    # per-pixel likelihood family ('gaussian' reference parity,
+    # 'student' robust) + its static degrees of freedom
+    likelihood: str = "gaussian"
+    likelihood_df: float = 4.0
 
     @property
     def param_names(self) -> List[str]:
@@ -435,4 +439,6 @@ def build_model_spec(
         f_psf_stack=f_psf_stack,
         f_var_stack=f_var_stack,
         num_psfs=len(config.psf_selector.psf_list),
+        likelihood=getattr(config, "likelihood", "gaussian"),
+        likelihood_df=getattr(config, "likelihood_df", 4.0),
     )

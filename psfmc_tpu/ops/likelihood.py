@@ -1,9 +1,13 @@
-"""Inverse-variance-weighted Gaussian per-pixel log-likelihood.
+"""Inverse-variance-weighted per-pixel log-likelihoods.
 
-Parity with the reference inner loop (``/root/reference/psfMC/models.py:
-228-241``): over good pixels only,
+Gaussian parity with the reference inner loop
+(``/root/reference/psfMC/models.py:228-241``): over good pixels only,
 
     lnL = -1/2 * sum( resid^2 * ivm - log(ivm / (2 pi)) )
+
+plus a Student-t alternative the reference lacks (robust fitting:
+unmasked cosmic rays / residual artifacts get heavy-tailed wings
+instead of quadratically dominating the fit).
 
 TPU-first design notes
 ----------------------
@@ -14,9 +18,11 @@ guard (reference models.py:240-241) is a ``jnp.where`` — no host branch.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
-__all__ = ["gaussian_lnlike"]
+__all__ = ["gaussian_lnlike", "student_t_lnlike", "make_lnlike"]
 
 
 def gaussian_lnlike(resid, ivm, good_px):
@@ -32,3 +38,63 @@ def gaussian_lnlike(resid, ivm, good_px):
     term = resid * resid * ivm - log_(0.5 / jnp.pi * jnp.where(good_px, ivm, 1.0))
     lnl = -0.5 * jnp.sum(jnp.where(good_px, term, 0.0))
     return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf)
+
+
+def student_t_lnlike(resid, ivm, good_px, df):
+    """Masked Student-t log-likelihood (robust; beyond the reference).
+
+    Per good pixel, with scale ``sigma^2 = 1/ivm`` and ``df`` degrees
+    of freedom (static):
+
+        lnL = lnG((df+1)/2) - lnG(df/2) - 1/2 ln(df pi) + 1/2 ln(ivm)
+              - (df+1)/2 * ln(1 + resid^2 ivm / df)
+
+    Converges to :func:`gaussian_lnlike` as ``df -> inf``; at moderate
+    ``df`` (3-8) an unmasked cosmic ray costs O(ln resid^2) instead of
+    O(resid^2), so a handful of artifact pixels cannot drag the whole
+    posterior.  The per-pixel normalization constant is folded once on
+    the host (``df`` is static model config, not a sampled parameter).
+    """
+    from scipy.special import gammaln as h_gammaln
+
+    from .fastmath import exp_log_fns
+
+    _, log_ = exp_log_fns()
+    df = float(df)
+    # host-side constant per pixel (static df)
+    norm = float(
+        h_gammaln(0.5 * (df + 1.0))
+        - h_gammaln(0.5 * df)
+        - 0.5 * np.log(df * np.pi)
+    )
+    safe_ivm = jnp.where(good_px, ivm, 1.0)
+    term = (
+        norm
+        + 0.5 * log_(safe_ivm)
+        - (0.5 * (df + 1.0)) * log_(1.0 + resid * resid * ivm / df)
+    )
+    lnl = jnp.sum(jnp.where(good_px, term, 0.0))
+    return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf)
+
+
+def make_lnlike(kind="gaussian", df=4.0):
+    """Likelihood factory: ``(resid, ivm, good_px) -> scalar``.
+
+    ``kind='gaussian'`` is the reference-parity default;
+    ``kind='student'`` uses :func:`student_t_lnlike` with static ``df``.
+    """
+    if kind == "gaussian":
+        return gaussian_lnlike
+    if kind == "student":
+        if not np.isfinite(df) or df <= 0:
+            raise ValueError(
+                f"likelihood_df must be a positive finite number, got {df}"
+            )
+
+        def lnlike(resid, ivm, good_px):
+            return student_t_lnlike(resid, ivm, good_px, df)
+
+        return lnlike
+    raise ValueError(
+        f"Unknown likelihood {kind!r}: expected 'gaussian' or 'student'"
+    )

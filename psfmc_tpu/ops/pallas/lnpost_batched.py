@@ -53,9 +53,15 @@ __all__ = ["batched_lnl_supported", "make_batched_conv_lnl"]
 
 
 def batched_lnl_supported(spec):
-    """Single PSF only: per-walker kernel selection would need every
-    PSF's half-spectrum resident per program plus per-walker gathers."""
-    return pallas_available() and getattr(spec, "num_psfs", 1) == 1
+    """Single PSF + Gaussian likelihood only: per-walker kernel
+    selection would need every PSF's half-spectrum resident per program
+    plus per-walker gathers, and the kernel reduction hard-codes the
+    Gaussian family."""
+    return (
+        pallas_available()
+        and getattr(spec, "num_psfs", 1) == 1
+        and getattr(spec, "likelihood", "gaussian") == "gaussian"
+    )
 
 
 def _dot_fns(dtype, dot_mode):

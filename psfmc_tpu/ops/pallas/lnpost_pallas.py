@@ -65,6 +65,8 @@ def fused_lnl_supported(spec, conv_mode):
         and kinds_ok
         and flat_sky
         and elliptical
+        # the kernel reduction hard-codes the Gaussian family
+        and getattr(spec, "likelihood", "gaussian") == "gaussian"
     )
 
 
