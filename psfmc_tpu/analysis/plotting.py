@@ -124,15 +124,14 @@ def _get_trace(trace_name, db, model=None):
             )
             if prefix + "c0" in db.colnames:
                 # boxy/disky fits renormalize flux by the superellipse
-                # area (ops/isophote.py) — mirror it here so mu_e stays
-                # the true surface brightness at r_e
-                import scipy.special as sp
+                # area — mirror the renderer through the shared helper
+                # so mu_e stays the true surface brightness at r_e
+                from ..ops.isophote import superellipse_area_factor_host
 
                 c = np.asarray(db[prefix + "c0"]) + 2.0
-                area = (
-                    4.0 * sp.gamma(1 + 1 / c) ** 2 / sp.gamma(1 + 2 / c)
+                trace = trace * (
+                    np.pi / superellipse_area_factor_host(c)
                 )
-                trace = trace * (np.pi / area)
             if model is not None and model.obs_header is not None:
                 wcs = MiniWCS(model.obs_header)
                 px_area = proj_plane_pixel_area(wcs) * 3600**2

@@ -352,6 +352,14 @@ class Sky(ComponentBase):
     gradient marginalizes them instead.  When ``dx``/``dy`` are omitted
     the component is the reference's flat sky with an identical
     parameter-vector layout (they contribute no slots at all).
+
+    Semantics: the gradient plane is a BACKGROUND — it is added after
+    the PSF convolution (a background never rode the optics; folding a
+    non-periodic ramp into the circular convolution would wrap it at
+    the frame edges) and contributes no PSF-mismatch model variance.
+    The flat ``adu`` stays inside the convolution for reference parity
+    (a constant is convolution-invariant, so the two choices agree
+    exactly there).
     """
 
     _stochastic_attrs = ("adu", "dx", "dy")

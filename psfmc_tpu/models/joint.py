@@ -147,6 +147,11 @@ def build_joint_specs(bands):
                 f_psf_stack=np.stack(config.psf_selector.psf_list),
                 f_var_stack=np.stack(config.psf_selector.var_list),
                 num_psfs=len(config.psf_selector.psf_list),
+                # per-band likelihood family — each band keeps its own
+                # Configuration's choice (a dropped field here would
+                # silently revert robust fits to Gaussian)
+                likelihood=getattr(config, "likelihood", "gaussian"),
+                likelihood_df=getattr(config, "likelihood_df", 4.0),
             )
         )
     # unique components in global order (shared instances once) — the

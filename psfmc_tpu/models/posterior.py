@@ -175,6 +175,12 @@ class PosteriorFns:
 
         self.spec = spec
         self.dtype = dtype
+        # any sky component with a tilted-plane gradient? (the plane
+        # is added post-convolution — see _sky_plane)
+        self._grad_sky = any(
+            cs.kind == "sky" and ({"dx", "dy"} & set(cs.params))
+            for cs in spec.comp_specs
+        )
         # 'fft' = jnp.fft.rfft2/irfft2; 'dft' = dense-DFT matmuls on the
         # MXU (see ops.fourier.convolve_rdft) — measured faster on TPU for
         # this workload's 128x128 images.
@@ -360,6 +366,36 @@ class PosteriorFns:
         idx = jnp.round(theta[offset]).astype(jnp.int32)
         return jnp.clip(idx, 0, self.spec.num_psfs - 1)
 
+    def _sky_plane(self, theta):
+        """Post-convolution tilted-plane background (components.Sky).
+
+        The gradient plane is additive background that never rode the
+        PSF: it is added AFTER the convolution.  A constant sky is
+        convolution-invariant, so the reference's convolved flat sky
+        is unaffected — but a ramp is not: circular convolution would
+        wrap it at the frame edges, flattening exactly the edge
+        columns a background slope exists to model.  The plane also
+        contributes no PSF-mismatch model variance
+        (``convolve(raw^2, f_var)`` sees the plane-free raw).
+        """
+        c = self.constants
+        h, w = self.spec.shape
+        plane = jnp.zeros(self.spec.shape, self.dtype)
+        for cs in self.spec.comp_specs:
+            if cs.kind != "sky":
+                continue
+            if "dx" in cs.params:
+                dx = jnp.asarray(
+                    _getter(cs.params, theta, "dx"), self.dtype
+                )
+                plane = plane + dx * (c["xg"] - (w - 1) / 2.0)
+            if "dy" in cs.params:
+                dy = jnp.asarray(
+                    _getter(cs.params, theta, "dy"), self.dtype
+                )
+                plane = plane + dy * (c["yg"] - (h - 1) / 2.0)
+        return plane
+
     def _raw_and_ps(self, theta):
         """Raw composite model and the point-source-only image."""
         c = self.constants
@@ -371,23 +407,10 @@ class PosteriorFns:
             if cs.kind == "sky":
                 adu = _getter(cs.params, theta, "adu")
                 sky = sky + jnp.asarray(adu, self.dtype)
-                if "dx" in cs.params or "dy" in cs.params:
-                    # tilted-plane gradient about the image center
-                    # (components.Sky docstring); rides ``raw`` directly
-                    # so every render mode (XLA/Pallas) composes with it
-                    h, w = self.spec.shape
-                    plane = jnp.zeros((), self.dtype)
-                    if "dx" in cs.params:
-                        dx = jnp.asarray(
-                            _getter(cs.params, theta, "dx"), self.dtype
-                        )
-                        plane = plane + dx * (c["xg"] - (w - 1) / 2.0)
-                    if "dy" in cs.params:
-                        dy = jnp.asarray(
-                            _getter(cs.params, theta, "dy"), self.dtype
-                        )
-                        plane = plane + dy * (c["yg"] - (h - 1) / 2.0)
-                    raw = raw + plane
+                # the gradient plane is NOT part of ``raw``: a sky
+                # background is not PSF-convolved, and folding the
+                # non-periodic ramp into the circular convolution would
+                # wrap it at the frame edges (see _sky_plane)
             elif cs.kind == "pointsource":
                 xy = _getter(cs.params, theta, "xy")
                 xy = jnp.asarray(xy, self.dtype)
@@ -529,6 +552,10 @@ class PosteriorFns:
 
         base_var = c["obs_var"] if obs_var is None else obs_var
         var_total = model_var + base_var
+        if self._grad_sky:
+            plane = self._sky_plane(theta)
+            raw = raw + plane
+            conv = conv + plane
         return {"raw": raw, "conv": conv, "var": var_total, "ps_conv": ps_conv}
 
     def _convolve_pair(self, raw_like, ps_like, sq_like, idx):
@@ -607,6 +634,14 @@ class PosteriorFns:
         mean_conv = jnp.sum(conv_g, axis=0)
         mean_var = jnp.sum(var_g, axis=0) + self.constants["obs_var"]
         mean_psc = jnp.sum(psc_g, axis=0)
+        if self._grad_sky:
+            # post-convolution background plane (see _sky_plane): the
+            # walker-mean plane rides both the raw and convolved means
+            planes = jax.vmap(self._sky_plane)(thetas)
+            mean_plane = jnp.sum(planes, axis=0) * inv_n
+            mean_raw = mean_raw + mean_plane
+            mean_conv = mean_conv + mean_plane
+            raws = raws + planes
         # Batch M2 (sum of squared deviations about THIS batch's mean)
         # for the per-pixel posterior-std product.  Deviation form, not
         # E[raw^2]-E[raw]^2: the deviations are O(posterior std) so f32

@@ -22,9 +22,11 @@ overflows for any physical ``c``; the prior layer rejects
 ``c0 <= -1.95`` and ``sum_m |a_m| > 0.9``, and the perturbation factor
 is additionally floored (stray proposals render finite, not NaN).  The
 area factor under Fourier perturbation uses midpoint azimuthal
-quadrature — the integrand is smooth and periodic, so the midpoint rule
-converges spectrally, and 256 midpoint nodes never hit the exact
-0 / pi/2 azimuths where ``log|cos|`` blows up.
+quadrature in a per-``c`` choice of parametrization that keeps the
+integrand cusp-free (see :func:`isophote_area_factor` — the naive
+theta-space rule loses several digits for disky ``c < 1``); midpoint
+nodes never hit the exact 0 / pi/2 azimuths where ``log|cos|`` blows
+up.
 """
 from __future__ import annotations
 
@@ -38,13 +40,29 @@ from .fastmath import exp_log_fns
 
 __all__ = [
     "superellipse_area_factor",
+    "superellipse_area_factor_host",
     "isophote_area_factor",
     "generalized_log_sq_radius",
     "FOURIER_FLOOR",
 ]
 
+
+def superellipse_area_factor_host(c):
+    """Host-side (numpy/scipy) twin of :func:`superellipse_area_factor`.
+
+    For analysis consumers (derived sbeff traces) that must mirror the
+    renderer's flux normalization without tracing — keep the two in
+    sync through this single definition, not reimplementations.
+    """
+    from scipy.special import gammaln as h_gammaln
+
+    c = np.asarray(c, float)
+    return np.exp(
+        np.log(4.0) + 2.0 * h_gammaln(1 + 1 / c) - h_gammaln(1 + 2 / c)
+    )
+
 _TINY = 1e-30
-_QUAD_NODES = 256
+_QUAD_NODES = 512
 FOURIER_FLOOR = 0.05
 
 
@@ -75,24 +93,64 @@ def isophote_area_factor(c, fourier=(), angle_degrees=False):
     — pi for the unperturbed ellipse, the closed
     :func:`superellipse_area_factor` for a pure superellipse.  ``c``
     and the mode amplitudes/phases may be traced.
+
+    Quadrature accuracy (the subtle part): ``rho^2`` is cusped at the
+    axes for non-even ``c`` — for disky ``c < 1`` the cusp exponent
+    drops below 1 and a theta-space midpoint rule loses several digits
+    (measured -0.4% at c=0.5 down to -37% at c=0.05).  So two
+    parametrizations are evaluated and selected per ``c``:
+
+    * **theta-space** (accurate for ``c >= 1``): the integrand's axis
+      behavior is ``|t|^c`` with ``c >= 1`` — at worst a C^0 kink,
+      O(N^-2) midpoint error;
+    * **superellipse-parameter psi-space** (accurate for ``c < 1``):
+      ``u = sgn(cos psi)|cos psi|^{2/c}``, ``v = sgn(sin psi)
+      |sin psi|^{2/c}`` traces the unit superellipse with Jacobian
+      ``(2/c)|sin psi cos psi|^{2/c - 1}`` — the exponent ``2/c - 1``
+      exceeds 1 exactly when ``c < 1``, so the cusp moves to whichever
+      branch is NOT selected.
+
+    Measured worst case over c0 in [-1.94, 18] x mode sets at 512
+    midpoint nodes: 2.7e-5 relative (at the c = 1 crossover).
     """
     if not fourier:
         return superellipse_area_factor(c)
     exp_, log_ = exp_log_fns()
-    j = np.arange(_QUAD_NODES)
-    th = (j + 0.5) * (2.0 * np.pi / _QUAD_NODES)
-    lsc = jnp.asarray(np.log(np.cos(th) ** 2))  # host constants
+    c = jnp.asarray(c)
+    n = _QUAD_NODES
+    th = (np.arange(n) + 0.5) * (2.0 * np.pi / n)  # host constants
+    lsc = jnp.asarray(np.log(np.cos(th) ** 2))
     lss = jnp.asarray(np.log(np.sin(th) ** 2))
-    half_c = 0.5 * jnp.asarray(c)
+
+    def perturb(theta_vals):
+        f = jnp.zeros_like(theta_vals)
+        for m, amp, phi in fourier:
+            phi_r = jnp.deg2rad(phi) if angle_degrees else phi
+            f = f + amp * jnp.cos(m * theta_vals - phi_r)
+        g = jnp.maximum(1.0 + f, FOURIER_FLOOR)
+        return g * g
+
+    # theta-space branch
+    half_c = 0.5 * c
     lm = jnp.maximum(lsc * half_c, lss * half_c)
     t = exp_(lsc * half_c - lm) + exp_(lss * half_c - lm)
-    log_rho2 = -(lm + log_(t)) * (2.0 / jnp.asarray(c))
-    f = jnp.zeros_like(th)
-    for m, amp, phi in fourier:
-        phi_r = jnp.deg2rad(phi) if angle_degrees else phi
-        f = f + amp * jnp.cos(m * th - phi_r)
-    g = jnp.maximum(1.0 + f, FOURIER_FLOOR)
-    return (np.pi / _QUAD_NODES) * jnp.sum(exp_(log_rho2) * g * g)
+    log_rho2 = -(lm + log_(t)) * (2.0 / c)
+    a_theta = jnp.sum(exp_(log_rho2) * perturb(jnp.asarray(th)))
+
+    # psi-space branch (point rides the unit superellipse exactly, so
+    # the measure has no rho^2 denominator)
+    inv_c = 1.0 / c
+    sgn_c = jnp.asarray(np.sign(np.cos(th)))
+    sgn_s = jnp.asarray(np.sign(np.sin(th)))
+    u = sgn_c * exp_(lsc * inv_c)
+    v = sgn_s * exp_(lss * inv_c)
+    w = (2.0 * inv_c) * exp_(
+        jnp.asarray(0.5 * (np.log(np.cos(th) ** 2) + np.log(np.sin(th) ** 2)))
+        * (2.0 * inv_c - 1.0)
+    )
+    a_psi = jnp.sum(w * perturb(jnp.arctan2(v, u)))
+
+    return (np.pi / n) * jnp.where(c < 1.0, a_psi, a_theta)
 
 
 def generalized_log_sq_radius(

@@ -53,14 +53,22 @@ __all__ = ["batched_lnl_supported", "make_batched_conv_lnl"]
 
 
 def batched_lnl_supported(spec):
-    """Single PSF + Gaussian likelihood only: per-walker kernel
-    selection would need every PSF's half-spectrum resident per program
-    plus per-walker gathers, and the kernel reduction hard-codes the
-    Gaussian family."""
+    """Single PSF + Gaussian likelihood + no gradient sky: per-walker
+    kernel selection would need every PSF's half-spectrum resident per
+    program plus per-walker gathers; the kernel reduction hard-codes
+    the Gaussian family; and the post-convolution background plane
+    (posterior._sky_plane) has no insertion point inside the fused
+    conv+likelihood kernel."""
+    flat_sky = all(
+        not ({"dx", "dy"} & set(cs.params))
+        for cs in getattr(spec, "comp_specs", ())
+        if cs.kind == "sky"
+    )
     return (
         pallas_available()
         and getattr(spec, "num_psfs", 1) == 1
         and getattr(spec, "likelihood", "gaussian") == "gaussian"
+        and flat_sky
     )
 
 

@@ -107,3 +107,45 @@ def test_student_fit_resists_outliers(rng, gaussian_psf):
     assert (g_mean - sky_t) / g_std > 5.0
     assert abs(t_mean - sky_t) / t_std < 4.0
     assert abs(t_mean - sky_t) < abs(g_mean - sky_t) / 3.0
+
+
+def test_joint_bands_keep_their_likelihood(rng, gaussian_psf):
+    """A Configuration's likelihood choice must survive into joint
+    (multi-band) fits — each band keeps its own family."""
+    from psfmc_tpu.models import JointModel
+    from psfmc_tpu.models.components import PointSource
+    from psfmc_tpu.ops.likelihood import gaussian_lnlike
+
+    noise = 0.01
+    obs_fixed = 0.1 + rng.randn(24, 24) * noise
+
+    def band(likelihood):
+        cfg = Configuration(
+            obs_file=obs_fixed.copy(),
+            obsivm_file=np.full((24, 24), 1.0 / noise**2),
+            psf_files=gaussian_psf[4:28, 4:28],
+            psfivm_files=np.ones((24, 24)) * 1e8,
+            mag_zeropoint=25.0,
+            likelihood=likelihood,
+        )
+        return [
+            cfg,
+            PointSource(
+                xy=D.Uniform(loc=(8.0, 8.0), scale=(8.0, 8.0)),
+                mag=D.Uniform(loc=20.0, scale=2.0),
+            ),
+        ]
+
+    joint = JointModel([band("student"), band("gaussian")])
+    fns = joint.posterior_fns
+    assert fns.band_fns[0]._lnlike is not gaussian_lnlike
+    assert fns.band_fns[1]._lnlike is gaussian_lnlike
+    # numeric: band-0 likelihood equals its standalone student value
+    theta = np.array([20.5, 12.0, 11.5, 20.5, 12.0, 11.5])
+    b0 = float(fns.band_fns[0].log_likelihood(
+        jnp.asarray(theta)
+    ))
+    spec0 = build_model_spec(band("student"))
+    solo = build_posterior(spec0, dtype=fns.band_fns[0].dtype)
+    b0_solo = float(solo.log_likelihood(jnp.asarray(theta[:3])))
+    assert b0 == pytest.approx(b0_solo, rel=1e-6)

@@ -312,6 +312,13 @@ def test_gradient_sky_render_and_layout(rng, gaussian_psf):
     yy, xx = np.mgrid[0:32, 0:32].astype(float)
     want = adu + dx * (xx - 15.5) + dy * (yy - 15.5)
     assert np.allclose(raw, want, rtol=1e-12, atol=1e-12)
+    # the plane is a post-convolution background: the convolved model
+    # must BE the plane everywhere, including the frame edges (a
+    # pre-convolution ramp would wrap and flatten the edge columns)
+    conv = np.asarray(
+        fns.render_images(jnp.asarray([adu, dx, dy]))["convolved_model"]
+    )
+    assert np.allclose(conv, want, rtol=1e-10, atol=1e-12)
     assert np.isfinite(float(fns.log_posterior(jnp.asarray([adu, dx, dy]))))
 
 

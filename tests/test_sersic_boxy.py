@@ -525,3 +525,35 @@ def test_shaped_posterior_is_differentiable(rng, gaussian_psf):
     theta_hit = theta.at[9].set(16.0).at[10].set(15.0)
     g2 = jax.grad(fns.log_posterior)(theta_hit)
     assert np.all(np.isfinite(np.asarray(g2))), np.asarray(g2)
+
+
+def test_fourier_area_factor_accuracy_vs_adaptive_quadrature():
+    """The area-factor quadrature must hold accuracy over the FULL c0
+    support including the disky range (a theta-only midpoint rule lost
+    0.4%-37% for c < 1 — the review regression this test pins)."""
+    from scipy import integrate
+
+    from psfmc_tpu.ops.isophote import isophote_area_factor
+
+    modes = ((1, 0.3, 0.5), (3, 0.2, -0.3), (4, 0.15, 1.0))
+
+    def ref(c):
+        def integrand(th):
+            rho2 = (
+                np.abs(np.cos(th)) ** c + np.abs(np.sin(th)) ** c
+            ) ** (-2.0 / c)
+            f = sum(a * np.cos(m * th - p) for m, a, p in modes)
+            return 0.5 * rho2 * (1 + f) ** 2
+
+        val, _ = integrate.quad(
+            integrand, 0, 2 * np.pi, limit=800, epsabs=1e-13,
+            epsrel=1e-13,
+        )
+        return val
+
+    for c0 in (-1.9, -1.5, -1.0, -0.99, -0.5, 0.0, 1.0, 4.0, 18.0):
+        c = c0 + 2.0
+        got = float(
+            isophote_area_factor(jnp.asarray(c, jnp.float64), modes)
+        )
+        assert got == pytest.approx(ref(c), rel=2e-4), c0
