@@ -31,6 +31,7 @@ __all__ = [
     "norm_psf",
     "preprocess_obs",
     "preprocess_psf",
+    "bin_psf",
     "pre_fft_psf",
     "calculate_psf_variability",
     "mask_from_file",
@@ -94,6 +95,29 @@ def mask_from_file(mask_file, obs_hdr, shape):
     except (ValueError, UnicodeDecodeError) as err:
         warn(f"Could not interpret mask file {mask_file}: {err}")
     return None
+
+
+def bin_psf(psf_data, psf_var, oversample):
+    """Flux-preserving block binning of an oversampled PSF + variance.
+
+    For PSF models sampled ``oversample``x finer than the data (e.g.
+    TinyTim subsampled output): each native pixel is the SUM of its
+    ``n x n`` sub-pixel block (total flux preserved, so a normalized
+    PSF stays normalized), and its variance is the sum of the block's
+    variances.  The block grid starts at sub-pixel (0, 0) — supply an
+    oversampled PSF aligned so that binning leaves it centered (the
+    standard convention for subsampled PSF models).
+    """
+    n = int(oversample)
+    h, w = psf_data.shape
+    if h % n or w % n:
+        raise ValueError(
+            f"psf_oversample={n} does not divide the PSF shape "
+            f"({h}, {w})"
+        )
+    binned = psf_data.reshape(h // n, n, w // n, n).sum(axis=(1, 3))
+    var = psf_var.reshape(h // n, n, w // n, n).sum(axis=(1, 3))
+    return binned, var
 
 
 def preprocess_psf(psf_data, psf_ivm):

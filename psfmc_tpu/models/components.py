@@ -617,7 +617,7 @@ class PSFSelector(ComponentBase):
 
     _stochastic_attrs = ("psf_index",)
 
-    def __init__(self, psf_list, ivm_list, data_shape):
+    def __init__(self, psf_list, ivm_list, data_shape, oversample=1):
         super().__init__()
         if isinstance(psf_list, (str, np.ndarray)):
             psf_list = [psf_list]
@@ -632,6 +632,12 @@ class PSFSelector(ComponentBase):
             self.psf_index = 0
 
         pairs = [preprocess_psf(p, i) for p, i in zip(psf_list, ivm_list)]
+        if int(oversample) != 1:
+            from ..io.preprocess import bin_psf
+
+            # normalized-then-binned: block summation preserves the
+            # total, so the binned PSF stays unit-sum
+            pairs = [bin_psf(d, v, oversample) for d, v in pairs]
         data_list, var_list = calculate_psf_variability(
             [d for d, _ in pairs], [v for _, v in pairs]
         )
@@ -686,6 +692,12 @@ class Configuration(ComponentBase):
         heavy-tailed wings instead of quadratically dominating the fit).
     :param likelihood_df: Student-t degrees of freedom (static; 3-8
         are typical robust choices).  Ignored for ``'gaussian'``.
+    :param psf_oversample: PSF fine-sampling factor (beyond the
+        reference): PSF models sampled N-times finer than the data
+        (e.g. subsampled TinyTim output) are block-binned to the native
+        pixel scale, flux-preserving, with variances summed per block.
+        The PSF shape must be divisible by N and aligned so binning
+        leaves it centered.
     """
 
     def __init__(
@@ -698,6 +710,7 @@ class Configuration(ComponentBase):
         mag_zeropoint=0,
         likelihood="gaussian",
         likelihood_df=4.0,
+        psf_oversample=1,
     ):
         super().__init__()
         self.mag_zeropoint = mag_zeropoint
@@ -718,6 +731,7 @@ class Configuration(ComponentBase):
         self.bad_px = bad_px
 
         self.psf_selector = PSFSelector(
-            psf_files, psfivm_files, obs_data.shape
+            psf_files, psfivm_files, obs_data.shape,
+            oversample=psf_oversample,
         )
         self.coords = array_coords(obs_data.shape)

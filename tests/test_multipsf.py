@@ -116,3 +116,68 @@ def test_fit_map_marginalizes_and_assigns_psf(two_psf_model, rng):
     # position recovered (data: delta at x=17, y=15)
     assert abs(res.theta[2] - 17.0) < 0.3
     assert abs(res.theta[3] - 15.0) < 0.3
+
+
+def test_psf_oversample_binning(rng):
+    """psf_oversample: block binning is flux-preserving and a
+    Configuration with a 4x-oversampled PSF equals one given the
+    pre-binned PSF directly."""
+    import jax.numpy as jnp
+
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.io.preprocess import bin_psf
+    from psfmc_tpu.models.components import Configuration, PointSource
+    from psfmc_tpu.models.posterior import build_posterior
+    from psfmc_tpu.models.spec import build_model_spec
+
+    n = 4
+    yy, xx = np.mgrid[0:32 * n, 0:32 * n].astype(float)
+    cen = (32 * n - 1) / 2.0
+    fine = np.exp(-((xx - cen) ** 2 + (yy - cen) ** 2) / (2 * (1.5 * n) ** 2))
+    fine /= fine.sum()
+    fine_ivm = np.full_like(fine, 1e8)
+
+    binned, var = bin_psf(fine, 1.0 / fine_ivm, n)
+    assert binned.shape == (32, 32)
+    assert binned.sum() == pytest.approx(1.0, rel=1e-12)
+    want = fine.reshape(32, n, 32, n).sum(axis=(1, 3))
+    assert np.allclose(binned, want)
+    assert np.allclose(var, (1.0 / fine_ivm).reshape(
+        32, n, 32, n).sum(axis=(1, 3)))
+
+    obs = 0.1 + rng.randn(64, 64) * 0.01
+
+    def config(psf, ivm, oversample):
+        return Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((64, 64), 1e4),
+            psf_files=psf,
+            psfivm_files=ivm,
+            mag_zeropoint=25.0,
+            psf_oversample=oversample,
+        )
+
+    comps = lambda cfg: [
+        cfg,
+        PointSource(
+            xy=D.Uniform(loc=(20.0, 20.0), scale=(24.0, 24.0)),
+            mag=D.Uniform(loc=19.0, scale=3.0),
+        ),
+    ]
+    spec_fine = build_model_spec(comps(config(fine, fine_ivm, n)))
+    spec_binned = build_model_spec(
+        comps(config(binned, np.full((32, 32), 1.0) / np.maximum(var, 1e-30),
+                     1))
+    )
+    fns_fine = build_posterior(spec_fine, dtype=jnp.float64)
+    fns_binned = build_posterior(spec_binned, dtype=jnp.float64)
+    theta = jnp.asarray([20.5, 31.3, 30.8])
+    i1 = np.asarray(fns_fine.render_images(theta)["convolved_model"])
+    i2 = np.asarray(fns_binned.render_images(theta)["convolved_model"])
+    assert np.allclose(i1, i2, rtol=1e-10, atol=1e-14)
+    assert float(fns_fine.log_posterior(theta)) == pytest.approx(
+        float(fns_binned.log_posterior(theta)), rel=1e-10
+    )
+
+    with pytest.raises(ValueError):
+        config(fine[:-1], fine_ivm[:-1], n)
