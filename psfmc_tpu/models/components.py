@@ -651,6 +651,10 @@ class PSFSelector(ComponentBase):
         ]
         self.psf_list = [f for f, _ in ffts]
         self.var_list = [v for _, v in ffts]
+        # spatial (pre-FFT) kernels kept for consumers that need a
+        # different transform size (conv_pad renders on a padded grid)
+        self.spatial_psfs = data_list
+        self.spatial_vars = var_list
 
     def update_stochastic_names(self, count=None):
         # Single selector per model: no count prefix (PSFSelector.py:45-52)
@@ -698,6 +702,15 @@ class Configuration(ComponentBase):
         pixel scale, flux-preserving, with variances summed per block.
         The PSF shape must be divisible by N and aligned so binning
         leaves it centered.
+    :param conv_pad: convolution padding in pixels (beyond the
+        reference — GALFIT's "convolution box" analogue).  The model is
+        rendered on a grid extended by ``conv_pad`` pixels on every
+        side, convolved there, and cropped back: wrap-around artifacts
+        move ``conv_pad`` pixels off-frame and flux from sources just
+        outside the cutout scatters in correctly.  ``0`` (default) is
+        the reference's wrap-boundary behavior; ``>= half the PSF
+        extent`` makes edge effects negligible.  Cost scales as
+        ``((H + 2 pad)(W + 2 pad)) / (H W)`` in render+convolve.
     """
 
     def __init__(
@@ -711,6 +724,7 @@ class Configuration(ComponentBase):
         likelihood="gaussian",
         likelihood_df=4.0,
         psf_oversample=1,
+        conv_pad=0,
     ):
         super().__init__()
         self.mag_zeropoint = mag_zeropoint
@@ -721,6 +735,10 @@ class Configuration(ComponentBase):
         make_lnlike(likelihood, likelihood_df)
         self.likelihood = likelihood
         self.likelihood_df = float(likelihood_df)
+        conv_pad = int(conv_pad)
+        if conv_pad < 0:
+            raise ValueError(f"conv_pad must be >= 0, got {conv_pad}")
+        self.conv_pad = conv_pad
 
         obs_hdr, obs_data, obs_var, bad_px = preprocess_obs(
             obs_file, obsivm_file, mask_file

@@ -47,7 +47,12 @@ import jax.numpy as jnp
 
 from .components import ComponentBase, Configuration
 from .posterior import PosteriorFns, make_log_prior
-from .spec import ModelSpec, build_param_slots, comp_spec_for
+from .spec import (
+    ModelSpec,
+    build_param_slots,
+    comp_spec_for,
+    psf_spectra_for,
+)
 
 __all__ = ["JointModel", "JointPosteriorFns", "build_joint_specs"]
 
@@ -131,6 +136,7 @@ def build_joint_specs(bands):
     for comps, config in zip(band_lists, configs):
         comp_specs = [comp_spec_for(c, slot_map, wcs_map) for c in comps]
         all_comp_specs.extend(comp_specs)
+        f_psf_stack, f_var_stack = psf_spectra_for(config)
         band_specs.append(
             ModelSpec(
                 comp_specs=comp_specs,
@@ -144,14 +150,15 @@ def build_joint_specs(bands):
                 obs_data=np.asarray(config.obs_data, np.float64),
                 obs_var=np.asarray(config.obs_var, np.float64),
                 bad_px=np.asarray(config.bad_px, bool),
-                f_psf_stack=np.stack(config.psf_selector.psf_list),
-                f_var_stack=np.stack(config.psf_selector.var_list),
+                f_psf_stack=f_psf_stack,
+                f_var_stack=f_var_stack,
                 num_psfs=len(config.psf_selector.psf_list),
-                # per-band likelihood family — each band keeps its own
-                # Configuration's choice (a dropped field here would
-                # silently revert robust fits to Gaussian)
+                # per-band semantic fields — each band keeps its own
+                # Configuration's choices (a dropped field here would
+                # silently revert to the ModelSpec default)
                 likelihood=getattr(config, "likelihood", "gaussian"),
                 likelihood_df=getattr(config, "likelihood_df", 4.0),
+                conv_pad=int(getattr(config, "conv_pad", 0)),
             )
         )
     # unique components in global order (shared instances once) — the

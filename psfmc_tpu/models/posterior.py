@@ -181,6 +181,10 @@ class PosteriorFns:
             cs.kind == "sky" and ({"dx", "dy"} & set(cs.params))
             for cs in spec.comp_specs
         )
+        # convolution padding (GALFIT convolution-box analogue): render
+        # + convolve on a grid extended by `pad` px per side, crop back
+        self.pad = int(getattr(spec, "conv_pad", 0))
+        self.render_shape = tuple(n + 2 * self.pad for n in spec.shape)
         # 'fft' = jnp.fft.rfft2/irfft2; 'dft' = dense-DFT matmuls on the
         # MXU (see ops.fourier.convolve_rdft) — measured faster on TPU for
         # this workload's 128x128 images.
@@ -199,6 +203,14 @@ class PosteriorFns:
         # (hand-fused kernel, one grid step per walker) or
         # 'pallas_tiled' (walker tiles in VMEM, ops.pallas.sersic_pallas)
         self.render_mode = os.environ.get("PSFMC_RENDER", "xla")
+        if self.pad and self.render_mode != "xla":
+            import warnings
+
+            warnings.warn(
+                "PSFMC_RENDER=pallas* renders the unpadded grid only; "
+                "conv_pad>0 falls back to the XLA renderer"
+            )
+            self.render_mode = "xla"
         self._tiled_render = None
         if self.render_mode == "pallas_tiled":
             from ..ops.pallas.sersic_pallas import (
@@ -213,10 +225,15 @@ class PosteriorFns:
         # program directly (committed device arrays as closure constants
         # require a device->host pull at trace time, which some PJRT
         # backends — e.g. the tunneled axon TPU — don't support).
-        yg, xg = np.mgrid[0:h, 0:w]
+        # Render grids span the conv_pad-extended frame in OBS pixel
+        # coordinates (negative at the left/top pad); the obs-shape
+        # twins serve post-convolution consumers (_sky_plane).
+        yg, xg = np.mgrid[0 : self.render_shape[0], 0 : self.render_shape[1]]
         self.constants = {
-            "xg": xg.astype(dtype),
-            "yg": yg.astype(dtype),
+            "xg": (xg - self.pad).astype(dtype),
+            "yg": (yg - self.pad).astype(dtype),
+            "xg_o": (xg[: h, : w]).astype(dtype),
+            "yg_o": (yg[: h, : w]).astype(dtype),
             "obs_data": np.asarray(spec.obs_data, dtype),
             "obs_var": np.asarray(spec.obs_var, dtype),
             "good_px": np.asarray(~spec.bad_px),
@@ -241,7 +258,9 @@ class PosteriorFns:
             self.constants["var_i"] = np.asarray(
                 spec.f_var_stack.imag, rdtype
             )
-            self.constants["rdft_mats"] = rdft_matrices((h, w), rdtype)
+            self.constants["rdft_mats"] = rdft_matrices(
+                self.render_shape, rdtype
+            )
         self.mag_zp = float(spec.mag_zeropoint)
 
         # per-pixel likelihood family (spec.likelihood): 'gaussian'
@@ -388,19 +407,26 @@ class PosteriorFns:
                 dx = jnp.asarray(
                     _getter(cs.params, theta, "dx"), self.dtype
                 )
-                plane = plane + dx * (c["xg"] - (w - 1) / 2.0)
+                plane = plane + dx * (c["xg_o"] - (w - 1) / 2.0)
             if "dy" in cs.params:
                 dy = jnp.asarray(
                     _getter(cs.params, theta, "dy"), self.dtype
                 )
-                plane = plane + dy * (c["yg"] - (h - 1) / 2.0)
+                plane = plane + dy * (c["yg_o"] - (h - 1) / 2.0)
         return plane
+
+    def _crop(self, img):
+        """Crop a render-grid image back to the observation frame."""
+        if not self.pad:
+            return img
+        p = self.pad
+        return img[..., p:-p, p:-p]
 
     def _raw_and_ps(self, theta):
         """Raw composite model and the point-source-only image."""
         c = self.constants
-        raw = jnp.zeros(self.spec.shape, self.dtype)
-        ps = jnp.zeros(self.spec.shape, self.dtype)
+        raw = jnp.zeros(self.render_shape, self.dtype)
+        ps = jnp.zeros(self.render_shape, self.dtype)
         sky = jnp.zeros((), self.dtype)
         packed_sersics = []
         for cs in self.spec.comp_specs:
@@ -416,8 +442,8 @@ class PosteriorFns:
                 xy = jnp.asarray(xy, self.dtype)
                 mag = _getter(cs.params, theta, "mag")
                 ps = ps + render_pointsource_dense(
-                    self.spec.shape,
-                    xy,
+                    self.render_shape,
+                    xy + self.pad,
                     mag,
                     self.mag_zp,
                     cs.static["shift_method"],
@@ -550,6 +576,10 @@ class PosteriorFns:
             model_var = convolve(raw * raw, f_var)
             ps_conv = convolve(ps, f_psf)
 
+        raw = self._crop(raw)
+        conv = self._crop(conv)
+        model_var = self._crop(model_var)
+        ps_conv = self._crop(ps_conv)
         base_var = c["obs_var"] if obs_var is None else obs_var
         var_total = model_var + base_var
         if self._grad_sky:
@@ -570,16 +600,16 @@ class PosteriorFns:
             var_i = jnp.asarray(c["var_i"])[idx]
             mats = c["rdft_mats"]
             return (
-                convolve_rdft(raw_like, psf_r, psf_i, mats),
-                convolve_rdft(sq_like, var_r, var_i, mats),
-                convolve_rdft(ps_like, psf_r, psf_i, mats),
+                self._crop(convolve_rdft(raw_like, psf_r, psf_i, mats)),
+                self._crop(convolve_rdft(sq_like, var_r, var_i, mats)),
+                self._crop(convolve_rdft(ps_like, psf_r, psf_i, mats)),
             )
         f_psf = jnp.asarray(c["f_psf"])[idx]
         f_var = jnp.asarray(c["f_var"])[idx]
         return (
-            convolve(raw_like, f_psf),
-            convolve(sq_like, f_var),
-            convolve(ps_like, f_psf),
+            self._crop(convolve(raw_like, f_psf)),
+            self._crop(convolve(sq_like, f_var)),
+            self._crop(convolve(ps_like, f_psf)),
         )
 
     def ensemble_carry_means(self, thetas):
@@ -630,10 +660,11 @@ class PosteriorFns:
             self._convolve_pair, in_axes=(0, 0, 0, 0)
         )(group_raw, group_ps, group_sq, all_idx)
 
-        mean_raw = jnp.sum(group_raw, axis=0)
+        mean_raw = self._crop(jnp.sum(group_raw, axis=0))
         mean_conv = jnp.sum(conv_g, axis=0)
         mean_var = jnp.sum(var_g, axis=0) + self.constants["obs_var"]
         mean_psc = jnp.sum(psc_g, axis=0)
+        raws = self._crop(raws)
         if self._grad_sky:
             # post-convolution background plane (see _sky_plane): the
             # walker-mean plane rides both the raw and convolved means

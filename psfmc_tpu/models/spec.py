@@ -80,6 +80,9 @@ class ModelSpec:
     # 'student' robust) + its static degrees of freedom
     likelihood: str = "gaussian"
     likelihood_df: float = 4.0
+    # convolution padding in pixels (0 = reference wrap behavior);
+    # when > 0 the f_*_stack spectra are sized to the PADDED grid
+    conv_pad: int = 0
 
     @property
     def param_names(self) -> List[str]:
@@ -390,6 +393,30 @@ def build_param_slots(components) -> tuple:
     return slots, slot_map, offset
 
 
+def psf_spectra_for(config):
+    """(f_psf_stack, f_var_stack) for a Configuration.
+
+    The single place that honors ``conv_pad``: with padding, the PSF +
+    variance kernels are re-padded and FFT'd at the render-grid size
+    (obs + 2*pad per side).  Shared by :func:`build_model_spec` and the
+    joint multi-band spec builder — a consumer stacking
+    ``psf_selector.psf_list`` directly would silently ignore padding.
+    """
+    conv_pad = int(getattr(config, "conv_pad", 0))
+    sel = config.psf_selector
+    if conv_pad > 0:
+        from ..ops.fourier import pad_and_rfft_image
+
+        padded = tuple(
+            int(n) + 2 * conv_pad for n in config.obs_data.shape
+        )
+        return (
+            np.stack([pad_and_rfft_image(p, padded) for p in sel.spatial_psfs]),
+            np.stack([pad_and_rfft_image(v, padded) for v in sel.spatial_vars]),
+        )
+    return np.stack(sel.psf_list), np.stack(sel.var_list)
+
+
 def build_model_spec(
     components: List[ComponentBase],
     config: Optional[Configuration] = None,
@@ -424,8 +451,8 @@ def build_model_spec(
         comp_spec_for(comp, slot_map, wcs_map) for comp in components
     ]
 
-    f_psf_stack = np.stack(config.psf_selector.psf_list)
-    f_var_stack = np.stack(config.psf_selector.var_list)
+    conv_pad = int(getattr(config, "conv_pad", 0))
+    f_psf_stack, f_var_stack = psf_spectra_for(config)
 
     return ModelSpec(
         comp_specs=comp_specs,
@@ -441,4 +468,5 @@ def build_model_spec(
         num_psfs=len(config.psf_selector.psf_list),
         likelihood=getattr(config, "likelihood", "gaussian"),
         likelihood_df=getattr(config, "likelihood_df", 4.0),
+        conv_pad=conv_pad,
     )

@@ -69,6 +69,7 @@ def batched_lnl_supported(spec):
         and getattr(spec, "num_psfs", 1) == 1
         and getattr(spec, "likelihood", "gaussian") == "gaussian"
         and flat_sky
+        and getattr(spec, "conv_pad", 0) == 0
     )
 
 

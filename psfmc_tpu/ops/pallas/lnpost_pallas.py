@@ -67,6 +67,8 @@ def fused_lnl_supported(spec, conv_mode):
         and elliptical
         # the kernel reduction hard-codes the Gaussian family
         and getattr(spec, "likelihood", "gaussian") == "gaussian"
+        # and renders the unpadded grid only
+        and getattr(spec, "conv_pad", 0) == 0
     )
 
 

@@ -444,3 +444,126 @@ def test_gradient_sky_rejected_by_fused_kernel(rng, gaussian_psf):
     assert fused_lnl_supported(spec_flat, "dft") == fused_lnl_supported(
         spec_flat, "dft"
     )
+
+
+def test_conv_pad_kills_wraparound(rng, gaussian_psf):
+    """conv_pad (GALFIT convolution-box analogue): a source near the
+    left edge wraps onto the right edge at pad=0 (reference behavior)
+    and does not with sufficient padding; interior sources agree."""
+    from psfmc_tpu.models.components import PointSource
+
+    def fns_for(pad, x=1.5, y=16.0):
+        # psf ivm huge: the PSF *variance* kernel is spatially flat, so
+        # its wrap-vs-pad difference is real and large — suppress it so
+        # the interior check isolates the conv channel
+        config = Configuration(
+            obs_file=np.zeros((32, 32)),
+            obsivm_file=np.full((32, 32), 1e4),
+            psf_files=gaussian_psf,
+            psfivm_files=np.ones_like(gaussian_psf) * 1e12,
+            mag_zeropoint=25.0,
+            conv_pad=pad,
+        )
+        comps = [
+            config,
+            PointSource(xy=np.array([x, y]),
+                        mag=D.Uniform(loc=19.0, scale=3.0)),
+        ]
+        return build_posterior(build_model_spec(comps), dtype=jnp.float64)
+
+    theta = jnp.asarray([20.0])
+    conv0 = np.asarray(fns_for(0)(theta)) if False else None
+    img_wrap = np.asarray(fns_for(0).render_images(theta)["convolved_model"])
+    img_pad = np.asarray(fns_for(12).render_images(theta)["convolved_model"])
+    flux = 10 ** (-0.4 * (20.0 - 25.0))
+    # wrap: PSF wings of the x=1.5 source appear at the right edge
+    assert img_wrap[:, -1].max() > 1e-6 * flux
+    # padded: nothing wraps (f64 render floor)
+    assert img_pad[:, -1].max() < 1e-12 * flux
+    # the padded image loses exactly the wrapped flux off-frame
+    assert img_pad.sum() < img_wrap.sum()
+
+    # interior source: pad and wrap agree to the render floor
+    fi_wrap = np.asarray(
+        fns_for(0, 16.2, 15.7).render_images(theta)["convolved_model"]
+    )
+    fi_pad = np.asarray(
+        fns_for(12, 16.2, 15.7).render_images(theta)["convolved_model"]
+    )
+    assert np.allclose(fi_wrap, fi_pad, rtol=1e-9, atol=1e-12 * flux)
+    lnp0 = float(fns_for(0, 16.2, 15.7).log_posterior(theta))
+    lnp1 = float(fns_for(12, 16.2, 15.7).log_posterior(theta))
+    assert lnp0 == pytest.approx(lnp1, rel=1e-8)
+
+
+def test_conv_pad_carry_means_match_per_walker(rng, gaussian_psf):
+    """The linearized accumulation path survives conv_pad cropping."""
+    config = Configuration(
+        obs_file=0.1 + rng.randn(32, 32) * 0.01,
+        obsivm_file=np.full((32, 32), 1e4),
+        psf_files=gaussian_psf,
+        psfivm_files=np.ones_like(gaussian_psf) * 1e6,
+        mag_zeropoint=25.0,
+        conv_pad=6,
+    )
+    comps = [
+        config,
+        Sky(adu=D.Normal(loc=0.1, scale=0.05),
+            dx=D.Normal(loc=0.0, scale=0.01)),
+        Sersic(
+            xy=D.Uniform(loc=(10.0, 10.0), scale=(12.0, 12.0)),
+            mag=D.Uniform(loc=19, scale=3),
+            reff=D.Uniform(loc=2, scale=6),
+            reff_b=D.Uniform(loc=2, scale=6),
+            index=1.5,
+            angle=30.0,
+            angle_degrees=True,
+        ),
+    ]
+    spec = build_model_spec(comps)
+    fns = build_posterior(spec, dtype=jnp.float64)
+    rs = np.random.RandomState(5)
+    thetas = np.stack([
+        np.concatenate([np.ravel(s.dist.random(rs)) for s in spec.slots])
+        for _ in range(8)
+    ])
+    got = fns.ensemble_carry_means(jnp.asarray(thetas))
+    per_walker = jax.vmap(fns.carry_images)(jnp.asarray(thetas))
+    for k in got:
+        if k == "raw_m2":
+            raws = np.asarray(per_walker["raw"], np.float64)
+            want = np.sum((raws - raws.mean(axis=0)) ** 2, axis=0)
+        else:
+            want = np.mean(np.asarray(per_walker[k]), axis=0)
+        assert got[k].shape == (32, 32), k
+        assert np.allclose(np.asarray(got[k]), want, rtol=1e-9,
+                           atol=1e-12), k
+
+
+def test_conv_pad_propagates_to_joint_bands(rng, gaussian_psf):
+    from psfmc_tpu.models import JointModel
+
+    def band(pad):
+        cfg = Configuration(
+            obs_file=0.1 + rng.randn(24, 24) * 0.01,
+            obsivm_file=np.full((24, 24), 1e4),
+            psf_files=gaussian_psf[4:28, 4:28],
+            psfivm_files=np.ones((24, 24)) * 1e8,
+            mag_zeropoint=25.0,
+            conv_pad=pad,
+        )
+        return [
+            cfg,
+            PointSource(
+                xy=D.Uniform(loc=(8.0, 8.0), scale=(8.0, 8.0)),
+                mag=D.Uniform(loc=20.0, scale=2.0),
+            ),
+        ]
+
+    joint = JointModel([band(6), band(0)])
+    fns = joint.posterior_fns
+    assert fns.band_fns[0].pad == 6
+    assert fns.band_fns[0].render_shape == (36, 36)
+    assert fns.band_fns[1].pad == 0
+    theta = jnp.asarray([20.5, 12.0, 11.5, 20.5, 12.0, 11.5])
+    assert np.isfinite(float(fns.log_posterior(theta)))

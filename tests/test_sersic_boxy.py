@@ -557,3 +557,22 @@ def test_fourier_area_factor_accuracy_vs_adaptive_quadrature():
             isophote_area_factor(jnp.asarray(c, jnp.float64), modes)
         )
         assert got == pytest.approx(ref(c), rel=2e-4), c0
+
+
+def test_fourier_area_factor_closed_form_at_c2():
+    """Independent anchor: at c=2 (rho==1) the perturbed area factor is
+    exactly pi*(1 + sum a_m^2 / 2), phase-independent."""
+    from psfmc_tpu.ops.isophote import isophote_area_factor
+
+    modes = ((1, 0.3, 0.4), (2, 0.25, -1.0), (4, 0.2, 2.2))
+    want = np.pi * (1.0 + 0.5 * (0.3**2 + 0.25**2 + 0.2**2))
+    got = float(
+        isophote_area_factor(jnp.asarray(2.0, jnp.float64), modes)
+    )
+    assert got == pytest.approx(want, rel=1e-10)
+    # phase independence at c=2
+    modes2 = tuple((m, a, p + 0.7) for m, a, p in modes)
+    got2 = float(
+        isophote_area_factor(jnp.asarray(2.0, jnp.float64), modes2)
+    )
+    assert got2 == pytest.approx(got, rel=1e-10)
