@@ -177,12 +177,17 @@ def smoke_shaped_sersic():
     noise = 0.002
 
     def comps(obs):
+        # one probe covers every round-3 session-2 semantic at once:
+        # student likelihood + conv_pad + sky gradient + shaped sersic
         cfg = Configuration(
             obs_file=obs,
             obsivm_file=np.full((h, w), 1 / noise**2),
             psf_files=psf,
             psfivm_files=np.full_like(psf, 1e8),
             mag_zeropoint=25.0,
+            likelihood="student",
+            likelihood_df=6.0,
+            conv_pad=4,
         )
         return [
             cfg,
