@@ -4,6 +4,8 @@ from .components import (
     ComponentBase,
     Configuration,
     Moffat,
+    ExpDisk,
+    DeVaucouleurs,
     PointSource,
     PSFSelector,
     Sersic,
@@ -17,6 +19,8 @@ __all__ = [
     "ComponentBase",
     "Configuration",
     "Moffat",
+    "ExpDisk",
+    "DeVaucouleurs",
     "PointSource",
     "PSFSelector",
     "Sersic",

@@ -36,6 +36,8 @@ __all__ = [
     "Sky",
     "PointSource",
     "Sersic",
+    "ExpDisk",
+    "DeVaucouleurs",
     "Moffat",
     "Configuration",
     "PSFSelector",
@@ -533,6 +535,47 @@ class Sersic(ComponentBase):
             # device log-prior enforces the constraint during sampling
             ok = ok & np.ravel(np.asarray(reff_b) <= np.asarray(reff))
         return _shape_batch_ok(self, vals, ok)
+
+
+class ExpDisk(Sersic):
+    """Exponential disk — a Sersic profile with ``index`` fixed at 1
+    (GALFIT's ``expdisk`` by its familiar name).  Takes every Sersic
+    parameter except ``index``; shape freedoms (``c0``, Fourier modes)
+    included."""
+
+    _fits_abbrs = (
+        ("ExpDisk", "EXP"),
+        ("reff_b", "REB"),
+        ("reff", "RE"),
+        ("angle", "ANG"),
+    )
+
+    def __init__(self, **kw):
+        if "index" in kw:
+            raise TypeError(
+                "ExpDisk fixes index=1; use Sersic for a free index"
+            )
+        super().__init__(index=1.0, **kw)
+
+
+class DeVaucouleurs(Sersic):
+    """de Vaucouleurs r^(1/4) spheroid — a Sersic profile with
+    ``index`` fixed at 4 (GALFIT's ``devauc`` by its familiar name)."""
+
+    _fits_abbrs = (
+        ("DeVaucouleurs", "DEV"),
+        ("reff_b", "REB"),
+        ("reff", "RE"),
+        ("angle", "ANG"),
+    )
+
+    def __init__(self, **kw):
+        if "index" in kw:
+            raise TypeError(
+                "DeVaucouleurs fixes index=4; use Sersic for a free "
+                "index"
+            )
+        super().__init__(index=4.0, **kw)
 
 
 class Moffat(ComponentBase):

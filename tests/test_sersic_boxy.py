@@ -576,3 +576,52 @@ def test_fourier_area_factor_closed_form_at_c2():
         isophote_area_factor(jnp.asarray(2.0, jnp.float64), modes2)
     )
     assert got2 == pytest.approx(got, rel=1e-10)
+
+
+def test_expdisk_devauc_aliases(rng, gaussian_psf):
+    """ExpDisk/DeVaucouleurs = Sersic with fixed index (GALFIT names)."""
+    from psfmc_tpu.models.components import DeVaucouleurs, ExpDisk
+
+    cfg = _config(np.full((32, 32), 0.05), 0.01, gaussian_psf)
+
+    def kw():
+        return dict(
+            xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+            mag=D.Uniform(loc=20.0, scale=2.0),
+            reff=5.0, reff_b=4.0, angle=30.0, angle_degrees=True,
+        )
+
+    for cls, n, abbr in (
+        (ExpDisk, 1.0, "0EXP_mag"),
+        (DeVaucouleurs, 4.0, "0DEV_mag"),
+    ):
+        comp = cls(**kw())
+        spec = build_model_spec([cfg, comp])
+        assert spec.param_names == [
+            f"0_{cls.__name__}_mag", f"0_{cls.__name__}_xy",
+        ]
+        assert spec.param_fits_abbrs[0] == abbr
+        fns = build_posterior(spec, dtype=jnp.float64)
+        ser = Sersic(index=n, **kw())
+        spec_s = build_model_spec([cfg, ser])
+        fns_s = build_posterior(spec_s, dtype=jnp.float64)
+        theta = jnp.asarray([20.7, 16.2, 15.6])
+        a = np.asarray(fns.render_images(theta)["raw_model"])
+        b = np.asarray(fns_s.render_images(theta)["raw_model"])
+        assert np.allclose(a, b, rtol=1e-12)
+        with pytest.raises(TypeError):
+            cls(index=2.0, **kw())
+
+    # DSL: the class names are injected into model files
+    import tempfile, os
+    from psfmc_tpu.model_parser import component_list_from_file
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.py")
+        with open(path, "w") as f:
+            f.write(
+                "ExpDisk(xy=(3.0, 3.0), mag=Uniform(loc=20, scale=2),\n"
+                "        reff=3.0, reff_b=2.0, angle=0.0)\n"
+            )
+        comps = component_list_from_file(path)
+        assert type(comps[0]).__name__ == "ExpDisk"
