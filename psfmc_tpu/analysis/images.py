@@ -217,7 +217,7 @@ def _add_stats_to_header(header, model, database):
     # PSF of the maximum-posterior sample (reference picked argmax of the
     # walker column by mistake, images.py:137 — use lnprobability).
     psf_selector = model.config.psf_selector
-    if len(psf_selector.psf_list) > 1 and "PSF_Index" in database:
+    if len(psf_selector.spatial_psfs) > 1 and "PSF_Index" in database:
         best_row = int(np.argmax(database["lnprobability"]))
         best_psf_index = database["PSF_Index"][best_row]
         psf_selector.set_stochastic_values(np.array([best_psf_index]))

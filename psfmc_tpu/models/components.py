@@ -675,6 +675,11 @@ class PSFSelector(ComponentBase):
             self.psf_index = 0
 
         pairs = [preprocess_psf(p, i) for p, i in zip(psf_list, ivm_list)]
+        if oversample != int(oversample) or int(oversample) < 1:
+            raise ValueError(
+                f"psf_oversample must be a positive integer, got "
+                f"{oversample!r}"
+            )
         if int(oversample) != 1:
             from ..io.preprocess import bin_psf
 
@@ -684,20 +689,37 @@ class PSFSelector(ComponentBase):
         data_list, var_list = calculate_psf_variability(
             [d for d, _ in pairs], [v for _, v in pairs]
         )
-        ffts = [
-            pre_fft_psf(psf, var, data_shape)
-            for psf, var in zip(data_list, var_list)
-        ]
         self.filenames = [
             p if isinstance(p, str) else f"<array {i}>"
             for i, p in enumerate(psf_list)
         ]
-        self.psf_list = [f for f, _ in ffts]
-        self.var_list = [v for _, v in ffts]
-        # spatial (pre-FFT) kernels kept for consumers that need a
-        # different transform size (conv_pad renders on a padded grid)
+        # spatial (pre-FFT) kernels; the obs-shape FFT stacks are
+        # computed LAZILY (psf_list/var_list properties) — a conv_pad>0
+        # model FFTs at the padded size instead and never needs them
         self.spatial_psfs = data_list
         self.spatial_vars = var_list
+        self._data_shape = tuple(data_shape)
+        self._fft_psfs = None
+        self._fft_vars = None
+
+    def _ensure_ffts(self):
+        if self._fft_psfs is None:
+            ffts = [
+                pre_fft_psf(psf, var, self._data_shape)
+                for psf, var in zip(self.spatial_psfs, self.spatial_vars)
+            ]
+            self._fft_psfs = [f for f, _ in ffts]
+            self._fft_vars = [v for _, v in ffts]
+
+    @property
+    def psf_list(self):
+        self._ensure_ffts()
+        return self._fft_psfs
+
+    @property
+    def var_list(self):
+        self._ensure_ffts()
+        return self._fft_vars
 
     def update_stochastic_names(self, count=None):
         # Single selector per model: no count prefix (PSFSelector.py:45-52)

@@ -152,7 +152,7 @@ def build_joint_specs(bands):
                 bad_px=np.asarray(config.bad_px, bool),
                 f_psf_stack=f_psf_stack,
                 f_var_stack=f_var_stack,
-                num_psfs=len(config.psf_selector.psf_list),
+                num_psfs=len(config.psf_selector.spatial_psfs),
                 # per-band semantic fields — each band keeps its own
                 # Configuration's choices (a dropped field here would
                 # silently revert to the ModelSpec default)

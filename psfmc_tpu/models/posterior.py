@@ -307,7 +307,9 @@ class PosteriorFns:
 
                 warnings.warn(
                     "PSFMC_LNPOST=pallas requires the dft convolution "
-                    "mode and a single PSF; falling back to the XLA path"
+                    "mode, a single PSF, whitelisted elliptical "
+                    "components, a flat sky, a Gaussian likelihood and "
+                    "conv_pad=0; falling back to the XLA path"
                 )
         elif self.lnpost_mode == "pallas_batched":
             # Walker-batched fused conv+likelihood kernel: render stays
@@ -346,7 +348,8 @@ class PosteriorFns:
 
                 warnings.warn(
                     "PSFMC_LNPOST=pallas_batched requires a single "
-                    "PSF; falling back to the XLA path"
+                    "PSF, a flat sky, a Gaussian likelihood and "
+                    "conv_pad=0; falling back to the XLA path"
                 )
         self.log_posterior_and_images = partial(
             self._lnpost_impl, with_images=True

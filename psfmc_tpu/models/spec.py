@@ -465,7 +465,7 @@ def build_model_spec(
         bad_px=np.asarray(config.bad_px, dtype=bool),
         f_psf_stack=f_psf_stack,
         f_var_stack=f_var_stack,
-        num_psfs=len(config.psf_selector.psf_list),
+        num_psfs=len(config.psf_selector.spatial_psfs),
         likelihood=getattr(config, "likelihood", "gaussian"),
         likelihood_df=getattr(config, "likelihood_df", 4.0),
         conv_pad=conv_pad,

@@ -472,7 +472,6 @@ def test_conv_pad_kills_wraparound(rng, gaussian_psf):
         return build_posterior(build_model_spec(comps), dtype=jnp.float64)
 
     theta = jnp.asarray([20.0])
-    conv0 = np.asarray(fns_for(0)(theta)) if False else None
     img_wrap = np.asarray(fns_for(0).render_images(theta)["convolved_model"])
     img_pad = np.asarray(fns_for(12).render_images(theta)["convolved_model"])
     flux = 10 ** (-0.4 * (20.0 - 25.0))
