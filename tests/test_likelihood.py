@@ -149,3 +149,27 @@ def test_joint_bands_keep_their_likelihood(rng, gaussian_psf):
     solo = build_posterior(spec0, dtype=fns.band_fns[0].dtype)
     b0_solo = float(solo.log_likelihood(jnp.asarray(theta[:3])))
     assert b0 == pytest.approx(b0_solo, rel=1e-6)
+
+
+def test_student_posterior_is_differentiable(rng, gaussian_psf):
+    """NUTS/MAP differentiate the Student-t likelihood; gradients must
+    be finite (including at large residuals where the Gaussian would
+    saturate)."""
+    import jax
+
+    config = Configuration(
+        obs_file=0.1 + rng.randn(32, 32) * 0.01,
+        obsivm_file=np.full((32, 32), 1e4),
+        psf_files=gaussian_psf,
+        psfivm_files=np.ones_like(gaussian_psf) * 1e8,
+        mag_zeropoint=25.0,
+        likelihood="student",
+        likelihood_df=4.0,
+    )
+    spec = build_model_spec(
+        [config, Sky(adu=D.Uniform(loc=-1.0, scale=3.0))]
+    )
+    fns = build_posterior(spec, dtype=jnp.float64)
+    for adu in (0.1, 1.9):  # near truth and far (90-sigma residuals)
+        g = jax.grad(fns.log_posterior)(jnp.asarray([adu]))
+        assert np.all(np.isfinite(np.asarray(g))), (adu, np.asarray(g))
