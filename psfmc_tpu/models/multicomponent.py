@@ -334,6 +334,94 @@ class MultiComponentModel:
             mock = mock + rng.randn(*mock.shape) * sigma
         return mock, theta
 
+    def thetas_from_database(self, database, rows=None):
+        """(N, num_params) parameter matrix from a trace database."""
+        cols = []
+        for name in self.param_names:
+            col = np.asarray(database[name], np.float64)
+            if col.ndim == 1:
+                col = col[:, None]
+            cols.append(col)
+        thetas = np.concatenate(cols, axis=1)
+        return thetas if rows is None else thetas[rows]
+
+    def posterior_predictive(self, database, n=100, random_state=None):
+        """Posterior-predictive mock observations (beyond the reference).
+
+        Draws ``n`` parameter vectors from the trace, renders each
+        convolved model and adds noise from the model's own per-draw
+        noise budget (``1/composite_ivm`` — observation variance plus
+        PSF-mismatch variance; Student-t noise when the Configuration
+        uses the robust likelihood).  These are replicated datasets
+        "the fitted model thinks it could have observed" — the raw
+        material of Bayesian model criticism.
+
+        :returns: ``(mocks (n, H, W), thetas (n, num_params))``.
+        """
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        all_th = self.thetas_from_database(database)
+        rows = rng.randint(0, len(all_th), size=n)
+        thetas = all_th[rows]
+        imgs = self.render_images_batch(thetas)
+        conv = np.asarray(imgs["convolved_model"], np.float64)
+        var = 1.0 / np.asarray(imgs["composite_ivm"], np.float64)
+        sigma = np.sqrt(np.where(np.isfinite(var), var, 0.0))
+        spec = self.spec
+        if getattr(spec, "likelihood", "gaussian") == "student":
+            df = float(getattr(spec, "likelihood_df", 4.0))
+            noise = rng.standard_t(df, size=conv.shape)
+        else:
+            noise = rng.randn(*conv.shape)
+        return conv + noise * sigma, thetas
+
+    def posterior_predictive_pvalue(
+        self, database, n=200, random_state=None
+    ):
+        """Posterior-predictive p-value of the deviance statistic.
+
+        Standard PPC (Gelman et al.): for each posterior draw
+        ``theta_i``, compare the observed discrepancy
+        ``T(y_obs, theta_i) = sum_good (y - conv_i)^2 * ivm_i`` against
+        the same statistic on a replicated dataset drawn from the
+        model at ``theta_i``; ``p = P(T_rep >= T_obs)``.  Values near
+        0 mean the model cannot produce data as discrepant as the
+        observation (misfit); values near 1 mean the model over-covers
+        (e.g. inflated variances).  ~0.5 is healthy.
+        """
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        all_th = self.thetas_from_database(database)
+        rows = rng.randint(0, len(all_th), size=n)
+        thetas = all_th[rows]
+        imgs = self.render_images_batch(thetas)
+        conv = np.asarray(imgs["convolved_model"], np.float64)
+        ivm = np.asarray(imgs["composite_ivm"], np.float64)
+        good = (~np.asarray(self.spec.bad_px))[None]
+        obs = np.asarray(self.spec.obs_data, np.float64)[None]
+        var = np.where(ivm > 0, 1.0 / np.where(ivm > 0, ivm, 1.0), 0.0)
+        sigma = np.sqrt(var)
+        if getattr(self.spec, "likelihood", "gaussian") == "student":
+            df = float(getattr(self.spec, "likelihood_df", 4.0))
+            noise = rng.standard_t(df, size=conv.shape)
+        else:
+            noise = rng.randn(*conv.shape)
+        y_rep = conv + noise * sigma
+        t_obs = np.sum(
+            np.where(good, (obs - conv) ** 2 * ivm, 0.0), axis=(1, 2)
+        )
+        t_rep = np.sum(
+            np.where(good, (y_rep - conv) ** 2 * ivm, 0.0), axis=(1, 2)
+        )
+        # add-one smoothing keeps the estimate off exact 0/1 at finite n
+        return float((1 + np.sum(t_rep >= t_obs)) / (n + 1))
+
     def render_images_batch(self, thetas):
         """Batched renderer: (n, num_params) -> dict of (n, H, W) images.
 
