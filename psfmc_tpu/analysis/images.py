@@ -214,6 +214,22 @@ def _add_stats_to_header(header, model, database):
     except Exception as err:  # noqa: BLE001 - header stat must not kill IO
         warn(f"could not compute MAP reduced chi^2: {err}")
 
+    # Posterior-predictive p-value (deviance PPC): a calibrated
+    # misfit flag — near 0 = the model cannot produce data this
+    # discrepant, ~0.5 healthy (multicomponent.posterior_predictive_
+    # pvalue; joint models expose no single-band PPC here)
+    try:
+        if hasattr(model, "posterior_predictive_pvalue"):
+            p = model.posterior_predictive_pvalue(
+                database, n=100, random_state=0
+            )
+            model_stats["MCPPCP"] = (
+                round(p, 4),
+                "posterior-predictive p-value (deviance)",
+            )
+    except Exception as err:  # noqa: BLE001
+        warn(f"could not compute posterior-predictive p-value: {err}")
+
     # PSF of the maximum-posterior sample (reference picked argmax of the
     # walker column by mistake, images.py:137 — use lnprobability).
     psf_selector = model.config.psf_selector

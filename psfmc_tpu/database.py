@@ -46,6 +46,7 @@ _HEADER_COMMENTS = {
     "MCACCEPT": "Acceptance fraction (avg of all walkers)",
     "MCLNZ": "ln marginal likelihood (tempered-run estimate)",
     "MCLNZERR": "ln evidence error (estimator spread)",
+    "MCPPCP": "posterior-predictive p-value (deviance)",
     "MAPLNP": "Log-posterior of the MAP fit",
     "MAPWLKR": "Walker index of maximum posterior model",
     "MAPSAMP": "Sample index of maximum posterior model",

@@ -100,3 +100,26 @@ def test_ppc_calibrated_vs_misspecified(rng, gaussian_psf):
             db_b, n=300, random_state=3
         )
     assert p_bad < 0.01, p_bad
+
+
+def test_ppc_pvalue_written_to_image_headers(rng, gaussian_psf):
+    """save_posterior_images records MCPPCP."""
+    import os
+    import tempfile
+
+    from psfmc_tpu.analysis.images import save_posterior_images
+    from psfmc_tpu.io.fits import getheader
+
+    noise = 0.01
+    obs = 0.1 + rng.randn(32, 32) * noise
+    model, sampler = _fit(obs, noise, gaussian_psf, rng)
+    with tempfile.TemporaryDirectory() as d:
+        db_path = os.path.join(d, "db.fits")
+        save_database(sampler, model, db_path)
+        out = os.path.join(d, "out")
+        save_posterior_images(
+            model, load_database(db_path), out, filetypes=["residual"]
+        )
+        hdr = getheader(out + "_residual.fits")
+        p = float(hdr["MCPPCP"])
+        assert 0.0 < p < 1.0
