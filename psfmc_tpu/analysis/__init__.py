@@ -6,6 +6,10 @@ from .statistics import (
     num_effective_samples,
     potential_scale_reduction,
     summary,
+    rhat_rank,
+    ess_bulk,
+    ess_tail,
+    convergence_summary,
 )
 
 __all__ = [
@@ -16,6 +20,10 @@ __all__ = [
     "num_effective_samples",
     "potential_scale_reduction",
     "summary",
+    "rhat_rank",
+    "ess_bulk",
+    "ess_tail",
+    "convergence_summary",
 ]
 
 try:  # matplotlib is optional at import time

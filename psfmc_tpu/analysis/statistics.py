@@ -21,6 +21,10 @@ __all__ = [
     "check_convergence_autocorr",
     "check_convergence_psrf",
     "summary",
+    "rhat_rank",
+    "ess_bulk",
+    "ess_tail",
+    "convergence_summary",
 ]
 
 
@@ -116,6 +120,157 @@ def check_convergence_psrf(chains, psrf_tol=0.05, verbose=0):
             print(f"param {p}: PSRF = {psrf}")
         converged &= abs(psrf - 1.0) < psrf_tol
     return bool(converged)
+
+
+# ---------------------------------------------------------------------------
+# Modern diagnostics (Vehtari, Gelman, Simpson, Carpenter & Burkner 2021):
+# rank-normalized split-R-hat and bulk/tail effective sample sizes.
+# Beyond the reference (whose statistics stop at classic Gelman-Rubin):
+# rank normalization makes R-hat robust to heavy tails, and the folded
+# variant catches chains that agree in location but not in scale —
+# exactly the failure mode of an ensemble with a subset of walkers
+# stuck in a narrow mode.
+# ---------------------------------------------------------------------------
+
+
+def _split_chains(chains):
+    """(m, n) -> (2m, n//2): first/second halves as separate chains."""
+    chains = np.asarray(chains, np.float64)
+    n = chains.shape[1] // 2
+    return np.concatenate([chains[:, :n], chains[:, n : 2 * n]], axis=0)
+
+
+def _rank_normalize(chains):
+    """Pooled fractional ranks -> normal scores (Vehtari eqn 14)."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+
+    flat = chains.reshape(-1)
+    r = rankdata(flat, method="average")
+    z = ndtri((r - 0.375) / (flat.size + 0.25))
+    return z.reshape(chains.shape)
+
+
+def _classic_split_rhat(chains):
+    """Classic R-hat over already-split (m, n) chains."""
+    m, n = chains.shape
+    if n < 2 or m < 2:
+        return np.nan
+    chain_means = chains.mean(axis=1)
+    b = n * np.var(chain_means, ddof=1)
+    w = np.mean(np.var(chains, axis=1, ddof=1))
+    if w == 0:
+        return 1.0
+    var_plus = (n - 1) / n * w + b / n
+    return float(np.sqrt(var_plus / w))
+
+
+def rhat_rank(chains):
+    """Rank-normalized split-R-hat: max of the bulk and tail variants.
+
+    ``chains`` is (nchains, nsteps); bulk = R-hat of the
+    rank-normalized split chains, tail = the same on the folded draws
+    ``|x - median|`` (catches scale disagreement).  < 1.01 is the
+    recommended threshold (Vehtari et al. 2021).
+    """
+    split = _split_chains(chains)
+    bulk = _classic_split_rhat(_rank_normalize(split))
+    folded = np.abs(split - np.median(split))
+    tail = _classic_split_rhat(_rank_normalize(folded))
+    return float(np.nanmax([bulk, tail]))
+
+
+def _geyer_tau(chains):
+    """Integrated autocorrelation time by Geyer's initial monotone
+    positive sequence over combined chains (Vehtari eqns 10-13)."""
+    chains = np.asarray(chains, np.float64)
+    m, n = chains.shape
+    if n < 4:
+        return 1.0
+    means = chains.mean(axis=1, keepdims=True)
+    x = chains - means
+    # per-chain autocovariance via FFT
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :n].real / n
+    s2 = np.var(chains, axis=1, ddof=1)
+    w = s2.mean()
+    b_over_n = np.var(chains.mean(axis=1), ddof=1) if m > 1 else 0.0
+    var_plus = (n - 1) / n * w + b_over_n
+    if var_plus == 0:
+        return 1.0
+    rho = 1.0 - (w - acov.mean(axis=0)) / var_plus  # rho[0] == 1
+    # Geyer: sum consecutive-lag pairs while positive, enforce the
+    # pairs monotone non-increasing; tau = -1 + 2 * sum(pairs)
+    # (the -1 removes rho[0]'s double count)
+    prev_pair = np.inf
+    pairs = []
+    for t in range(0, n - 1, 2):
+        p = rho[t] + rho[t + 1]
+        if p <= 0:
+            break
+        p = min(p, prev_pair)
+        prev_pair = p
+        pairs.append(p)
+    tau = -1.0 + 2.0 * float(np.sum(pairs))
+    return max(tau, 1.0)
+
+
+def ess_bulk(chains):
+    """Bulk effective sample size on rank-normalized split chains."""
+    split = _rank_normalize(_split_chains(chains))
+    m, n = split.shape
+    return float(m * n / _geyer_tau(split))
+
+
+def ess_tail(chains, quantiles=(0.05, 0.95)):
+    """Tail effective sample size: min ESS of the extreme-quantile
+    indicator functions (how well the tails are resolved)."""
+    chains = np.asarray(chains, np.float64)
+    out = np.inf
+    for q in quantiles:
+        thr = np.quantile(chains, q)
+        ind = _split_chains((chains <= thr).astype(np.float64))
+        m, n = ind.shape
+        out = min(out, m * n / _geyer_tau(ind))
+    return float(out)
+
+
+def convergence_summary(database):
+    """Per-parameter modern diagnostics from a trace database.
+
+    Reconstructs per-walker chains from the ``walker``/``sample``
+    columns and returns an OrderedDict mapping each scalar trace name
+    to ``{'rhat': rank-normalized split-R-hat, 'ess_bulk': ...,
+    'ess_tail': ...}``.  Thresholds: rhat < 1.01 and ess > 400 are the
+    published recommendations.
+    """
+    from collections import OrderedDict
+
+    walker = np.asarray(database["walker"], int)
+    sample = np.asarray(database["sample"], int)
+    nw = walker.max() + 1
+    ns = sample.max() + 1
+    order = np.lexsort((sample, walker))
+    out = OrderedDict()
+    skip = {"walker", "sample"}
+    for name in database.colnames:
+        if name in skip:
+            continue
+        col = np.asarray(database[name], dtype=np.float64)
+        cols = (
+            [(name, col)]
+            if col.ndim == 1
+            else [(f"{name}_{i}", col[:, i]) for i in range(col.shape[1])]
+        )
+        for cname, values in cols:
+            chains = values[order].reshape(nw, ns)
+            out[cname] = {
+                "rhat": rhat_rank(chains),
+                "ess_bulk": ess_bulk(chains),
+                "ess_tail": ess_tail(chains),
+            }
+    return out
 
 
 def summary(database, percentiles=(16.0, 50.0, 84.0)):

@@ -81,3 +81,93 @@ def test_summary_table():
     assert s["0_Sky_adu"]["std"] == pytest.approx(0.1, abs=0.01)
     assert s["1_PointSource_xy_1"]["p50"] == pytest.approx(20.0, abs=0.05)
     assert s["0_Sky_adu"]["p16"] < s["0_Sky_adu"]["p84"]
+
+
+# ---- modern rank-normalized diagnostics (Vehtari et al. 2021) --------
+
+
+def test_rhat_rank_iid_and_shifted():
+    from psfmc_tpu.analysis.statistics import rhat_rank
+
+    rs = np.random.RandomState(0)
+    good = rs.randn(8, 500)
+    assert abs(rhat_rank(good) - 1.0) < 0.01
+    # location disagreement
+    shifted = good.copy()
+    shifted[0] += 3.0
+    assert rhat_rank(shifted) > 1.05
+    # SCALE disagreement at identical means: classic mean-based R-hat
+    # is blind to this; the folded/tail variant catches it
+    from psfmc_tpu.analysis.statistics import potential_scale_reduction
+
+    scaled = good.copy()
+    scaled[0] *= 4.0
+    classic = potential_scale_reduction(
+        [scaled[i] for i in range(scaled.shape[0])]
+    )
+    assert abs(classic - 1.0) < 0.05  # blind
+    assert rhat_rank(scaled) > 1.05   # caught
+
+
+def test_ess_bulk_matches_ar1_theory():
+    from psfmc_tpu.analysis.statistics import ess_bulk
+
+    rs = np.random.RandomState(1)
+    m, n, phi = 8, 4000, 0.7
+    chains = np.empty((m, n))
+    for c in range(m):
+        x = 0.0
+        innov = rs.randn(n) * np.sqrt(1 - phi**2)
+        xs = np.empty(n)
+        for i in range(n):
+            x = phi * x + innov[i]
+            xs[i] = x
+        chains[c] = xs
+    ess = ess_bulk(chains)
+    want = m * n * (1 - phi) / (1 + phi)
+    assert 0.6 * want < ess < 1.5 * want
+    # iid chains: ESS ~ total draws
+    iid = rs.randn(m, n)
+    assert ess_bulk(iid) > 0.75 * m * n
+
+
+def test_ess_tail_penalizes_clipped_tails():
+    from psfmc_tpu.analysis.statistics import ess_tail
+
+    rs = np.random.RandomState(2)
+    good = rs.randn(8, 1000)
+    assert ess_tail(good) > 0.5 * good.size
+    # clip the tails of half the chains: tail exploration broken while
+    # the bulk looks fine
+    clipped = good.copy()
+    clipped[:4] = np.clip(clipped[:4], -1.0, 1.0)
+    assert ess_tail(clipped) < 0.5 * ess_tail(good)
+
+
+def test_convergence_summary_roundtrip(rng):
+    """convergence_summary reconstructs walker chains from a DB."""
+    from collections import OrderedDict
+
+    from psfmc_tpu.analysis.statistics import convergence_summary
+
+    nw, ns = 6, 300
+
+    class FakeDB(OrderedDict):
+        @property
+        def colnames(self):
+            return list(self.keys())
+
+    walker = np.repeat(np.arange(nw), ns)
+    sample = np.tile(np.arange(ns), nw)
+    vals = rng.randn(nw * ns)
+    xy = rng.randn(nw * ns, 2)
+    db = FakeDB(
+        walker=walker, sample=sample, lnprobability=vals,
+        a=vals + 1.0, xy=xy,
+    )
+    out = convergence_summary(db)
+    assert set(out) == {"lnprobability", "a", "xy_0", "xy_1"}
+    for v in out.values():
+        assert abs(v["rhat"] - 1.0) < 0.02
+        assert v["ess_bulk"] > 0.5 * nw * ns
+        assert v["ess_tail"] > 0.3 * nw * ns
