@@ -244,6 +244,13 @@ def convergence_summary(database):
     to ``{'rhat': rank-normalized split-R-hat, 'ess_bulk': ...,
     'ess_tail': ...}``.  Thresholds: rhat < 1.01 and ess > 400 are the
     published recommendations.
+
+    Caveat (shared with every emcee-style workflow): ensemble walkers
+    interact through the stretch move, so they are not fully
+    independent chains — R-hat over walkers can read slightly
+    optimistic.  The split in split-R-hat (first vs second half of
+    each walker) still catches non-stationarity, and the ESS numbers
+    remain meaningful.
     """
     from collections import OrderedDict
 

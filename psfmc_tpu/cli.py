@@ -183,3 +183,56 @@ def corner_plot_main(argv=None):
     for db_name in args:
         corner_plot(db_name, disp_parameters=disp_params, save=save)
     return 0
+
+
+SUMMARY_DOC = """\
+Usage: psfmc-summary <db.fits> [db2.fits ...]
+
+Print a posterior summary table per trace database: mean, std,
+16/50/84 percentiles, plus modern convergence diagnostics
+(rank-normalized split-R-hat and bulk/tail effective sample sizes,
+Vehtari et al. 2021; healthy: R-hat < 1.01, ESS > 400).
+"""
+
+
+def summary_main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 2:
+        print(SUMMARY_DOC)
+        return 2
+
+    from .database import load_database
+    from .analysis import convergence_summary, summary
+
+    status = 0
+    for db_name in argv[1:]:
+        db = load_database(db_name)
+        stats = summary(db)
+        try:
+            diag = convergence_summary(db)
+        except Exception as err:  # noqa: BLE001 - diag must not kill IO
+            print(f"(convergence diagnostics unavailable: {err})")
+            diag = {}
+        print(f"\n# {db_name}")
+        hdr = (f"{'parameter':<24s} {'mean':>12s} {'std':>11s} "
+               f"{'p16':>12s} {'p50':>12s} {'p84':>12s} "
+               f"{'rhat':>7s} {'essB':>7s} {'essT':>7s}")
+        print(hdr)
+        print("-" * len(hdr))
+        for name, s in stats.items():
+            d = diag.get(name, {})
+            rhat = d.get("rhat")
+            eb = d.get("ess_bulk")
+            et = d.get("ess_tail")
+            flag = ""
+            if rhat is not None and (rhat > 1.01 or min(eb, et) < 400):
+                flag = "  <-- check"
+                status = max(status, 1)
+            print(
+                f"{name:<24s} {s['mean']:>12.5g} {s['std']:>11.4g} "
+                f"{s['p16']:>12.5g} {s['p50']:>12.5g} {s['p84']:>12.5g} "
+                + (f"{rhat:>7.3f} {eb:>7.0f} {et:>7.0f}" if rhat is not None
+                   else f"{'-':>7s} {'-':>7s} {'-':>7s}")
+                + flag
+            )
+    return status

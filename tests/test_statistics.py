@@ -171,3 +171,45 @@ def test_convergence_summary_roundtrip(rng):
         assert abs(v["rhat"] - 1.0) < 0.02
         assert v["ess_bulk"] > 0.5 * nw * ns
         assert v["ess_tail"] > 0.3 * nw * ns
+
+
+def test_summary_cli(rng, tmp_path, gaussian_psf):
+    """psfmc-summary prints the table and flags under-converged fits."""
+    import io
+    from contextlib import redirect_stdout
+
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.cli import summary_main
+    from psfmc_tpu.database import save_database
+    from psfmc_tpu.models.components import Configuration, Sky
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+    import jax.numpy as jnp
+
+    obs = 0.1 + rng.randn(16, 16) * 0.01
+    model = MultiComponentModel(
+        [
+            Configuration(
+                obs_file=obs,
+                obsivm_file=np.full((16, 16), 1e4),
+                psf_files=gaussian_psf[8:24, 8:24],
+                psfivm_files=np.ones((16, 16)) * 1e8,
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Uniform(loc=-0.2, scale=0.6)),
+        ],
+        dtype=jnp.float64,
+    )
+    s = EnsembleSampler(8, 1, model.posterior_fns, seed=0)
+    s.init_state(model.init_params_from_priors(8, random_state=rng))
+    s.run_burn(200)
+    s.reset()
+    s.run_sampling(400)
+    db_path = str(tmp_path / "db.fits")
+    save_database(s, model, db_path)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = summary_main(["psfmc-summary", db_path])
+    out = buf.getvalue()
+    assert "0_Sky_adu" in out and "rhat" in out
+    assert rc in (0, 1)  # exit 1 only when a parameter is flagged
