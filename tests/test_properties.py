@@ -147,3 +147,59 @@ def test_sersic_render_always_finite_nonnegative(
     )
     assert np.all(np.isfinite(img)), (x, y, mag, reff, ratio, index, angle)
     assert np.all(img >= 0.0)
+
+
+# ---- isophote-shape machinery (c0 + Fourier modes) -------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    c0=st.floats(-1.8, 6.0),
+    a1=st.floats(-0.35, 0.35),
+    a3=st.floats(-0.25, 0.25),
+    a4=st.floats(-0.2, 0.2),
+    p1=st.floats(-180.0, 180.0),
+    p3=st.floats(-180.0, 180.0),
+    angle=st.floats(0.0, 180.0),
+    q=st.floats(0.3, 1.0),
+    index=st.floats(0.6, 2.5),
+)
+def test_shaped_sersic_flux_invariant_property(
+    c0, a1, a3, a4, p1, p3, angle, q, index
+):
+    """For ANY shape in the supported domain the rendered total flux
+    matches the unshaped render of the same parameters (the area
+    renormalization must hold across c0 x modes x angle x axis ratio),
+    and every pixel is finite and non-negative."""
+    import jax.numpy as jnp
+
+    from psfmc_tpu.ops.sersic import render_sersic_gen
+
+    n = 192
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    xg, yg = jnp.asarray(xx), jnp.asarray(yy)
+    reff = 4.0
+    args = (
+        jnp.asarray([95.3, 96.2], jnp.float64),
+        22.0, reff, q * reff, index, angle,
+    )
+    fourier = tuple(
+        (m, a, p)
+        for m, a, p in ((1, a1, p1), (3, a3, p3), (4, a4, 0.0))
+        if abs(a) > 1e-12
+    )
+    img = np.asarray(
+        render_sersic_gen(
+            xg, yg, *args, c0, 25.0, angle_degrees=True, fourier=fourier
+        )
+    )
+    assert np.all(np.isfinite(img))
+    assert img.min() >= 0.0
+    base = np.asarray(
+        render_sersic_gen(
+            xg, yg, *args, 0.0, 25.0, angle_degrees=True
+        )
+    )
+    # pixel-point-sampling bias is shape-dependent at the ~2% level for
+    # the cuspiest combinations; the renormalization itself is ~1e-4
+    assert abs(img.sum() - base.sum()) <= 0.04 * abs(base.sum())
