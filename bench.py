@@ -71,8 +71,46 @@ def main():
     # so the reported warmup reflects the framework, not the tunnel.
     import jax.numpy as jnp
 
+    # Watchdog: during the 2026-08-17/18 TPU outage, backend init hung
+    # for >20 min instead of failing — a hung bench leaves the driver
+    # with no artifact at all.  Probe first contact in a daemon thread;
+    # if the device does not answer within BENCH_CONTACT_TIMEOUT
+    # seconds (default 1500 — measured healthy worst case was 752 s),
+    # emit an explicit infra-error JSON line and exit nonzero so the
+    # failure is attributable.
+    import threading
+
+    contact_timeout = float(
+        os.environ.get("BENCH_CONTACT_TIMEOUT", "1500")
+    )
     t_contact = time.time()
-    np.asarray(jnp.ravel(jnp.sum(jnp.ones(4) * 2.0))[0])
+    probe_done = threading.Event()
+
+    def _probe():
+        np.asarray(jnp.ravel(jnp.sum(jnp.ones(4) * 2.0))[0])
+        probe_done.set()
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    if not probe_done.wait(contact_timeout):
+        print(
+            json.dumps(
+                {
+                    "metric": "steady_state_50k_samples_seconds",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": (
+                        "tpu_unavailable: first device contact timed "
+                        f"out after {contact_timeout:.0f}s (known "
+                        "axon-backend outage mode; see CLAUDE.md "
+                        "2026-08-17)"
+                    ),
+                }
+            )
+        )
+        sys.stdout.flush()
+        os._exit(3)
     contact_s = time.time() - t_contact
 
     comps = graft._flagship_components()
