@@ -85,14 +85,28 @@ def main():
     )
     t_contact = time.time()
     probe_done = threading.Event()
+    probe_err = []
 
     def _probe():
-        np.asarray(jnp.ravel(jnp.sum(jnp.ones(4) * 2.0))[0])
-        probe_done.set()
+        # capture failures: the outage has TWO modes (hang and fast
+        # UNAVAILABLE) — a swallowed exception here would misreport the
+        # fast mode as a slow timeout
+        try:
+            np.asarray(jnp.ravel(jnp.sum(jnp.ones(4) * 2.0))[0])
+        except BaseException as e:  # noqa: BLE001
+            probe_err.append(e)
+        finally:
+            probe_done.set()
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
-    if not probe_done.wait(contact_timeout):
+    timed_out = not probe_done.wait(contact_timeout)
+    if timed_out or probe_err:
+        reason = (
+            f"first device contact timed out after {contact_timeout:.0f}s"
+            if timed_out
+            else f"device contact failed: {probe_err[0]!r:.300}"
+        )
         print(
             json.dumps(
                 {
@@ -101,10 +115,8 @@ def main():
                     "unit": "s",
                     "vs_baseline": None,
                     "error": (
-                        "tpu_unavailable: first device contact timed "
-                        f"out after {contact_timeout:.0f}s (known "
-                        "axon-backend outage mode; see CLAUDE.md "
-                        "2026-08-17)"
+                        f"tpu_unavailable: {reason} (known axon-backend "
+                        "outage mode; see CLAUDE.md 2026-08-17)"
                     ),
                 }
             )

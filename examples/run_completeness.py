@@ -31,13 +31,9 @@ def main():
     os.chdir(os.path.dirname(os.path.abspath(__file__)) or ".")
     import jax
 
-    # PSFMC_PLATFORM=cpu forces the CPU backend (this image pins the
-    # axon TPU plugin via sitecustomize, so shell-level JAX_PLATFORMS
-    # is ignored; during a TPU outage the backend init hangs instead
-    # of failing fast)
-    plat = os.environ.get("PSFMC_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    from psfmc_tpu.utils import apply_platform_env
+
+    apply_platform_env()  # PSFMC_PLATFORM=cpu for smokes (see utils)
 
     try:
         jax.config.update(

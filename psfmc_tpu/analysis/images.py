@@ -47,6 +47,7 @@ def save_posterior_images(
     filetypes=default_filetypes,
     bad_px_value=0,
     walker_min_percentile=10,
+    ppc_draws=100,
 ):
     """Write posterior model images as FITS files.
 
@@ -56,6 +57,10 @@ def save_posterior_images(
     :param mode: 'weighted' (posterior-mean) or 'maximum'/'MAP'.
     :param bad_px_value: replacement value for non-finite pixels.
     :param walker_min_percentile: stuck-walker filter threshold.
+    :param ppc_draws: posterior draws for the MCPPCP header stat
+        (posterior-predictive p-value); 0 disables it — the check
+        renders ``ppc_draws`` models, which costs one extra batched
+        compile on cold caches.
     """
     header = model.obs_header.copy() if model.obs_header else fits.Header()
     if "{}" not in output_name:
@@ -63,7 +68,7 @@ def save_posterior_images(
 
     database = filter_lowp_walkers(database, percentile=walker_min_percentile)
 
-    _add_stats_to_header(header, model, database)
+    _add_stats_to_header(header, model, database, ppc_draws=ppc_draws)
 
     from ..parallel.multihost import is_primary
 
@@ -173,7 +178,7 @@ def write_image_products(
     barrier("write_image_products")
 
 
-def _add_stats_to_header(header, model, database):
+def _add_stats_to_header(header, model, database, ppc_draws=100):
     """Sampler metadata + per-parameter posterior stats into the header."""
     header.extend(_fits_section_header("psfMC MCMC SAMPLER PARAMETERS"))
     for key, value in annotate_metadata(database.meta).items():
@@ -219,9 +224,9 @@ def _add_stats_to_header(header, model, database):
     # discrepant, ~0.5 healthy (multicomponent.posterior_predictive_
     # pvalue; joint models expose no single-band PPC here)
     try:
-        if hasattr(model, "posterior_predictive_pvalue"):
+        if ppc_draws and hasattr(model, "posterior_predictive_pvalue"):
             p = model.posterior_predictive_pvalue(
-                database, n=100, random_state=0
+                database, n=ppc_draws, random_state=0
             )
             model_stats["MCPPCP"] = (
                 round(p, 4),

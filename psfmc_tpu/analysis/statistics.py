@@ -160,7 +160,12 @@ def _classic_split_rhat(chains):
     b = n * np.var(chain_means, ddof=1)
     w = np.mean(np.var(chains, axis=1, ddof=1))
     if w == 0:
-        return 1.0
+        # a zero-variance (frozen) parameter is UNDIAGNOSABLE, not
+        # healthy — the stretch move freezes all-equal coordinates
+        # (project notes), and reporting 1.0 here would be the
+        # diagnostic's worst false negative.  NaN propagates to the
+        # CLI flag.
+        return np.nan
     var_plus = (n - 1) / n * w + b / n
     return float(np.sqrt(var_plus / w))
 
@@ -198,7 +203,8 @@ def _geyer_tau(chains):
     b_over_n = np.var(chains.mean(axis=1), ddof=1) if m > 1 else 0.0
     var_plus = (n - 1) / n * w + b_over_n
     if var_plus == 0:
-        return 1.0
+        # frozen chains: undiagnosable (see _classic_split_rhat)
+        return np.nan
     rho = 1.0 - (w - acov.mean(axis=0)) / var_plus  # rho[0] == 1
     # Geyer: sum consecutive-lag pairs while positive, enforce the
     # pairs monotone non-increasing; tau = -1 + 2 * sum(pairs)
@@ -256,9 +262,19 @@ def convergence_summary(database):
 
     walker = np.asarray(database["walker"], int)
     sample = np.asarray(database["sample"], int)
-    nw = walker.max() + 1
-    ns = sample.max() + 1
-    order = np.lexsort((sample, walker))
+    # walker IDs may be NON-contiguous (filter_lowp_walkers drops
+    # whole walkers but keeps their original IDs) — map to dense
+    # indices instead of assuming max+1 chains
+    uniq_w = np.unique(walker)
+    nw = len(uniq_w)
+    ns = len(walker) // nw
+    if nw * ns != len(walker):
+        raise ValueError(
+            "database rows do not form a complete walker x sample "
+            f"grid ({len(walker)} rows, {nw} walkers)"
+        )
+    dense_w = np.searchsorted(uniq_w, walker)
+    order = np.lexsort((sample, dense_w))
     out = OrderedDict()
     skip = {"walker", "sample"}
     for name in database.colnames:

@@ -225,9 +225,22 @@ def summary_main(argv=None):
             eb = d.get("ess_bulk")
             et = d.get("ess_tail")
             flag = ""
-            if rhat is not None and (rhat > 1.01 or min(eb, et) < 400):
-                flag = "  <-- check"
-                status = max(status, 1)
+            if rhat is not None:
+                import numpy as np
+
+                # NaN (frozen/undiagnosable parameter) must FLAG, not
+                # pass — NaN > 1.01 is False, so use negated healthy
+                # conditions
+                healthy = (
+                    np.isfinite(rhat)
+                    and rhat <= 1.01
+                    and np.isfinite(eb)
+                    and np.isfinite(et)
+                    and min(eb, et) >= 400
+                )
+                if not healthy:
+                    flag = "  <-- check"
+                    status = max(status, 1)
             print(
                 f"{name:<24s} {s['mean']:>12.5g} {s['std']:>11.4g} "
                 f"{s['p16']:>12.5g} {s['p50']:>12.5g} {s['p84']:>12.5g} "

@@ -345,6 +345,33 @@ class MultiComponentModel:
         thetas = np.concatenate(cols, axis=1)
         return thetas if rows is None else thetas[rows]
 
+    def _replicate(self, database, n, rng):
+        """Shared PPC core: n posterior draws, their rendered images
+        and replicated datasets from the per-draw noise budget.
+
+        The noise scale is ``1/composite_ivm`` (observation variance
+        plus PSF-mismatch variance; exactly 0 at masked pixels, where
+        the ivm is 0); Student-t noise when the Configuration uses the
+        robust likelihood.  The ONE definition both the user-facing
+        mocks and the p-value use — a drift between them would let the
+        flag disagree with the pictures it flags.
+        """
+        all_th = self.thetas_from_database(database)
+        rows = rng.randint(0, len(all_th), size=n)
+        thetas = all_th[rows]
+        imgs = self.render_images_batch(thetas)
+        conv = np.asarray(imgs["convolved_model"], np.float64)
+        ivm = np.asarray(imgs["composite_ivm"], np.float64)
+        sigma = np.sqrt(
+            np.where(ivm > 0, 1.0 / np.where(ivm > 0, ivm, 1.0), 0.0)
+        )
+        if getattr(self.spec, "likelihood", "gaussian") == "student":
+            df = float(getattr(self.spec, "likelihood_df", 4.0))
+            noise = rng.standard_t(df, size=conv.shape)
+        else:
+            noise = rng.randn(*conv.shape)
+        return thetas, conv, ivm, conv + noise * sigma
+
     def posterior_predictive(self, database, n=100, random_state=None):
         """Posterior-predictive mock observations (beyond the reference).
 
@@ -363,20 +390,8 @@ class MultiComponentModel:
             if isinstance(random_state, np.random.RandomState)
             else np.random.RandomState(random_state)
         )
-        all_th = self.thetas_from_database(database)
-        rows = rng.randint(0, len(all_th), size=n)
-        thetas = all_th[rows]
-        imgs = self.render_images_batch(thetas)
-        conv = np.asarray(imgs["convolved_model"], np.float64)
-        var = 1.0 / np.asarray(imgs["composite_ivm"], np.float64)
-        sigma = np.sqrt(np.where(np.isfinite(var), var, 0.0))
-        spec = self.spec
-        if getattr(spec, "likelihood", "gaussian") == "student":
-            df = float(getattr(spec, "likelihood_df", 4.0))
-            noise = rng.standard_t(df, size=conv.shape)
-        else:
-            noise = rng.randn(*conv.shape)
-        return conv + noise * sigma, thetas
+        thetas, _conv, _ivm, y_rep = self._replicate(database, n, rng)
+        return y_rep, thetas
 
     def posterior_predictive_pvalue(
         self, database, n=200, random_state=None
@@ -397,30 +412,18 @@ class MultiComponentModel:
             if isinstance(random_state, np.random.RandomState)
             else np.random.RandomState(random_state)
         )
-        all_th = self.thetas_from_database(database)
-        rows = rng.randint(0, len(all_th), size=n)
-        thetas = all_th[rows]
-        imgs = self.render_images_batch(thetas)
-        conv = np.asarray(imgs["convolved_model"], np.float64)
-        ivm = np.asarray(imgs["composite_ivm"], np.float64)
+        _thetas, conv, ivm, y_rep = self._replicate(database, n, rng)
         good = (~np.asarray(self.spec.bad_px))[None]
         obs = np.asarray(self.spec.obs_data, np.float64)[None]
-        var = np.where(ivm > 0, 1.0 / np.where(ivm > 0, ivm, 1.0), 0.0)
-        sigma = np.sqrt(var)
-        if getattr(self.spec, "likelihood", "gaussian") == "student":
-            df = float(getattr(self.spec, "likelihood_df", 4.0))
-            noise = rng.standard_t(df, size=conv.shape)
-        else:
-            noise = rng.randn(*conv.shape)
-        y_rep = conv + noise * sigma
         t_obs = np.sum(
             np.where(good, (obs - conv) ** 2 * ivm, 0.0), axis=(1, 2)
         )
         t_rep = np.sum(
             np.where(good, (y_rep - conv) ** 2 * ivm, 0.0), axis=(1, 2)
         )
-        # add-one smoothing keeps the estimate off exact 0/1 at finite n
-        return float((1 + np.sum(t_rep >= t_obs)) / (n + 1))
+        # (1+k)/(n+2): both ends smoothed, so the estimate can reach
+        # neither exact 0 nor exact 1 at finite n
+        return float((1 + np.sum(t_rep >= t_obs)) / (n + 2))
 
     def render_images_batch(self, thetas):
         """Batched renderer: (n, num_params) -> dict of (n, H, W) images.
