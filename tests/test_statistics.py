@@ -213,3 +213,36 @@ def test_summary_cli(rng, tmp_path, gaussian_psf):
     out = buf.getvalue()
     assert "0_Sky_adu" in out and "rhat" in out
     assert rc in (0, 1)  # exit 1 only when a parameter is flagged
+
+
+def test_frozen_chain_is_flagged_not_healthy():
+    """A zero-variance (frozen) parameter must read as UNDIAGNOSABLE
+    (NaN), never as rhat=1/full ESS — the stretch move freezes
+    all-equal coordinates, the diagnostic's worst false negative."""
+    from psfmc_tpu.analysis.statistics import ess_bulk, rhat_rank
+
+    frozen = np.full((8, 400), 3.14)
+    assert np.isnan(rhat_rank(frozen))
+    assert np.isnan(ess_bulk(frozen))
+
+
+def test_convergence_summary_non_contiguous_walkers(rng):
+    """Filtered databases keep original (non-contiguous) walker IDs."""
+    from collections import OrderedDict
+
+    from psfmc_tpu.analysis.statistics import convergence_summary
+
+    class FakeDB(OrderedDict):
+        @property
+        def colnames(self):
+            return list(self.keys())
+
+    ns = 200
+    ids = [0, 2, 5, 9]  # walkers 1,3,4,... filtered out
+    walker = np.repeat(ids, ns)
+    sample = np.tile(np.arange(ns), len(ids))
+    vals = rng.randn(len(ids) * ns)
+    db = FakeDB(walker=walker, sample=sample, a=vals)
+    out = convergence_summary(db)
+    assert abs(out["a"]["rhat"] - 1.0) < 0.03
+    assert out["a"]["ess_bulk"] > 0.4 * len(ids) * ns
