@@ -776,6 +776,20 @@ class Configuration(ComponentBase):
         the reference's wrap-boundary behavior; ``>= half the PSF
         extent`` makes edge effects negligible.  Cost scales as
         ``((H + 2 pad)(W + 2 pad)) / (H W)`` in render+convolve.
+    :param render_oversample: sub-pixel integration factor for profile
+        components (beyond the reference — GALFIT's sub-pixel
+        integration analogue).  ``S > 1`` re-renders an
+        ``oversample_window``-sized pixel box around each Sersic/Moffat
+        center on an ``S``-times finer midpoint grid and flux-averages
+        it back, removing the ~1-2%-of-flux pixel-integration bias of
+        point sampling for compact profiles (Sersic ``reff`` of a few
+        px).  ``1`` (default) is reference point-sampling parity.
+        ``S = 4`` captures most of the bias; ``8`` is essentially
+        exact (see tests/test_oversample.py).
+    :param oversample_window: side length in pixels of the oversampled
+        box (default 16; clamped to the render grid).  Outside the box
+        the profile varies slowly across a pixel and point sampling is
+        already accurate.
     """
 
     def __init__(
@@ -790,6 +804,8 @@ class Configuration(ComponentBase):
         likelihood_df=4.0,
         psf_oversample=1,
         conv_pad=0,
+        render_oversample=1,
+        oversample_window=16,
     ):
         super().__init__()
         self.mag_zeropoint = mag_zeropoint
@@ -804,6 +820,20 @@ class Configuration(ComponentBase):
         if conv_pad < 0:
             raise ValueError(f"conv_pad must be >= 0, got {conv_pad}")
         self.conv_pad = conv_pad
+        if (render_oversample != int(render_oversample)
+                or int(render_oversample) < 1):
+            raise ValueError(
+                f"render_oversample must be a positive integer, got "
+                f"{render_oversample!r}"
+            )
+        self.render_oversample = int(render_oversample)
+        if (oversample_window != int(oversample_window)
+                or int(oversample_window) < 1):
+            raise ValueError(
+                f"oversample_window must be a positive integer, got "
+                f"{oversample_window!r}"
+            )
+        self.oversample_window = int(oversample_window)
 
         obs_hdr, obs_data, obs_var, bad_px = preprocess_obs(
             obs_file, obsivm_file, mask_file

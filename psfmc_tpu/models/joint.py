@@ -159,6 +159,12 @@ def build_joint_specs(bands):
                 likelihood=getattr(config, "likelihood", "gaussian"),
                 likelihood_df=getattr(config, "likelihood_df", 4.0),
                 conv_pad=int(getattr(config, "conv_pad", 0)),
+                render_oversample=int(
+                    getattr(config, "render_oversample", 1)
+                ),
+                oversample_window=int(
+                    getattr(config, "oversample_window", 16)
+                ),
             )
         )
     # unique components in global order (shared instances once) — the

@@ -185,6 +185,13 @@ class PosteriorFns:
         # + convolve on a grid extended by `pad` px per side, crop back
         self.pad = int(getattr(spec, "conv_pad", 0))
         self.render_shape = tuple(n + 2 * self.pad for n in spec.shape)
+        # sub-pixel integration of profile components (ops.oversample);
+        # window clamped so the dynamic-slice block always fits the grid
+        self.oversample = int(getattr(spec, "render_oversample", 1))
+        self.os_window = min(
+            int(getattr(spec, "oversample_window", 16)),
+            min(self.render_shape),
+        )
         # 'fft' = jnp.fft.rfft2/irfft2; 'dft' = dense-DFT matmuls on the
         # MXU (see ops.fourier.convolve_rdft) — measured faster on TPU for
         # this workload's 128x128 images.
@@ -209,6 +216,15 @@ class PosteriorFns:
             warnings.warn(
                 "PSFMC_RENDER=pallas* renders the unpadded grid only; "
                 "conv_pad>0 falls back to the XLA renderer"
+            )
+            self.render_mode = "xla"
+        if self.oversample > 1 and self.render_mode != "xla":
+            import warnings
+
+            warnings.warn(
+                "PSFMC_RENDER=pallas* renders point-sampled profiles "
+                "only; render_oversample>1 falls back to the XLA "
+                "renderer"
             )
             self.render_mode = "xla"
         self._tiled_render = None
@@ -425,6 +441,29 @@ class PosteriorFns:
         p = self.pad
         return img[..., p:-p, p:-p]
 
+    def _apply_oversample(self, raw, xy, fn_coarse, fn_fine):
+        """Apply the sub-pixel integration window for one profile
+        component (``render_oversample > 1`` only; see ops.oversample).
+
+        ``fn_coarse(xg, yg)`` must evaluate EXACTLY what the full-frame
+        render added (correction included) so the subtraction inside the
+        window is bitwise-consistent; ``fn_fine`` is the bare profile
+        the midpoint sub-samples integrate.
+        """
+        from ..ops.oversample import (
+            apply_window_delta,
+            oversampled_window_delta,
+            window_origin,
+        )
+
+        origin = window_origin(xy, self.os_window, self.render_shape,
+                               self.pad)
+        delta = oversampled_window_delta(
+            fn_coarse, fn_fine, origin, self.os_window, self.oversample,
+            self.pad, self.dtype,
+        )
+        return apply_window_delta(raw, delta, origin)
+
     def _raw_and_ps(self, theta):
         """Raw composite model and the point-source-only image."""
         c = self.constants
@@ -453,10 +492,9 @@ class PosteriorFns:
                     self.dtype,
                 )
             elif cs.kind == "moffat":
+                xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
                 args = (
-                    c["xg"],
-                    c["yg"],
-                    jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype),
+                    xy,
                     _getter(cs.params, theta, "mag"),
                     _getter(cs.params, theta, "fwhm"),
                     _getter(cs.params, theta, "fwhm_b"),
@@ -467,20 +505,27 @@ class PosteriorFns:
                 if shaped:
                     from ..ops.moffat import render_moffat_gen
 
-                    raw = raw + render_moffat_gen(
-                        *args,
-                        c0,
-                        self.mag_zp,
-                        cs.static["angle_degrees"],
-                        fourier=fourier,
-                    )
+                    def _moffat_fn(xg, yg, _a=args, _c0=c0, _f=fourier,
+                                   _deg=cs.static["angle_degrees"]):
+                        return render_moffat_gen(
+                            xg, yg, *_a, _c0, self.mag_zp, _deg,
+                            fourier=_f,
+                        )
                 else:
                     from ..ops.moffat import render_moffat
 
-                    raw = raw + render_moffat(
-                        *args,
-                        self.mag_zp,
-                        cs.static["angle_degrees"],
+                    def _moffat_fn(xg, yg, _a=args,
+                                   _deg=cs.static["angle_degrees"]):
+                        return render_moffat(
+                            xg, yg, *_a, self.mag_zp, _deg
+                        )
+
+                raw = raw + _moffat_fn(c["xg"], c["yg"])
+                if self.oversample > 1:
+                    # the analytic Moffat core has no sub-pixel
+                    # correction term: coarse == fine form
+                    raw = self._apply_oversample(
+                        raw, xy, _moffat_fn, _moffat_fn
                     )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
@@ -493,9 +538,7 @@ class PosteriorFns:
                     # components is exact
                     from ..ops.sersic import render_sersic_gen
 
-                    raw = raw + render_sersic_gen(
-                        c["xg"],
-                        c["yg"],
+                    gen_args = (
                         xy,
                         _getter(cs.params, theta, "mag"),
                         _getter(cs.params, theta, "reff"),
@@ -505,9 +548,23 @@ class PosteriorFns:
                         c0,
                         self.mag_zp,
                         cs.static["angle_degrees"],
-                        kappa_mode=self.kappa_mode,
-                        fourier=fourier,
                     )
+
+                    def _sersic_gen_fn(xg, yg, correction=True,
+                                       _a=gen_args, _f=fourier):
+                        return render_sersic_gen(
+                            xg, yg, *_a, kappa_mode=self.kappa_mode,
+                            fourier=_f, correction=correction,
+                        )
+
+                    raw = raw + _sersic_gen_fn(c["xg"], c["yg"])
+                    if self.oversample > 1:
+                        raw = self._apply_oversample(
+                            raw, xy, _sersic_gen_fn,
+                            lambda xg, yg, _fn=_sersic_gen_fn: _fn(
+                                xg, yg, correction=False
+                            ),
+                        )
                     continue
                 args = (
                     xy,
@@ -529,6 +586,20 @@ class PosteriorFns:
                     raw = raw + render_sersic(
                         c["xg"], c["yg"], *args, kappa_mode=self.kappa_mode
                     )
+                    if self.oversample > 1:
+                        def _sersic_fn(xg, yg, correction=True, _a=args):
+                            return render_sersic(
+                                xg, yg, *_a,
+                                kappa_mode=self.kappa_mode,
+                                correction=correction,
+                            )
+
+                        raw = self._apply_oversample(
+                            raw, xy, _sersic_fn,
+                            lambda xg, yg: _sersic_fn(
+                                xg, yg, correction=False
+                            ),
+                        )
         if self.render_mode == "pallas_tiled" and packed_sersics:
             raw = raw + self._tiled_render(
                 jnp.stack(packed_sersics).astype(self.dtype),

@@ -83,6 +83,12 @@ class ModelSpec:
     # convolution padding in pixels (0 = reference wrap behavior);
     # when > 0 the f_*_stack spectra are sized to the PADDED grid
     conv_pad: int = 0
+    # sub-pixel integration of profile components (1 = reference
+    # point-sampling parity): an oversample_window-sized box around each
+    # Sersic/Moffat center is re-rendered render_oversample times finer
+    # and flux-binned (ops.oversample)
+    render_oversample: int = 1
+    oversample_window: int = 16
 
     @property
     def param_names(self) -> List[str]:
@@ -469,4 +475,6 @@ def build_model_spec(
         likelihood=getattr(config, "likelihood", "gaussian"),
         likelihood_df=getattr(config, "likelihood_df", 4.0),
         conv_pad=conv_pad,
+        render_oversample=int(getattr(config, "render_oversample", 1)),
+        oversample_window=int(getattr(config, "oversample_window", 16)),
     )

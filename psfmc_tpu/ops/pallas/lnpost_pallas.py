@@ -69,6 +69,8 @@ def fused_lnl_supported(spec, conv_mode):
         and getattr(spec, "likelihood", "gaussian") == "gaussian"
         # and renders the unpadded grid only
         and getattr(spec, "conv_pad", 0) == 0
+        # and point-samples profiles (no sub-pixel window)
+        and getattr(spec, "render_oversample", 1) == 1
     )
 
 

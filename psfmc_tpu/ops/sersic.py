@@ -149,7 +149,7 @@ def sersic_scalar_params(
 
 
 def sersic_profile_core(dx, dy, m00, m01, m10, m11, kappa, rp, sbeff,
-                        exp_, log_):
+                        exp_, log_, correction=True):
     """Per-pixel Sersic surface brightness from pixel offsets + scalars.
 
     The single definition of the profile math, consumed by both the XLA
@@ -177,13 +177,20 @@ def sersic_profile_core(dx, dy, m00, m01, m10, m11, kappa, rp, sbeff,
     ``exp_``/``log_`` are injected so each caller picks the
     backend-appropriate implementations once at trace time (TPU hardware
     f32 log/exp are too coarse for this likelihood — see ops.fastmath).
+
+    ``correction=False`` returns the bare point-sampled profile — the
+    form the sub-pixel oversampler integrates (the trapezoid term is a
+    *substitute* for integration; fine samples must not double-apply it,
+    see :mod:`.oversample`).
     """
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
     sq_r = jnp.maximum(u * u + v * v, _TINY)
-    sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
     p = exp_(log_(sq_r) * rp)
     sb = exp_(-kappa * (p - 1.0))
+    if not correction:
+        return sbeff * sb
+    sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
     krp_p = kappa * rp * p
     corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
     return sbeff * sb * corr
@@ -210,6 +217,7 @@ def render_sersic_gen(
     angle_degrees=False,
     kappa_mode="exact",
     fourier=(),
+    correction=True,
 ):
     """Sersic profile over generalized (boxy/disky/asymmetric) isophotes.
 
@@ -261,6 +269,8 @@ def render_sersic_gen(
     )
     p = exp_(log_sq_r * rp)
     sb = exp_(-kappa * (p - 1.0))
+    if not correction:
+        return sbeff * sb
     sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
     krp_p = kappa * rp * p
     corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
@@ -279,6 +289,7 @@ def render_sersic(
     mag_zp,
     angle_degrees=False,
     kappa_mode="exact",
+    correction=True,
 ):
     """Render one Sersic profile over the (H, W) grid (jittable, vmappable).
 
@@ -293,5 +304,6 @@ def render_sersic(
     # prior's finiteness gate rejects NaN/out-of-support thetas upstream.
     exp_, log_ = exp_log_fns_unsafe()
     return sersic_profile_core(
-        xg - x, yg - y, m00, m01, m10, m11, kappa, rp, sbeff, exp_, log_
+        xg - x, yg - y, m00, m01, m10, m11, kappa, rp, sbeff, exp_, log_,
+        correction=correction,
     )
