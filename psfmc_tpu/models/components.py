@@ -38,7 +38,11 @@ __all__ = [
     "Sersic",
     "ExpDisk",
     "DeVaucouleurs",
+    "Gaussian",
     "Moffat",
+    "King",
+    "Ferrer",
+    "Nuker",
     "Configuration",
     "PSFSelector",
     "Tied",
@@ -576,6 +580,285 @@ class DeVaucouleurs(Sersic):
                 "index"
             )
         super().__init__(index=4.0, **kw)
+
+
+class Gaussian(Sersic):
+    """Elliptical Gaussian — a Sersic profile with ``index`` fixed at
+    0.5 (GALFIT's ``gaussian`` by its familiar name).
+
+    At ``n = 0.5`` the Sersic constant is ``kappa = ln 2`` exactly, so
+    the profile is ``I_e exp(-ln2 ((r/reff)^2 - 1))``: a Gaussian whose
+    half-maximum falls exactly at ``reff`` — i.e. ``FWHM = 2 reff``
+    (use ``reff = fwhm / 2`` when translating a GALFIT ``gaussian``,
+    which is FWHM-parameterized).  Takes every Sersic parameter except
+    ``index``; shape freedoms included.
+    """
+
+    _fits_abbrs = (
+        ("Gaussian", "GAU"),
+        ("reff_b", "REB"),
+        ("reff", "RE"),
+        ("angle", "ANG"),
+    )
+
+    def __init__(self, **kw):
+        if "index" in kw:
+            raise TypeError(
+                "Gaussian fixes index=0.5; use Sersic for a free index"
+            )
+        super().__init__(index=0.5, **kw)
+
+
+class King(ComponentBase):
+    """Generalized King profile component (beyond the reference —
+    GALFIT's ``king``; the classic King 1962 cluster law at
+    ``alpha = 2``).
+
+        ``I(t) = I0 [ (1+t^2)^(-1/alpha) - (1+(rt/rc)^2)^(-1/alpha)
+        ]^alpha``
+
+    truncated to zero beyond the tidal radius ``rt`` (``t`` = radius in
+    core-radius units).  Conventions follow :class:`Sersic`: total
+    ``mag`` (deliberate divergence from GALFIT's central surface
+    brightness — every luminous component here is flux-parameterized;
+    the renderer is exactly flux-normalized via a device tanh-sinh
+    radial integral, :func:`psfmc_tpu.ops.profiles.king_radial_factor`),
+    semi-major/minor core radii ``rc >= rc_b``, position ``angle``
+    (+90deg convention).  ``rt`` is measured along the semi-major axis;
+    the truncation isophote shares the core's axis ratio.  Optional
+    isophote shapes (``c0``, ``f1..f4``) as in :class:`Sersic`.
+    Support: ``rt > 0``, ``alpha > 0``.
+    """
+
+    _fits_abbrs = (
+        ("King", "KNG"),
+        ("rc_b", "RCB"),
+        ("rc", "RC"),
+        ("rt", "RT"),
+        ("alpha", "AL"),
+        ("angle", "ANG"),
+    )
+    _fourier_modes = _FOURIER_MODES
+    _stochastic_attrs = (
+        "xy", "mag", "rc", "rc_b", "rt", "alpha", "angle",
+    ) + _SHAPE_ATTRS
+
+    def __init__(
+        self,
+        xy=None,
+        mag=None,
+        rc=None,
+        rc_b=None,
+        rt=None,
+        alpha=2.0,
+        angle=None,
+        angle_degrees=False,
+        c0=None,
+        **shape_kw,
+    ):
+        super().__init__()
+        self.xy = xy
+        self.mag = mag
+        self.rc = rc
+        self.rc_b = rc_b
+        self.rt = rt
+        self.alpha = alpha
+        self.angle = angle
+        self.angle_degrees = angle_degrees
+        _register_shape_attrs(self, c0, shape_kw)
+
+    def log_priors(self):
+        logp = super().log_priors()
+        logp += -np.inf if self.rc_b > self.rc else 0.0
+        logp += -np.inf if self.rt <= 0.0 else 0.0
+        logp += -np.inf if self.alpha <= 0.0 else 0.0
+        logp += _shape_log_prior_terms(self)
+        return logp
+
+    def _batch_constraints(self, vals):
+        ok = super()._batch_constraints(vals)
+        rc = vals.get("rc", self._constants.get("rc"))
+        rc_b = vals.get("rc_b", self._constants.get("rc_b"))
+        rt = vals.get("rt", self._constants.get("rt"))
+        alpha = vals.get("alpha", self._constants.get("alpha"))
+        if not (isinstance(rc, Tied) or isinstance(rc_b, Tied)):
+            ok = ok & np.ravel(np.asarray(rc_b) <= np.asarray(rc))
+        if not isinstance(rt, Tied):
+            ok = ok & np.ravel(np.asarray(rt) > 0.0)
+        if not isinstance(alpha, Tied):
+            ok = ok & np.ravel(np.asarray(alpha) > 0.0)
+        return _shape_batch_ok(self, vals, ok)
+
+
+class Ferrer(ComponentBase):
+    """Modified Ferrer profile component (beyond the reference —
+    GALFIT's ``ferrer``: bars, lenses, and other sharply-truncated
+    structures).
+
+        ``I(t) = I0 (1 - t^(2-beta))^alpha``  for ``t < 1``, 0 outside
+
+    (``t`` = radius in outer-truncation-radius units; ``alpha`` sets
+    the outer-edge sharpness, ``beta`` the central slope).  Total
+    ``mag`` convention (the flux normalization is the exact Beta
+    function, :func:`psfmc_tpu.ops.profiles.ferrer_radial_factor`);
+    semi-major/minor truncation radii ``rout >= rout_b``; optional
+    isophote shapes as in :class:`Sersic`.  Support: ``alpha > 0``,
+    ``0 <= beta < 2``.
+    """
+
+    _fits_abbrs = (
+        ("Ferrer", "FER"),
+        ("rout_b", "ROB"),
+        ("rout", "RO"),
+        ("alpha", "AL"),
+        ("beta", "BE"),
+        ("angle", "ANG"),
+    )
+    _fourier_modes = _FOURIER_MODES
+    _stochastic_attrs = (
+        "xy", "mag", "rout", "rout_b", "alpha", "beta", "angle",
+    ) + _SHAPE_ATTRS
+
+    def __init__(
+        self,
+        xy=None,
+        mag=None,
+        rout=None,
+        rout_b=None,
+        alpha=None,
+        beta=None,
+        angle=None,
+        angle_degrees=False,
+        c0=None,
+        **shape_kw,
+    ):
+        super().__init__()
+        self.xy = xy
+        self.mag = mag
+        self.rout = rout
+        self.rout_b = rout_b
+        self.alpha = alpha
+        self.beta = beta
+        self.angle = angle
+        self.angle_degrees = angle_degrees
+        _register_shape_attrs(self, c0, shape_kw)
+
+    def log_priors(self):
+        logp = super().log_priors()
+        logp += -np.inf if self.rout_b > self.rout else 0.0
+        logp += -np.inf if self.alpha <= 0.0 else 0.0
+        logp += -np.inf if not (0.0 <= self.beta < 2.0) else 0.0
+        logp += _shape_log_prior_terms(self)
+        return logp
+
+    def _batch_constraints(self, vals):
+        ok = super()._batch_constraints(vals)
+        rout = vals.get("rout", self._constants.get("rout"))
+        rout_b = vals.get("rout_b", self._constants.get("rout_b"))
+        alpha = vals.get("alpha", self._constants.get("alpha"))
+        beta = vals.get("beta", self._constants.get("beta"))
+        if not (isinstance(rout, Tied) or isinstance(rout_b, Tied)):
+            ok = ok & np.ravel(np.asarray(rout_b) <= np.asarray(rout))
+        if not isinstance(alpha, Tied):
+            ok = ok & np.ravel(np.asarray(alpha) > 0.0)
+        if not isinstance(beta, Tied):
+            b = np.ravel(np.asarray(beta))
+            ok = ok & (b >= 0.0) & (b < 2.0)
+        return _shape_batch_ok(self, vals, ok)
+
+
+class Nuker(ComponentBase):
+    """Nuker-law profile component (beyond the reference — GALFIT's
+    ``nuker``; Lauer et al. 1995 galaxy-nucleus law).
+
+        ``I(t) = I_b 2^((beta-gamma)/alpha) t^(-gamma)
+        [1 + t^alpha]^((gamma-beta)/alpha)``
+
+    (``t`` = radius in break-radius units: inner cusp slope ``gamma``,
+    outer slope ``beta``, break sharpness ``alpha``).  Total ``mag``
+    convention — a deliberate divergence from GALFIT's
+    surface-brightness-at-break parameterization; the flux
+    normalization integrates the law to infinity on device
+    (:func:`psfmc_tpu.ops.profiles.nuker_radial_factor`), which
+    requires ``beta > 2`` and ``gamma < 2`` (enforced as prior
+    support along with ``alpha > 0`` and ``gamma < beta``).
+
+    The ``gamma > 0`` central cusp is point-sampled (no trapezoid
+    correction exists for a power-law center — the same cusp weakness
+    the reference acknowledges for Sersic, models.py:239); for cuspy
+    fits enable ``Configuration(render_oversample=...)``.
+    """
+
+    _fits_abbrs = (
+        ("Nuker", "NUK"),
+        ("rb_b", "RBB"),
+        ("rb", "RB"),
+        ("alpha", "AL"),
+        ("beta", "BE"),
+        ("gamma", "GA"),
+        ("angle", "ANG"),
+    )
+    _fourier_modes = _FOURIER_MODES
+    _stochastic_attrs = (
+        "xy", "mag", "rb", "rb_b", "alpha", "beta", "gamma", "angle",
+    ) + _SHAPE_ATTRS
+
+    def __init__(
+        self,
+        xy=None,
+        mag=None,
+        rb=None,
+        rb_b=None,
+        alpha=None,
+        beta=None,
+        gamma=None,
+        angle=None,
+        angle_degrees=False,
+        c0=None,
+        **shape_kw,
+    ):
+        super().__init__()
+        self.xy = xy
+        self.mag = mag
+        self.rb = rb
+        self.rb_b = rb_b
+        self.alpha = alpha
+        self.beta = beta
+        self.gamma = gamma
+        self.angle = angle
+        self.angle_degrees = angle_degrees
+        _register_shape_attrs(self, c0, shape_kw)
+
+    def log_priors(self):
+        logp = super().log_priors()
+        logp += -np.inf if self.rb_b > self.rb else 0.0
+        logp += -np.inf if self.alpha <= 0.0 else 0.0
+        logp += -np.inf if self.beta <= 2.0 else 0.0
+        logp += -np.inf if self.gamma >= 2.0 else 0.0
+        logp += -np.inf if self.gamma >= self.beta else 0.0
+        logp += _shape_log_prior_terms(self)
+        return logp
+
+    def _batch_constraints(self, vals):
+        ok = super()._batch_constraints(vals)
+        rb = vals.get("rb", self._constants.get("rb"))
+        rb_b = vals.get("rb_b", self._constants.get("rb_b"))
+        alpha = vals.get("alpha", self._constants.get("alpha"))
+        beta = vals.get("beta", self._constants.get("beta"))
+        gamma = vals.get("gamma", self._constants.get("gamma"))
+        if not (isinstance(rb, Tied) or isinstance(rb_b, Tied)):
+            ok = ok & np.ravel(np.asarray(rb_b) <= np.asarray(rb))
+        if not isinstance(alpha, Tied):
+            ok = ok & np.ravel(np.asarray(alpha) > 0.0)
+        if not isinstance(beta, Tied):
+            ok = ok & np.ravel(np.asarray(beta) > 2.0)
+        if not isinstance(gamma, Tied):
+            ok = ok & np.ravel(np.asarray(gamma) < 2.0)
+        if not (isinstance(beta, Tied) or isinstance(gamma, Tied)):
+            ok = ok & np.ravel(
+                np.asarray(gamma) < np.asarray(beta)
+            )
+        return _shape_batch_ok(self, vals, ok)
 
 
 class Moffat(ComponentBase):

@@ -115,23 +115,51 @@ def make_log_prior(slots, comp_specs, dtype):
                 )
             lp = lp + jnp.sum(slot.dist.jax_logp(x))
         # axis-order constraints: Sersic reff >= reff_b (reference
-        # Sersic.py:41-45) and the Moffat analogue fwhm >= fwhm_b;
-        # Moffat also requires beta > 1 (finite total flux — the
-        # flux normalization F = pi a b I0/(beta-1) goes negative
-        # below it, which would render negative-flux 'sources')
+        # Sersic.py:41-45) and the analogues for every other radial
+        # profile family; per-family support constraints keep the flux
+        # normalizations finite and positive (Moffat beta > 1; King
+        # rt, alpha > 0; Ferrer alpha > 0, 0 <= beta < 2; Nuker
+        # alpha > 0, beta > 2, gamma < 2, gamma < beta — see
+        # ops.profiles for the integrals these protect)
+        _AXES = {
+            "sersic": ("reff", "reff_b"),
+            "moffat": ("fwhm", "fwhm_b"),
+            "king": ("rc", "rc_b"),
+            "ferrer": ("rout", "rout_b"),
+            "nuker": ("rb", "rb_b"),
+        }
         for cs in comp_specs:
-            if cs.kind == "sersic":
-                a = _getter(cs.params, theta, "reff")
-                b = _getter(cs.params, theta, "reff_b")
-            elif cs.kind == "moffat":
-                a = _getter(cs.params, theta, "fwhm")
-                b = _getter(cs.params, theta, "fwhm_b")
+            if cs.kind not in _AXES:
+                continue
+            a_name, b_name = _AXES[cs.kind]
+            a = _getter(cs.params, theta, a_name)
+            b = _getter(cs.params, theta, b_name)
+            if cs.kind == "moffat":
                 beta = _getter(cs.params, theta, "index")
                 lp = jnp.where(
                     jnp.asarray(beta) <= 1.0, -jnp.inf, lp
                 )
-            else:
-                continue
+            elif cs.kind == "king":
+                rt = jnp.asarray(_getter(cs.params, theta, "rt"))
+                al = jnp.asarray(_getter(cs.params, theta, "alpha"))
+                lp = jnp.where(rt <= 0.0, -jnp.inf, lp)
+                lp = jnp.where(al <= 0.0, -jnp.inf, lp)
+            elif cs.kind == "ferrer":
+                al = jnp.asarray(_getter(cs.params, theta, "alpha"))
+                be = jnp.asarray(_getter(cs.params, theta, "beta"))
+                lp = jnp.where(al <= 0.0, -jnp.inf, lp)
+                lp = jnp.where(
+                    (be < 0.0) | (be >= 2.0), -jnp.inf, lp
+                )
+            elif cs.kind == "nuker":
+                al = jnp.asarray(_getter(cs.params, theta, "alpha"))
+                be = jnp.asarray(_getter(cs.params, theta, "beta"))
+                ga = jnp.asarray(_getter(cs.params, theta, "gamma"))
+                lp = jnp.where(al <= 0.0, -jnp.inf, lp)
+                lp = jnp.where(be <= 2.0, -jnp.inf, lp)
+                lp = jnp.where(
+                    (ga >= 2.0) | (ga >= be), -jnp.inf, lp
+                )
             lp = jnp.where(b > a, -jnp.inf, lp)
             # isophote-shape support (both radial profiles):
             if "c0" in cs.params:
@@ -526,6 +554,69 @@ class PosteriorFns:
                     # correction term: coarse == fine form
                     raw = self._apply_oversample(
                         raw, xy, _moffat_fn, _moffat_fn
+                    )
+            elif cs.kind in ("king", "ferrer", "nuker"):
+                from ..ops import profiles as _prof
+
+                # (family-specific radial params in layout order; the
+                # renderers share the (xy, mag, *radial, angle) calling
+                # convention so one closure shape covers all three)
+                radial_attrs = {
+                    "king": ("rc", "rc_b", "rt", "alpha"),
+                    "ferrer": ("rout", "rout_b", "alpha", "beta"),
+                    "nuker": ("rb", "rb_b", "alpha", "beta", "gamma"),
+                }[cs.kind]
+                plain_fn, gen_fn = {
+                    "king": (_prof.render_king, _prof.render_king_gen),
+                    "ferrer": (
+                        _prof.render_ferrer, _prof.render_ferrer_gen
+                    ),
+                    "nuker": (
+                        _prof.render_nuker, _prof.render_nuker_gen
+                    ),
+                }[cs.kind]
+                xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
+                args = (
+                    (xy, _getter(cs.params, theta, "mag"))
+                    + tuple(
+                        _getter(cs.params, theta, n)
+                        for n in radial_attrs
+                    )
+                    + (_getter(cs.params, theta, "angle"),)
+                )
+                shaped, c0, fourier = _shape_args(cs, theta)
+                if shaped:
+                    def _prof_fn(xg, yg, _a=args, _c0=c0, _f=fourier,
+                                 _fn=gen_fn,
+                                 _deg=cs.static["angle_degrees"],
+                                 **kw):
+                        return _fn(
+                            xg, yg, *_a, _c0, self.mag_zp, _deg,
+                            fourier=_f, **kw,
+                        )
+                else:
+                    def _prof_fn(xg, yg, _a=args, _fn=plain_fn,
+                                 _deg=cs.static["angle_degrees"],
+                                 **kw):
+                        return _fn(xg, yg, *_a, self.mag_zp, _deg,
+                                   **kw)
+
+                raw = raw + _prof_fn(c["xg"], c["yg"])
+                if self.oversample > 1:
+                    # no trapezoid term in these families: the
+                    # point-sampled form IS the fine form — except the
+                    # Nuker cusp floor, which relaxes by 1/S^2 for the
+                    # legitimately closer midpoint sub-samples
+                    fine_fn = _prof_fn
+                    if cs.kind == "nuker":
+                        def fine_fn(xg, yg, _fn=_prof_fn):
+                            return _fn(
+                                xg, yg,
+                                min_px_sq=0.125 / self.oversample**2,
+                            )
+
+                    raw = self._apply_oversample(
+                        raw, xy, _prof_fn, fine_fn
                     )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)

@@ -24,7 +24,10 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from .components import (
+    Ferrer,
+    King,
     Moffat,
+    Nuker,
     ComponentBase,
     Configuration,
     PointSource,
@@ -355,6 +358,47 @@ def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
         _add_shape_rules(comp, params, slot_map, wcs_map)
         return CompSpec(
             "moffat",
+            params,
+            static={"angle_degrees": comp.angle_degrees},
+        )
+    if isinstance(comp, King):
+        params = {
+            attr: _resolve(comp, attr, slot_map, wcs_map)
+            for attr in (
+                "xy", "mag", "rc", "rc_b", "rt", "alpha", "angle",
+            )
+        }
+        _add_shape_rules(comp, params, slot_map, wcs_map)
+        return CompSpec(
+            "king",
+            params,
+            static={"angle_degrees": comp.angle_degrees},
+        )
+    if isinstance(comp, Ferrer):
+        params = {
+            attr: _resolve(comp, attr, slot_map, wcs_map)
+            for attr in (
+                "xy", "mag", "rout", "rout_b", "alpha", "beta",
+                "angle",
+            )
+        }
+        _add_shape_rules(comp, params, slot_map, wcs_map)
+        return CompSpec(
+            "ferrer",
+            params,
+            static={"angle_degrees": comp.angle_degrees},
+        )
+    if isinstance(comp, Nuker):
+        params = {
+            attr: _resolve(comp, attr, slot_map, wcs_map)
+            for attr in (
+                "xy", "mag", "rb", "rb_b", "alpha", "beta", "gamma",
+                "angle",
+            )
+        }
+        _add_shape_rules(comp, params, slot_map, wcs_map)
+        return CompSpec(
+            "nuker",
             params,
             static={"angle_degrees": comp.angle_degrees},
         )

@@ -146,7 +146,10 @@ class UnconstrainingTransform:
         # transform for e.g. a Weibull reff_b prior.
         self.reffb_pairs: List[Tuple[int, int, int]] = []  # (zb, za, kind)
         axis_pairs = {"sersic": ("reff", "reff_b"),
-                      "moffat": ("fwhm", "fwhm_b")}
+                      "moffat": ("fwhm", "fwhm_b"),
+                      "king": ("rc", "rc_b"),
+                      "ferrer": ("rout", "rout_b"),
+                      "nuker": ("rb", "rb_b")}
         for cs in spec.comp_specs:
             if cs.kind not in axis_pairs:
                 continue

@@ -351,14 +351,34 @@ def _nuker_params(xy, mag, rb, rb_b, alpha, beta, gamma, angle, mag_zp,
     return x, y, m00, m01, m10, m11, i0
 
 
+def _nuker_log_floor(m00, m10, min_px_sq):
+    """Cusp regularization: floor the sampled square radius at the
+    scaled equivalent of the half-sample corner distance.
+
+    The nearest pixel center of any legitimate sub-pixel position is
+    >= 0.354 px away (``min_px_sq = 0.5^2/2`` — the same clamp
+    philosophy as the Sersic correction, ops.sersic), so a
+    ``gamma > 0`` power-law center saturates at its largest *valid*
+    point-sample instead of exploding when a proposal lands on an
+    exact pixel center (``t^-gamma`` at the clamped ``t ~ 1e-15``
+    reaches ~1e10 x the break SB and would dominate the image sum).
+    ``m00^2 + m10^2 = 1/rb^2`` exactly, so the floor is measured along
+    the semi-MAJOR axis — a lower bound of the true scaled distance of
+    any offset past the corner distance.  The sub-pixel oversampler
+    passes ``min_px_sq / S^2`` (its midpoint samples legitimately get
+    ``S`` times closer), which is how cuspy-center photometry is made
+    accurate: ``Configuration(render_oversample=...)``.
+    """
+    return jnp.log(min_px_sq * (m00 * m00 + m10 * m10))
+
+
 def render_nuker(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma, angle,
-                 mag_zp, angle_degrees=False):
+                 mag_zp, angle_degrees=False, min_px_sq=0.125):
     """Render one Nuker profile (jittable, vmappable).
 
-    The ``gamma > 0`` central cusp is point-sampled like the reference
-    treats the Sersic cusp (no trapezoid correction exists for a
-    power-law center); for cuspy fits, enable
-    ``Configuration(render_oversample=...)``.
+    The ``gamma > 0`` central cusp is point-sampled with the
+    half-pixel radius floor (:func:`_nuker_log_floor`); for cuspy fits
+    enable ``Configuration(render_oversample=...)``.
     """
     exp_, log_ = exp_log_fns_unsafe()
     x, y, m00, m01, m10, m11, i0 = _nuker_params(
@@ -366,12 +386,13 @@ def render_nuker(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma, angle,
         angle_degrees, jnp.pi,
     )
     lsr = _log_sq_radius(xg, yg, x, y, m00, m01, m10, m11, log_)
+    lsr = jnp.maximum(lsr, _nuker_log_floor(m00, m10, min_px_sq))
     return _nuker_sb(lsr, i0, alpha, beta, gamma, exp_, log_)
 
 
 def render_nuker_gen(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma,
                      angle, c0, mag_zp, angle_degrees=False,
-                     fourier=()):
+                     fourier=(), min_px_sq=0.125):
     """Nuker over generalized isophotes."""
     exp_, log_ = exp_log_fns_unsafe()
     area = _area_factor(c0, fourier, angle_degrees)
@@ -383,4 +404,5 @@ def render_nuker_gen(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma,
         xg, yg, x, y, m00, m01, m10, m11, jnp.asarray(c0) + 2.0,
         fourier, angle_degrees, exp_, log_,
     )
+    lsr = jnp.maximum(lsr, _nuker_log_floor(m00, m10, min_px_sq))
     return _nuker_sb(lsr, i0, alpha, beta, gamma, exp_, log_)
