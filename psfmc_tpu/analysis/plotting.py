@@ -104,12 +104,15 @@ def _get_trace(trace_name, db, model=None):
             trace = np.sqrt(np.sum(cdiff**2, axis=1))
         elif "axisratio" in name_comps:
             prefix = "_".join(name_comps[0:2] + [""])
-            # Sersic stores (reff, reff_b); Moffat (fwhm, fwhm_b)
+            # each profile family stores its own (major, minor) pair:
+            # Sersic reff, Moffat fwhm, King rc, Ferrer rout, Nuker rb
             minor, major = ("reff_b", "reff")
-            if prefix + "reff" not in db.colnames and (
-                prefix + "fwhm" in db.colnames
-            ):
-                minor, major = ("fwhm_b", "fwhm")
+            for cand in ("fwhm", "rc", "rout", "rb"):
+                if prefix + "reff" not in db.colnames and (
+                    prefix + cand in db.colnames
+                ):
+                    minor, major = (cand + "_b", cand)
+                    break
             trace = np.asarray(db[prefix + minor]) / np.asarray(
                 db[prefix + major]
             )

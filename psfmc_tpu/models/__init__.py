@@ -6,6 +6,10 @@ from .components import (
     Moffat,
     ExpDisk,
     DeVaucouleurs,
+    Ferrer,
+    Gaussian,
+    King,
+    Nuker,
     PointSource,
     PSFSelector,
     Sersic,
@@ -21,6 +25,10 @@ __all__ = [
     "Moffat",
     "ExpDisk",
     "DeVaucouleurs",
+    "Ferrer",
+    "Gaussian",
+    "King",
+    "Nuker",
     "PointSource",
     "PSFSelector",
     "Sersic",

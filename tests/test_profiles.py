@@ -319,6 +319,29 @@ Gaussian(xy=(4,4), mag=23., reff=1., reff_b=1., angle=0.)
     ]
 
 
+def test_axisratio_derived_trace_new_families():
+    from psfmc_tpu.analysis.plotting import _get_trace
+    from psfmc_tpu.io.table import Table
+
+    rng = np.random.RandomState(3)
+    db = Table({
+        "0_King_rc": 3.0 + rng.rand(16),
+        "0_King_rc_b": 1.5 + rng.rand(16),
+        "1_Nuker_rb": 4.0 + rng.rand(16),
+        "1_Nuker_rb_b": 2.0 + rng.rand(16),
+    })
+    ar = _get_trace("0_King_axisratio", db)
+    np.testing.assert_allclose(
+        np.ravel(ar),
+        np.asarray(db["0_King_rc_b"]) / np.asarray(db["0_King_rc"]),
+    )
+    ar = _get_trace("1_Nuker_axisratio", db)
+    np.testing.assert_allclose(
+        np.ravel(ar),
+        np.asarray(db["1_Nuker_rb_b"]) / np.asarray(db["1_Nuker_rb"]),
+    )
+
+
 def test_king_injection_recovery(rng, gaussian_psf):
     """Short e2e: inject a King cluster through the framework's own
     renderer, recover mag/rc within a few sigma."""
