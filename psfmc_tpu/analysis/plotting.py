@@ -113,6 +113,12 @@ def _get_trace(trace_name, db, model=None):
                 ):
                     minor, major = (cand + "_b", cand)
                     break
+            else:
+                if prefix + "reff" not in db.colnames and (
+                    prefix + "rs" in db.colnames
+                ):
+                    # EdgeDisk: apparent flattening hs/rs (no _b pair)
+                    minor, major = ("hs", "rs")
             trace = np.asarray(db[prefix + minor]) / np.asarray(
                 db[prefix + major]
             )

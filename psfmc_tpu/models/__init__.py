@@ -4,6 +4,7 @@ from .components import (
     ComponentBase,
     Configuration,
     Moffat,
+    EdgeDisk,
     ExpDisk,
     DeVaucouleurs,
     Ferrer,
@@ -23,6 +24,7 @@ __all__ = [
     "ComponentBase",
     "Configuration",
     "Moffat",
+    "EdgeDisk",
     "ExpDisk",
     "DeVaucouleurs",
     "Ferrer",

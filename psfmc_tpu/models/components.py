@@ -40,6 +40,7 @@ __all__ = [
     "DeVaucouleurs",
     "Gaussian",
     "Moffat",
+    "EdgeDisk",
     "King",
     "Ferrer",
     "Nuker",
@@ -859,6 +860,69 @@ class Nuker(ComponentBase):
                 np.asarray(gamma) < np.asarray(beta)
             )
         return _shape_batch_ok(self, vals, ok)
+
+
+class EdgeDisk(ComponentBase):
+    """Edge-on disk component (beyond the reference — GALFIT's
+    ``edgedisk``; van der Kruit & Searle 1981).
+
+        ``I(R, z) = I0 (|R|/rs) K1(|R|/rs) sech^2(z/hs)``
+
+    ``R`` along the disk midplane (the ``angle`` major axis, same
+    +90deg convention as every profile here), ``z`` perpendicular;
+    ``rs`` is the radial scale length, ``hs`` the vertical scale
+    height.  Total ``mag`` convention — a deliberate divergence from
+    GALFIT's central-surface-brightness parameterization; the
+    separable law normalizes in closed form
+    (:func:`psfmc_tpu.ops.profiles.render_edgedisk`).  Support:
+    ``rs > 0``, ``hs > 0`` (no ``rs >= hs`` constraint — the two
+    scales multiply different laws, so swapping them is not a
+    relabeling degeneracy).  Isophote shapes (``c0``, Fourier modes)
+    do not apply to this separable profile and are not accepted.
+    Not to be confused with :class:`ExpDisk` (the face-on exponential,
+    a Sersic at ``index = 1``).
+    """
+
+    _fits_abbrs = (
+        ("EdgeDisk", "EDG"),
+        ("rs", "RS"),
+        ("hs", "HS"),
+        ("angle", "ANG"),
+    )
+    _stochastic_attrs = ("xy", "mag", "rs", "hs", "angle")
+
+    def __init__(
+        self,
+        xy=None,
+        mag=None,
+        rs=None,
+        hs=None,
+        angle=None,
+        angle_degrees=False,
+    ):
+        super().__init__()
+        self.xy = xy
+        self.mag = mag
+        self.rs = rs
+        self.hs = hs
+        self.angle = angle
+        self.angle_degrees = angle_degrees
+
+    def log_priors(self):
+        logp = super().log_priors()
+        logp += -np.inf if self.rs <= 0.0 else 0.0
+        logp += -np.inf if self.hs <= 0.0 else 0.0
+        return logp
+
+    def _batch_constraints(self, vals):
+        ok = super()._batch_constraints(vals)
+        rs = vals.get("rs", self._constants.get("rs"))
+        hs = vals.get("hs", self._constants.get("hs"))
+        if not isinstance(rs, Tied):
+            ok = ok & np.ravel(np.asarray(rs) > 0.0)
+        if not isinstance(hs, Tied):
+            ok = ok & np.ravel(np.asarray(hs) > 0.0)
+        return ok
 
 
 class Moffat(ComponentBase):

@@ -129,6 +129,15 @@ def make_log_prior(slots, comp_specs, dtype):
             "nuker": ("rb", "rb_b"),
         }
         for cs in comp_specs:
+            if cs.kind == "edgedisk":
+                # separable profile: both scales positive, no
+                # major/minor ordering (rs and hs multiply different
+                # laws — swapping them is not a relabeling degeneracy)
+                rs = jnp.asarray(_getter(cs.params, theta, "rs"))
+                hs = jnp.asarray(_getter(cs.params, theta, "hs"))
+                lp = jnp.where(rs <= 0.0, -jnp.inf, lp)
+                lp = jnp.where(hs <= 0.0, -jnp.inf, lp)
+                continue
             if cs.kind not in _AXES:
                 continue
             a_name, b_name = _AXES[cs.kind]
@@ -554,6 +563,33 @@ class PosteriorFns:
                     # correction term: coarse == fine form
                     raw = self._apply_oversample(
                         raw, xy, _moffat_fn, _moffat_fn
+                    )
+            elif cs.kind == "edgedisk":
+                from ..ops.profiles import render_edgedisk
+
+                xy = jnp.asarray(
+                    _getter(cs.params, theta, "xy"), self.dtype
+                )
+                args = (
+                    xy,
+                    _getter(cs.params, theta, "mag"),
+                    _getter(cs.params, theta, "rs"),
+                    _getter(cs.params, theta, "hs"),
+                    _getter(cs.params, theta, "angle"),
+                )
+
+                def _edge_fn(xg, yg, _a=args,
+                             _deg=cs.static["angle_degrees"]):
+                    return render_edgedisk(
+                        xg, yg, *_a, self.mag_zp, _deg
+                    )
+
+                raw = raw + _edge_fn(c["xg"], c["yg"])
+                if self.oversample > 1:
+                    # finite analytic center (x K1 -> 1): the
+                    # point-sampled form IS the fine form
+                    raw = self._apply_oversample(
+                        raw, xy, _edge_fn, _edge_fn
                     )
             elif cs.kind in ("king", "ferrer", "nuker"):
                 from ..ops import profiles as _prof

@@ -24,6 +24,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from .components import (
+    EdgeDisk,
     Ferrer,
     King,
     Moffat,
@@ -399,6 +400,16 @@ def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
         _add_shape_rules(comp, params, slot_map, wcs_map)
         return CompSpec(
             "nuker",
+            params,
+            static={"angle_degrees": comp.angle_degrees},
+        )
+    if isinstance(comp, EdgeDisk):
+        params = {
+            attr: _resolve(comp, attr, slot_map, wcs_map)
+            for attr in ("xy", "mag", "rs", "hs", "angle")
+        }
+        return CompSpec(
+            "edgedisk",
             params,
             static={"angle_degrees": comp.angle_degrees},
         )

@@ -318,6 +318,100 @@ def smoke_oversample():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_new_profiles():
+    """King + Nuker + EdgeDisk render paths on hardware.
+
+    New device numerics the flagship never exercises, all inside the
+    jitted sampling scan: the tanh-sinh radial-flux quadratures (King,
+    Nuker — trace-dependent fractional exponents through the fastmath
+    exp/log chains), the Nuker cusp radius floor, and the EdgeDisk
+    Bessel ``x K1(x)`` rational approximations + sech^2 vertical law.
+    Failure modes hunted: VPU transcendental error degrading lnp, or
+    XLA rejecting the new fusion patterns on TPU.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import (
+        Configuration,
+        EdgeDisk,
+        King,
+        Nuker,
+        Sky,
+    )
+
+    apply_knobs({})
+    rng = np.random.RandomState(4)
+    h = w = 48
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 24) ** 2 + (yy - 24) ** 2) / (2 * 1.5**2))
+    psf /= psf.sum()
+    noise = 0.002
+
+    def comps(obs):
+        cfg = Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((h, w), 1 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full_like(psf, 1e8),
+            mag_zeropoint=25.0,
+        )
+        return [
+            cfg,
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            King(xy=(12.0, 12.0), mag=D.Uniform(loc=20.5, scale=2.0),
+                 rc=D.Uniform(loc=1.0, scale=3.0), rc_b=1.2,
+                 rt=10.0, alpha=D.Uniform(loc=0.5, scale=3.0),
+                 angle=20.0, angle_degrees=True),
+            Nuker(xy=(34.0, 34.0), mag=D.Uniform(loc=20.5, scale=2.0),
+                  rb=3.0, rb_b=2.0, alpha=1.5,
+                  beta=D.Uniform(loc=2.5, scale=3.0),
+                  gamma=D.Uniform(loc=0.0, scale=1.2),
+                  angle=45.0, angle_degrees=True),
+            EdgeDisk(xy=(24.0, 24.0),
+                     mag=D.Uniform(loc=20.0, scale=2.0),
+                     rs=D.Uniform(loc=2.0, scale=4.0),
+                     hs=D.Uniform(loc=0.5, scale=2.0),
+                     angle=70.0, angle_degrees=True),
+        ]
+
+    t0 = time.time()
+    try:
+        import jax.numpy as jnp
+
+        spec_g = build_model_spec(comps(np.zeros((h, w))))
+        fns_g = build_posterior(spec_g)
+        # layout (alphabetical within component): adu | King alpha,
+        # mag, rc | Nuker beta, gamma, mag | EdgeDisk hs, mag, rs
+        truth = np.array([
+            0.05, 2.0, 21.0, 2.0, 4.0, 0.6, 21.2, 1.0, 20.8, 3.5,
+        ])
+        conv = np.asarray(
+            fns_g.render_images(jnp.asarray(truth))["convolved_model"]
+        )
+        obs = conv + rng.randn(h, w) * noise
+        spec = build_model_spec(comps(obs))
+        fns = build_posterior(spec)
+        nw = 32
+        sampler = EnsembleSampler(nw, spec.num_params, fns, seed=0)
+        jit = np.array([2e-3, 0.05, 0.01, 0.05, 0.1, 0.03, 0.01,
+                        0.03, 0.01, 0.05])
+        p0 = truth[None, :] + rng.randn(nw, truth.size) * jit
+        sampler.init_state(p0)
+        sampler.run_burn(10)
+        sampler.reset()
+        sampler.run_sampling(10)
+        device_sync(sampler.state.positions)
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        assert np.isfinite(lnp), lnp
+        # CPU reference regime: lnpost near truth on 48x48 ~ +1.1e4
+        assert lnp > 9000.0, lnp
+        return dict(name="king+nuker+edgedisk renders", ok=True,
+                    lnp=lnp, warm_s=time.time() - t0)
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="king+nuker+edgedisk renders", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_joint_multiband():
     """Joint two-band posterior (tied structure, mixed shapes) on HW.
 
@@ -414,6 +508,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_oversample()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_new_profiles()
     results.append(r)
     print(f"## {r}", flush=True)
 
