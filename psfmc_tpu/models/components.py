@@ -400,13 +400,15 @@ class PointSource(ComponentBase):
 
 
 _FOURIER_MODES = (1, 2, 3, 4)
+_BENDING_MODES = (1, 2, 3)
 _SHAPE_ATTRS = ("c0",) + tuple(
     n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
-)
+) + tuple(f"b{m}" for m in _BENDING_MODES)
 
 
 def _register_shape_attrs(comp, c0, shape_kw):
-    """Register the optional isophote-shape attrs (c0, f1..f4, phases).
+    """Register the optional isophote-shape attrs (c0, f1..f4, phases,
+    b1..b3 bending modes).
 
     Only attrs actually given land in the component (absent shape
     params must not disturb the canonical slot layout of existing
@@ -416,7 +418,7 @@ def _register_shape_attrs(comp, c0, shape_kw):
         comp.c0 = c0
     fnames = {
         n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
-    }
+    } | {f"b{m}" for m in _BENDING_MODES}
     for name, val in shape_kw.items():
         if name not in fnames:
             raise TypeError(
@@ -472,7 +474,7 @@ def _shape_batch_ok(comp, vals, ok):
 class Sersic(ComponentBase):
     """Sersic profile component (reference Sersic.py).
 
-    Beyond the reference, two optional GALFIT-style shape freedoms
+    Beyond the reference, three optional GALFIT-style shape freedoms
     (each contributes no slot when omitted — elliptical models keep an
     identical parameter layout):
 
@@ -485,9 +487,19 @@ class Sersic(ComponentBase):
       (``m=1`` lopsidedness, ``m=3`` asymmetry, ``m=4`` extra
       boxiness/diskiness; phases in the same units as ``angle``).
       Support: ``sum |f_m| <= 0.9``.  An omitted phase is constant 0.
+    * ``b1..b3`` — bending modes (GALFIT's B1/B2/B3): the scaled
+      minor-axis coordinate is sheared by ``v -> v + sum_m b_m u^m``
+      (``m=1`` pure shear — partially degenerate with ``angle``;
+      ``m=2`` banana/arc; ``m=3`` S-shape).  ``u``/``v`` are in
+      semi-major/semi-minor units, so ``b_m`` is dimensionless: one
+      semi-major radius out along the major axis the isophote deflects
+      by ``b_m`` semi-minor radii.  No support constraint — the shear
+      is area-preserving, so flux stays exact for ANY amplitudes.
 
     Total flux stays exactly ``mag`` for any shape (isophote-area
-    renormalization, see :func:`psfmc_tpu.ops.sersic.render_sersic_gen`).
+    renormalization + unit-Jacobian bending, see
+    :func:`psfmc_tpu.ops.sersic.render_sersic_gen` and
+    :mod:`psfmc_tpu.ops.isophote`).
     """
 
     _fits_abbrs = (
@@ -627,7 +639,8 @@ class King(ComponentBase):
     semi-major/minor core radii ``rc >= rc_b``, position ``angle``
     (+90deg convention).  ``rt`` is measured along the semi-major axis;
     the truncation isophote shares the core's axis ratio.  Optional
-    isophote shapes (``c0``, ``f1..f4``) as in :class:`Sersic`.
+    isophote shapes (``c0``, ``f1..f4``, ``b1..b3``) as in
+    :class:`Sersic`.
     Support: ``rt > 0``, ``alpha > 0``.
     """
 
@@ -936,7 +949,8 @@ class Moffat(ComponentBase):
     convention), concentration ``index`` = the Moffat beta (> 1 for a
     finite total flux; the renderer is exactly flux-normalized).
     Takes the same optional isophote-shape parameters as
-    :class:`Sersic` (``c0`` boxiness, ``f1..f4`` Fourier modes) with
+    :class:`Sersic` (``c0`` boxiness, ``f1..f4`` Fourier modes,
+    ``b1..b3`` bending modes) with
     identical support constraints and exact flux renormalization.
     """
 

@@ -82,7 +82,7 @@ def _getter(params, theta, name):
 
 
 def _shape_args(cs, theta):
-    """(shaped, c0, fourier) render arguments for a radial profile."""
+    """(shaped, c0, fourier, bending) render args for a radial profile."""
     fourier = tuple(
         (
             m,
@@ -92,8 +92,14 @@ def _shape_args(cs, theta):
         for m in (1, 2, 3, 4)
         if f"f{m}" in cs.params
     )
+    bending = tuple(
+        (m, _getter(cs.params, theta, f"b{m}"))
+        for m in (1, 2, 3)
+        if f"b{m}" in cs.params
+    )
     c0 = _getter(cs.params, theta, "c0") if "c0" in cs.params else 0.0
-    return bool(fourier) or "c0" in cs.params, c0, fourier
+    shaped = bool(fourier) or bool(bending) or "c0" in cs.params
+    return shaped, c0, fourier, bending
 
 
 def make_log_prior(slots, comp_specs, dtype):
@@ -538,15 +544,16 @@ class PosteriorFns:
                     _getter(cs.params, theta, "index"),
                     _getter(cs.params, theta, "angle"),
                 )
-                shaped, c0, fourier = _shape_args(cs, theta)
+                shaped, c0, fourier, bending = _shape_args(cs, theta)
                 if shaped:
                     from ..ops.moffat import render_moffat_gen
 
                     def _moffat_fn(xg, yg, _a=args, _c0=c0, _f=fourier,
+                                   _b=bending,
                                    _deg=cs.static["angle_degrees"]):
                         return render_moffat_gen(
                             xg, yg, *_a, _c0, self.mag_zp, _deg,
-                            fourier=_f,
+                            fourier=_f, bending=_b,
                         )
                 else:
                     from ..ops.moffat import render_moffat
@@ -620,15 +627,15 @@ class PosteriorFns:
                     )
                     + (_getter(cs.params, theta, "angle"),)
                 )
-                shaped, c0, fourier = _shape_args(cs, theta)
+                shaped, c0, fourier, bending = _shape_args(cs, theta)
                 if shaped:
                     def _prof_fn(xg, yg, _a=args, _c0=c0, _f=fourier,
-                                 _fn=gen_fn,
+                                 _b=bending, _fn=gen_fn,
                                  _deg=cs.static["angle_degrees"],
                                  **kw):
                         return _fn(
                             xg, yg, *_a, _c0, self.mag_zp, _deg,
-                            fourier=_f, **kw,
+                            fourier=_f, bending=_b, **kw,
                         )
                 else:
                     def _prof_fn(xg, yg, _a=args, _fn=plain_fn,
@@ -656,7 +663,7 @@ class PosteriorFns:
                     )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
-                shaped, c0, fourier = _shape_args(cs, theta)
+                shaped, c0, fourier, bending = _shape_args(cs, theta)
                 if shaped:
                     # boxy/disky/Fourier isophotes render on the XLA
                     # path in every mode (the Pallas kernels pack the
@@ -678,10 +685,12 @@ class PosteriorFns:
                     )
 
                     def _sersic_gen_fn(xg, yg, correction=True,
-                                       _a=gen_args, _f=fourier):
+                                       _a=gen_args, _f=fourier,
+                                       _b=bending):
                         return render_sersic_gen(
                             xg, yg, *_a, kappa_mode=self.kappa_mode,
-                            fourier=_f, correction=correction,
+                            fourier=_f, bending=_b,
+                            correction=correction,
                         )
 
                     raw = raw + _sersic_gen_fn(c["xg"], c["yg"])

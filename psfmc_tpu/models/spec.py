@@ -298,7 +298,7 @@ def config_wcs_frame(config):
 
 
 def _add_shape_rules(comp, params, slot_map, wcs_map):
-    """Optional isophote-shape rules (c0, Fourier modes).
+    """Optional isophote-shape rules (c0, Fourier + bending modes).
 
     Included only when the component has them (elliptical specs stay
     byte-identical); an amplitude with no declared phase gets a
@@ -315,6 +315,10 @@ def _add_shape_rules(comp, params, slot_map, wcs_map):
                 params[phi] = _resolve(comp, phi, slot_map, wcs_map)
             else:
                 params[phi] = ("const", 0.0)
+    for m in (1, 2, 3):
+        b = f"b{m}"
+        if b in comp._priors or b in comp._constants:
+            params[b] = _resolve(comp, b, slot_map, wcs_map)
 
 
 def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:

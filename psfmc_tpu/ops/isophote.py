@@ -9,7 +9,21 @@ scale+rotation metric):
   (``c0 > 0`` boxy, ``c0 < 0`` disky, ``c0 = 0`` pure ellipse),
 * **azimuthal Fourier modes**: the isophote at generalized radius ``t``
   bends to ``t * (1 + sum_m a_m cos(m*theta - phi_m))`` with ``theta``
-  the azimuth in the scaled (u, v) frame measured from the major axis.
+  the azimuth in the scaled (u, v) frame measured from the major axis,
+* **bending modes** ``b1..b3`` (GALFIT's B1/B2/B3): the scaled
+  minor-axis coordinate is sheared by a polynomial of the major-axis
+  coordinate, ``v -> v + sum_m b_m u^m`` (``m=1`` pure shear —
+  partially degenerate with the position angle; ``m=2`` banana/arc;
+  ``m=3`` S-shape/integral sign).  ``u`` is in semi-major units and
+  ``v`` in semi-minor units, so ``b_m`` is dimensionless: the
+  deflection one semi-major radius out along the major axis is
+  ``b_m`` semi-minor radii.  The shear ``(u, v) -> (u, v + g(u))``
+  has unit Jacobian, so total flux — and therefore the area factor —
+  is EXACTLY unchanged for any amplitudes, composed or not with
+  ``c0``/Fourier shapes (bending is applied innermost, before the
+  generalized radius and the Fourier azimuth are computed; change
+  variables ``w = v + g(u)`` to see the integral reduce to the
+  unbent one).
 
 Both consumers (:mod:`.sersic`, :mod:`.moffat`) need the same two
 pieces: the per-pixel ``log(r^2)`` field over the grid, and the scalar
@@ -154,9 +168,9 @@ def isophote_area_factor(c, fourier=(), angle_degrees=False):
 
 
 def generalized_log_sq_radius(
-    u, v, c, fourier, angle_degrees, exp_, log_
+    u, v, c, fourier, angle_degrees, exp_, log_, bending=()
 ):
-    """``log(r_gen^2)`` over the grid, Fourier perturbation applied.
+    """``log(r_gen^2)`` over the grid, bending + Fourier applied.
 
     ``u``/``v`` are the scaled+rotated offsets; the two powers are
     max-factored in log space (no overflow); the azimuth for the
@@ -164,7 +178,24 @@ def generalized_log_sq_radius(
     ``(cos, sin) = (u, v) * rsqrt(u^2 + v^2)`` — no per-mode trig and
     no atan2.  ``exp_``/``log_`` are injected so each caller keeps its
     backend-appropriate fastmath choice.
+
+    ``bending`` is a static list of ``(m, amplitude)``: the
+    minor-axis shear ``v -> v + sum_m b_m u^m`` (see module
+    docstring), applied BEFORE the radius and the Fourier azimuth —
+    the order that keeps the flux normalization exact.  Powers of
+    ``u`` build by iterated multiplication (no transcendentals; the
+    profile center ``g(0) = 0`` stays put for any amplitudes).
     """
+    if bending:
+        amp_of = dict(bending)
+        g = None
+        up = None
+        for m in range(1, max(amp_of) + 1):
+            up = u if up is None else up * u
+            if m in amp_of:
+                term = amp_of[m] * up
+                g = term if g is None else g + term
+        v = v + g
     su = jnp.maximum(u * u, _TINY)
     sv = jnp.maximum(v * v, _TINY)
     lsu = log_(su)

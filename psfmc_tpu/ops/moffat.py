@@ -122,12 +122,14 @@ def render_moffat_gen(
     mag_zp,
     angle_degrees=False,
     fourier=(),
+    bending=(),
 ):
     """Moffat over generalized (boxy/disky/asymmetric) isophotes.
 
     Same GALFIT-style shape freedom as the Sersic renderer (see
-    :mod:`.isophote`): boxiness ``c0`` and azimuthal Fourier modes
-    ``fourier = ((m, amp, phase), ...)``.  The closed-form flux
+    :mod:`.isophote`): boxiness ``c0``, azimuthal Fourier modes
+    ``fourier = ((m, amp, phase), ...)`` and bending modes
+    ``bending = ((m, amp), ...)`` (flux-exact minor-axis shear).  The closed-form flux
     integral only sees the isophote AREA, so replacing ``pi`` in the
     elliptical normalization with :func:`isophote_area_factor` keeps
     ``mag`` the exact total magnitude for any shape:
@@ -150,7 +152,7 @@ def render_moffat_gen(
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
     log_sq_r = generalized_log_sq_radius(
-        u, v, c, fourier, angle_degrees, exp_, log_
+        u, v, c, fourier, angle_degrees, exp_, log_, bending
     )
     # log1p(sq_r) from log(sq_r) without materializing exp twice:
     # sq_r = exp(log_sq_r); the profile needs log(1 + sq_r)

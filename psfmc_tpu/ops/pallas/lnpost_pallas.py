@@ -54,7 +54,8 @@ def fused_lnl_supported(spec, conv_mode):
         if cs.kind == "sky"
     )
     elliptical = all(
-        not ({"c0", "f1", "f2", "f3", "f4"} & set(cs.params))
+        not ({"c0", "f1", "f2", "f3", "f4", "b1", "b2", "b3"}
+             & set(cs.params))
         for cs in specs
         if cs.kind == "sersic"
     )

@@ -206,7 +206,7 @@ def _log_sq_radius(xg, yg, x, y, m00, m01, m10, m11, log_):
 
 
 def _gen_log_sq_radius(xg, yg, x, y, m00, m01, m10, m11, c, fourier,
-                       angle_degrees, exp_, log_):
+                       angle_degrees, exp_, log_, bending=()):
     from .isophote import generalized_log_sq_radius
 
     dx = xg - x
@@ -214,7 +214,7 @@ def _gen_log_sq_radius(xg, yg, x, y, m00, m01, m10, m11, c, fourier,
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
     return generalized_log_sq_radius(
-        u, v, c, fourier, angle_degrees, exp_, log_
+        u, v, c, fourier, angle_degrees, exp_, log_, bending
     )
 
 
@@ -261,8 +261,9 @@ def render_king(xg, yg, xy, mag, rc, rc_b, rt, alpha, angle, mag_zp,
 
 
 def render_king_gen(xg, yg, xy, mag, rc, rc_b, rt, alpha, angle, c0,
-                    mag_zp, angle_degrees=False, fourier=()):
-    """King over generalized (boxy/disky/asymmetric) isophotes."""
+                    mag_zp, angle_degrees=False, fourier=(),
+                    bending=()):
+    """King over generalized (boxy/disky/asymmetric/bent) isophotes."""
     exp_, log_ = exp_log_fns_unsafe()
     area = _area_factor(c0, fourier, angle_degrees)
     x, y, m00, m01, m10, m11, i0, q, sq_xt = _king_params(
@@ -271,7 +272,7 @@ def render_king_gen(xg, yg, xy, mag, rc, rc_b, rt, alpha, angle, c0,
     )
     lsr = _gen_log_sq_radius(
         xg, yg, x, y, m00, m01, m10, m11, jnp.asarray(c0) + 2.0,
-        fourier, angle_degrees, exp_, log_,
+        fourier, angle_degrees, exp_, log_, bending,
     )
     return _king_sb(lsr, i0, alpha, q, sq_xt, exp_, log_)
 
@@ -311,7 +312,7 @@ def render_ferrer(xg, yg, xy, mag, rout, rout_b, alpha, beta, angle,
 
 def render_ferrer_gen(xg, yg, xy, mag, rout, rout_b, alpha, beta,
                       angle, c0, mag_zp, angle_degrees=False,
-                      fourier=()):
+                      fourier=(), bending=()):
     """Ferrer over generalized isophotes."""
     exp_, log_ = exp_log_fns_unsafe()
     area = _area_factor(c0, fourier, angle_degrees)
@@ -321,7 +322,7 @@ def render_ferrer_gen(xg, yg, xy, mag, rout, rout_b, alpha, beta,
     )
     lsr = _gen_log_sq_radius(
         xg, yg, x, y, m00, m01, m10, m11, jnp.asarray(c0) + 2.0,
-        fourier, angle_degrees, exp_, log_,
+        fourier, angle_degrees, exp_, log_, bending,
     )
     return _ferrer_sb(lsr, i0, alpha, p, exp_, log_)
 
@@ -394,7 +395,7 @@ def render_nuker(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma, angle,
 
 def render_nuker_gen(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma,
                      angle, c0, mag_zp, angle_degrees=False,
-                     fourier=(), min_px_sq=0.125):
+                     fourier=(), bending=(), min_px_sq=0.125):
     """Nuker over generalized isophotes."""
     exp_, log_ = exp_log_fns_unsafe()
     area = _area_factor(c0, fourier, angle_degrees)
@@ -404,7 +405,7 @@ def render_nuker_gen(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma,
     )
     lsr = _gen_log_sq_radius(
         xg, yg, x, y, m00, m01, m10, m11, jnp.asarray(c0) + 2.0,
-        fourier, angle_degrees, exp_, log_,
+        fourier, angle_degrees, exp_, log_, bending,
     )
     lsr = jnp.maximum(lsr, _nuker_log_floor(m00, m10, min_px_sq))
     return _nuker_sb(lsr, i0, alpha, beta, gamma, exp_, log_)

@@ -217,6 +217,7 @@ def render_sersic_gen(
     angle_degrees=False,
     kappa_mode="exact",
     fourier=(),
+    bending=(),
     correction=True,
 ):
     """Sersic profile over generalized (boxy/disky/asymmetric) isophotes.
@@ -234,7 +235,12 @@ def render_sersic_gen(
       with ``theta`` the azimuth in the scaled (u, v) frame measured
       from the major axis (``m=1`` lopsidedness, ``m=3`` asymmetry,
       ``m=4`` extra diskiness/boxiness; phases in the same units as
-      ``angle``).
+      ``angle``),
+    * ``bending`` — GALFIT-style bending modes, a static list of
+      ``(m, amplitude)``: the scaled minor-axis coordinate is sheared
+      by ``v -> v + sum_m b_m u^m`` (``m=2`` banana, ``m=3``
+      S-shape); flux is exactly preserved for any amplitudes — the
+      shear has unit Jacobian (see :mod:`psfmc_tpu.ops.isophote`).
 
     Total flux stays exactly ``mag`` for any shape: the flux
     normalization uses the exact superellipse area factor, and under
@@ -265,7 +271,7 @@ def render_sersic_gen(
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
     log_sq_r = generalized_log_sq_radius(
-        u, v, c, fourier, angle_degrees, exp_, log_
+        u, v, c, fourier, angle_degrees, exp_, log_, bending
     )
     p = exp_(log_sq_r * rp)
     sb = exp_(-kappa * (p - 1.0))
