@@ -406,19 +406,26 @@ _SHAPE_ATTRS = ("c0",) + tuple(
 ) + tuple(f"b{m}" for m in _BENDING_MODES)
 
 
-def _register_shape_attrs(comp, c0, shape_kw):
+_TRUNC_ATTRS = ("rsoft", "rsoft_in", "rtrunc", "rtrunc_in")
+
+
+def _register_shape_attrs(comp, c0, shape_kw, allow_trunc=False):
     """Register the optional isophote-shape attrs (c0, f1..f4, phases,
-    b1..b3 bending modes).
+    b1..b3 bending modes; plus rtrunc/rsoft/rtrunc_in/rsoft_in radial
+    truncation for the families whose renderers support it).
 
     Only attrs actually given land in the component (absent shape
     params must not disturb the canonical slot layout of existing
-    models); a phase without its amplitude is rejected.
+    models); a phase without its amplitude, or a truncation radius
+    without its softening length (and vice versa), is rejected.
     """
     if c0 is not None:
         comp.c0 = c0
     fnames = {
         n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
     } | {f"b{m}" for m in _BENDING_MODES}
+    if allow_trunc:
+        fnames |= set(_TRUNC_ATTRS)
     for name, val in shape_kw.items():
         if name not in fnames:
             raise TypeError(
@@ -431,6 +438,12 @@ def _register_shape_attrs(comp, c0, shape_kw):
         if comp._has(f"f{m}_phi") and not comp._has(f"f{m}"):
             raise ValueError(
                 f"f{m}_phi given without its amplitude f{m}"
+            )
+    for r, s in (("rtrunc", "rsoft"), ("rtrunc_in", "rsoft_in")):
+        if comp._has(r) != comp._has(s):
+            raise ValueError(
+                f"truncation needs BOTH {r} (break radius, px) and "
+                f"{s} (softening length, px)"
             )
 
 
@@ -451,6 +464,10 @@ def _shape_log_prior_terms(comp):
             amp_sum = amp_sum + np.abs(np.asarray(a, float))
     if np.any(np.asarray(amp_sum) > 0.9):
         return -np.inf
+    for name in _TRUNC_ATTRS:
+        v = comp._shape_value(name)
+        if v is not None and np.any(np.asarray(v, float) <= 0.0):
+            return -np.inf
     return 0.0
 
 
@@ -468,6 +485,10 @@ def _shape_batch_ok(comp, vals, ok):
         amp_sum = a if amp_sum is None else amp_sum + a
     if amp_sum is not None:
         ok = ok & (amp_sum <= 0.9)
+    for name in _TRUNC_ATTRS:
+        v = vals.get(name, comp._constants.get(name))
+        if v is not None and not isinstance(v, Tied):
+            ok = ok & np.ravel(np.asarray(v, float) > 0.0)
     return ok
 
 
@@ -495,6 +516,15 @@ class Sersic(ComponentBase):
       semi-major radius out along the major axis the isophote deflects
       by ``b_m`` semi-minor radii.  No support constraint — the shear
       is area-preserving, so flux stays exact for ANY amplitudes.
+    * ``rtrunc``/``rsoft`` (+ ``rtrunc_in``/``rsoft_in``) — GALFIT-style
+      radial truncation: the profile is multiplied by the logistic
+      envelope ``sigmoid((rtrunc - r)/rsoft)`` over the generalized
+      radius in semi-major PIXELS (50% of the untruncated brightness
+      at the break, ~1% at ``rtrunc + 4.6 rsoft``); the ``_in`` pair
+      carves out the center instead (rings).  ``sbeff`` is rescaled by
+      an on-device tanh-sinh flux ratio so ``mag`` stays the exact
+      total flux.  Support: all four > 0; a radius requires its
+      softening length and vice versa.
 
     Total flux stays exactly ``mag`` for any shape (isophote-area
     renormalization + unit-Jacobian bending, see
@@ -512,7 +542,7 @@ class Sersic(ComponentBase):
     _fourier_modes = _FOURIER_MODES
     _stochastic_attrs = (
         "xy", "mag", "reff", "reff_b", "index", "angle",
-    ) + _SHAPE_ATTRS
+    ) + _SHAPE_ATTRS + _TRUNC_ATTRS
 
     def __init__(
         self,
@@ -534,7 +564,7 @@ class Sersic(ComponentBase):
         self.index = index
         self.angle = angle
         self.angle_degrees = angle_degrees
-        _register_shape_attrs(self, c0, shape_kw)
+        _register_shape_attrs(self, c0, shape_kw, allow_trunc=True)
 
     def log_priors(self):
         logp = super().log_priors()
@@ -964,7 +994,7 @@ class Moffat(ComponentBase):
     _fourier_modes = _FOURIER_MODES
     _stochastic_attrs = (
         "xy", "mag", "fwhm", "fwhm_b", "index", "angle",
-    ) + _SHAPE_ATTRS
+    ) + _SHAPE_ATTRS + _TRUNC_ATTRS
 
     def __init__(
         self,
@@ -986,7 +1016,7 @@ class Moffat(ComponentBase):
         self.index = index
         self.angle = angle
         self.angle_degrees = angle_degrees
-        _register_shape_attrs(self, c0, shape_kw)
+        _register_shape_attrs(self, c0, shape_kw, allow_trunc=True)
 
     def log_priors(self):
         logp = super().log_priors()

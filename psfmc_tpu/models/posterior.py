@@ -102,6 +102,28 @@ def _shape_args(cs, theta):
     return shaped, c0, fourier, bending
 
 
+def _trunc_args(cs, theta):
+    """(outer, inner) truncation render arg, or None when untruncated.
+
+    Each of outer/inner is a ``(break_px, soft_px)`` tuple; presence is
+    static structure (baked at trace time), values may be traced.
+    """
+    outer = inner = None
+    if "rtrunc" in cs.params:
+        outer = (
+            _getter(cs.params, theta, "rtrunc"),
+            _getter(cs.params, theta, "rsoft"),
+        )
+    if "rtrunc_in" in cs.params:
+        inner = (
+            _getter(cs.params, theta, "rtrunc_in"),
+            _getter(cs.params, theta, "rsoft_in"),
+        )
+    if outer is None and inner is None:
+        return None
+    return (outer, inner)
+
+
 def make_log_prior(slots, comp_specs, dtype):
     """Pure log-prior over parameter slots + per-component constraints.
 
@@ -193,6 +215,13 @@ def make_log_prior(slots, comp_specs, dtype):
                 # perturbation factor 1 + f must stay positive
                 # everywhere (render floors it at 0.05 as a guard)
                 lp = jnp.where(amp_sum > 0.9, -jnp.inf, lp)
+            # radial truncation: break radii and softening lengths
+            # must stay positive (the flux-ratio quadrature and the
+            # logistic envelope both divide by them)
+            for tname in ("rtrunc", "rsoft", "rtrunc_in", "rsoft_in"):
+                if tname in cs.params:
+                    tv = jnp.asarray(_getter(cs.params, theta, tname))
+                    lp = jnp.where(tv <= 0.0, -jnp.inf, lp)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
     return log_prior
@@ -545,15 +574,16 @@ class PosteriorFns:
                     _getter(cs.params, theta, "angle"),
                 )
                 shaped, c0, fourier, bending = _shape_args(cs, theta)
-                if shaped:
+                trunc = _trunc_args(cs, theta)
+                if shaped or trunc is not None:
                     from ..ops.moffat import render_moffat_gen
 
                     def _moffat_fn(xg, yg, _a=args, _c0=c0, _f=fourier,
-                                   _b=bending,
+                                   _b=bending, _t=trunc,
                                    _deg=cs.static["angle_degrees"]):
                         return render_moffat_gen(
                             xg, yg, *_a, _c0, self.mag_zp, _deg,
-                            fourier=_f, bending=_b,
+                            fourier=_f, bending=_b, trunc=_t,
                         )
                 else:
                     from ..ops.moffat import render_moffat
@@ -664,12 +694,13 @@ class PosteriorFns:
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
                 shaped, c0, fourier, bending = _shape_args(cs, theta)
-                if shaped:
-                    # boxy/disky/Fourier isophotes render on the XLA
-                    # path in every mode (the Pallas kernels pack the
-                    # 9-scalar elliptical form only); composition is
-                    # additive so mixing with packed elliptical
-                    # components is exact
+                trunc = _trunc_args(cs, theta)
+                if shaped or trunc is not None:
+                    # boxy/disky/Fourier/bent/truncated isophotes
+                    # render on the XLA path in every mode (the Pallas
+                    # kernels pack the 9-scalar elliptical form only);
+                    # composition is additive so mixing with packed
+                    # elliptical components is exact
                     from ..ops.sersic import render_sersic_gen
 
                     gen_args = (
@@ -686,10 +717,10 @@ class PosteriorFns:
 
                     def _sersic_gen_fn(xg, yg, correction=True,
                                        _a=gen_args, _f=fourier,
-                                       _b=bending):
+                                       _b=bending, _t=trunc):
                         return render_sersic_gen(
                             xg, yg, *_a, kappa_mode=self.kappa_mode,
-                            fourier=_f, bending=_b,
+                            fourier=_f, bending=_b, trunc=_t,
                             correction=correction,
                         )
 

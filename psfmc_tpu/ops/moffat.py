@@ -123,13 +123,17 @@ def render_moffat_gen(
     angle_degrees=False,
     fourier=(),
     bending=(),
+    trunc=None,
 ):
     """Moffat over generalized (boxy/disky/asymmetric) isophotes.
 
     Same GALFIT-style shape freedom as the Sersic renderer (see
     :mod:`.isophote`): boxiness ``c0``, azimuthal Fourier modes
-    ``fourier = ((m, amp, phase), ...)`` and bending modes
-    ``bending = ((m, amp), ...)`` (flux-exact minor-axis shear).  The closed-form flux
+    ``fourier = ((m, amp, phase), ...)``, bending modes
+    ``bending = ((m, amp), ...)`` (flux-exact minor-axis shear) and
+    radial truncation ``trunc = (outer, inner)`` with exact flux via
+    the device quadrature ratio (see :mod:`.truncation`; radii in
+    semi-major ``alpha_a`` pixels).  The closed-form flux
     integral only sees the isophote AREA, so replacing ``pi`` in the
     elliptical normalization with :func:`isophote_area_factor` keeps
     ``mag`` the exact total magnitude for any shape:
@@ -157,4 +161,18 @@ def render_moffat_gen(
     # log1p(sq_r) from log(sq_r) without materializing exp twice:
     # sq_r = exp(log_sq_r); the profile needs log(1 + sq_r)
     sq_r = exp_(log_sq_r)
-    return i0 * exp_(-beta * log_(1.0 + sq_r))
+    sb = i0 * exp_(-beta * log_(1.0 + sq_r))
+    if trunc is not None:
+        from .truncation import moffat_trunc_ratio, truncation_envelope
+
+        outer, inner = trunc
+        # alpha_a: the semi-major scale the m-matrix divides by
+        s = jnp.sqrt(jnp.exp2(1.0 / beta) - 1.0)
+        alpha_a = 0.5 * fwhm / s
+        sb = sb * (
+            moffat_trunc_ratio(beta, alpha_a, outer, inner)
+            * truncation_envelope(
+                exp_(0.5 * log_sq_r) * alpha_a, outer, inner
+            )
+        )
+    return sb

@@ -54,7 +54,8 @@ def fused_lnl_supported(spec, conv_mode):
         if cs.kind == "sky"
     )
     elliptical = all(
-        not ({"c0", "f1", "f2", "f3", "f4", "b1", "b2", "b3"}
+        not ({"c0", "f1", "f2", "f3", "f4", "b1", "b2", "b3",
+              "rtrunc", "rtrunc_in"}
              & set(cs.params))
         for cs in specs
         if cs.kind == "sersic"

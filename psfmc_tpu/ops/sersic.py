@@ -218,6 +218,7 @@ def render_sersic_gen(
     kappa_mode="exact",
     fourier=(),
     bending=(),
+    trunc=None,
     correction=True,
 ):
     """Sersic profile over generalized (boxy/disky/asymmetric) isophotes.
@@ -240,7 +241,13 @@ def render_sersic_gen(
       ``(m, amplitude)``: the scaled minor-axis coordinate is sheared
       by ``v -> v + sum_m b_m u^m`` (``m=2`` banana, ``m=3``
       S-shape); flux is exactly preserved for any amplitudes — the
-      shear has unit Jacobian (see :mod:`psfmc_tpu.ops.isophote`).
+      shear has unit Jacobian (see :mod:`psfmc_tpu.ops.isophote`),
+    * ``trunc`` — GALFIT-style radial truncation, an
+      ``(outer, inner)`` pair of ``(break_px, soft_px)`` tuples (or
+      None): logistic envelopes over the generalized radius in
+      semi-major pixels; ``sbeff`` is rescaled by the device
+      tanh-sinh flux ratio so ``mag`` stays the exact total flux
+      (see :mod:`psfmc_tpu.ops.truncation`).
 
     Total flux stays exactly ``mag`` for any shape: the flux
     normalization uses the exact superellipse area factor, and under
@@ -275,6 +282,15 @@ def render_sersic_gen(
     )
     p = exp_(log_sq_r * rp)
     sb = exp_(-kappa * (p - 1.0))
+    if trunc is not None:
+        from .truncation import sersic_trunc_ratio, truncation_envelope
+
+        outer, inner = trunc
+        sbeff = sbeff * sersic_trunc_ratio(
+            kappa, index, reff, outer, inner
+        )
+        r_px = exp_(0.5 * log_sq_r) * reff
+        sb = sb * truncation_envelope(r_px, outer, inner)
     if not correction:
         return sbeff * sb
     sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)

@@ -242,6 +242,85 @@ def smoke_shaped_sersic():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_bending_truncation():
+    """Bending modes + radial truncation render path on hardware.
+
+    New device machinery beyond the shaped probe: the polynomial
+    minor-axis shear, the stable-sigmoid truncation envelope, and the
+    tanh-sinh truncated-flux quadrature with TRACED break/softening
+    parameters — all inside the jitted sampling scan.  Failure modes
+    hunted: the quadrature's exp/log chains on the TPU VPU and the
+    traced-upper-limit node mapping.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Configuration, Sersic, Sky
+
+    apply_knobs({})
+    rng = np.random.RandomState(0)
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    psf = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * 1.5**2))
+    psf /= psf.sum()
+    noise = 0.002
+
+    def comps(obs):
+        cfg = Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((h, w), 1 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full_like(psf, 1e8),
+            mag_zeropoint=25.0,
+        )
+        return [
+            cfg,
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            Sersic(
+                xy=D.Uniform(loc=(13.0, 13.0), scale=(6.0, 6.0)),
+                mag=D.Uniform(loc=20.0, scale=2.0),
+                reff=5.0, reff_b=4.0, index=1.5, angle=30.0,
+                angle_degrees=True,
+                b2=D.Uniform(loc=-1.0, scale=2.0),
+                rtrunc=D.Uniform(loc=5.0, scale=10.0),
+                rsoft=1.5,
+            ),
+        ]
+
+    t0 = time.time()
+    try:
+        import jax.numpy as jnp
+
+        spec_g = build_model_spec(comps(np.zeros((h, w))))
+        fns_g = build_posterior(spec_g)
+        # layout: adu, b2, mag, rtrunc, x, y
+        truth = np.array([0.05, 0.35, 20.8, 9.0, 16.2, 15.7])
+        conv = np.asarray(
+            fns_g.render_images(jnp.asarray(truth))["convolved_model"]
+        )
+        obs = conv + rng.randn(h, w) * noise
+        spec = build_model_spec(comps(obs))
+        fns = build_posterior(spec)
+        nw = 32
+        sampler = EnsembleSampler(nw, spec.num_params, fns, seed=0)
+        jit = np.array([2e-3, 0.02, 0.01, 0.2, 0.05, 0.05])
+        p0 = truth[None, :] + rng.randn(nw, truth.size) * jit
+        sampler.init_state(p0)
+        sampler.run_burn(10)
+        sampler.reset()
+        sampler.run_sampling(10)
+        device_sync(sampler.state.positions)
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        assert np.isfinite(lnp), lnp
+        # lnpost at truth ~ h*w/2-scale Gaussian lnL; require the same
+        # regime (CPU reference ~ +4.5e3)
+        assert lnp > 4000.0, lnp
+        return dict(name="bending + truncation (b2, rtrunc)", ok=True,
+                    lnp=lnp, warm_s=time.time() - t0)
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="bending + truncation (b2, rtrunc)", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_oversample():
     """Sub-pixel oversampled render (render_oversample) on hardware.
 
@@ -504,6 +583,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_shaped_sersic()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_bending_truncation()
     results.append(r)
     print(f"## {r}", flush=True)
 
