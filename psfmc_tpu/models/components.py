@@ -401,9 +401,10 @@ class PointSource(ComponentBase):
 
 _FOURIER_MODES = (1, 2, 3, 4)
 _BENDING_MODES = (1, 2, 3)
+_ROT_ATTRS = ("rot_ang", "rot_in", "rot_out", "rot_pow")
 _SHAPE_ATTRS = ("c0",) + tuple(
     n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
-) + tuple(f"b{m}" for m in _BENDING_MODES)
+) + tuple(f"b{m}" for m in _BENDING_MODES) + _ROT_ATTRS
 
 
 _TRUNC_ATTRS = ("rsoft", "rsoft_in", "rtrunc", "rtrunc_in")
@@ -423,7 +424,7 @@ def _register_shape_attrs(comp, c0, shape_kw, allow_trunc=False):
         comp.c0 = c0
     fnames = {
         n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
-    } | {f"b{m}" for m in _BENDING_MODES}
+    } | {f"b{m}" for m in _BENDING_MODES} | set(_ROT_ATTRS)
     if allow_trunc:
         fnames |= set(_TRUNC_ATTRS)
     for name, val in shape_kw.items():
@@ -445,6 +446,14 @@ def _register_shape_attrs(comp, c0, shape_kw, allow_trunc=False):
                 f"truncation needs BOTH {r} (break radius, px) and "
                 f"{s} (softening length, px)"
             )
+    if comp._has("rot_ang") != comp._has("rot_out"):
+        raise ValueError(
+            "spiral rotation needs BOTH rot_ang (winding angle) and "
+            "rot_out (radius where it is reached, px)"
+        )
+    for opt in ("rot_in", "rot_pow"):
+        if comp._has(opt) and not comp._has("rot_ang"):
+            raise ValueError(f"{opt} given without rot_ang/rot_out")
 
 
 def _shape_log_prior_terms(comp):
@@ -468,6 +477,17 @@ def _shape_log_prior_terms(comp):
         v = comp._shape_value(name)
         if v is not None and np.any(np.asarray(v, float) <= 0.0):
             return -np.inf
+    if comp._has("rot_ang"):
+        rot_out = np.asarray(comp._shape_value("rot_out"), float)
+        rot_in = comp._shape_value("rot_in")
+        rot_in = 0.0 if rot_in is None else np.asarray(rot_in, float)
+        rot_pow = comp._shape_value("rot_pow")
+        if np.any(rot_out <= rot_in) or np.any(np.asarray(rot_in) < 0.0):
+            return -np.inf
+        if rot_pow is not None and np.any(
+            np.asarray(rot_pow, float) <= 0.0
+        ):
+            return -np.inf
     return 0.0
 
 
@@ -489,6 +509,18 @@ def _shape_batch_ok(comp, vals, ok):
         v = vals.get(name, comp._constants.get(name))
         if v is not None and not isinstance(v, Tied):
             ok = ok & np.ravel(np.asarray(v, float) > 0.0)
+    rot_out = vals.get("rot_out", comp._constants.get("rot_out"))
+    if rot_out is not None and not isinstance(rot_out, Tied):
+        rot_out = np.ravel(np.asarray(rot_out, float))
+        rot_in = vals.get("rot_in", comp._constants.get("rot_in"))
+        if rot_in is None:
+            rot_in = 0.0
+        if not isinstance(rot_in, Tied):
+            rot_in = np.ravel(np.asarray(rot_in, float))
+            ok = ok & (rot_out > rot_in) & (rot_in >= 0.0)
+        rot_pow = vals.get("rot_pow", comp._constants.get("rot_pow"))
+        if rot_pow is not None and not isinstance(rot_pow, Tied):
+            ok = ok & np.ravel(np.asarray(rot_pow, float) > 0.0)
     return ok
 
 
@@ -516,6 +548,15 @@ class Sersic(ComponentBase):
       semi-major radius out along the major axis the isophote deflects
       by ``b_m`` semi-minor radii.  No support constraint — the shear
       is area-preserving, so flux stays exact for ANY amplitudes.
+    * ``rot_ang``/``rot_out`` (+ optional ``rot_in``, ``rot_pow``) —
+      spiral/swirl coordinate rotation (GALFIT's power rotation,
+      simplified to the scaled frame): isophotes wind by
+      ``rot_ang * clip((r - rot_in)/(rot_out - rot_in), 0)^rot_pow``
+      (``rot_ang`` in ``angle`` units; radii in semi-major pixels;
+      defaults ``rot_in = 0``, ``rot_pow = 1``).  Straight inside
+      ``rot_in`` (bar), ``rot_ang`` of winding at ``rot_out``.  Unit
+      polar Jacobian — flux exact for any winding.  Support:
+      ``rot_out > rot_in >= 0``, ``rot_pow > 0``.
     * ``rtrunc``/``rsoft`` (+ ``rtrunc_in``/``rsoft_in``) — GALFIT-style
       radial truncation: the profile is multiplied by the logistic
       envelope ``sigmoid((rtrunc - r)/rsoft)`` over the generalized

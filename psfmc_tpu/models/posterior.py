@@ -82,7 +82,7 @@ def _getter(params, theta, name):
 
 
 def _shape_args(cs, theta):
-    """(shaped, c0, fourier, bending) render args for a radial profile."""
+    """(shaped, c0, fourier, bending, rotation) args for a profile."""
     fourier = tuple(
         (
             m,
@@ -97,9 +97,22 @@ def _shape_args(cs, theta):
         for m in (1, 2, 3)
         if f"b{m}" in cs.params
     )
+    rotation = None
+    if "rot_ang" in cs.params:
+        rotation = (
+            _getter(cs.params, theta, "rot_ang"),
+            _getter(cs.params, theta, "rot_out"),
+            (_getter(cs.params, theta, "rot_in")
+             if "rot_in" in cs.params else 0.0),
+            (_getter(cs.params, theta, "rot_pow")
+             if "rot_pow" in cs.params else 1.0),
+        )
     c0 = _getter(cs.params, theta, "c0") if "c0" in cs.params else 0.0
-    shaped = bool(fourier) or bool(bending) or "c0" in cs.params
-    return shaped, c0, fourier, bending
+    shaped = (
+        bool(fourier) or bool(bending) or rotation is not None
+        or "c0" in cs.params
+    )
+    return shaped, c0, fourier, bending, rotation
 
 
 def _trunc_args(cs, theta):
@@ -222,6 +235,20 @@ def make_log_prior(slots, comp_specs, dtype):
                 if tname in cs.params:
                     tv = jnp.asarray(_getter(cs.params, theta, tname))
                     lp = jnp.where(tv <= 0.0, -jnp.inf, lp)
+            # spiral rotation: the ramp divides by rot_out - rot_in
+            if "rot_ang" in cs.params:
+                ro = jnp.asarray(_getter(cs.params, theta, "rot_out"))
+                ri = (
+                    jnp.asarray(_getter(cs.params, theta, "rot_in"))
+                    if "rot_in" in cs.params else jnp.asarray(0.0)
+                )
+                lp = jnp.where(ro <= ri, -jnp.inf, lp)
+                lp = jnp.where(ri < 0.0, -jnp.inf, lp)
+                if "rot_pow" in cs.params:
+                    rp_ = jnp.asarray(
+                        _getter(cs.params, theta, "rot_pow")
+                    )
+                    lp = jnp.where(rp_ <= 0.0, -jnp.inf, lp)
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
     return log_prior
@@ -573,17 +600,20 @@ class PosteriorFns:
                     _getter(cs.params, theta, "index"),
                     _getter(cs.params, theta, "angle"),
                 )
-                shaped, c0, fourier, bending = _shape_args(cs, theta)
+                shaped, c0, fourier, bending, rot = _shape_args(
+                    cs, theta
+                )
                 trunc = _trunc_args(cs, theta)
                 if shaped or trunc is not None:
                     from ..ops.moffat import render_moffat_gen
 
                     def _moffat_fn(xg, yg, _a=args, _c0=c0, _f=fourier,
-                                   _b=bending, _t=trunc,
+                                   _b=bending, _r=rot, _t=trunc,
                                    _deg=cs.static["angle_degrees"]):
                         return render_moffat_gen(
                             xg, yg, *_a, _c0, self.mag_zp, _deg,
-                            fourier=_f, bending=_b, trunc=_t,
+                            fourier=_f, bending=_b, rotation=_r,
+                            trunc=_t,
                         )
                 else:
                     from ..ops.moffat import render_moffat
@@ -657,15 +687,17 @@ class PosteriorFns:
                     )
                     + (_getter(cs.params, theta, "angle"),)
                 )
-                shaped, c0, fourier, bending = _shape_args(cs, theta)
+                shaped, c0, fourier, bending, rot = _shape_args(
+                    cs, theta
+                )
                 if shaped:
                     def _prof_fn(xg, yg, _a=args, _c0=c0, _f=fourier,
-                                 _b=bending, _fn=gen_fn,
+                                 _b=bending, _r=rot, _fn=gen_fn,
                                  _deg=cs.static["angle_degrees"],
                                  **kw):
                         return _fn(
                             xg, yg, *_a, _c0, self.mag_zp, _deg,
-                            fourier=_f, bending=_b, **kw,
+                            fourier=_f, bending=_b, rotation=_r, **kw,
                         )
                 else:
                     def _prof_fn(xg, yg, _a=args, _fn=plain_fn,
@@ -693,7 +725,9 @@ class PosteriorFns:
                     )
             elif cs.kind == "sersic":
                 xy = jnp.asarray(_getter(cs.params, theta, "xy"), self.dtype)
-                shaped, c0, fourier, bending = _shape_args(cs, theta)
+                shaped, c0, fourier, bending, rot = _shape_args(
+                    cs, theta
+                )
                 trunc = _trunc_args(cs, theta)
                 if shaped or trunc is not None:
                     # boxy/disky/Fourier/bent/truncated isophotes
@@ -717,11 +751,11 @@ class PosteriorFns:
 
                     def _sersic_gen_fn(xg, yg, correction=True,
                                        _a=gen_args, _f=fourier,
-                                       _b=bending, _t=trunc):
+                                       _b=bending, _r=rot, _t=trunc):
                         return render_sersic_gen(
                             xg, yg, *_a, kappa_mode=self.kappa_mode,
-                            fourier=_f, bending=_b, trunc=_t,
-                            correction=correction,
+                            fourier=_f, bending=_b, rotation=_r,
+                            trunc=_t, correction=correction,
                         )
 
                     raw = raw + _sersic_gen_fn(c["xg"], c["yg"])

@@ -319,7 +319,8 @@ def _add_shape_rules(comp, params, slot_map, wcs_map):
         b = f"b{m}"
         if b in comp._priors or b in comp._constants:
             params[b] = _resolve(comp, b, slot_map, wcs_map)
-    for t in ("rtrunc", "rsoft", "rtrunc_in", "rsoft_in"):
+    for t in ("rtrunc", "rsoft", "rtrunc_in", "rsoft_in",
+              "rot_ang", "rot_out", "rot_in", "rot_pow"):
         if t in comp._priors or t in comp._constants:
             params[t] = _resolve(comp, t, slot_map, wcs_map)
 

@@ -10,6 +10,23 @@ scale+rotation metric):
 * **azimuthal Fourier modes**: the isophote at generalized radius ``t``
   bends to ``t * (1 + sum_m a_m cos(m*theta - phi_m))`` with ``theta``
   the azimuth in the scaled (u, v) frame measured from the major axis,
+* **spiral rotation** (GALFIT's power coordinate rotation,
+  simplified): the UNSCALED component-frame coordinates (pixel
+  metric, major/minor axes NOT yet divided out) are swirled by the
+  radius-dependent angle ``phi(r) = rot_ang * ramp(r)^rot_pow`` with
+  ``ramp = clip((r - rot_in) / (rot_out - rot_in), 0, inf)`` — no
+  rotation inside ``rot_in`` (a straight bar), ``rot_ang`` of winding
+  at ``rot_out`` (radii in pixels), growing beyond (trailing arms).
+  The isophote position angle twists with radius — the classic
+  spiral signature.  The swirl MUST act before the axis scaling: in
+  the scaled frame an ellipse is a circle and any swirl of it is the
+  identity (measured — a whole first implementation was invisible).
+  The map ``(r, theta) -> (r, theta - phi(r))`` has unit polar
+  Jacobian, so total flux — and the area factor — is EXACTLY
+  unchanged for any rotation, and no flux ever leaves an annulus
+  (no off-frame caveat, unlike strong bending).  Simplification vs
+  GALFIT: no inclination de-projection to a face-on disk plane
+  before rotating (documented divergence).
 * **bending modes** ``b1..b3`` (GALFIT's B1/B2/B3): the scaled
   minor-axis coordinate is sheared by a polynomial of the major-axis
   coordinate, ``v -> v + sum_m b_m u^m`` (``m=1`` pure shear —
@@ -168,9 +185,10 @@ def isophote_area_factor(c, fourier=(), angle_degrees=False):
 
 
 def generalized_log_sq_radius(
-    u, v, c, fourier, angle_degrees, exp_, log_, bending=()
+    u, v, c, fourier, angle_degrees, exp_, log_, bending=(),
+    rotation=None,
 ):
-    """``log(r_gen^2)`` over the grid, bending + Fourier applied.
+    """``log(r_gen^2)`` over the grid, swirl + bending + Fourier.
 
     ``u``/``v`` are the scaled+rotated offsets; the two powers are
     max-factored in log space (no overflow); the azimuth for the
@@ -179,6 +197,16 @@ def generalized_log_sq_radius(
     no atan2.  ``exp_``/``log_`` are injected so each caller keeps its
     backend-appropriate fastmath choice.
 
+    ``rotation`` is ``(rot_ang_rad, rot_out_px, rot_in_px, rot_pow,
+    a, b)`` with ``a``/``b`` the semi-major/minor scales the caller
+    folded into ``u``/``v``: the swirl acts in the UNSCALED frame
+    (see module docstring — in the scaled frame it would be
+    invisible), applied first so the twisted isophotes acquire the
+    boxiness/Fourier/bending decorations.  The ramp power uses
+    ``exp(p*log(max(ramp, tiny)))`` gated by ``ramp > 0`` — a raw
+    ``ramp**p`` would NaN the gradient at the ``rot_in`` boundary
+    pixels for fractional powers.
+
     ``bending`` is a static list of ``(m, amplitude)``: the
     minor-axis shear ``v -> v + sum_m b_m u^m`` (see module
     docstring), applied BEFORE the radius and the Fourier azimuth —
@@ -186,6 +214,23 @@ def generalized_log_sq_radius(
     ``u`` build by iterated multiplication (no transcendentals; the
     profile center ``g(0) = 0`` stays put for any amplitudes).
     """
+    if rotation is not None:
+        rot_ang, rot_out, rot_in, rot_pow, ax_a, ax_b = rotation
+        x = u * ax_a
+        y = v * ax_b
+        r = jnp.sqrt(jnp.maximum(x * x + y * y, _TINY))
+        ramp = (r - rot_in) / (rot_out - rot_in)
+        inside = ramp > 0.0
+        ramp_p = jnp.where(
+            inside,
+            exp_(rot_pow * log_(jnp.maximum(ramp, _TINY))),
+            0.0,
+        )
+        phi = rot_ang * ramp_p
+        cph = jnp.cos(phi)
+        sph = jnp.sin(phi)
+        u = (cph * x + sph * y) / ax_a
+        v = (cph * y - sph * x) / ax_b
     if bending:
         amp_of = dict(bending)
         g = None

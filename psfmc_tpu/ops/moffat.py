@@ -123,6 +123,7 @@ def render_moffat_gen(
     angle_degrees=False,
     fourier=(),
     bending=(),
+    rotation=None,
     trunc=None,
 ):
     """Moffat over generalized (boxy/disky/asymmetric) isophotes.
@@ -133,7 +134,9 @@ def render_moffat_gen(
     ``bending = ((m, amp), ...)`` (flux-exact minor-axis shear) and
     radial truncation ``trunc = (outer, inner)`` with exact flux via
     the device quadrature ratio (see :mod:`.truncation`; radii in
-    semi-major ``alpha_a`` pixels).  The closed-form flux
+    semi-major ``alpha_a`` pixels), and spiral ``rotation``
+    (flux-exact swirl; ``rot_ang`` in ``angle`` units, radii in
+    semi-major pixels).  The closed-form flux
     integral only sees the isophote AREA, so replacing ``pi`` in the
     elliptical normalization with :func:`isophote_area_factor` keeps
     ``mag`` the exact total magnitude for any shape:
@@ -155,8 +158,16 @@ def render_moffat_gen(
     dy = yg - y
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
+    if rotation is not None:
+        # alpha semi-axes: the scales the m-matrix divides by
+        s_r = jnp.sqrt(jnp.exp2(1.0 / beta) - 1.0)
+        a_px = 0.5 * fwhm / s_r
+        b_px = 0.5 * fwhm_b / s_r
+        rot_ang, rot_out, rot_in, rot_pow = rotation
+        rot_ang = jnp.deg2rad(rot_ang) if angle_degrees else rot_ang
+        rotation = (rot_ang, rot_out, rot_in, rot_pow, a_px, b_px)
     log_sq_r = generalized_log_sq_radius(
-        u, v, c, fourier, angle_degrees, exp_, log_, bending
+        u, v, c, fourier, angle_degrees, exp_, log_, bending, rotation
     )
     # log1p(sq_r) from log(sq_r) without materializing exp twice:
     # sq_r = exp(log_sq_r); the profile needs log(1 + sq_r)

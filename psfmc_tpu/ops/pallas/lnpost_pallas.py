@@ -55,7 +55,7 @@ def fused_lnl_supported(spec, conv_mode):
     )
     elliptical = all(
         not ({"c0", "f1", "f2", "f3", "f4", "b1", "b2", "b3",
-              "rtrunc", "rtrunc_in"}
+              "rtrunc", "rtrunc_in", "rot_ang"}
              & set(cs.params))
         for cs in specs
         if cs.kind == "sersic"

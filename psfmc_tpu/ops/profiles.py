@@ -206,15 +206,23 @@ def _log_sq_radius(xg, yg, x, y, m00, m01, m10, m11, log_):
 
 
 def _gen_log_sq_radius(xg, yg, x, y, m00, m01, m10, m11, c, fourier,
-                       angle_degrees, exp_, log_, bending=()):
+                       angle_degrees, exp_, log_, bending=(),
+                       rotation=None, rot_axes=None):
     from .isophote import generalized_log_sq_radius
 
     dx = xg - x
     dy = yg - y
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
+    if rotation is not None:
+        # rotation radii are PIXELS; the swirl acts in the unscaled
+        # component frame, so pass the semi-axes the m-matrix divided
+        # by (rot_axes = (a, b))
+        rot_ang, rot_out, rot_in, rot_pow = rotation
+        rot_ang = jnp.deg2rad(rot_ang) if angle_degrees else rot_ang
+        rotation = (rot_ang, rot_out, rot_in, rot_pow) + tuple(rot_axes)
     return generalized_log_sq_radius(
-        u, v, c, fourier, angle_degrees, exp_, log_, bending
+        u, v, c, fourier, angle_degrees, exp_, log_, bending, rotation
     )
 
 
@@ -262,7 +270,7 @@ def render_king(xg, yg, xy, mag, rc, rc_b, rt, alpha, angle, mag_zp,
 
 def render_king_gen(xg, yg, xy, mag, rc, rc_b, rt, alpha, angle, c0,
                     mag_zp, angle_degrees=False, fourier=(),
-                    bending=()):
+                    bending=(), rotation=None):
     """King over generalized (boxy/disky/asymmetric/bent) isophotes."""
     exp_, log_ = exp_log_fns_unsafe()
     area = _area_factor(c0, fourier, angle_degrees)
@@ -272,7 +280,8 @@ def render_king_gen(xg, yg, xy, mag, rc, rc_b, rt, alpha, angle, c0,
     )
     lsr = _gen_log_sq_radius(
         xg, yg, x, y, m00, m01, m10, m11, jnp.asarray(c0) + 2.0,
-        fourier, angle_degrees, exp_, log_, bending,
+        fourier, angle_degrees, exp_, log_, bending, rotation,
+        (rc, rc_b),
     )
     return _king_sb(lsr, i0, alpha, q, sq_xt, exp_, log_)
 
@@ -312,7 +321,7 @@ def render_ferrer(xg, yg, xy, mag, rout, rout_b, alpha, beta, angle,
 
 def render_ferrer_gen(xg, yg, xy, mag, rout, rout_b, alpha, beta,
                       angle, c0, mag_zp, angle_degrees=False,
-                      fourier=(), bending=()):
+                      fourier=(), bending=(), rotation=None):
     """Ferrer over generalized isophotes."""
     exp_, log_ = exp_log_fns_unsafe()
     area = _area_factor(c0, fourier, angle_degrees)
@@ -322,7 +331,8 @@ def render_ferrer_gen(xg, yg, xy, mag, rout, rout_b, alpha, beta,
     )
     lsr = _gen_log_sq_radius(
         xg, yg, x, y, m00, m01, m10, m11, jnp.asarray(c0) + 2.0,
-        fourier, angle_degrees, exp_, log_, bending,
+        fourier, angle_degrees, exp_, log_, bending, rotation,
+        (rout, rout_b),
     )
     return _ferrer_sb(lsr, i0, alpha, p, exp_, log_)
 
@@ -395,7 +405,8 @@ def render_nuker(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma, angle,
 
 def render_nuker_gen(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma,
                      angle, c0, mag_zp, angle_degrees=False,
-                     fourier=(), bending=(), min_px_sq=0.125):
+                     fourier=(), bending=(), rotation=None,
+                     min_px_sq=0.125):
     """Nuker over generalized isophotes."""
     exp_, log_ = exp_log_fns_unsafe()
     area = _area_factor(c0, fourier, angle_degrees)
@@ -405,7 +416,8 @@ def render_nuker_gen(xg, yg, xy, mag, rb, rb_b, alpha, beta, gamma,
     )
     lsr = _gen_log_sq_radius(
         xg, yg, x, y, m00, m01, m10, m11, jnp.asarray(c0) + 2.0,
-        fourier, angle_degrees, exp_, log_, bending,
+        fourier, angle_degrees, exp_, log_, bending, rotation,
+        (rb, rb_b),
     )
     lsr = jnp.maximum(lsr, _nuker_log_floor(m00, m10, min_px_sq))
     return _nuker_sb(lsr, i0, alpha, beta, gamma, exp_, log_)

@@ -218,6 +218,7 @@ def render_sersic_gen(
     kappa_mode="exact",
     fourier=(),
     bending=(),
+    rotation=None,
     trunc=None,
     correction=True,
 ):
@@ -242,6 +243,11 @@ def render_sersic_gen(
       by ``v -> v + sum_m b_m u^m`` (``m=2`` banana, ``m=3``
       S-shape); flux is exactly preserved for any amplitudes — the
       shear has unit Jacobian (see :mod:`psfmc_tpu.ops.isophote`),
+    * ``rotation`` — spiral/swirl coordinate rotation,
+      ``(rot_ang, rot_out, rot_in, rot_pow)``: the component frame is
+      swirled by ``rot_ang * ramp(r)^rot_pow`` — twisted isophotes
+      (``rot_ang`` in the same units as ``angle``; radii in PIXELS).
+      Unit polar Jacobian — flux exactly preserved for any winding,
     * ``trunc`` — GALFIT-style radial truncation, an
       ``(outer, inner)`` pair of ``(break_px, soft_px)`` tuples (or
       None): logistic envelopes over the generalized radius in
@@ -277,8 +283,12 @@ def render_sersic_gen(
     dy = yg - y
     u = m00 * dx + m01 * dy
     v = m10 * dx + m11 * dy
+    if rotation is not None:
+        rot_ang, rot_out, rot_in, rot_pow = rotation
+        rot_ang = jnp.deg2rad(rot_ang) if angle_degrees else rot_ang
+        rotation = (rot_ang, rot_out, rot_in, rot_pow, reff, reff_b)
     log_sq_r = generalized_log_sq_radius(
-        u, v, c, fourier, angle_degrees, exp_, log_, bending
+        u, v, c, fourier, angle_degrees, exp_, log_, bending, rotation
     )
     p = exp_(log_sq_r * rp)
     sb = exp_(-kappa * (p - 1.0))

@@ -243,14 +243,15 @@ def smoke_shaped_sersic():
 
 
 def smoke_bending_truncation():
-    """Bending modes + radial truncation render path on hardware.
+    """Bending + truncation + spiral-rotation render path on hardware.
 
     New device machinery beyond the shaped probe: the polynomial
-    minor-axis shear, the stable-sigmoid truncation envelope, and the
+    minor-axis shear, the stable-sigmoid truncation envelope, the
     tanh-sinh truncated-flux quadrature with TRACED break/softening
-    parameters — all inside the jitted sampling scan.  Failure modes
-    hunted: the quadrature's exp/log chains on the TPU VPU and the
-    traced-upper-limit node mapping.
+    parameters, and the radius-dependent swirl (per-pixel sin/cos of a
+    traced winding) — all inside the jitted sampling scan.  Failure
+    modes hunted: the quadrature's exp/log chains on the TPU VPU and
+    the traced-upper-limit node mapping.
     """
     from psfmc_tpu import distributions as D
     from psfmc_tpu.models.components import Configuration, Sersic, Sky
@@ -282,6 +283,8 @@ def smoke_bending_truncation():
                 b2=D.Uniform(loc=-1.0, scale=2.0),
                 rtrunc=D.Uniform(loc=5.0, scale=10.0),
                 rsoft=1.5,
+                rot_ang=D.Uniform(loc=-180.0, scale=360.0),
+                rot_out=8.0,
             ),
         ]
 
@@ -291,8 +294,8 @@ def smoke_bending_truncation():
 
         spec_g = build_model_spec(comps(np.zeros((h, w))))
         fns_g = build_posterior(spec_g)
-        # layout: adu, b2, mag, rtrunc, x, y
-        truth = np.array([0.05, 0.35, 20.8, 9.0, 16.2, 15.7])
+        # layout: adu, b2, mag, rot_ang, rtrunc, x, y
+        truth = np.array([0.05, 0.35, 20.8, 100.0, 9.0, 16.2, 15.7])
         conv = np.asarray(
             fns_g.render_images(jnp.asarray(truth))["convolved_model"]
         )
@@ -301,7 +304,7 @@ def smoke_bending_truncation():
         fns = build_posterior(spec)
         nw = 32
         sampler = EnsembleSampler(nw, spec.num_params, fns, seed=0)
-        jit = np.array([2e-3, 0.02, 0.01, 0.2, 0.05, 0.05])
+        jit = np.array([2e-3, 0.02, 0.01, 2.0, 0.2, 0.05, 0.05])
         p0 = truth[None, :] + rng.randn(nw, truth.size) * jit
         sampler.init_state(p0)
         sampler.run_burn(10)
@@ -313,11 +316,11 @@ def smoke_bending_truncation():
         # lnpost at truth ~ h*w/2-scale Gaussian lnL; require the same
         # regime (CPU reference ~ +4.5e3)
         assert lnp > 4000.0, lnp
-        return dict(name="bending + truncation (b2, rtrunc)", ok=True,
+        return dict(name="bending+truncation+rotation", ok=True,
                     lnp=lnp, warm_s=time.time() - t0)
     except Exception as e:  # noqa: BLE001
         traceback.print_exc()
-        return dict(name="bending + truncation (b2, rtrunc)", ok=False,
+        return dict(name="bending+truncation+rotation", ok=False,
                     error=f"{type(e).__name__}: {e}")
 
 
