@@ -1,5 +1,6 @@
 """Posterior analysis: statistics, image products, plotting."""
 from .images import default_filetypes, save_posterior_images
+from .sbc import SBCResult, run_sbc, sbc_ranks_from_chains
 from .statistics import (
     check_convergence_autocorr,
     check_convergence_psrf,
@@ -15,6 +16,9 @@ from .statistics import (
 __all__ = [
     "default_filetypes",
     "save_posterior_images",
+    "SBCResult",
+    "run_sbc",
+    "sbc_ranks_from_chains",
     "check_convergence_autocorr",
     "check_convergence_psrf",
     "num_effective_samples",
