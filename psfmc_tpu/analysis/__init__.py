@@ -1,5 +1,12 @@
 """Posterior analysis: statistics, image products, plotting."""
 from .images import default_filetypes, save_posterior_images
+from .model_comparison import (
+    ELPDResult,
+    compare,
+    pointwise_loglike,
+    psis_loo,
+    waic,
+)
 from .sbc import SBCResult, run_sbc, sbc_ranks_from_chains
 from .statistics import (
     check_convergence_autocorr,
@@ -16,6 +23,11 @@ from .statistics import (
 __all__ = [
     "default_filetypes",
     "save_posterior_images",
+    "ELPDResult",
+    "compare",
+    "pointwise_loglike",
+    "psis_loo",
+    "waic",
     "SBCResult",
     "run_sbc",
     "sbc_ranks_from_chains",

@@ -1,0 +1,386 @@
+"""Predictive model comparison: WAIC and PSIS-LOO over pixels.
+
+The package already offers *marginal-likelihood* model comparison
+(PT stepping-stone / SMC evidence).  This module adds the
+*predictive* family — WAIC (Watanabe 2010) and PSIS-LOO (Vehtari,
+Gelman & Gabry 2017) — which answers a different question: not "which
+model explains the prior-predictive data best" but "which model
+predicts held-out pixels best".  Predictive scores are insensitive to
+prior volume, so they complement the evidence when priors are
+deliberately weak.  The reference has no analogue of either — its only
+model-comparison product is eyeballing residual images
+(/root/reference/psfMC/analysis/images.py renders them; nothing scores
+them).
+
+Data points are the unmasked pixels.  The per-pixel log-density matrix
+comes from replaying thinned posterior draws through the model's own
+jitted pointwise likelihood (``PosteriorFns.pointwise_log_likelihood``
+— exactly the density the sampler used, asserted in tests), batched on
+device in chunks; only the (chunk, H, W) log-density maps cross to the
+host, where the order statistics / Pareto fits run in f64 (moment rule:
+never reduce big f32 chains on the host in f32).
+
+PSIS implements the procedure of Vehtari et al. 2017 (arXiv:1507.02646)
+with the Zhang & Stephens (2009) profile-posterior generalized-Pareto
+fit, vectorized over pixel chunks.  The Pareto shape diagnostic ``k``
+is reported per pixel: k > 0.7 means the importance weights for that
+pixel are too heavy-tailed to trust (the usual cause here is a single
+pixel whose density is dominated by one posterior draw — e.g. an
+unmasked artifact under a Gaussian likelihood).
+"""
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = [
+    "ELPDResult",
+    "pointwise_loglike",
+    "waic",
+    "psis_loo",
+    "compare",
+]
+
+
+# ---------------------------------------------------------------------------
+# pointwise log-likelihood matrix
+# ---------------------------------------------------------------------------
+
+def pointwise_loglike(model, database=None, thetas=None, max_samples=1000,
+                      chunk=256):
+    """(S, N_goodpx) f64 log-density matrix from posterior draws.
+
+    ``model`` is anything :func:`psfmc_tpu.models.multicomponent.
+    as_model` accepts (model instance, model file, JointModel).  Draws
+    come from ``thetas`` (S, num_params) when given, else evenly thinned
+    rows of ``database`` (at most ``max_samples`` — WAIC/LOO converge
+    like 1/S and 1000 draws puts the Monte-Carlo error well below the
+    pixel-count standard error).
+
+    Joint multi-band models concatenate the per-band good-pixel axes —
+    every unmasked pixel of every band is one data point.
+    """
+    import jax
+
+    from ..models.multicomponent import as_model
+
+    model = as_model(model)
+    if thetas is None:
+        if database is None:
+            raise ValueError("pointwise_loglike needs database= or thetas=")
+        thetas = model.thetas_from_database(database)
+        if len(thetas) > max_samples:
+            sel = np.linspace(0, len(thetas) - 1, max_samples).astype(int)
+            thetas = thetas[sel]
+    thetas = np.asarray(thetas, np.float64)
+    if thetas.ndim != 2:
+        raise ValueError("thetas must be (n_samples, num_params)")
+
+    fns = model.posterior_fns
+    band_fns = getattr(fns, "band_fns", [fns])
+    mats = []
+    for i, f in enumerate(band_fns):
+        progs = getattr(f, "programs", {})
+        key = "pointwise_lnl"
+        prog = progs.get(key)
+        if prog is None:
+            prog = jax.jit(jax.vmap(f.pointwise_log_likelihood))
+            progs[key] = prog
+        good = np.asarray(f.constants["good_px"]).reshape(-1)
+        h_dtype = np.dtype(np.float64 if f.dtype == np.float64 else
+                           np.float32)
+        cols = []
+        for lo in range(0, len(thetas), chunk):
+            part = np.asarray(thetas[lo : lo + chunk], h_dtype)
+            maps = np.asarray(prog(part), np.float64)
+            cols.append(maps.reshape(maps.shape[0], -1)[:, good])
+        mats.append(np.concatenate(cols, axis=0))
+    return np.concatenate(mats, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# results container
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ELPDResult:
+    """Expected log pointwise predictive density estimate.
+
+    ``elpd_i`` is per data point (pixel); ``elpd = sum(elpd_i)``; the
+    standard error is the usual sqrt(N * var(elpd_i)) over data points.
+    ``pareto_k`` is per pixel for PSIS-LOO, ``None`` for WAIC.
+    """
+
+    kind: str  # 'waic' | 'loo'
+    elpd: float
+    p_eff: float
+    se: float
+    n_samples: int
+    elpd_i: np.ndarray
+    pareto_k: Optional[np.ndarray] = None
+    notes: List[str] = field(default_factory=list)
+
+    @property
+    def n_points(self) -> int:
+        return int(self.elpd_i.size)
+
+    @property
+    def ic(self) -> float:
+        """Deviance-scale information criterion (-2 * elpd)."""
+        return -2.0 * self.elpd
+
+    def summary(self) -> str:
+        name = {"waic": "WAIC", "loo": "PSIS-LOO"}[self.kind]
+        lines = [
+            f"{name}: elpd = {self.elpd:.1f} +/- {self.se:.1f} "
+            f"({self.n_points} pixels, {self.n_samples} draws)",
+            f"  p_eff = {self.p_eff:.2f}",
+        ]
+        if self.pareto_k is not None:
+            k = self.pareto_k
+            lines.append(
+                f"  pareto_k: max {np.max(k):.2f}, "
+                f"{int(np.sum(k > 0.7))} pixels > 0.7"
+            )
+        lines.extend(f"  WARNING: {n}" for n in self.notes)
+        return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# WAIC
+# ---------------------------------------------------------------------------
+
+def waic(model=None, database=None, loglike=None, **kw):
+    """WAIC (Watanabe 2010) from a fit.
+
+    Either pass ``loglike`` (an (S, N) matrix from
+    :func:`pointwise_loglike`) directly, or ``model`` + ``database``
+    and it is computed on device.  Returns :class:`ELPDResult`.
+
+    Per pixel: ``lppd_i = log mean_s p(y_i|theta_s)`` (log-sum-exp) and
+    ``p_i = var_s(ln p(y_i|theta_s))``; ``elpd_i = lppd_i - p_i``.
+    Pixels with ``p_i > 0.4`` make the variance-based penalty
+    unreliable (Vehtari et al. 2017 rule of thumb) and are counted in
+    a warning note — prefer PSIS-LOO when any appear.
+    """
+    if loglike is None:
+        loglike = pointwise_loglike(model, database, **kw)
+    ll = np.asarray(loglike, np.float64)
+    s, _n = ll.shape
+    lppd_i = _logsumexp(ll, axis=0) - np.log(s)
+    p_i = np.var(ll, axis=0, ddof=1)
+    elpd_i = lppd_i - p_i
+    res = ELPDResult(
+        kind="waic",
+        elpd=float(np.sum(elpd_i)),
+        p_eff=float(np.sum(p_i)),
+        se=float(np.sqrt(elpd_i.size * np.var(elpd_i))),
+        n_samples=s,
+        elpd_i=elpd_i,
+    )
+    nbad = int(np.sum(p_i > 0.4))
+    if nbad:
+        res.notes.append(
+            f"{nbad} pixels have var(ln p) > 0.4 — the WAIC penalty is "
+            "unreliable there; use psis_loo"
+        )
+        warnings.warn(res.notes[-1])
+    return res
+
+
+# ---------------------------------------------------------------------------
+# PSIS-LOO
+# ---------------------------------------------------------------------------
+
+def psis_loo(model=None, database=None, loglike=None, point_chunk=2048,
+             **kw):
+    """PSIS-LOO (Vehtari, Gelman & Gabry 2017) from a fit.
+
+    Leave-one-pixel-out predictive density by importance sampling from
+    the full posterior, with the weight tails Pareto-smoothed per pixel
+    (vectorized over ``point_chunk`` pixels at a time).  Returns
+    :class:`ELPDResult` with the per-pixel Pareto ``k`` diagnostic.
+    """
+    if loglike is None:
+        loglike = pointwise_loglike(model, database, **kw)
+    ll = np.asarray(loglike, np.float64)
+    s, n = ll.shape
+    elpd_i = np.empty(n)
+    kss = np.empty(n)
+    for lo in range(0, n, point_chunk):
+        part = ll[:, lo : lo + point_chunk]
+        lw, ks = _psis_smooth(-part.T)  # raw log-ratios = -loglike
+        lw = lw.T
+        elpd_i[lo : lo + part.shape[1]] = _logsumexp(
+            lw + part, axis=0
+        ) - _logsumexp(lw, axis=0)
+        kss[lo : lo + part.shape[1]] = ks
+    lppd_i = _logsumexp(ll, axis=0) - np.log(s)
+    res = ELPDResult(
+        kind="loo",
+        elpd=float(np.sum(elpd_i)),
+        p_eff=float(np.sum(lppd_i - elpd_i)),
+        se=float(np.sqrt(n * np.var(elpd_i))),
+        n_samples=s,
+        elpd_i=elpd_i,
+        pareto_k=kss,
+    )
+    nbad = int(np.sum(kss > 0.7))
+    if nbad:
+        res.notes.append(
+            f"{nbad} pixels have Pareto k > 0.7 — their LOO terms are "
+            "unreliable (importance weights too heavy-tailed); inspect "
+            "those pixels (unmasked artifacts?) or refit with the "
+            "Student-t likelihood"
+        )
+        warnings.warn(res.notes[-1])
+    return res
+
+
+def compare(a: ELPDResult, b: ELPDResult):
+    """Paired comparison of two fits of the SAME data.
+
+    Returns ``(delta_elpd, se_delta)`` for ``a - b``: positive favors
+    ``a``.  The standard error is computed from the PAIRED per-pixel
+    differences (the pixelwise sampling noise is shared between the two
+    models, so the paired SE is far smaller than combining the two
+    marginal SEs — same data points required, asserted).
+    """
+    if a.elpd_i.shape != b.elpd_i.shape:
+        raise ValueError(
+            "compare() needs two fits of the same data "
+            f"(got {a.elpd_i.shape} vs {b.elpd_i.shape} pixels)"
+        )
+    d = a.elpd_i - b.elpd_i
+    return float(np.sum(d)), float(np.sqrt(d.size * np.var(d)))
+
+
+# ---------------------------------------------------------------------------
+# internals
+# ---------------------------------------------------------------------------
+
+def _logsumexp(a, axis):
+    m = np.max(a, axis=axis, keepdims=True)
+    out = np.log(np.sum(np.exp(a - m), axis=axis)) + np.squeeze(m, axis)
+    return out
+
+
+def _gpd_fit(x):
+    """Generalized-Pareto (shape k, scale sigma) fit to exceedances.
+
+    ``x`` is (P, M) ascending-sorted positive exceedances; returns
+    (k, sigma) arrays of shape (P,).  Method: the profile-posterior
+    point estimate of Zhang & Stephens 2009 (their quadrature grid over
+    the reparametrization b = k/sigma, weights from the profile
+    likelihood), plus the weak mean-0.5 shape prior of Vehtari et al.
+    2017 appendix C that stabilizes small tails.  Written from the
+    papers; vectorized over the leading point axis.
+    """
+    p, m = x.shape
+    n_grid = 30 + int(np.sqrt(m))
+    j = np.arange(1.0, n_grid + 1.0)
+    x_quart = x[:, int(m / 4.0 + 0.5) - 1]
+    x_max = x[:, -1]
+    # grid over b; each row's grid adapts to its own scale
+    b = (
+        1.0 / x_max[:, None]
+        + (1.0 - np.sqrt(n_grid / (j - 0.5)))[None, :]
+        / (3.0 * x_quart[:, None])
+    )  # (P, G)
+    # Profile likelihood over the grid.  NB sign convention: our
+    # k_b = mean log(1 - b x) is the STANDARD GPD shape xi, which is
+    # the NEGATIVE of Zhang & Stephens' k — their profile
+    # l(b) = M [log(b/k_ZS) + k_ZS - 1] therefore reads -k_b here.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k_b = np.mean(np.log1p(-b[:, :, None] * x[:, None, :]), axis=2)
+        l_b = m * (np.log(-b / k_b) - k_b - 1.0)
+    l_b = np.where(np.isfinite(l_b), l_b, -np.inf)
+    # normalized profile-posterior weights over the grid
+    w = np.exp(l_b - np.max(l_b, axis=1, keepdims=True))
+    w /= np.sum(w, axis=1, keepdims=True)
+    b_hat = np.sum(b * w, axis=1)
+    k_hat = np.mean(np.log1p(-b_hat[:, None] * x), axis=1)
+    # sigma comes from the UNregularized k (k and b are linked by
+    # sigma = -k/b; shrinking k first would break the link and can even
+    # flip sigma's sign near k ~ 0); only the returned shape gets the
+    # weak mean-0.5 prior (10 pseudo-observations) that stabilizes the
+    # k diagnostic for short tails
+    sigma = -k_hat / b_hat
+    k_hat = (m * k_hat + 10 * 0.5) / (m + 10.0)
+    return k_hat, sigma
+
+
+def _gpd_quantile(q, k, sigma):
+    """Inverse CDF of the GPD at probabilities q (broadcast over rows)."""
+    k = k[:, None]
+    sigma = sigma[:, None]
+    small = np.abs(k) < 1e-12
+    safe_k = np.where(small, 1.0, k)
+    return np.where(
+        small,
+        -sigma * np.log1p(-q),
+        sigma / safe_k * (np.power(1.0 - q, -safe_k) - 1.0),
+    )
+
+
+def _psis_smooth(lr):
+    """Pareto-smooth raw log importance ratios.
+
+    ``lr`` is (P, S) — one row of S log-ratios per data point.
+    Returns (smoothed log-weights (P, S) — NOT normalized, capped at
+    the per-row raw max — and the Pareto shape k per row).  Rows whose
+    tail is too short or degenerate (S too small, zero-variance
+    weights) are passed through with k = -inf (nothing to smooth).
+    """
+    p, s = lr.shape
+    lw = lr - np.max(lr, axis=1, keepdims=True)
+    m = int(min(0.2 * s, 3.0 * np.sqrt(s)))
+    ks = np.full(p, -np.inf)
+    if m < 5:
+        return lw, ks
+    order = np.argsort(lw, axis=1)
+    tail_idx = order[:, s - m :]
+    rows = np.arange(p)[:, None]
+    tail_lw = lw[rows, tail_idx]  # ascending (P, M)
+    cutoff = np.exp(lw[rows[:, 0], order[:, s - m - 1]])  # (P,)
+    exceed = np.exp(tail_lw) - cutoff[:, None]
+    # Degenerate rows: (a) a tail that never exceeds the cutoff
+    # (all-equal weights) stays unsmoothed with k = -inf; (b) a tail so
+    # extreme that all but the top few weights underflowed to zero on
+    # the max-normalized scale (the quartile order statistic the grid
+    # needs is 0) cannot be fit — flag it k = +inf, which is the honest
+    # verdict: one draw dominates the weights completely.
+    quart = exceed[:, max(int(m / 4.0 + 0.5) - 1, 0)]
+    has_tail = exceed[:, -1] > 1e-300
+    ks[has_tail & ~(quart > 0.0)] = np.inf
+    ok = has_tail & (quart > 0.0)
+    if np.any(ok):
+        k_ok, sig_ok = _gpd_fit(exceed[ok])
+        # a fit that did not converge to a proper GPD (non-finite or
+        # non-positive scale) cannot smooth anything — flag those rows
+        # unreliable and leave their raw weights in place
+        fit_ok = (
+            np.isfinite(k_ok) & np.isfinite(sig_ok) & (sig_ok > 0.0)
+        )
+        ks_ok = np.where(fit_ok, k_ok, np.inf)
+        ks[ok] = ks_ok
+        if np.any(fit_ok):
+            idx_ok = np.flatnonzero(ok)[fit_ok]
+            q = (np.arange(1.0, m + 1.0) - 0.5) / m
+            smoothed = cutoff[idx_ok, None] + _gpd_quantile(
+                q[None, :], k_ok[fit_ok], sig_ok[fit_ok]
+            )
+            # cap at the raw max (= 1 on this scale): smoothing must
+            # not create weights larger than any observed ratio
+            new_lw = np.minimum(
+                np.log(np.maximum(smoothed, 1e-300)), 0.0
+            )
+            sub = lw[idx_ok]
+            sub[np.arange(sub.shape[0])[:, None], tail_idx[idx_ok]] = (
+                new_lw
+            )
+            lw[idx_ok] = sub
+    return lw, ks

@@ -384,6 +384,13 @@ class PosteriorFns:
             getattr(spec, "likelihood", "gaussian"),
             getattr(spec, "likelihood_df", 4.0),
         )
+        # pointwise twin feeding WAIC/PSIS-LOO (analysis path only)
+        from ..ops.likelihood import make_lnlike_pointwise
+
+        self._lnlike_pointwise = make_lnlike_pointwise(
+            getattr(spec, "likelihood", "gaussian"),
+            getattr(spec, "likelihood_df", 4.0),
+        )
         self.log_prior = self._make_log_prior()
         self.log_posterior = partial(self._lnpost_impl, with_images=False)
         # Optional fully-fused Pallas likelihood (render + DFT convs +
@@ -991,6 +998,23 @@ class PosteriorFns:
         resid = c["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
         return self._lnlike(resid, ivm, c["good_px"])
+
+    def pointwise_log_likelihood(self, theta):
+        """Per-pixel log-density map (H, W); 0 at masked pixels.
+
+        The pointwise decomposition of :meth:`log_likelihood` (same
+        masked term, same transcendentals — their sum matches the
+        scalar exactly).  Feeds the WAIC/PSIS-LOO model-comparison
+        layer (:mod:`psfmc_tpu.analysis.model_comparison`), which the
+        reference has no analogue of — its only model-comparison
+        product is eyeballing residual images.
+        """
+        theta = jnp.asarray(theta, self.dtype)
+        c = self.constants
+        imgs = self._images_impl(theta)
+        resid = c["obs_data"] - imgs["conv"]
+        ivm = 1.0 / imgs["var"]
+        return self._lnlike_pointwise(resid, ivm, c["good_px"])
 
     def log_posterior_obs(self, theta, obs):
         """lnpost against a *traced* observation instead of the baked one.

@@ -22,7 +22,14 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["gaussian_lnlike", "student_t_lnlike", "make_lnlike"]
+__all__ = [
+    "gaussian_lnlike",
+    "student_t_lnlike",
+    "make_lnlike",
+    "gaussian_lnlike_pointwise",
+    "student_t_lnlike_pointwise",
+    "make_lnlike_pointwise",
+]
 
 
 def gaussian_lnlike(resid, ivm, good_px):
@@ -75,6 +82,67 @@ def student_t_lnlike(resid, ivm, good_px, df):
     )
     lnl = jnp.sum(jnp.where(good_px, term, 0.0))
     return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf)
+
+
+def gaussian_lnlike_pointwise(resid, ivm, good_px):
+    """Per-pixel Gaussian log-density map (analysis path).
+
+    Returns an image-shaped array: each good pixel carries its own
+    ``ln p(y_i | theta)`` term, bad pixels carry exactly 0 (they are
+    not data points).  ``sum(pointwise) == gaussian_lnlike`` by
+    construction (same masked term, same transcendentals), which the
+    tests assert — the pointwise matrix feeding WAIC/PSIS-LOO must
+    decompose the exact likelihood the sampler used.
+    """
+    from .fastmath import exp_log_fns
+
+    _, log_ = exp_log_fns()
+    term = resid * resid * ivm - log_(
+        0.5 / jnp.pi * jnp.where(good_px, ivm, 1.0)
+    )
+    return jnp.where(good_px, -0.5 * term, 0.0)
+
+
+def student_t_lnlike_pointwise(resid, ivm, good_px, df):
+    """Per-pixel Student-t log-density map (see gaussian twin)."""
+    from scipy.special import gammaln as h_gammaln
+
+    from .fastmath import exp_log_fns
+
+    _, log_ = exp_log_fns()
+    df = float(df)
+    norm = float(
+        h_gammaln(0.5 * (df + 1.0))
+        - h_gammaln(0.5 * df)
+        - 0.5 * np.log(df * np.pi)
+    )
+    safe_ivm = jnp.where(good_px, ivm, 1.0)
+    term = (
+        norm
+        + 0.5 * log_(safe_ivm)
+        - (0.5 * (df + 1.0)) * log_(1.0 + resid * resid * ivm / df)
+    )
+    return jnp.where(good_px, term, 0.0)
+
+
+def make_lnlike_pointwise(kind="gaussian", df=4.0):
+    """Pointwise twin of :func:`make_lnlike`: ``(resid, ivm, good_px)
+    -> (H, W)`` per-pixel log-density map (0 at masked pixels)."""
+    if kind == "gaussian":
+        return gaussian_lnlike_pointwise
+    if kind == "student":
+        if not np.isfinite(df) or df <= 0:
+            raise ValueError(
+                f"likelihood_df must be a positive finite number, got {df}"
+            )
+
+        def lnlike_pw(resid, ivm, good_px):
+            return student_t_lnlike_pointwise(resid, ivm, good_px, df)
+
+        return lnlike_pw
+    raise ValueError(
+        f"Unknown likelihood {kind!r}: expected 'gaussian' or 'student'"
+    )
 
 
 def make_lnlike(kind="gaussian", df=4.0):
