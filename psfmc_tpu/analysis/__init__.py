@@ -8,6 +8,11 @@ from .model_comparison import (
     waic,
 )
 from .sbc import SBCResult, run_sbc, sbc_ranks_from_chains
+from .sensitivity import (
+    SensitivityResult,
+    cjs_distance,
+    power_scale_sensitivity,
+)
 from .statistics import (
     check_convergence_autocorr,
     check_convergence_psrf,
@@ -31,6 +36,9 @@ __all__ = [
     "SBCResult",
     "run_sbc",
     "sbc_ranks_from_chains",
+    "SensitivityResult",
+    "cjs_distance",
+    "power_scale_sensitivity",
     "check_convergence_autocorr",
     "check_convergence_psrf",
     "num_effective_samples",
