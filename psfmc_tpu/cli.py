@@ -51,6 +51,9 @@ Examples:
 
 
 def plot_chain_main(argv=None):
+    from .utils import apply_platform_env
+
+    apply_platform_env()  # PSFMC_PLATFORM=cpu before any jax use
     argv = list(sys.argv if argv is None else argv)
     if len(argv) < 2:
         print(PLOT_CHAIN_DOC)
@@ -115,6 +118,9 @@ Examples:
 
 
 def quick_fit_main(argv=None):
+    from .utils import apply_platform_env
+
+    apply_platform_env()  # PSFMC_PLATFORM=cpu before any jax use
     argv = list(sys.argv if argv is None else argv)
     if len(argv) < 2:
         print(QUICK_FIT_DOC)
@@ -150,6 +156,9 @@ def quick_fit_main(argv=None):
 
 
 def corner_plot_main(argv=None):
+    from .utils import apply_platform_env
+
+    apply_platform_env()  # PSFMC_PLATFORM=cpu before any jax use
     argv = list(sys.argv if argv is None else argv)
     if len(argv) < 2:
         print(CORNER_PLOT_DOC)
@@ -186,23 +195,46 @@ def corner_plot_main(argv=None):
 
 
 SUMMARY_DOC = """\
-Usage: psfmc-summary <db.fits> [db2.fits ...]
+Usage: psfmc-summary [--criticism MODEL_FILE] <db.fits> [db2.fits ...]
 
 Print a posterior summary table per trace database: mean, std,
 16/50/84 percentiles, plus modern convergence diagnostics
 (rank-normalized split-R-hat and bulk/tail effective sample sizes,
 Vehtari et al. 2021; healthy: R-hat < 1.01, ESS > 400).
+
+With --criticism MODEL_FILE, also replay the chain through the model
+for predictive model criticism: PSIS-LOO (elpd, p_eff, per-pixel
+Pareto-k census) and power-scaling prior/likelihood sensitivity
+(prior-data conflict / dominating-prior flags).  Exit status 1 when
+anything is flagged.
 """
 
 
 def summary_main(argv=None):
+    from .utils import apply_platform_env
+
+    apply_platform_env()  # PSFMC_PLATFORM=cpu before any jax use
     argv = list(sys.argv if argv is None else argv)
+    model_path = None
+    if "--criticism" in argv:
+        i = argv.index("--criticism")
+        if i + 1 >= len(argv):
+            print(SUMMARY_DOC)
+            return 2
+        model_path = argv[i + 1]
+        del argv[i : i + 2]
     if len(argv) < 2:
         print(SUMMARY_DOC)
         return 2
 
     from .database import load_database
     from .analysis import convergence_summary, summary
+
+    model = None
+    if model_path is not None:
+        from .models.multicomponent import as_model
+
+        model = as_model(model_path)
 
     status = 0
     for db_name in argv[1:]:
@@ -248,4 +280,22 @@ def summary_main(argv=None):
                    else f"{'-':>7s} {'-':>7s} {'-':>7s}")
                 + flag
             )
+        if model is not None:
+            import warnings as _warnings
+
+            from .analysis import power_scale_sensitivity, psis_loo
+
+            try:
+                with _warnings.catch_warnings():
+                    # summaries already carry the notes; don't double-print
+                    _warnings.simplefilter("ignore")
+                    loo = psis_loo(model, db)
+                    sens = power_scale_sensitivity(model, db)
+                print()
+                print(loo.summary())
+                print(sens.summary())
+                if loo.notes or sens.flagged() or sens.notes:
+                    status = max(status, 1)
+            except Exception as err:  # noqa: BLE001 - must not kill IO
+                print(f"(model criticism unavailable: {err})")
     return status

@@ -286,3 +286,71 @@ def test_pointwise_loglike_joint_concatenates_bands(rng, gaussian_psf):
         np.testing.assert_allclose(
             mat[j, 24 * 24 :].sum(), s1, rtol=1e-5
         )
+
+
+def test_summary_cli_criticism(rng, tmp_path, gaussian_psf):
+    """psfmc-summary --criticism MODEL_FILE prints LOO + sensitivity."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from psfmc_tpu import model_galaxy_mcmc
+    from psfmc_tpu.cli import summary_main
+    from psfmc_tpu.io import fits
+
+    h = w = 24
+    psf = gaussian_psf[4:28, 4:28]
+    psf = psf / psf.sum()
+    noise = 0.05
+    gen = MultiComponentModel(
+        [
+            _config(np.zeros((h, w)), noise, psf),
+            Sky(adu=0.05),
+            PointSource(xy=np.array([12.2, 11.7]), mag=20.5),
+        ]
+    )
+    obs, _ = gen.simulate(random_state=rng)
+    d = str(tmp_path)
+    fits.writeto(os.path.join(d, "sci.fits"), obs.astype(np.float32))
+    fits.writeto(os.path.join(d, "ivm.fits"),
+                 np.full((h, w), 1.0 / noise**2, np.float32))
+    fits.writeto(os.path.join(d, "psf.fits"), psf.astype(np.float32))
+    fits.writeto(os.path.join(d, "psf_ivm.fits"),
+                 np.full_like(psf, 1e10).astype(np.float32))
+    with open(os.path.join(d, "model.py"), "w") as f:
+        f.write(
+            "from numpy import array\n"
+            "from psfMC.ModelComponents import Configuration, Sky, "
+            "PointSource\n"
+            "from psfMC.distributions import Normal, Uniform\n"
+            "Configuration(obs_file='sci.fits', obsivm_file='ivm.fits',"
+            " psf_files='psf.fits', psfivm_files='psf_ivm.fits',"
+            " mag_zeropoint=25.0)\n"
+            "Sky(adu=Normal(loc=0.05, scale=0.1))\n"
+            "PointSource(xy=Uniform(loc=array((8., 8.)),"
+            " scale=array((8., 8.))), mag=Normal(loc=20.5, scale=1.0))\n"
+        )
+    prev = os.getcwd()
+    os.chdir(d)
+    try:
+        model_galaxy_mcmc(
+            "model.py", output_name="out_crit", iterations=150,
+            burn=400, chains=16, seed=3,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = summary_main(
+                ["psfmc-summary", "--criticism", "model.py",
+                 "out_crit_db.fits"]
+            )
+        out = buf.getvalue()
+    finally:
+        os.chdir(prev)
+    assert "PSIS-LOO" in out
+    assert "power-scaling sensitivity" in out
+    assert rc in (0, 1)
+    # missing operand after the flag prints usage
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = summary_main(["psfmc-summary", "--criticism"])
+    assert rc == 2

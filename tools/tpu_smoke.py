@@ -567,6 +567,101 @@ def smoke_joint_multiband():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_model_criticism():
+    """WAIC/PSIS-LOO pointwise replay + power-scaling sensitivity.
+
+    The pointwise-likelihood map replay and the scalar prior/lnL
+    replays are fresh jitted device programs (chunked (n, H, W) d2h
+    fetches) — exactly the class of analysis path the
+    PSFMC_LNPOST=pallas episode proved needs a real-chip run, not just
+    CPU coverage.  Failure modes hunted: the masked pointwise map
+    miscompiling on hardware, f32 hw-log degrading the per-pixel
+    densities, d2h of the map stack misbehaving over the tunnel.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.analysis import (
+        power_scale_sensitivity,
+        psis_loo,
+        waic,
+    )
+    from psfmc_tpu.analysis.model_comparison import pointwise_loglike
+    from psfmc_tpu.models.components import (
+        Configuration,
+        PointSource,
+        Sky,
+    )
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    apply_knobs({})
+    rng = np.random.RandomState(0)
+    h = w = 32
+    noise = 0.01
+    yy, xx = np.mgrid[0:11, 0:11].astype(float)
+    psf = np.exp(-((xx - 5) ** 2 + (yy - 5) ** 2) / (2 * 1.5**2))
+    psf /= psf.sum()
+
+    def _cfg(obs):
+        return Configuration(
+            obs_file=obs,
+            obsivm_file=np.full((h, w), 1.0 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full_like(psf, 1e10),
+            mag_zeropoint=25.0,
+        )
+
+    t0 = time.time()
+    try:
+        gen = MultiComponentModel(
+            [_cfg(np.zeros((h, w))), Sky(adu=0.1),
+             PointSource(xy=np.array([16.2, 15.7]), mag=21.0)]
+        )
+        obs, _ = gen.simulate(random_state=rng)
+        model = MultiComponentModel(
+            [
+                _cfg(obs),
+                Sky(adu=D.Normal(loc=0.1, scale=0.2)),
+                PointSource(
+                    xy=D.Uniform(loc=(12.0, 12.0), scale=(8.0, 8.0)),
+                    mag=D.Normal(loc=21.0, scale=1.5),
+                ),
+            ]
+        )
+        sampler = EnsembleSampler(
+            32, model.num_params, model.posterior_fns, seed=0
+        )
+        sampler.init_state(
+            model.init_params_from_priors(32, random_state=rng)
+        )
+        # burn matters: an unconverged chain's stragglers inflate the
+        # per-pixel density variance, read as p_eff of O(100) and
+        # heavy Pareto tails (measured: burn=100 gives p_loo ~ 168,
+        # burn=500 gives the textbook p_loo = 4.0 = free-param count)
+        sampler.run_burn(400)
+        sampler.reset()
+        sampler.run_sampling(150)
+        device_sync(sampler.state.positions)
+        ll = pointwise_loglike(model, thetas=sampler.flatchain[::4])
+        loo = psis_loo(loglike=ll)
+        w_res = waic(loglike=ll)
+        sens = power_scale_sensitivity(
+            model, thetas=sampler.flatchain[::4]
+        )
+        assert np.isfinite(loo.elpd) and np.isfinite(w_res.elpd)
+        assert abs(loo.elpd - w_res.elpd) < 10.0, (loo.elpd, w_res.elpd)
+        assert 2.0 < loo.p_eff < 10.0, loo.summary()
+        assert np.all(np.isfinite(sens.prior))
+        assert not sens.flagged(), sens.summary()
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        return dict(
+            name="model criticism (loo/waic/sensitivity)", ok=True,
+            lnp=lnp, warm_s=time.time() - t0,
+        )
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="model criticism (loo/waic/sensitivity)",
+                    ok=False, error=f"{type(e).__name__}: {e}")
+
+
 def main():
     print(f"# devices: {jax.devices()}", flush=True)
     t0 = time.time()
@@ -602,6 +697,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_joint_multiband()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_model_criticism()
     results.append(r)
     print(f"## {r}", flush=True)
 
