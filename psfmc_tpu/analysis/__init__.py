@@ -2,7 +2,9 @@
 from .images import default_filetypes, save_posterior_images
 from .model_comparison import (
     ELPDResult,
+    LOOPITResult,
     compare,
+    loo_pit,
     pointwise_loglike,
     psis_loo,
     waic,
@@ -29,7 +31,9 @@ __all__ = [
     "default_filetypes",
     "save_posterior_images",
     "ELPDResult",
+    "LOOPITResult",
     "compare",
+    "loo_pit",
     "pointwise_loglike",
     "psis_loo",
     "waic",

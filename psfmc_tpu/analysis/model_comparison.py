@@ -38,9 +38,11 @@ import numpy as np
 
 __all__ = [
     "ELPDResult",
+    "LOOPITResult",
     "pointwise_loglike",
     "waic",
     "psis_loo",
+    "loo_pit",
     "compare",
 ]
 
@@ -48,6 +50,51 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # pointwise log-likelihood matrix
 # ---------------------------------------------------------------------------
+
+def _resolve_thetas(model, database, thetas, max_samples):
+    if thetas is None:
+        if database is None:
+            raise ValueError(
+                "pointwise replay needs database= or thetas="
+            )
+        thetas = model.thetas_from_database(database)
+        if len(thetas) > max_samples:
+            sel = np.linspace(0, len(thetas) - 1, max_samples).astype(int)
+            thetas = thetas[sel]
+    thetas = np.asarray(thetas, np.float64)
+    if thetas.ndim != 2:
+        raise ValueError("thetas must be (n_samples, num_params)")
+    return thetas
+
+
+def _pointwise_matrix(model, method, prog_key, thetas, chunk):
+    """Replay ``thetas`` through a per-pixel device map, good px only.
+
+    ``method`` names a PosteriorFns (H, W)-map method; joint models
+    concatenate the per-band good-pixel axes.
+    """
+    import jax
+
+    fns = model.posterior_fns
+    band_fns = getattr(fns, "band_fns", [fns])
+    mats = []
+    for f in band_fns:
+        progs = getattr(f, "programs", {})
+        prog = progs.get(prog_key)
+        if prog is None:
+            prog = jax.jit(jax.vmap(getattr(f, method)))
+            progs[prog_key] = prog
+        good = np.asarray(f.constants["good_px"]).reshape(-1)
+        h_dtype = np.dtype(np.float64 if f.dtype == np.float64 else
+                           np.float32)
+        cols = []
+        for lo in range(0, len(thetas), chunk):
+            part = np.asarray(thetas[lo : lo + chunk], h_dtype)
+            maps = np.asarray(prog(part), np.float64)
+            cols.append(maps.reshape(maps.shape[0], -1)[:, good])
+        mats.append(np.concatenate(cols, axis=0))
+    return np.concatenate(mats, axis=1)
+
 
 def pointwise_loglike(model, database=None, thetas=None, max_samples=1000,
                       chunk=256):
@@ -63,42 +110,13 @@ def pointwise_loglike(model, database=None, thetas=None, max_samples=1000,
     Joint multi-band models concatenate the per-band good-pixel axes —
     every unmasked pixel of every band is one data point.
     """
-    import jax
-
     from ..models.multicomponent import as_model
 
     model = as_model(model)
-    if thetas is None:
-        if database is None:
-            raise ValueError("pointwise_loglike needs database= or thetas=")
-        thetas = model.thetas_from_database(database)
-        if len(thetas) > max_samples:
-            sel = np.linspace(0, len(thetas) - 1, max_samples).astype(int)
-            thetas = thetas[sel]
-    thetas = np.asarray(thetas, np.float64)
-    if thetas.ndim != 2:
-        raise ValueError("thetas must be (n_samples, num_params)")
-
-    fns = model.posterior_fns
-    band_fns = getattr(fns, "band_fns", [fns])
-    mats = []
-    for i, f in enumerate(band_fns):
-        progs = getattr(f, "programs", {})
-        key = "pointwise_lnl"
-        prog = progs.get(key)
-        if prog is None:
-            prog = jax.jit(jax.vmap(f.pointwise_log_likelihood))
-            progs[key] = prog
-        good = np.asarray(f.constants["good_px"]).reshape(-1)
-        h_dtype = np.dtype(np.float64 if f.dtype == np.float64 else
-                           np.float32)
-        cols = []
-        for lo in range(0, len(thetas), chunk):
-            part = np.asarray(thetas[lo : lo + chunk], h_dtype)
-            maps = np.asarray(prog(part), np.float64)
-            cols.append(maps.reshape(maps.shape[0], -1)[:, good])
-        mats.append(np.concatenate(cols, axis=0))
-    return np.concatenate(mats, axis=1)
+    thetas = _resolve_thetas(model, database, thetas, max_samples)
+    return _pointwise_matrix(
+        model, "pointwise_log_likelihood", "pointwise_lnl", thetas, chunk
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +253,105 @@ def psis_loo(model=None, database=None, loglike=None, point_chunk=2048,
             "unreliable (importance weights too heavy-tailed); inspect "
             "those pixels (unmasked artifacts?) or refit with the "
             "Student-t likelihood"
+        )
+        warnings.warn(res.notes[-1])
+    return res
+
+
+@dataclass
+class LOOPITResult:
+    """Leave-one-out probability integral transform per pixel.
+
+    Under a calibrated model, ``pit`` is uniform on [0, 1]: values
+    piling at both ends mean the model is overconfident (claimed noise
+    too small), piling in the middle means over-dispersion, a one-sided
+    pile means bias.  ``ks_pvalue`` is the Kolmogorov-Smirnov test of
+    uniformity over pixels.
+    """
+
+    pit: np.ndarray  # (N,) in [0, 1]
+    ks_stat: float
+    ks_pvalue: float
+    pareto_k: np.ndarray
+    notes: List[str] = field(default_factory=list)
+
+    def calibrated(self, alpha=0.01) -> bool:
+        return bool(self.ks_pvalue > alpha)
+
+    def summary(self) -> str:
+        lines = [
+            f"LOO-PIT: KS = {self.ks_stat:.4f} "
+            f"(p = {self.ks_pvalue:.4g}, {self.pit.size} pixels)",
+            "  " + ("calibrated" if self.calibrated()
+                    else "NOT UNIFORM — miscalibrated predictions"),
+        ]
+        tails = float(np.mean((self.pit < 0.05) | (self.pit > 0.95)))
+        lines.append(
+            f"  tail mass (<0.05 or >0.95): {tails:.3f} (uniform: 0.100; "
+            "higher = overconfident, lower = overdispersed)"
+        )
+        lines.extend(f"  WARNING: {n}" for n in self.notes)
+        return "\n".join(lines)
+
+
+def loo_pit(model=None, database=None, thetas=None, loglike=None,
+            cdf=None, max_samples=1000, chunk=256, point_chunk=2048):
+    """LOO-PIT calibration check (Gabry et al. 2019 visualization's
+    quantitative twin).
+
+    For each pixel, the leave-one-out predictive CDF at the observed
+    value — estimated by PSIS-weighting the per-draw predictive CDFs
+    with the SAME smoothed weights LOO uses.  Pass precomputed
+    ``loglike``/``cdf`` matrices (both (S, N)) or let them be replayed
+    from ``model`` + ``database``/``thetas`` on device.
+    """
+    if loglike is None or cdf is None:
+        from ..models.multicomponent import as_model
+
+        model = as_model(model)
+        thetas = _resolve_thetas(model, database, thetas, max_samples)
+        if loglike is None:
+            loglike = _pointwise_matrix(
+                model, "pointwise_log_likelihood", "pointwise_lnl",
+                thetas, chunk,
+            )
+        if cdf is None:
+            cdf = _pointwise_matrix(
+                model, "pointwise_predictive_cdf", "pointwise_cdf",
+                thetas, chunk,
+            )
+    ll = np.asarray(loglike, np.float64)
+    cc = np.asarray(cdf, np.float64)
+    if ll.shape != cc.shape:
+        raise ValueError(
+            f"loglike {ll.shape} and cdf {cc.shape} shapes must match"
+        )
+    s, n = ll.shape
+    pit = np.empty(n)
+    kss = np.empty(n)
+    for lo in range(0, n, point_chunk):
+        part_ll = ll[:, lo : lo + point_chunk]
+        part_c = cc[:, lo : lo + point_chunk]
+        lw, ks = _psis_smooth(-part_ll.T)
+        w = np.exp(lw - np.max(lw, axis=1, keepdims=True))
+        pit[lo : lo + part_ll.shape[1]] = np.sum(
+            w.T * part_c, axis=0
+        ) / np.sum(w.T, axis=0)
+        kss[lo : lo + part_ll.shape[1]] = ks
+    from scipy.stats import kstest
+
+    ks_stat, ks_p = kstest(pit, "uniform")
+    res = LOOPITResult(
+        pit=pit,
+        ks_stat=float(ks_stat),
+        ks_pvalue=float(ks_p),
+        pareto_k=kss,
+    )
+    nbad = int(np.sum(kss > 0.7))
+    if nbad:
+        res.notes.append(
+            f"{nbad} pixels have Pareto k > 0.7 — their PIT values are "
+            "unreliable"
         )
         warnings.warn(res.notes[-1])
     return res

@@ -204,9 +204,10 @@ Vehtari et al. 2021; healthy: R-hat < 1.01, ESS > 400).
 
 With --criticism MODEL_FILE, also replay the chain through the model
 for predictive model criticism: PSIS-LOO (elpd, p_eff, per-pixel
-Pareto-k census) and power-scaling prior/likelihood sensitivity
-(prior-data conflict / dominating-prior flags).  Exit status 1 when
-anything is flagged.
+Pareto-k census), LOO-PIT calibration (KS uniformity of the
+leave-one-out predictive CDFs) and power-scaling prior/likelihood
+sensitivity (prior-data conflict / dominating-prior flags).  Exit
+status 1 when anything is flagged.
 """
 
 
@@ -283,18 +284,27 @@ def summary_main(argv=None):
         if model is not None:
             import warnings as _warnings
 
-            from .analysis import power_scale_sensitivity, psis_loo
+            from .analysis import (
+                loo_pit,
+                power_scale_sensitivity,
+                psis_loo,
+            )
+            from .analysis.model_comparison import pointwise_loglike
 
             try:
                 with _warnings.catch_warnings():
                     # summaries already carry the notes; don't double-print
                     _warnings.simplefilter("ignore")
-                    loo = psis_loo(model, db)
+                    ll = pointwise_loglike(model, db)
+                    loo = psis_loo(loglike=ll)
+                    pit = loo_pit(model, db, loglike=ll)
                     sens = power_scale_sensitivity(model, db)
                 print()
                 print(loo.summary())
+                print(pit.summary())
                 print(sens.summary())
-                if loo.notes or sens.flagged() or sens.notes:
+                if (loo.notes or not pit.calibrated() or sens.flagged()
+                        or sens.notes):
                     status = max(status, 1)
             except Exception as err:  # noqa: BLE001 - must not kill IO
                 print(f"(model criticism unavailable: {err})")

@@ -1016,6 +1016,26 @@ class PosteriorFns:
         ivm = 1.0 / imgs["var"]
         return self._lnlike_pointwise(resid, ivm, c["good_px"])
 
+    def pointwise_predictive_cdf(self, theta):
+        """Per-pixel P(y_rep <= y_obs | theta) map; 0.5 at masked px.
+
+        The predictive CDF of each pixel's own noise model evaluated at
+        the observation — the per-draw ingredient of LOO-PIT
+        (:func:`psfmc_tpu.analysis.model_comparison.loo_pit`).
+        """
+        from ..ops.likelihood import make_cdf_pointwise
+
+        theta = jnp.asarray(theta, self.dtype)
+        c = self.constants
+        imgs = self._images_impl(theta)
+        resid = c["obs_data"] - imgs["conv"]
+        ivm = 1.0 / imgs["var"]
+        cdf_fn = make_cdf_pointwise(
+            getattr(self.spec, "likelihood", "gaussian"),
+            getattr(self.spec, "likelihood_df", 4.0),
+        )
+        return cdf_fn(resid, ivm, c["good_px"])
+
     def log_posterior_obs(self, theta, obs):
         """lnpost against a *traced* observation instead of the baked one.
 

@@ -29,6 +29,9 @@ __all__ = [
     "gaussian_lnlike_pointwise",
     "student_t_lnlike_pointwise",
     "make_lnlike_pointwise",
+    "gaussian_cdf_pointwise",
+    "student_t_cdf_pointwise",
+    "make_cdf_pointwise",
 ]
 
 
@@ -140,6 +143,56 @@ def make_lnlike_pointwise(kind="gaussian", df=4.0):
             return student_t_lnlike_pointwise(resid, ivm, good_px, df)
 
         return lnlike_pw
+    raise ValueError(
+        f"Unknown likelihood {kind!r}: expected 'gaussian' or 'student'"
+    )
+
+
+def gaussian_cdf_pointwise(resid, ivm, good_px):
+    """Per-pixel predictive CDF at the observation: P(y_rep <= y_obs).
+
+    ``resid = y_obs - model``, so the standardized observation is
+    ``resid * sqrt(ivm)`` and the CDF is ``Phi(resid * sqrt(ivm))``.
+    Bad pixels carry 0.5 (excluded by the caller's mask; a neutral
+    value keeps downstream reductions finite).  Feeds LOO-PIT.
+    """
+    import jax.scipy.special as jss
+
+    z = resid * jnp.sqrt(jnp.where(good_px, ivm, 1.0))
+    return jnp.where(good_px, jss.ndtr(z), 0.5)
+
+
+def student_t_cdf_pointwise(resid, ivm, good_px, df):
+    """Student-t twin of :func:`gaussian_cdf_pointwise` (static df).
+
+    CDF via the regularized incomplete beta:
+    ``F(t) = 1 - I_{df/(df+t^2)}(df/2, 1/2) / 2`` for ``t >= 0`` and
+    ``F(-t) = 1 - F(t)``.
+    """
+    import jax.scipy.special as jss
+
+    df = float(df)
+    t = resid * jnp.sqrt(jnp.where(good_px, ivm, 1.0))
+    x = df / (df + t * t)
+    upper = 0.5 * jss.betainc(0.5 * df, 0.5, x)
+    cdf = jnp.where(t >= 0, 1.0 - upper, upper)
+    return jnp.where(good_px, cdf, 0.5)
+
+
+def make_cdf_pointwise(kind="gaussian", df=4.0):
+    """Pointwise predictive-CDF factory matching :func:`make_lnlike`."""
+    if kind == "gaussian":
+        return gaussian_cdf_pointwise
+    if kind == "student":
+        if not np.isfinite(df) or df <= 0:
+            raise ValueError(
+                f"likelihood_df must be a positive finite number, got {df}"
+            )
+
+        def cdf_pw(resid, ivm, good_px):
+            return student_t_cdf_pointwise(resid, ivm, good_px, df)
+
+        return cdf_pw
     raise ValueError(
         f"Unknown likelihood {kind!r}: expected 'gaussian' or 'student'"
     )

@@ -15,6 +15,7 @@ from psfmc_tpu.analysis.model_comparison import (
     ELPDResult,
     _gpd_fit,
     compare,
+    loo_pit,
     pointwise_loglike,
     psis_loo,
     waic,
@@ -347,6 +348,7 @@ def test_summary_cli_criticism(rng, tmp_path, gaussian_psf):
     finally:
         os.chdir(prev)
     assert "PSIS-LOO" in out
+    assert "LOO-PIT" in out
     assert "power-scaling sensitivity" in out
     assert rc in (0, 1)
     # missing operand after the flag prints usage
@@ -354,3 +356,97 @@ def test_summary_cli_criticism(rng, tmp_path, gaussian_psf):
     with redirect_stdout(buf):
         rc = summary_main(["psfmc-summary", "--criticism"])
     assert rc == 2
+
+
+# ---------------------------------------------------------------------------
+# LOO-PIT
+# ---------------------------------------------------------------------------
+
+def test_predictive_cdf_pointwise_matches_scipy():
+    from scipy.stats import norm, t as t_dist
+
+    from psfmc_tpu.ops.likelihood import (
+        gaussian_cdf_pointwise,
+        student_t_cdf_pointwise,
+    )
+
+    rng = np.random.RandomState(0)
+    resid = rng.randn(5, 7) * 2.0
+    ivm = np.exp(rng.randn(5, 7))
+    good = rng.rand(5, 7) > 0.2
+    g = np.asarray(gaussian_cdf_pointwise(resid, ivm, good))
+    expect = norm.cdf(resid * np.sqrt(ivm))
+    np.testing.assert_allclose(g[good], expect[good], atol=1e-6)
+    assert np.all(g[~good] == 0.5)
+    for df in (2.5, 4.0, 30.0):
+        s = np.asarray(student_t_cdf_pointwise(resid, ivm, good, df))
+        expect = t_dist.cdf(resid * np.sqrt(ivm), df)
+        np.testing.assert_allclose(s[good], expect[good], atol=1e-5)
+
+
+def test_loo_pit_uniform_and_overconfident():
+    """Conjugate Normal: calibrated predictions give uniform PIT; the
+    same posterior with an overconfident (halved-sigma) predictive
+    noise piles PIT mass in the tails and fails the KS test."""
+    from scipy.stats import norm
+
+    rng = np.random.RandomState(11)
+    n, s = 600, 3000
+    y = rng.randn(n) + 1.0
+    mus = y.mean() + rng.randn(s) / np.sqrt(n)
+    resid = y[None, :] - mus[:, None]
+    ll = -0.5 * resid**2 - 0.5 * np.log(2 * np.pi)
+    cdf = norm.cdf(resid)
+    res = loo_pit(loglike=ll, cdf=cdf)
+    assert res.calibrated(), res.summary()
+    assert "calibrated" in res.summary()
+    # overconfident predictive: claimed sigma = 1/2
+    ll_bad = -0.5 * (2 * resid) ** 2 - 0.5 * np.log(2 * np.pi / 4)
+    cdf_bad = norm.cdf(2 * resid)
+    bad = loo_pit(loglike=ll_bad, cdf=cdf_bad)
+    assert not bad.calibrated(), bad.summary()
+    assert np.mean((bad.pit < 0.05) | (bad.pit > 0.95)) > 0.15
+    assert "NOT UNIFORM" in bad.summary()
+    # shape mismatch guard
+    with pytest.raises(ValueError, match="match"):
+        loo_pit(loglike=ll, cdf=cdf[:, :-1])
+
+
+@pytest.mark.slow
+def test_loo_pit_e2e_detects_wrong_noise_model(rng, gaussian_psf):
+    noise = 0.01
+    h = w = 32
+    gen = MultiComponentModel(
+        [
+            _config(np.zeros((h, w)), noise, gaussian_psf),
+            Sky(adu=0.1),
+            PointSource(xy=np.array([16.2, 15.7]), mag=21.0),
+        ],
+        dtype=jnp.float64,
+    )
+    obs, _ = gen.simulate(random_state=rng)
+
+    def _model(claimed_noise):
+        return MultiComponentModel(
+            [
+                _config(obs, claimed_noise, gaussian_psf),
+                Sky(adu=D.Uniform(loc=-0.2, scale=0.8)),
+                PointSource(
+                    xy=D.Uniform(loc=(10.0, 10.0), scale=(12.0, 12.0)),
+                    mag=D.Uniform(loc=19.5, scale=3.0),
+                ),
+            ],
+            dtype=jnp.float64,
+        )
+
+    good_model = _model(noise)
+    s_good = _fit(good_model, burn=500, keep=200)
+    res = loo_pit(good_model, thetas=s_good.flatchain[::4])
+    assert res.calibrated(), res.summary()
+
+    # fit told the noise is half the truth: overconfident predictions
+    bad_model = _model(noise / 2)
+    s_bad = _fit(bad_model, burn=500, keep=200)
+    res_bad = loo_pit(bad_model, thetas=s_bad.flatchain[::4])
+    assert not res_bad.calibrated(), res_bad.summary()
+    assert np.mean((res_bad.pit < 0.05) | (res_bad.pit > 0.95)) > 0.15
