@@ -86,6 +86,16 @@ def main(outdir="."):
     )
     ivm = np.full(SHAPE, 1.0 / NOISE_SIGMA**2)
 
+    # The stamp handed to the FIT carries exactly the noise its IVM
+    # claims (sigma ~3.2e-5/px), while the mock observation above was
+    # rendered with the TRUE noiseless PSF — so the composite noise
+    # budget's PSF-variance channel (convolve(raw^2, var_psf)) covers a
+    # REAL error source.  With a noiseless stamp the example's own
+    # criticism diagnostics flag the inconsistency (PPC p ~ 1, LOO-PIT
+    # overdispersed: ~19% excess variance at this depth from a budget
+    # term with nothing to cover) — measured 2026-08-18.
+    psf_obs = psf + rng.randn(*psf.shape) / np.sqrt(psf_ivm)
+
     hdr = fits.Header()
     hdr.set("MAGZPT", MAG_ZP, "magnitude zeropoint")
     for key, value in TRUTH.items():
@@ -97,7 +107,7 @@ def main(outdir="."):
     fits.writeto(os.path.join(outdir, "ivm_example.fits"),
                  ivm.astype(np.float32))
     fits.writeto(os.path.join(outdir, "psf_example.fits"),
-                 psf.astype(np.float32))
+                 psf_obs.astype(np.float32))
     fits.writeto(os.path.join(outdir, "ivm_psf_example.fits"),
                  psf_ivm.astype(np.float32))
     with open(os.path.join(outdir, "mask_example.reg"), "w") as f:

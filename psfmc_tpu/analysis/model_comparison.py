@@ -57,6 +57,36 @@ def _resolve_thetas(model, database, thetas, max_samples):
             raise ValueError(
                 "pointwise replay needs database= or thetas="
             )
+        # Drop non-posterior debris before replay.  Two layers:
+        # (1) fully-stuck walkers (reference images.py:44 semantics);
+        # (2) individual rows whose lnp sits catastrophically below the
+        # posterior bulk — walkers that were still descending when
+        # retention started leave a few early rows at lnp ~ -1e6 whose
+        # true posterior weight is e^-1e6 but whose sample frequency is
+        # ~0.5%.  Harmless to a posterior-mean image, fatal to
+        # per-pixel density VARIANCES: measured on the flagship
+        # example, 0.5% such rows turned p_eff ~ 11 into 7e6 and
+        # flagged 44% of pixels k > 0.7.  The floor is a generous
+        # robust bound (median - max(50, 20 * 1.4826 * MAD)): genuine
+        # posterior lnp spread is ~sqrt(dim/2), so nothing within
+        # dozens of its sigmas is touched.
+        from ..database import filter_lowp_walkers
+
+        database = filter_lowp_walkers(database, percentile=10)
+        lnp = np.asarray(database["lnprobability"], np.float64)
+        med = np.median(lnp)
+        mad = np.median(np.abs(lnp - med))
+        floor = med - max(50.0, 20.0 * 1.4826 * mad)
+        keep = lnp >= floor
+        ndrop = int(np.sum(~keep))
+        if ndrop:
+            warnings.warn(
+                f"dropping {ndrop}/{keep.size} retained rows with lnp "
+                f"below {floor:.1f} (posterior median {med:.1f}) before "
+                "replay — burn-in leakage from late-converging walkers; "
+                "if this is more than a few percent, extend the burn"
+            )
+            database = database[keep]
         thetas = model.thetas_from_database(database)
         if len(thetas) > max_samples:
             sel = np.linspace(0, len(thetas) - 1, max_samples).astype(int)
@@ -94,6 +124,38 @@ def _pointwise_matrix(model, method, prog_key, thetas, chunk):
             cols.append(maps.reshape(maps.shape[0], -1)[:, good])
         mats.append(np.concatenate(cols, axis=0))
     return np.concatenate(mats, axis=1)
+
+
+def _pointwise_matrix_pair(model, thetas, chunk):
+    """(loglike, cdf) matrices from the fused single-render program."""
+    import jax
+
+    fns = model.posterior_fns
+    band_fns = getattr(fns, "band_fns", [fns])
+    ll_mats, cdf_mats = [], []
+    for f in band_fns:
+        progs = getattr(f, "programs", {})
+        prog = progs.get("pointwise_lnl_cdf")
+        if prog is None:
+            prog = jax.jit(jax.vmap(f.pointwise_lnl_and_cdf))
+            progs["pointwise_lnl_cdf"] = prog
+        good = np.asarray(f.constants["good_px"]).reshape(-1)
+        h_dtype = np.dtype(np.float64 if f.dtype == np.float64 else
+                           np.float32)
+        ll_cols, cdf_cols = [], []
+        for lo in range(0, len(thetas), chunk):
+            part = np.asarray(thetas[lo : lo + chunk], h_dtype)
+            lmap, cmap = prog(part)
+            lmap = np.asarray(lmap, np.float64)
+            cmap = np.asarray(cmap, np.float64)
+            ll_cols.append(lmap.reshape(lmap.shape[0], -1)[:, good])
+            cdf_cols.append(cmap.reshape(cmap.shape[0], -1)[:, good])
+        ll_mats.append(np.concatenate(ll_cols, axis=0))
+        cdf_mats.append(np.concatenate(cdf_cols, axis=0))
+    return (
+        np.concatenate(ll_mats, axis=1),
+        np.concatenate(cdf_mats, axis=1),
+    )
 
 
 def pointwise_loglike(model, database=None, thetas=None, max_samples=1000,
@@ -310,12 +372,15 @@ def loo_pit(model=None, database=None, thetas=None, loglike=None,
 
         model = as_model(model)
         thetas = _resolve_thetas(model, database, thetas, max_samples)
-        if loglike is None:
+        if loglike is None and cdf is None:
+            # one fused program: the render + convolutions are shared
+            loglike, cdf = _pointwise_matrix_pair(model, thetas, chunk)
+        elif loglike is None:
             loglike = _pointwise_matrix(
                 model, "pointwise_log_likelihood", "pointwise_lnl",
                 thetas, chunk,
             )
-        if cdf is None:
+        else:
             cdf = _pointwise_matrix(
                 model, "pointwise_predictive_cdf", "pointwise_cdf",
                 thetas, chunk,

@@ -64,18 +64,33 @@ class SBCResult:
         return self.ranks.shape[0]
 
     def uniformity_pvalues(self) -> np.ndarray:
-        """Per-parameter chi-square p-value of rank uniformity."""
+        """Per-parameter chi-square p-value of rank uniformity.
+
+        Ranks live on the DISCRETE support {0, ..., n_posterior}, so
+        each bin's expected count is proportional to how many integers
+        it contains — equal-width real bins with a flat k/b expectation
+        are wrong whenever b does not divide n_posterior + 1 (worst
+        case, bins containing no representable rank guarantee a false
+        MISCALIBRATED).  Bins with zero support are dropped from the
+        statistic (df = populated bins - 1).
+        """
         from scipy.stats import chi2
 
         k, dim = self.ranks.shape
-        b = min(self.bins, max(2, k // 5))  # >=5 expected per bin
-        edges = np.linspace(0.0, self.n_posterior + 1.0, b + 1)
+        support = self.n_posterior + 1
+        b = min(self.bins, max(2, k // 5), support)  # >=5 exp. per bin
+        edges = np.linspace(0.0, float(support), b + 1)
+        # integers per bin, with np.histogram's own binning semantics
+        n_int, _ = np.histogram(np.arange(support), bins=edges)
+        expected = k * n_int / float(support)
+        keep = n_int > 0
         out = np.empty(dim)
         for p in range(dim):
             counts, _ = np.histogram(self.ranks[:, p], bins=edges)
-            expected = k / b
-            stat = float(np.sum((counts - expected) ** 2 / expected))
-            out[p] = chi2.sf(stat, df=b - 1)
+            stat = float(np.sum(
+                (counts[keep] - expected[keep]) ** 2 / expected[keep]
+            ))
+            out[p] = chi2.sf(stat, df=int(np.sum(keep)) - 1)
         return out
 
     def calibrated(self, alpha=0.01) -> bool:
@@ -167,17 +182,10 @@ def run_sbc(
     n_post = int(np.prod(res.chains.shape[1:-1]))
     # expand names to one per SLOT (xy holds two: _x, _y) so the
     # per-parameter p-value table lines up with the rank columns
-    lens = res.param_lens or [1] * len(res.param_names)
-    slot_names = []
-    for name, ln in zip(res.param_names, lens):
-        if ln == 1:
-            slot_names.append(name)
-        elif ln == 2:
-            slot_names.extend([f"{name}_x", f"{name}_y"])
-        else:
-            slot_names.extend(f"{name}_{j}" for j in range(ln))
+    from ..models.multicomponent import slot_param_names
+
     return SBCResult(
-        param_names=slot_names,
+        param_names=slot_param_names(res.param_names, res.param_lens),
         ranks=ranks,
         n_posterior=n_post,
         injected=np.asarray(injected, np.float64),

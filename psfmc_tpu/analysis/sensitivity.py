@@ -148,19 +148,6 @@ class SensitivityResult:
 # the diagnostic
 # ---------------------------------------------------------------------------
 
-def _slot_names(model):
-    names = []
-    lens = model.param_lens or [1] * len(model.param_names)
-    for name, ln in zip(model.param_names, lens):
-        if ln == 1:
-            names.append(name)
-        elif ln == 2:
-            names.extend([f"{name}_x", f"{name}_y"])
-        else:
-            names.extend(f"{name}_{j}" for j in range(ln))
-    return names
-
-
 def _replay_scalar(fns, make_fn, key, thetas, chunk):
     """Replay a jitted per-theta scalar over the chain, chunked."""
     import jax
@@ -199,17 +186,11 @@ def power_scale_sensitivity(
     """
     from ..models.multicomponent import as_model
 
+    from .model_comparison import _resolve_thetas
+
     model = as_model(model)
-    if thetas is None:
-        if database is None:
-            raise ValueError(
-                "power_scale_sensitivity needs database= or thetas="
-            )
-        thetas = model.thetas_from_database(database)
-        if len(thetas) > max_samples:
-            sel = np.linspace(0, len(thetas) - 1, max_samples).astype(int)
-            thetas = thetas[sel]
-    thetas = np.asarray(thetas, np.float64)
+    # shared resolver: stuck-walker filter + even thinning
+    thetas = _resolve_thetas(model, database, thetas, max_samples)
     fns = model.posterior_fns
 
     lnprior = _replay_scalar(
@@ -244,11 +225,13 @@ def power_scale_sensitivity(
             "power_scale_sensitivity needs >=100 finite posterior draws"
         )
 
+    from ..models.multicomponent import slot_param_names
+
     return power_scale_from_logs(
         thetas,
         lnprior,
         lnlik,
-        param_names=_slot_names(model),
+        param_names=slot_param_names(model.param_names, model.param_lens),
         alpha=alpha,
         threshold=threshold,
     )

@@ -207,7 +207,8 @@ for predictive model criticism: PSIS-LOO (elpd, p_eff, per-pixel
 Pareto-k census), LOO-PIT calibration (KS uniformity of the
 leave-one-out predictive CDFs) and power-scaling prior/likelihood
 sensitivity (prior-data conflict / dominating-prior flags).  Exit
-status 1 when anything is flagged.
+status 1 when anything is flagged or the criticism could not be
+computed.
 """
 
 
@@ -307,5 +308,8 @@ def summary_main(argv=None):
                         or sens.notes):
                     status = max(status, 1)
             except Exception as err:  # noqa: BLE001 - must not kill IO
+                # an uncomputable criticism is a failure to verify,
+                # not a pass — surface it in the exit status
                 print(f"(model criticism unavailable: {err})")
+                status = max(status, 1)
     return status

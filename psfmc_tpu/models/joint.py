@@ -315,6 +315,18 @@ class JointModel:
         per-band accumulators directly, so only the count is kept."""
         self.accumulated_samples = sampler.accumulated_samples
 
+    def thetas_from_database(self, database, rows=None):
+        """(N, num_params) parameter matrix from a trace database.
+
+        Same column->slot converter as the single-band model — joint
+        trace DBs use the global slot layout, so the chain-replay
+        consumers (WAIC/LOO, sensitivity, PPC) work unchanged.
+        """
+        from .multicomponent import trace_param_matrix
+
+        thetas = trace_param_matrix(database, self.param_names)
+        return thetas if rows is None else thetas[rows]
+
     def simulate(self, theta=None, random_state=None, add_noise=True):
         """Mock observation per band: convolved model + Gaussian noise.
 

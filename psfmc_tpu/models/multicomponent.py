@@ -95,6 +95,41 @@ def as_model(model):
     return JointModel(bands)
 
 
+def trace_param_matrix(database, param_names):
+    """(N, num_params) matrix from a trace database.
+
+    Columns concatenate in the canonical slot order (components in
+    model-file order, attributes alphabetical, ``xy`` = 2 slots) — the
+    ONE converter every chain-replay consumer (posterior images, PPC,
+    WAIC/LOO, sensitivity) shares.
+    """
+    cols = []
+    for name in param_names:
+        col = np.asarray(database[name], np.float64)
+        if col.ndim == 1:
+            col = col[:, None]
+        cols.append(col)
+    return np.concatenate(cols, axis=1)
+
+
+def slot_param_names(param_names, param_lens):
+    """One display name per SLOT: ``xy`` -> ``xy_x``/``xy_y``.
+
+    Shared by every per-slot results table (SBC ranks, sensitivity
+    indices) so they stay in sync with the slot-layout convention.
+    """
+    lens = param_lens or [1] * len(param_names)
+    out = []
+    for name, ln in zip(param_names, lens):
+        if ln == 1:
+            out.append(name)
+        elif ln == 2:
+            out.extend([f"{name}_x", f"{name}_y"])
+        else:
+            out.extend(f"{name}_{j}" for j in range(ln))
+    return out
+
+
 class MultiComponentModel:
     """Composite 2D surface-brightness model over a component list.
 
@@ -336,13 +371,7 @@ class MultiComponentModel:
 
     def thetas_from_database(self, database, rows=None):
         """(N, num_params) parameter matrix from a trace database."""
-        cols = []
-        for name in self.param_names:
-            col = np.asarray(database[name], np.float64)
-            if col.ndim == 1:
-                col = col[:, None]
-            cols.append(col)
-        thetas = np.concatenate(cols, axis=1)
+        thetas = trace_param_matrix(database, self.param_names)
         return thetas if rows is None else thetas[rows]
 
     def _replicate(self, database, n, rng):
@@ -355,7 +384,14 @@ class MultiComponentModel:
         robust likelihood.  The ONE definition both the user-facing
         mocks and the p-value use — a drift between them would let the
         flag disagree with the pictures it flags.
+
+        Stuck walkers are dropped first (same filter the posterior
+        image writer applies): a walker stranded at lnp ~ -1e6 renders
+        absurd mocks whose discrepancy statistic swamps the PPC.
         """
+        from ..database import filter_lowp_walkers
+
+        database = filter_lowp_walkers(database, percentile=10)
         all_th = self.thetas_from_database(database)
         rows = rng.randint(0, len(all_th), size=n)
         thetas = all_th[rows]

@@ -1036,6 +1036,29 @@ class PosteriorFns:
         )
         return cdf_fn(resid, ivm, c["good_px"])
 
+    def pointwise_lnl_and_cdf(self, theta):
+        """(log-density map, predictive-CDF map) from ONE render.
+
+        The two maps share the render + convolutions (the expensive
+        part); LOO-PIT needs both, so computing them in one program
+        halves its device work vs calling the two single-map methods.
+        """
+        from ..ops.likelihood import make_cdf_pointwise
+
+        theta = jnp.asarray(theta, self.dtype)
+        c = self.constants
+        imgs = self._images_impl(theta)
+        resid = c["obs_data"] - imgs["conv"]
+        ivm = 1.0 / imgs["var"]
+        cdf_fn = make_cdf_pointwise(
+            getattr(self.spec, "likelihood", "gaussian"),
+            getattr(self.spec, "likelihood_df", 4.0),
+        )
+        return (
+            self._lnlike_pointwise(resid, ivm, c["good_px"]),
+            cdf_fn(resid, ivm, c["good_px"]),
+        )
+
     def log_posterior_obs(self, theta, obs):
         """lnpost against a *traced* observation instead of the baked one.
 

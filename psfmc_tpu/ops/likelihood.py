@@ -38,15 +38,14 @@ __all__ = [
 def gaussian_lnlike(resid, ivm, good_px):
     """Masked Gaussian log-likelihood; NaN -> -inf (jittable).
 
-    ``good_px`` is a boolean map (True = use the pixel); bad pixels carry
-    ``ivm == 0`` (infinite variance), so the ``where`` both excludes them
-    from the sum and keeps ``log(0)`` out of the reduction.
+    ``good_px`` is a boolean map (True = use the pixel); bad pixels
+    carry ``ivm == 0`` (infinite variance), excluded by the ``where``.
+    Defined as the sum of the pointwise map so the WAIC/PSIS-LOO
+    decomposition holds BY CONSTRUCTION (single-twin rule; the -0.5
+    factor is an exact power-of-two scale, so this is bitwise the
+    -0.5 * sum(term) form).
     """
-    from .fastmath import exp_log_fns
-
-    _, log_ = exp_log_fns()  # TPU hw f32 log: ~1e-4 abs err (fastmath)
-    term = resid * resid * ivm - log_(0.5 / jnp.pi * jnp.where(good_px, ivm, 1.0))
-    lnl = -0.5 * jnp.sum(jnp.where(good_px, term, 0.0))
+    lnl = jnp.sum(gaussian_lnlike_pointwise(resid, ivm, good_px))
     return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf)
 
 
@@ -62,28 +61,10 @@ def student_t_lnlike(resid, ivm, good_px, df):
     Converges to :func:`gaussian_lnlike` as ``df -> inf``; at moderate
     ``df`` (3-8) an unmasked cosmic ray costs O(ln resid^2) instead of
     O(resid^2), so a handful of artifact pixels cannot drag the whole
-    posterior.  The per-pixel normalization constant is folded once on
-    the host (``df`` is static model config, not a sampled parameter).
+    posterior.  Defined as the sum of the pointwise map (single-twin
+    rule — see :func:`gaussian_lnlike`).
     """
-    from scipy.special import gammaln as h_gammaln
-
-    from .fastmath import exp_log_fns
-
-    _, log_ = exp_log_fns()
-    df = float(df)
-    # host-side constant per pixel (static df)
-    norm = float(
-        h_gammaln(0.5 * (df + 1.0))
-        - h_gammaln(0.5 * df)
-        - 0.5 * np.log(df * np.pi)
-    )
-    safe_ivm = jnp.where(good_px, ivm, 1.0)
-    term = (
-        norm
-        + 0.5 * log_(safe_ivm)
-        - (0.5 * (df + 1.0)) * log_(1.0 + resid * resid * ivm / df)
-    )
-    lnl = jnp.sum(jnp.where(good_px, term, 0.0))
+    lnl = jnp.sum(student_t_lnlike_pointwise(resid, ivm, good_px, df))
     return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf)
 
 

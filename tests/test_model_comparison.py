@@ -450,3 +450,93 @@ def test_loo_pit_e2e_detects_wrong_noise_model(rng, gaussian_psf):
     res_bad = loo_pit(bad_model, thetas=s_bad.flatchain[::4])
     assert not res_bad.calibrated(), res_bad.summary()
     assert np.mean((res_bad.pit < 0.05) | (res_bad.pit > 0.95)) > 0.15
+
+
+def test_resolve_thetas_filters_stuck_walkers(rng, gaussian_psf):
+    """A walker stranded at catastrophic lnp must be dropped before
+    replay (reference images.py:44 semantics) — measured on the
+    flagship example, ONE stuck walker turned p_eff ~ 11 into 6e9."""
+    from psfmc_tpu.database import load_database, save_database
+
+    psf = gaussian_psf[8:24, 8:24]
+    psf = psf / psf.sum()
+    noise = 0.05
+    obs = 0.1 + rng.randn(16, 16) * noise
+    model = MultiComponentModel(
+        [
+            _config(obs, noise, psf),
+            Sky(adu=D.Normal(loc=0.1, scale=0.2)),
+        ],
+        dtype=jnp.float64,
+    )
+    s = _fit(model, nw=8, burn=100, keep=100)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "db.fits")
+        save_database(s, model, path)
+        db = load_database(path)
+        # doctor walker 3 into a stuck walker: absurd theta, terrible lnp
+        wmask = np.asarray(db["walker"]) == 3
+        adu = np.asarray(db["0_Sky_adu"], np.float64)
+        lnp = np.asarray(db["lnprobability"], np.float64)
+        adu[wmask] = 500.0
+        lnp[wmask] = -1e6
+        db["0_Sky_adu"] = adu
+        db["lnprobability"] = lnp
+        ll = pointwise_loglike(model, db)
+        # every retained draw must be a sane one (the stuck rows would
+        # contribute per-pixel lnl ~ -1e4)
+        assert ll.min() > -1e3, ll.min()
+        w = waic(loglike=ll)
+        assert 0.2 < w.p_eff < 5.0, w.summary()
+
+
+@pytest.mark.slow
+def test_joint_model_criticism_from_database(rng, gaussian_psf):
+    """The database entry path must work for joint multi-band models
+    (thetas_from_database on JointModel)."""
+    from psfmc_tpu.database import load_database, save_database
+    from psfmc_tpu.analysis import power_scale_sensitivity
+
+    noise = 0.05
+    psf = gaussian_psf[4:28, 4:28]
+    psf = psf / psf.sum()
+    host = Sersic(
+        xy=D.Uniform(loc=np.array([8.0, 8.0]), scale=np.array([8.0, 8.0])),
+        mag=D.Normal(loc=20.5, scale=1.0),
+        reff=D.Uniform(loc=1.0, scale=4.0),
+        reff_b=D.Uniform(loc=1.0, scale=4.0),
+        index=1.0,
+        angle=0.0,
+    )
+    tied = Sersic(
+        xy=Tied(host, "xy"),
+        mag=D.Normal(loc=21.0, scale=1.0),
+        reff=Tied(host, "reff"),
+        reff_b=Tied(host, "reff_b"),
+        index=Tied(host, "index"),
+        angle=Tied(host, "angle"),
+    )
+    joint = JointModel(
+        [
+            [_config(0.05 + rng.randn(24, 24) * noise, noise, psf),
+             Sky(adu=0.05), host],
+            [_config(0.05 + rng.randn(24, 24) * noise, noise, psf),
+             Sky(adu=0.05), tied],
+        ]
+    )
+    s = _fit(joint, nw=16, burn=250, keep=100)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "db.fits")
+        save_database(s, joint, path)
+        db = load_database(path)
+        loo = psis_loo(joint, db, max_samples=400)
+        assert loo.elpd_i.size == 2 * 24 * 24
+        assert np.isfinite(loo.elpd)
+        pitres = loo_pit(joint, db, max_samples=400)
+        assert np.isfinite(pitres.ks_stat)
+        sens = power_scale_sensitivity(joint, db)
+        assert np.all(np.isfinite(sens.prior))

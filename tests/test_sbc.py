@@ -102,3 +102,28 @@ def test_run_sbc_validates_record_every(gaussian_psf):
     model = _noise_model(0.01, gaussian_psf)
     with pytest.raises(ValueError):
         run_sbc(model, n_sims=4, record_every=0)
+
+
+def test_uniformity_discrete_support_binning():
+    """Equal-width bins over a DISCRETE rank support must use per-bin
+    integer counts as the expectation: with n_posterior+1 = 17 values
+    and 20 requested bins, a flat k/b expectation would guarantee a
+    false MISCALIBRATED (structurally empty bins)."""
+    rng = np.random.RandomState(0)
+    n_post = 16  # support {0..16}: 17 values, not divisible by 20
+    k = 128
+    ranks = rng.randint(0, n_post + 1, size=(k, 2))
+    res = SBCResult(
+        param_names=["a", "b"], ranks=ranks, n_posterior=n_post,
+        injected=np.zeros((k, 2)),
+    )
+    p = res.uniformity_pvalues()
+    assert np.all(p > 0.01 / 2), p  # calibrated stays calibrated
+    assert res.calibrated()
+    # a rank distribution piled at one end still rejects
+    piled = np.clip(ranks, 0, 3)
+    bad = SBCResult(
+        param_names=["a", "b"], ranks=piled, n_posterior=n_post,
+        injected=np.zeros((k, 2)),
+    )
+    assert not bad.calibrated()
