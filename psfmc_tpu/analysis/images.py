@@ -48,6 +48,7 @@ def save_posterior_images(
     bad_px_value=0,
     walker_min_percentile=10,
     ppc_draws=100,
+    criticism_draws=0,
 ):
     """Write posterior model images as FITS files.
 
@@ -61,6 +62,10 @@ def save_posterior_images(
         (posterior-predictive p-value); 0 disables it — the check
         renders ``ppc_draws`` models, which costs one extra batched
         compile on cold caches.
+    :param criticism_draws: posterior draws replayed for the criticism
+        header block (MCLOOELP/SE/PEF/KBD, MCPITKS/P, MCPSFLAG — see
+        analysis.model_comparison.criticism_header_stats); 0 (default)
+        disables it — the replay costs ~one more batched render pass.
     """
     header = model.obs_header.copy() if model.obs_header else fits.Header()
     if "{}" not in output_name:
@@ -69,6 +74,21 @@ def save_posterior_images(
     database = filter_lowp_walkers(database, percentile=walker_min_percentile)
 
     _add_stats_to_header(header, model, database, ppc_draws=ppc_draws)
+    if criticism_draws:
+        import warnings as _warnings
+
+        from .model_comparison import criticism_header_stats
+
+        try:
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore")
+                cards = criticism_header_stats(
+                    model, database, draws=criticism_draws
+                )
+            for key, (value, comment) in cards.items():
+                header.set(key, value, comment)
+        except Exception as err:  # noqa: BLE001 - headers must not kill IO
+            warn(f"could not compute criticism header stats: {err}")
 
     from ..parallel.multihost import is_primary
 

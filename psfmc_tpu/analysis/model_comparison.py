@@ -422,6 +422,45 @@ def loo_pit(model=None, database=None, thetas=None, loglike=None,
     return res
 
 
+def criticism_header_stats(model, database, draws=500):
+    """FITS header cards summarizing the criticism diagnostics.
+
+    One fused chain replay (LOO + PIT share the device maps and the
+    smoothed weights' inputs) + the sensitivity replay; returns
+    ``{KEY: (value, comment)}`` for the posterior-image headers — the
+    same observability convention the reference established (metadata
+    lives in FITS headers) extended with the modern diagnostics.
+    """
+    from collections import OrderedDict
+
+    from ..models.multicomponent import as_model
+    from .sensitivity import power_scale_sensitivity
+
+    model = as_model(model)
+    thetas = _resolve_thetas(model, database, None, draws)
+    ll, cdfm = _pointwise_matrix_pair(model, thetas, 256)
+    loo = psis_loo(loglike=ll)
+    pit = loo_pit(loglike=ll, cdf=cdfm)
+    sens = power_scale_sensitivity(model, thetas=thetas)
+    return OrderedDict(
+        [
+            ("MCLOOELP", (round(loo.elpd, 2),
+                          "PSIS-LOO expected log pred density")),
+            ("MCLOOSE", (round(loo.se, 2), "PSIS-LOO standard error")),
+            ("MCLOOPEF", (round(loo.p_eff, 2),
+                          "PSIS-LOO effective parameter count")),
+            ("MCLOOKBD", (int(np.sum(loo.pareto_k > 0.7)),
+                          "pixels with Pareto k > 0.7 (unreliable)")),
+            ("MCPITKS", (round(pit.ks_stat, 4),
+                         "LOO-PIT KS distance from uniform")),
+            ("MCPITP", (round(pit.ks_pvalue, 4),
+                        "LOO-PIT KS p-value (low = miscalibrated)")),
+            ("MCPSFLAG", (len(sens.flagged()),
+                          "params w/ prior power-scaling sensitivity")),
+        ]
+    )
+
+
 def compare(a: ELPDResult, b: ELPDResult):
     """Paired comparison of two fits of the SAME data.
 

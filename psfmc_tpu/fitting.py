@@ -210,6 +210,7 @@ def model_galaxy_mcmc(
     init="prior",
     moves="stretch",
     max_depth=8,
+    criticism=False,
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -265,6 +266,13 @@ def model_galaxy_mcmc(
     :param max_depth: NUTS maximum tree depth (2^depth - 1 leapfrog
         steps per trajectory); raise to 10-12 when trajectories
         saturate the cap (sampler='nuts' only).
+    :param criticism: when True, replay the final chain for the model
+        criticism block and record it in every image product's header
+        (PSIS-LOO elpd/SE/p_eff + Pareto-k census, LOO-PIT KS
+        uniformity, prior power-scaling flags — MCLOO*/MCPIT*/MCPSFLAG
+        cards).  Costs roughly one extra batched render pass; run it
+        on converged chains (the diagnostics flag under-burned runs
+        loudly, by design).
     :param init: ``'prior'`` (default) initializes walkers from prior
         draws (reference models.py:108-130 semantics); ``'map'`` first
         runs a multi-start gradient MAP fit (:func:`psfmc_tpu.optimize.
@@ -466,6 +474,7 @@ def model_galaxy_mcmc(
                 output_name[: -len("_{}")],
                 database=database,
                 filetypes=write_fits,
+                criticism_draws=500 if criticism else 0,
             )
         else:
             warn(
@@ -477,6 +486,7 @@ def model_galaxy_mcmc(
         save_posterior_images(
             mc_model, database, output_name=output_name,
             filetypes=write_fits,
+            criticism_draws=500 if criticism else 0,
         )
     return database
 

@@ -359,7 +359,8 @@ class JointModel:
         return mocks, theta
 
     def save_posterior_images(self, sampler, output_name,
-                              database=None, filetypes=None):
+                              database=None, filetypes=None,
+                              criticism_draws=0):
         """Write each band's five posterior-mean image products.
 
         ``sampler`` is any object exposing ``accumulated_images`` /
@@ -399,6 +400,26 @@ class JointModel:
         # None -> defaults; an explicitly EMPTY list writes nothing
         # (same contract as the single-band writer)
         filetypes = default_filetypes if filetypes is None else filetypes
+        # global criticism block (all bands' pixels), once, shared by
+        # every band header (same contract as the single-band writer)
+        criticism_cards = {}
+        if criticism_draws and database is not None:
+            import warnings as _warnings
+
+            from warnings import warn
+
+            from ..analysis.model_comparison import (
+                criticism_header_stats,
+            )
+
+            try:
+                with _warnings.catch_warnings():
+                    _warnings.simplefilter("ignore")
+                    criticism_cards = criticism_header_stats(
+                        self, database, draws=criticism_draws
+                    )
+            except Exception as err:  # noqa: BLE001
+                warn(f"could not compute criticism header stats: {err}")
         for i, bs in enumerate(self.spec.band_specs):
             obs = np.asarray(bs.obs_data)
             carries = {
@@ -425,6 +446,8 @@ class JointModel:
                         )
                 for key, value in annotate_metadata(stats).items():
                     header.set(key, value[0], value[1])
+            for key, (value, comment) in criticism_cards.items():
+                header.set(key, value, comment)
             write_image_products(
                 f"{output_name}_b{i}", images, header, filetypes
             )

@@ -540,3 +540,60 @@ def test_joint_model_criticism_from_database(rng, gaussian_psf):
         assert np.isfinite(pitres.ks_stat)
         sens = power_scale_sensitivity(joint, db)
         assert np.all(np.isfinite(sens.prior))
+
+
+def test_driver_criticism_headers(rng, tmp_path, gaussian_psf):
+    """model_galaxy_mcmc(criticism=True) records the criticism block
+    in every image product header."""
+    import os
+
+    from psfmc_tpu import model_galaxy_mcmc
+    from psfmc_tpu.io import fits
+
+    h = w = 24
+    psf = gaussian_psf[4:28, 4:28]
+    psf = psf / psf.sum()
+    noise = 0.05
+    gen = MultiComponentModel(
+        [
+            _config(np.zeros((h, w)), noise, psf),
+            Sky(adu=0.05),
+            PointSource(xy=np.array([12.2, 11.7]), mag=20.5),
+        ]
+    )
+    obs, _ = gen.simulate(random_state=rng)
+    d = str(tmp_path)
+    fits.writeto(os.path.join(d, "sci.fits"), obs.astype(np.float32))
+    fits.writeto(os.path.join(d, "ivm.fits"),
+                 np.full((h, w), 1.0 / noise**2, np.float32))
+    fits.writeto(os.path.join(d, "psf.fits"), psf.astype(np.float32))
+    fits.writeto(os.path.join(d, "psf_ivm.fits"),
+                 np.full_like(psf, 1e10).astype(np.float32))
+    with open(os.path.join(d, "model.py"), "w") as f:
+        f.write(
+            "from numpy import array\n"
+            "from psfMC.ModelComponents import Configuration, Sky, "
+            "PointSource\n"
+            "from psfMC.distributions import Normal, Uniform\n"
+            "Configuration(obs_file='sci.fits', obsivm_file='ivm.fits',"
+            " psf_files='psf.fits', psfivm_files='psf_ivm.fits',"
+            " mag_zeropoint=25.0)\n"
+            "Sky(adu=Normal(loc=0.05, scale=0.1))\n"
+            "PointSource(xy=Uniform(loc=array((8., 8.)),"
+            " scale=array((8., 8.))), mag=Normal(loc=20.5, scale=1.0))\n"
+        )
+    prev = os.getcwd()
+    os.chdir(d)
+    try:
+        model_galaxy_mcmc(
+            "model.py", output_name="out_hdr", iterations=150,
+            burn=400, chains=16, seed=3, criticism=True,
+        )
+        hdr = fits.read_hdus("out_hdr_residual.fits")[0][0]
+    finally:
+        os.chdir(prev)
+    for key in ("MCLOOELP", "MCLOOSE", "MCLOOPEF", "MCLOOKBD",
+                "MCPITKS", "MCPITP", "MCPSFLAG"):
+        assert key in hdr, key
+    assert hdr["MCLOOPEF"] < 10.0
+    assert hdr["MCPSFLAG"] == 0
