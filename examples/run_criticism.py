@@ -92,7 +92,15 @@ def main():
     print("\n=== 4. power-scaling sensitivity ===")
     print(power_scale_sensitivity(model, db).summary())
 
-    print("\n(one-command equivalent: psfmc-summary --criticism "
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from psfmc_tpu.analysis import plot_criticism
+
+    plot_criticism(db_name, model, save=True)
+    print("\nwrote the diagnostic sheet "
+          f"{output_name}_db_criticism.pdf")
+    print("(one-command equivalent: psfmc-summary --criticism "
           f"{model_file} {db_name})")
 
 

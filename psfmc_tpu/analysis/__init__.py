@@ -55,8 +55,20 @@ __all__ = [
 ]
 
 try:  # matplotlib is optional at import time
-    from .plotting import corner_plot, plot_autocorr, plot_hist, plot_trace
+    from .plotting import (
+        corner_plot,
+        plot_autocorr,
+        plot_criticism,
+        plot_hist,
+        plot_trace,
+    )
 
-    __all__ += ["corner_plot", "plot_autocorr", "plot_hist", "plot_trace"]
+    __all__ += [
+        "corner_plot",
+        "plot_autocorr",
+        "plot_criticism",
+        "plot_hist",
+        "plot_trace",
+    ]
 except ImportError:  # pragma: no cover
     pass

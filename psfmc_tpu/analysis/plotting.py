@@ -23,7 +23,13 @@ from ..ops.coords import mag_to_flux
 from ..sampler import autocorr as _autocorr
 from .corner import corner as _corner
 
-__all__ = ["plot_trace", "plot_hist", "plot_autocorr", "corner_plot"]
+__all__ = [
+    "plot_trace",
+    "plot_hist",
+    "plot_autocorr",
+    "corner_plot",
+    "plot_criticism",
+]
 
 _LABELS = {
     "lnprobability": "Model posterior log-probability",
@@ -402,6 +408,106 @@ def corner_plot(
         **kwargs,
     )
     _show_or_save(fig, save, f"{disp_name}_corner.pdf")
+
+
+def plot_criticism(database, model, save=False, draws=500):
+    """One-page model-criticism sheet (beyond the reference).
+
+    Top panel: LOO-PIT histogram over all unmasked pixels with the
+    binomial uniform band — bathtub shape = overconfident noise model,
+    dome = overdispersed, slope = bias.  Per band below: the Pareto-k
+    map (pixels whose LOO term is unreliable — unmasked artifacts show
+    up here) and the LOO z-score map ``Phi^-1(PIT)`` (a residual map
+    calibrated against the model's own leave-one-out predictive, so
+    structure in it is genuine misfit, not noise).
+    """
+    import matplotlib.pyplot as pp
+    from scipy.stats import norm as _norm
+
+    from ..models.multicomponent import as_model
+    from .model_comparison import (
+        _pointwise_matrix_pair,
+        _resolve_thetas,
+        loo_pit,
+        psis_loo,
+    )
+
+    # NB not _load_db_and_model: that helper builds a single-band
+    # MultiComponentModel from a guessed filename; criticism needs the
+    # general dispatch (prepared models, joint multi-band files)
+    if isinstance(database, str):
+        disp_name = os.path.splitext(os.path.basename(database))[0]
+        db = load_database(database)
+    else:
+        disp_name = "model"
+        db = database
+    model = as_model(model)
+    thetas = _resolve_thetas(model, db, None, draws)
+    ll, cdfm = _pointwise_matrix_pair(model, thetas, 256)
+    loo = psis_loo(loglike=ll)
+    pit = loo_pit(loglike=ll, cdf=cdfm)
+
+    fns = model.posterior_fns
+    band_fns = getattr(fns, "band_fns", [fns])
+    nbands = len(band_fns)
+    fig, axes = pp.subplots(
+        1 + nbands, 2, figsize=(9, 3.2 * (1 + nbands))
+    )
+    axes = np.atleast_2d(axes)
+
+    # PIT histogram + uniform band
+    ax = axes[0, 0]
+    nbins = 25
+    n = pit.pit.size
+    counts, edges, _ = ax.hist(
+        pit.pit, bins=nbins, range=(0, 1), color="C0", alpha=0.8
+    )
+    exp = n / nbins
+    band = 2.0 * np.sqrt(exp * (1 - 1 / nbins))  # ~95% binomial band
+    ax.axhspan(exp - band, exp + band, color="gray", alpha=0.3)
+    ax.axhline(exp, color="k", lw=1)
+    ax.set_xlabel("LOO-PIT")
+    ax.set_title(
+        f"KS p = {pit.ks_pvalue:.3g} "
+        f"({'calibrated' if pit.calibrated() else 'MISCALIBRATED'})"
+    )
+    # Pareto-k rank plot (all pixels)
+    ax = axes[0, 1]
+    finite_k = loo.pareto_k[np.isfinite(loo.pareto_k)]
+    ax.plot(np.sort(finite_k), ".", ms=2)
+    ax.axhline(0.7, color="r", lw=1, ls="--")
+    ax.set_xlabel("pixel (sorted)")
+    ax.set_ylabel("Pareto k")
+    nbad = int(np.sum(loo.pareto_k > 0.7))
+    ax.set_title(f"{nbad} pixels k > 0.7; p_eff = {loo.p_eff:.1f}")
+
+    # per-band maps: k and LOO z-score, reconstructed onto the grid
+    offset = 0
+    z_flat = _norm.ppf(np.clip(pit.pit, 1e-9, 1 - 1e-9))
+    for b, f in enumerate(band_fns):
+        good = np.asarray(f.constants["good_px"])
+        npx = int(good.sum())
+        for col, (vals, label, kw) in enumerate(
+            (
+                (loo.pareto_k[offset : offset + npx], "Pareto k",
+                 dict(vmin=0, vmax=1, cmap="magma")),
+                (z_flat[offset : offset + npx], "LOO z-score",
+                 dict(vmin=-4, vmax=4, cmap="RdBu_r")),
+            )
+        ):
+            img = np.full(good.shape, np.nan)
+            img[good] = vals
+            ax = axes[1 + b, col]
+            im = ax.imshow(img, origin="lower", **kw)
+            fig.colorbar(im, ax=ax, shrink=0.8)
+            ax.set_title(
+                label if nbands == 1 else f"band {b}: {label}"
+            )
+        offset += npx
+    fig.suptitle(disp_name)
+    fig.tight_layout()
+    _show_or_save(fig, save, f"{disp_name}_criticism.pdf")
+    return loo, pit
 
 
 def _show_or_save(fig, save, filename):

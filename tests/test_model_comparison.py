@@ -597,3 +597,39 @@ def test_driver_criticism_headers(rng, tmp_path, gaussian_psf):
         assert key in hdr, key
     assert hdr["MCLOOPEF"] < 10.0
     assert hdr["MCPSFLAG"] == 0
+
+
+def test_plot_criticism_sheet(rng, tmp_path, gaussian_psf):
+    """plot_criticism writes the diagnostic pdf and returns results."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import os
+
+    from psfmc_tpu.analysis import plot_criticism
+    from psfmc_tpu.database import load_database, save_database
+
+    psf = gaussian_psf[8:24, 8:24]
+    psf = psf / psf.sum()
+    noise = 0.05
+    obs = 0.1 + rng.randn(16, 16) * noise
+    obs[3, 4] = np.nan  # one masked pixel exercises the map rebuild
+    model = MultiComponentModel(
+        [
+            _config(obs, noise, psf),
+            Sky(adu=D.Normal(loc=0.1, scale=0.2)),
+        ],
+        dtype=jnp.float64,
+    )
+    s = _fit(model, nw=8, burn=150, keep=100)
+    path = str(tmp_path / "critdb.fits")
+    save_database(s, model, path)
+    prev = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        loo, pit = plot_criticism(path, model, save=True, draws=200)
+    finally:
+        os.chdir(prev)
+    assert os.path.exists(str(tmp_path / "critdb_criticism.pdf"))
+    assert loo.elpd_i.size == 16 * 16 - 1
+    assert np.isfinite(pit.ks_stat)
