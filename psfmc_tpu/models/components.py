@@ -44,6 +44,7 @@ __all__ = [
     "King",
     "Ferrer",
     "Nuker",
+    "NoiseScale",
     "Configuration",
     "PSFSelector",
     "Tied",
@@ -380,6 +381,48 @@ class Sky(ComponentBase):
             self.dx = dx
         if dy is not None:
             self.dy = dy
+
+
+class NoiseScale(ComponentBase):
+    """Sampled multiplicative variance-inflation factor (beyond the
+    reference and GALFIT).
+
+    Scales the ENTIRE per-pixel variance budget (observation variance +
+    PSF-mismatch model variance) by a free factor ``scale`` inside the
+    likelihood: ``var_eff = scale * var``.  The standard remedy for
+    drizzle-correlated or mis-estimated inverse-variance maps — instead
+    of hand-inflating the IVM, sample the inflation and marginalize
+    over it.  ``analysis.loo_pit`` detects the need (PIT mass piling in
+    the tails = claimed noise too small; mid-heavy = too large);
+    ``NoiseScale`` is the fix.  ``scale = 1`` is exact reference
+    behavior, and a model without the component has a byte-identical
+    parameter layout.
+
+    Works with both the Gaussian and Student-t pixel likelihoods, all
+    samplers (the Pallas fused-likelihood kernels gate off), evidence,
+    MAP, and the criticism layer (the composite IVM products and PPC
+    noise budget see the scaled variance automatically).
+    """
+
+    _fits_abbrs = (("NoiseScale", "NSC"), ("scale", "SCL"))
+    _stochastic_attrs = ("scale",)
+
+    def __init__(self, scale=None):
+        super().__init__()
+        self.scale = scale
+
+    def log_priors(self):
+        logp = super().log_priors()
+        # variance factor must stay positive (kept in sync with the
+        # device prior branch in posterior.make_log_prior and the
+        # batch-draw constraint below)
+        logp += -np.inf if np.any(np.asarray(self.scale) <= 0) else 0.0
+        return logp
+
+    def _batch_constraints(self, vals):
+        ok = super()._batch_constraints(vals)
+        scale = vals.get("scale", self._constants.get("scale"))
+        return ok & (np.ravel(np.asarray(scale)) > 0)
 
 
 class PointSource(ComponentBase):

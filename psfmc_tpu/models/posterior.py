@@ -170,6 +170,13 @@ def make_log_prior(slots, comp_specs, dtype):
             "nuker": ("rb", "rb_b"),
         }
         for cs in comp_specs:
+            if cs.kind == "noisescale":
+                # variance factor must stay positive (kept in sync
+                # with components.NoiseScale.log_priors and its
+                # _batch_constraints)
+                s = jnp.asarray(_getter(cs.params, theta, "scale"))
+                lp = jnp.where(s <= 0.0, -jnp.inf, lp)
+                continue
             if cs.kind == "edgedisk":
                 # separable profile: both scales positive, no
                 # major/minor ordering (rs and hs multiply different
@@ -279,6 +286,15 @@ class PosteriorFns:
         self._grad_sky = any(
             cs.kind == "sky" and ({"dx", "dy"} & set(cs.params))
             for cs in spec.comp_specs
+        )
+        # sampled variance-inflation factor (components.NoiseScale):
+        # scales the TOTAL per-pixel variance budget inside the
+        # likelihood (and therefore the composite-IVM products, the
+        # PPC noise budget and the criticism CDFs — everything reads
+        # the one scaled var image)
+        self._noise_scale_cs = next(
+            (cs for cs in spec.comp_specs if cs.kind == "noisescale"),
+            None,
         )
         # convolution padding (GALFIT convolution-box analogue): render
         # + convolve on a grid extended by `pad` px per side, crop back
@@ -864,6 +880,12 @@ class PosteriorFns:
         ps_conv = self._crop(ps_conv)
         base_var = c["obs_var"] if obs_var is None else obs_var
         var_total = model_var + base_var
+        if self._noise_scale_cs is not None:
+            s = jnp.asarray(
+                _getter(self._noise_scale_cs.params, theta, "scale"),
+                self.dtype,
+            )
+            var_total = var_total * s
         if self._grad_sky:
             plane = self._sky_plane(theta)
             raw = raw + plane
@@ -911,9 +933,25 @@ class PosteriorFns:
         raws, pss = jax.vmap(self._raw_and_ps)(thetas)
         inv_n = 1.0 / nwalkers
 
+        # Per-walker variance weights (NoiseScale): the walker-mean of
+        # s_w * conv(raw_w^2) is conv(mean of s_w * raw_w^2) — the
+        # linearity shortcut survives because the scale is a per-walker
+        # SCALAR weight; the observation term averages as mean(s_w).
+        mean_s = 1.0
+        sq_w = raws * raws
+        if self._noise_scale_cs is not None:
+            cs = self._noise_scale_cs
+            s_w = jax.vmap(
+                lambda th: jnp.asarray(
+                    _getter(cs.params, th, "scale"), self.dtype
+                )
+            )(thetas)
+            mean_s = jnp.mean(s_w)
+            sq_w = sq_w * s_w[:, None, None]
+
         if self.spec.num_psfs == 1:
             group_raw = jnp.sum(raws, axis=0)[None] * inv_n
-            group_sq = jnp.sum(raws * raws, axis=0)[None] * inv_n
+            group_sq = jnp.sum(sq_w, axis=0)[None] * inv_n
             group_ps = jnp.sum(pss, axis=0)[None] * inv_n
         else:
             idxs = jax.vmap(self._psf_index)(thetas)
@@ -930,7 +968,7 @@ class PosteriorFns:
                 jnp.einsum("wk,whx->khx", onehot, raws, precision=hi) * inv_n
             )
             group_sq = (
-                jnp.einsum("wk,whx->khx", onehot, raws * raws, precision=hi)
+                jnp.einsum("wk,whx->khx", onehot, sq_w, precision=hi)
                 * inv_n
             )
             group_ps = (
@@ -944,7 +982,9 @@ class PosteriorFns:
 
         mean_raw = self._crop(jnp.sum(group_raw, axis=0))
         mean_conv = jnp.sum(conv_g, axis=0)
-        mean_var = jnp.sum(var_g, axis=0) + self.constants["obs_var"]
+        mean_var = (
+            jnp.sum(var_g, axis=0) + mean_s * self.constants["obs_var"]
+        )
         mean_psc = jnp.sum(psc_g, axis=0)
         raws = self._crop(raws)
         if self._grad_sky:

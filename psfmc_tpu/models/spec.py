@@ -28,6 +28,7 @@ from .components import (
     Ferrer,
     King,
     Moffat,
+    NoiseScale,
     Nuker,
     ComponentBase,
     Configuration,
@@ -420,6 +421,11 @@ def comp_spec_for(comp, slot_map, wcs_map=None) -> CompSpec:
             "edgedisk",
             params,
             static={"angle_degrees": comp.angle_degrees},
+        )
+    if isinstance(comp, NoiseScale):
+        return CompSpec(
+            "noisescale",
+            {"scale": _resolve(comp, "scale", slot_map, wcs_map)},
         )
     if isinstance(comp, PSFSelector):
         return CompSpec(

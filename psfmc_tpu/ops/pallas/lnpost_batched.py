@@ -64,11 +64,18 @@ def batched_lnl_supported(spec):
         for cs in getattr(spec, "comp_specs", ())
         if cs.kind == "sky"
     )
+    # a sampled NoiseScale rescales the variance inside the likelihood;
+    # the kernel's reduction hard-codes the unscaled budget
+    no_noise_scale = all(
+        cs.kind != "noisescale"
+        for cs in getattr(spec, "comp_specs", ())
+    )
     return (
         pallas_available()
         and getattr(spec, "num_psfs", 1) == 1
         and getattr(spec, "likelihood", "gaussian") == "gaussian"
         and flat_sky
+        and no_noise_scale
         and getattr(spec, "conv_pad", 0) == 0
     )
 
