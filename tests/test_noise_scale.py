@@ -249,3 +249,44 @@ def test_e2e_recovers_inflation_and_calibrates_pit(rng, gaussian_psf):
     assert not pit_no.calibrated(), pit_no.summary()
     # overconfident: PIT mass piles in the tails
     assert np.mean((pit_no.pit < 0.05) | (pit_no.pit > 0.95)) > 0.15
+
+
+def test_joint_per_band_noise_scales(rng, gaussian_psf):
+    """Each band scales only its own variance budget."""
+    from psfmc_tpu.models import JointModel
+
+    psf = gaussian_psf[4:28, 4:28]
+    psf = psf / psf.sum()
+    noise = 0.05
+
+    def band(scale_val):
+        return [
+            Configuration(
+                obs_file=0.1 + rng.randn(24, 24) * noise,
+                obsivm_file=np.full((24, 24), 1.0 / noise**2),
+                psf_files=psf,
+                psfivm_files=np.full_like(psf, 1e12),
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.1, scale=0.2)),
+            NoiseScale(scale=scale_val),
+        ]
+
+    joint = JointModel(
+        [band(D.Uniform(loc=0.5, scale=3.0)),
+         band(D.Uniform(loc=0.5, scale=3.0))]
+    )
+    names = joint.param_names
+    assert names.count("1_NoiseScale_scale") == 1
+    assert names.count("4_NoiseScale_scale") == 1
+    fns = joint.posterior_fns
+    # scaling band 1's variance changes band 1's lnl only
+    th = np.array([0.1, 1.0, 0.1, 1.0])
+    th_b1 = np.array([0.1, 1.0, 0.1, 2.0])
+    l0a = float(fns.band_fns[0].log_likelihood(jnp.asarray(th)))
+    l0b = float(fns.band_fns[0].log_likelihood(jnp.asarray(th_b1)))
+    l1a = float(fns.band_fns[1].log_likelihood(jnp.asarray(th)))
+    l1b = float(fns.band_fns[1].log_likelihood(jnp.asarray(th_b1)))
+    assert l0a == l0b
+    assert l1a != l1b
+    assert np.isfinite(float(fns.log_posterior(jnp.asarray(th))))

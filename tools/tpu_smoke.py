@@ -567,6 +567,66 @@ def smoke_joint_multiband():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_noise_scale():
+    """NoiseScale (sampled variance inflation) inside the jitted scan.
+
+    Data noise is 2x the claimed sigma; the sampler must find
+    scale ~ 4 on hardware (the scale multiplies the variance image in
+    the likelihood — f32 hw behavior of the extra divide/log chain is
+    what this checks).
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import (
+        Configuration,
+        NoiseScale,
+        Sky,
+    )
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    apply_knobs({})
+    rng = np.random.RandomState(0)
+    h = w = 32
+    psf = np.zeros((8, 8))
+    psf[4, 4] = 1.0
+    obs = 0.1 + rng.randn(h, w) * 0.1  # true sigma 0.1, claimed 0.05
+    t0 = time.time()
+    try:
+        model = MultiComponentModel(
+            [
+                Configuration(
+                    obs_file=obs,
+                    obsivm_file=np.full((h, w), 1.0 / 0.05**2),
+                    psf_files=psf,
+                    psfivm_files=np.full_like(psf, 1e12),
+                    mag_zeropoint=25.0,
+                ),
+                Sky(adu=D.Normal(loc=0.1, scale=0.2)),
+                NoiseScale(scale=D.Uniform(loc=0.2, scale=9.8)),
+            ]
+        )
+        sampler = EnsembleSampler(
+            32, model.num_params, model.posterior_fns, seed=0
+        )
+        sampler.init_state(
+            model.init_params_from_priors(32, random_state=rng)
+        )
+        sampler.run_burn(150)
+        sampler.reset()
+        sampler.run_sampling(100)
+        device_sync(sampler.state.positions)
+        scale_post = float(np.mean(sampler.flatchain[:, 1]))
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        assert 2.5 < scale_post < 6.5, scale_post
+        return dict(
+            name=f"noise scale (post {scale_post:.2f} ~ 4)", ok=True,
+            lnp=lnp, warm_s=time.time() - t0,
+        )
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="noise scale", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_model_criticism():
     """WAIC/PSIS-LOO pointwise replay + power-scaling sensitivity.
 
@@ -701,6 +761,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_model_criticism()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_noise_scale()
     results.append(r)
     print(f"## {r}", flush=True)
 
