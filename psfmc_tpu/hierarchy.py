@@ -1,0 +1,470 @@
+"""Hierarchical (population-level) inference over a target catalog.
+
+The reference's production endgame — measuring POPULATION properties
+(host-galaxy size/luminosity distributions, quasar/host flux ratios) —
+is done there by fitting targets one at a time and histogramming the
+point estimates, which both ignores the per-target uncertainties and
+cannot shrink poorly-constrained targets toward the population.  Here
+the whole catalog is ONE posterior:
+
+    ln P(theta_1..theta_K, phi | data)
+        = sum_k ln L_k(theta_k)                 (vmapped renders)
+        + sum_k ln pi_base(theta_k)             (non-governed priors)
+        + sum_k sum_j ln p_pop(theta_k[j] | phi) (population densities)
+        + ln p(phi)                             (hyper priors)
+
+sampled jointly with NUTS over the K*d + h dimensional space (the
+ensemble sampler is available for small K).  TPU-first: the K
+per-target likelihoods are a single ``vmap`` over a stacked
+observation axis — one compiled program evaluates the entire catalog's
+gradient per leapfrog step — exactly the axis :mod:`psfmc_tpu.batchfit`
+already shards.
+
+Usage::
+
+    from psfmc_tpu.hierarchy import NormalPopulation, fit_hierarchical
+
+    pop = {"1_Sersic_index": NormalPopulation(
+        mu=Uniform(loc=0.5, scale=5.0),
+        sigma=Uniform(loc=0.05, scale=3.0))}
+    res = fit_hierarchical(model, obs_stack, ivm_stack, population=pop,
+                           chains=4, burn=500, iterations=500)
+    print(res.summary())     # hyper posterior + shrunken targets
+
+Semantics notes:
+
+* A governed parameter KEEPS its original prior's support as a hard
+  truncation (the population density applies inside it).  This keeps
+  the NUTS bound-transforms exact and protects renderer domains
+  (e.g. a population on a Sersic index can never push a target to
+  index <= 0); choose the template prior's support generously.
+* v1 scope: single-band models, a single PSF (no discrete index),
+  scalar governed slots.  The target axis is fully data-parallel;
+  sharding it over a mesh follows the batchfit pattern.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "NormalPopulation",
+    "HierarchicalResult",
+    "fit_hierarchical",
+]
+
+
+class NormalPopulation:
+    """Gaussian population: governed values ~ N(mu, sigma) (truncated
+    to the governed parameter's original prior support).
+
+    ``mu`` and ``sigma`` are prior :class:`~psfmc_tpu.distributions.
+    Distribution` objects over the two hyperparameters; ``sigma``'s
+    prior should have positive support (a device-side guard rejects
+    sigma <= 0 regardless).
+    """
+
+    hyper_names = ("mu", "sigma")
+
+    def __init__(self, mu, sigma):
+        for name, d in (("mu", mu), ("sigma", sigma)):
+            if not hasattr(d, "jax_logp"):
+                raise TypeError(
+                    f"NormalPopulation {name}= must be a prior "
+                    f"distribution, got {type(d).__name__}"
+                )
+        self.mu = mu
+        self.sigma = sigma
+
+    @property
+    def hyper_dists(self):
+        return (self.mu, self.sigma)
+
+    def jax_logp(self, x, phi):
+        """Population log-density of governed values x (K,) given
+        phi = (mu, sigma).  -inf when sigma <= 0."""
+        mu, sigma = phi[0], phi[1]
+        safe = jnp.where(sigma > 0, sigma, 1.0)
+        lp = jnp.sum(
+            -0.5 * ((x - mu) / safe) ** 2
+            - jnp.log(safe)
+            - 0.5 * np.log(2.0 * np.pi)
+        )
+        return jnp.where(sigma > 0, lp, -jnp.inf)
+
+
+@dataclass
+class HierarchicalResult:
+    """Posterior of a hierarchical catalog fit.
+
+    ``target_mean``/``target_std`` are per-target marginal moments of
+    the SHRUNKEN posteriors; ``hyper_chain`` is the flattened hyper
+    posterior sample.
+    """
+
+    param_names: List[str]  # per-target slot names (d entries)
+    hyper_names: List[str]  # e.g. '1_Sersic_index:mu'
+    num_targets: int
+    target_mean: np.ndarray  # (K, d)
+    target_std: np.ndarray  # (K, d)
+    hyper_chain: np.ndarray  # (S, h)
+    governed: List[str] = field(default_factory=list)
+    diagnostics: Dict[str, float] = field(default_factory=dict)
+    flatchain: Optional[np.ndarray] = None  # (S, K*d + h)
+
+    @property
+    def hyper_mean(self) -> np.ndarray:
+        return self.hyper_chain.mean(axis=0)
+
+    @property
+    def hyper_std(self) -> np.ndarray:
+        return self.hyper_chain.std(axis=0)
+
+    def summary(self) -> str:
+        lines = [
+            f"hierarchical fit: {self.num_targets} targets, "
+            f"population on {self.governed}"
+        ]
+        m, s = self.hyper_mean, self.hyper_std
+        for i, name in enumerate(self.hyper_names):
+            lines.append(f"  {name:<28s} {m[i]:10.4g} +/- {s[i]:.4g}")
+        for k, v in self.diagnostics.items():
+            lines.append(f"  {k}: {v:.4g}")
+        return "\n".join(lines)
+
+
+class _HierarchicalFns:
+    """Duck-typed posterior bundle the samplers consume.
+
+    ``log_posterior`` is the joint catalog posterior; image
+    accumulation is disabled (``carry_images`` is empty — the
+    per-target posterior-mean images of a catalog fit are a replay
+    product, not a streaming one).
+    """
+
+    def __init__(self, base_fns, obs, k, governed_cols, bounds,
+                 populations, hyper_offsets, hyper_dists, base_prior):
+        from types import SimpleNamespace
+
+        self._fns = base_fns
+        self.dtype = base_fns.dtype
+        d = base_fns.spec.num_params
+        h = int(sum(len(p.hyper_dists) for p in populations))
+        self.k, self.d, self.h = int(k), int(d), h
+        self.spec = SimpleNamespace(
+            num_params=int(k) * d + h, num_psfs=1
+        )
+        self.programs: Dict = {}
+        self._obs = obs  # dict of (K, H, W) HOST numpy arrays
+        self._governed_cols = governed_cols
+        self._bounds = bounds
+        self._populations = populations
+        self._hyper_offsets = hyper_offsets
+        self._hyper_dists = hyper_dists
+        self._base_prior = base_prior
+
+        def log_posterior(big):
+            big = jnp.asarray(big, self.dtype)
+            thetas = big[: self.k * d].reshape(self.k, d)
+            phi = big[self.k * d :]
+
+            def lnl_one(th, od, ov, gp):
+                return base_fns.log_likelihood_obs(
+                    th, {"obs_data": od, "obs_var": ov, "good_px": gp}
+                )
+
+            lnl = jnp.sum(
+                jax.vmap(lnl_one)(
+                    thetas,
+                    jnp.asarray(self._obs["obs_data"]),
+                    jnp.asarray(self._obs["obs_var"]),
+                    jnp.asarray(self._obs["good_px"]),
+                )
+            )
+            lp = jnp.sum(jax.vmap(base_prior)(thetas)).astype(self.dtype)
+            for (col, (a, b)), pop, off in zip(
+                zip(governed_cols, bounds), populations, hyper_offsets
+            ):
+                x = thetas[:, col]
+                # truncation to the original prior support (see module
+                # docstring) — the NUTS transform already enforces it,
+                # the guard keeps the ensemble path consistent
+                if np.isfinite(a):
+                    lp = jnp.where(jnp.any(x < a), -jnp.inf, lp)
+                if np.isfinite(b):
+                    lp = jnp.where(jnp.any(x > b), -jnp.inf, lp)
+                nh = len(pop.hyper_dists)
+                lp = lp + pop.jax_logp(
+                    x, jax.lax.dynamic_slice(phi, (off,), (nh,))
+                )
+            for off, dist in enumerate(hyper_dists):
+                lp = lp + jnp.sum(dist.jax_logp(phi[off]))
+            out = jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
+            return jnp.where(jnp.isnan(out), -jnp.inf, out).astype(
+                self.dtype
+            )
+
+        self.log_posterior = log_posterior
+        self.carry_images = lambda theta: {}
+        self.ensemble_carry_means = lambda thetas: {}
+        self.log_posterior_and_images = lambda theta: (
+            log_posterior(theta), {}
+        )
+
+
+def _hyper_slots(populations, names, dists):
+    """ParamSlot list for the hyper block (transform building)."""
+    from .models.spec import ParamSlot
+
+    slots = []
+    for off, (name, dist) in enumerate(zip(names, dists)):
+        slots.append(
+            ParamSlot(
+                comp_index=-1,
+                attr=name,
+                offset=off,
+                size=1,
+                name=name,
+                fitsname=name[:8],
+                dist=dist,
+                is_discrete=False,
+            )
+        )
+    return slots
+
+
+class _HierTransform:
+    """K copies of the per-target bijection + the hyper bijection.
+
+    z layout mirrors theta: ``[K x base_z, hyper_z]``.
+    """
+
+    def __init__(self, base, hyper, k, d):
+        self.base = base
+        self.hyper = hyper
+        self.k = int(k)
+        self.d = int(d)
+        self.num_unconstrained = (
+            self.k * base.num_unconstrained + hyper.num_unconstrained
+        )
+        self.discrete_offsets = np.asarray([], np.int32)
+
+    def cache_token(self):
+        return ("hier", self.k, self.base.cache_token(),
+                self.hyper.cache_token())
+
+    def to_constrained(self, z):
+        bz = self.base.num_unconstrained
+        zt = z[: self.k * bz].reshape(self.k, bz)
+        th, ld = jax.vmap(self.base.to_constrained)(zt)
+        ph, ldh = self.hyper.to_constrained(z[self.k * bz :])
+        return (
+            jnp.concatenate([th.reshape(-1), ph]),
+            jnp.sum(ld) + ldh,
+        )
+
+    def to_unconstrained(self, theta):
+        theta = np.asarray(theta, np.float64)
+        squeeze = theta.ndim == 1
+        theta = np.atleast_2d(theta)
+        n = theta.shape[0]
+        per = theta[:, : self.k * self.d].reshape(n * self.k, self.d)
+        zt = self.base.to_unconstrained(per).reshape(n, -1)
+        zh = self.hyper.to_unconstrained(theta[:, self.k * self.d :])
+        z = np.concatenate([zt, np.atleast_2d(zh)], axis=1)
+        return z[0] if squeeze else z
+
+
+def fit_hierarchical(
+    model,
+    obs_stack,
+    ivm_stack,
+    population,
+    sampler="nuts",
+    chains=4,
+    nwalkers=None,
+    burn=500,
+    iterations=500,
+    seed=0,
+    max_depth=8,
+    init_pool=16,
+):
+    """Joint hierarchical fit of K stacked observations.
+
+    :param model: template model (instance / component list / model
+        file) — its Configuration supplies PSF/mask/zeropoint/geometry;
+        per-target priors come from its component priors.
+    :param obs_stack / ivm_stack: (K, H, W) stacks (same semantics as
+        :func:`psfmc_tpu.batchfit.fit_batch`).
+    :param population: dict mapping a SCALAR parameter trace name
+        (e.g. ``'1_Sersic_index'``) to a population object
+        (:class:`NormalPopulation`); that parameter's per-target prior
+        density is replaced by the population density (truncated to the
+        original support) and the population's hyperparameters are
+        sampled.
+    :param sampler: ``'nuts'`` (default — the joint space is
+        ``K*d + h`` dimensional, where gradients shine) or
+        ``'ensemble'`` (small K only; walkers default to
+        ``2*(K*d+h) + 2``).
+    :param chains: NUTS chains (vmapped).
+    :returns: :class:`HierarchicalResult`.
+    """
+    from .batchfit import prepare_obs_stack
+    from .models.multicomponent import as_model, slot_param_names
+    from .models.posterior import make_log_prior
+
+    model = as_model(model)
+    fns = model.posterior_fns
+    spec = model.spec
+    if getattr(spec, "band_specs", None) is not None or hasattr(
+        fns, "band_fns"
+    ):
+        raise NotImplementedError(
+            "fit_hierarchical v1 supports single-band models"
+        )
+    if getattr(spec, "num_psfs", 1) != 1:
+        raise NotImplementedError(
+            "fit_hierarchical v1 needs a single PSF (no discrete index)"
+        )
+    d = spec.num_params
+    obs = prepare_obs_stack(spec, obs_stack, ivm_stack,
+                            np.dtype(fns.dtype))
+    k = obs["obs_data"].shape[0]
+
+    if not population:
+        raise ValueError("population must name at least one parameter")
+    slot_by_name = {s.name: s for s in spec.slots}
+    governed_cols, bounds, populations = [], [], []
+    hyper_names, hyper_dists, hyper_offsets = [], [], []
+    for name, pop in population.items():
+        slot = slot_by_name.get(name)
+        if slot is None:
+            raise ValueError(
+                f"unknown parameter {name!r}: expected one of "
+                f"{sorted(slot_by_name)}"
+            )
+        if slot.size != 1:
+            raise ValueError(
+                f"population on {name!r}: vector slots (xy) are not "
+                "supported — govern scalar parameters"
+            )
+        governed_cols.append(int(slot.offset))
+        a, b = slot.dist.rv_frozen.support()
+        bounds.append((float(a), float(b)))
+        populations.append(pop)
+        hyper_offsets.append(len(hyper_dists))
+        for hname, hdist in zip(pop.hyper_names, pop.hyper_dists):
+            hyper_names.append(f"{name}:{hname}")
+            hyper_dists.append(hdist)
+
+    base_prior = make_log_prior(
+        [s for s in spec.slots if int(s.offset) not in governed_cols],
+        spec.comp_specs,
+        fns.dtype,
+    )
+    hier = _HierarchicalFns(
+        fns, obs, k, governed_cols, bounds, populations,
+        hyper_offsets, hyper_dists, base_prior,
+    )
+    dim = hier.spec.num_params
+
+    # initial positions: per-target prior draws + hyper prior draws
+    rng = np.random.RandomState(seed)
+
+    def draw(n):
+        per = model.init_params_from_priors(
+            n * k, random_state=rng
+        ).reshape(n, k * d)
+        hyp = np.column_stack(
+            [
+                np.ravel(hd.random(random_state=rng, size=n))
+                for hd in hyper_dists
+            ]
+        )
+        return np.concatenate([per, hyp], axis=1)
+
+    if sampler == "nuts":
+        from types import SimpleNamespace
+
+        from .models.transforms import UnconstrainingTransform
+        from .sampler.nuts import NUTSSampler
+
+        hyper_spec = SimpleNamespace(
+            slots=_hyper_slots(populations, hyper_names, hyper_dists),
+            comp_specs=[],
+            num_params=len(hyper_dists),
+        )
+        transform = _HierTransform(
+            fns_transform(fns, spec),
+            UnconstrainingTransform(hyper_spec, dtype=fns.dtype),
+            k,
+            d,
+        )
+        smp = NUTSSampler(
+            int(chains), dim, hier, seed=seed, max_depth=max_depth,
+            transform=transform,
+        )
+        smp.init_state(draw(int(chains) * int(init_pool)))
+        smp.run_burn(int(burn))
+        smp.reset()
+        smp.run_sampling(int(iterations))
+        diags = {
+            "divergences": float(smp._n_divergent),
+            "mean_accept": float(smp.acceptance_fraction.mean()),
+        }
+    elif sampler == "ensemble":
+        from .sampler.ensemble import EnsembleSampler
+
+        nw = nwalkers or 2 * dim + 2
+        if nw % 2:
+            nw += 1
+        smp = EnsembleSampler(nw, dim, hier, seed=seed)
+        smp.init_state(draw(nw))
+        smp.run_burn(int(burn))
+        smp.reset()
+        smp.run_sampling(int(iterations))
+        diags = {
+            "mean_accept": float(smp.acceptance_fraction.mean()),
+        }
+    else:
+        raise ValueError(
+            f"unknown sampler {sampler!r}: expected 'nuts' or 'ensemble'"
+        )
+
+    flat = np.asarray(smp.flatchain, np.float64)
+    per = flat[:, : k * d].reshape(len(flat), k, d)
+    res = HierarchicalResult(
+        param_names=slot_param_names(
+            list(spec.param_names), list(spec.param_lens)
+        ),
+        hyper_names=hyper_names,
+        num_targets=k,
+        target_mean=per.mean(axis=0),
+        target_std=per.std(axis=0),
+        hyper_chain=flat[:, k * d :],
+        governed=list(population.keys()),
+        diagnostics=diags,
+        flatchain=flat,
+    )
+    return res
+
+
+def fns_transform(fns, spec):
+    """Per-target transform (cached on the posterior bundle)."""
+    from .models.transforms import build_transform
+
+    cache = getattr(fns, "programs", None)
+    key = "hier_base_transform"
+    tr = cache.get(key) if cache is not None else None
+    if tr is None:
+        tr = build_transform(spec, dtype=fns.dtype)
+        if cache is not None:
+            cache[key] = tr
+    return tr
+
+

@@ -1119,6 +1119,20 @@ class PosteriorFns:
         lnl = self._lnlike(resid, ivm, obs["good_px"])
         return jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
 
+    def log_likelihood_obs(self, theta, obs):
+        """Data term against a *traced* observation (no prior).
+
+        The likelihood-only twin of :meth:`log_posterior_obs` — the
+        hierarchical population fit (:mod:`psfmc_tpu.hierarchy`) sums
+        one of these per target and evaluates its own joint prior over
+        the stacked parameter vector.
+        """
+        theta = jnp.asarray(theta, self.dtype)
+        imgs = self._images_impl(theta, obs_var=obs["obs_var"])
+        resid = obs["obs_data"] - imgs["conv"]
+        ivm = 1.0 / imgs["var"]
+        return self._lnlike(resid, ivm, obs["good_px"])
+
     def _render_images(self, theta):
         """All five reference image types (models.py:213-226 blobs)."""
         theta = jnp.asarray(theta, self.dtype)
