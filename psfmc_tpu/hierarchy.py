@@ -293,6 +293,7 @@ def fit_hierarchical(
     seed=0,
     max_depth=8,
     init_pool=16,
+    mesh=None,
 ):
     """Joint hierarchical fit of K stacked observations.
 
@@ -312,6 +313,9 @@ def fit_hierarchical(
         ``'ensemble'`` (small K only; walkers default to
         ``2*(K*d+h) + 2``).
     :param chains: NUTS chains (vmapped).
+    :param mesh: optional :func:`psfmc_tpu.parallel.walker_mesh` — the
+        CHAIN axis (NUTS) / walker axis (ensemble) shards over it, so
+        ``chains`` (or ``nwalkers``) should be a mesh multiple.
     :returns: :class:`HierarchicalResult`.
     """
     from .batchfit import prepare_obs_stack
@@ -405,9 +409,14 @@ def fit_hierarchical(
             k,
             d,
         )
+        sharding = None
+        if mesh is not None:
+            from .parallel.mesh import walker_sharding
+
+            sharding = walker_sharding(mesh)
         smp = NUTSSampler(
             int(chains), dim, hier, seed=seed, max_depth=max_depth,
-            transform=transform,
+            transform=transform, sharding=sharding,
         )
         smp.init_state(draw(int(chains) * int(init_pool)))
         smp.run_burn(int(burn))
@@ -423,7 +432,13 @@ def fit_hierarchical(
         nw = nwalkers or 2 * dim + 2
         if nw % 2:
             nw += 1
-        smp = EnsembleSampler(nw, dim, hier, seed=seed)
+        sharding = None
+        if mesh is not None:
+            from .parallel.mesh import walker_sharding
+
+            sharding = walker_sharding(mesh)
+        smp = EnsembleSampler(nw, dim, hier, seed=seed,
+                              sharding=sharding)
         smp.init_state(draw(nw))
         smp.run_burn(int(burn))
         smp.reset()
