@@ -627,6 +627,65 @@ def smoke_noise_scale():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_hierarchy():
+    """Hierarchical population NUTS on hardware.
+
+    The joint K*d+h posterior runs leapfrog gradients through a vmapped
+    per-target likelihood with host-numpy observation constants —
+    checks the whole new surface (custom composed transform, traced-obs
+    likelihood, population density) compiles and mixes on the chip.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.hierarchy import NormalPopulation, fit_hierarchical
+    from psfmc_tpu.models.components import Configuration, Sky
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    apply_knobs({})
+    rng = np.random.RandomState(0)
+    k, hw, noise = 6, 16, 0.6
+    psf = np.zeros((8, 8))
+    psf[4, 4] = 1.0
+    mu_true, sig_true = 0.4, 0.08
+    adus = mu_true + sig_true * rng.randn(k)
+    obs = adus[:, None, None] + rng.randn(k, hw, hw) * noise
+    ivm = np.full((k, hw, hw), 1.0 / noise**2)
+    t0 = time.time()
+    try:
+        model = MultiComponentModel(
+            [
+                Configuration(
+                    obs_file=np.zeros((hw, hw)),
+                    obsivm_file=ivm[0],
+                    psf_files=psf,
+                    psfivm_files=np.full_like(psf, 1e12),
+                    mag_zeropoint=25.0,
+                ),
+                Sky(adu=D.Uniform(loc=-2.0, scale=6.0)),
+            ]
+        )
+        res = fit_hierarchical(
+            model, obs, ivm,
+            population={"0_Sky_adu": NormalPopulation(
+                mu=D.Uniform(loc=-1.0, scale=3.0),
+                sigma=D.Uniform(loc=0.01, scale=0.6),
+            )},
+            sampler="nuts", chains=4, burn=100, iterations=100,
+            seed=1,
+        )
+        mu_hat = float(res.hyper_mean[0])
+        assert np.all(np.isfinite(res.hyper_chain))
+        assert abs(mu_hat - np.mean(adus)) < 0.3, mu_hat
+        return dict(
+            name=f"hierarchical NUTS (mu {mu_hat:.2f})", ok=True,
+            lnp=float(np.mean(res.hyper_chain[:, 0])),
+            warm_s=time.time() - t0,
+        )
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="hierarchical NUTS", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_model_criticism():
     """WAIC/PSIS-LOO pointwise replay + power-scaling sensitivity.
 
@@ -765,6 +824,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_noise_scale()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_hierarchy()
     results.append(r)
     print(f"## {r}", flush=True)
 
