@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Population-level inference demo: host-galaxy Sersic indices.
+
+Simulates a catalog of K host galaxies whose Sersic indices are drawn
+from a population N(mu, sigma), then recovers the population TWO ways:
+
+1. the reference-style workflow — independent fits (`fit_batch`),
+   histogram the point estimates (biased wide: measurement noise adds
+   in quadrature to the intrinsic spread), and
+2. the hierarchical posterior (`fit_hierarchical`) — one joint fit of
+   every target plus (mu, sigma), where poorly-measured targets shrink
+   toward the population and sigma is deconvolved from the noise.
+
+Prints both estimates against the truth.  Runs in ~a minute on CPU
+(`PSFMC_PLATFORM=cpu`, reduced K) and seconds warm on a TPU chip.
+"""
+import os
+import sys
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+
+import numpy as np
+
+K = int(os.environ.get("K", "12"))
+BURN = int(os.environ.get("BURN", "600"))
+ITERATIONS = int(os.environ.get("ITERATIONS", "600"))
+
+
+def main():
+    os.chdir(os.path.dirname(os.path.abspath(__file__)) or ".")
+    import jax
+
+    from psfmc_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
+
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.batchfit import fit_batch, simulate_stack
+    from psfmc_tpu.hierarchy import NormalPopulation, fit_hierarchical
+    from psfmc_tpu.models.components import Configuration, Sersic, Sky
+    from psfmc_tpu.models.multicomponent import (
+        MultiComponentModel,
+        slot_param_names,
+    )
+
+    rng = np.random.RandomState(42)
+    hw, noise = 32, 0.02
+    yy, xx = np.mgrid[0:11, 0:11].astype(float)
+    psf = np.exp(-((xx - 5) ** 2 + (yy - 5) ** 2) / (2 * 1.5**2))
+    psf /= psf.sum()
+
+    mu_true, sig_true = 2.0, 0.4
+    indices = np.clip(mu_true + sig_true * rng.randn(K), 0.5, 5.5)
+
+    model = MultiComponentModel(
+        [
+            Configuration(
+                obs_file=np.zeros((hw, hw)),
+                obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+                psf_files=psf,
+                psfivm_files=np.full_like(psf, 1e12),
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.05, scale=0.02)),
+            Sersic(
+                xy=D.Uniform(loc=(14.0, 14.0), scale=(4.0, 4.0)),
+                mag=D.Uniform(loc=20.0, scale=1.5),
+                reff=D.Uniform(loc=2.0, scale=3.0),
+                reff_b=D.Uniform(loc=1.5, scale=3.0),
+                index=D.Uniform(loc=0.4, scale=5.4),
+                angle=D.Uniform(loc=0.0, scale=180.0),
+                angle_degrees=True,
+            ),
+        ]
+    )
+    # inject the population indices into otherwise prior-drawn targets
+    names = slot_param_names(model.param_names, model.param_lens)
+    idx_col = names.index("1_Sersic_index")
+    thetas = model.init_params_from_priors(K, random_state=rng)
+    thetas[:, idx_col] = indices
+    obs, ivm, injected = simulate_stack(model, K, seed=7, thetas=thetas)
+
+    print(f"=== {K} mock hosts, index ~ N({mu_true}, {sig_true}) ===")
+
+    # 1. independent fits + histogram (the reference-style estimate)
+    res_ind = fit_batch(
+        model, obs, ivm, burn=BURN, iterations=ITERATIONS, seed=1
+    )
+    est = res_ind.mean[:, idx_col]
+    print(
+        "independent fits: sample mean "
+        f"{est.mean():.3f}, sample std {est.std(ddof=1):.3f} "
+        "(intrinsic + measurement, NOT deconvolved)"
+    )
+
+    # 2. hierarchical posterior
+    res = fit_hierarchical(
+        model, obs, ivm,
+        population={"1_Sersic_index": NormalPopulation(
+            mu=D.Uniform(loc=0.5, scale=5.0),
+            sigma=D.Uniform(loc=0.05, scale=2.0),
+        )},
+        sampler="nuts", chains=4, burn=BURN, iterations=ITERATIONS,
+        seed=2,
+    )
+    print(res.summary())
+    print(f"truth: mu {mu_true}, sigma {sig_true} "
+          f"(sample: {indices.mean():.3f}, {indices.std(ddof=1):.3f})")
+    print("\nper-target index: truth | independent | hierarchical")
+    for k in range(K):
+        print(
+            f"  {indices[k]:6.3f} | {res_ind.mean[k, idx_col]:6.3f} "
+            f"+/- {res_ind.std[k, idx_col]:.3f} | "
+            f"{res.target_mean[k, idx_col]:6.3f} "
+            f"+/- {res.target_std[k, idx_col]:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
