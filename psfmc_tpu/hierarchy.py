@@ -38,6 +38,19 @@ Semantics notes:
   the NUTS bound-transforms exact and protects renderer domains
   (e.g. a population on a Sersic index can never push a target to
   index <= 0); choose the template prior's support generously.
+* ``parametrization='noncentered'`` samples the standardized residual
+  ``eta_k`` instead of ``theta_k`` (``theta_k = reconstruct(eta_k,
+  phi)``, e.g. ``mu + sigma * eta_k``).  Because eta's prior scale no
+  longer depends on sigma, the small-sigma funnel that produces
+  divergent NUTS trajectories in the centered form disappears — use it
+  whenever the population width is data-limited (sigma posterior
+  reaching down to ~the per-target measurement error).  Trade-off: the
+  original-prior truncation becomes a hard wall in a moving location
+  (the bound-transform can no longer encode it), so trajectories that
+  cross the template support edge diverge — keep that support
+  generous.  Results (``target_mean``/``flatchain``) are always
+  reported in the CONSTRAINED theta space regardless of
+  parametrization.
 * v1 scope: single-band models, a single PSF (no discrete index),
   scalar governed slots.  The target axis is fully data-parallel;
   sharding it over a mesh follows the batchfit pattern.
@@ -54,28 +67,35 @@ import jax.numpy as jnp
 
 __all__ = [
     "NormalPopulation",
+    "LogNormalPopulation",
+    "StudentTPopulation",
     "HierarchicalResult",
     "fit_hierarchical",
 ]
 
+_LOG_2PI = float(np.log(2.0 * np.pi))
 
-class NormalPopulation:
-    """Gaussian population: governed values ~ N(mu, sigma) (truncated
-    to the governed parameter's original prior support).
 
-    ``mu`` and ``sigma`` are prior :class:`~psfmc_tpu.distributions.
-    Distribution` objects over the two hyperparameters; ``sigma``'s
-    prior should have positive support (a device-side guard rejects
-    sigma <= 0 regardless).
+class _LocScalePopulation:
+    """Shared plumbing for two-hyperparameter (mu, sigma) populations.
+
+    Subclasses define the centered density :meth:`jax_logp` and — when
+    a non-centered form exists — :meth:`reconstruct` (theta from the
+    standardized residual eta) + :meth:`eta_logp` / :meth:`eta_random`
+    (the phi-independent residual density / sampler).
     """
 
     hyper_names = ("mu", "sigma")
+    #: index into hyper_dists of the scale hyperparameter — its prior
+    #: must have nonnegative support under the non-centered form (a
+    #: negative sigma would make reconstruct() two-to-one).
+    scale_hyper_index = 1
 
     def __init__(self, mu, sigma):
         for name, d in (("mu", mu), ("sigma", sigma)):
             if not hasattr(d, "jax_logp"):
                 raise TypeError(
-                    f"NormalPopulation {name}= must be a prior "
+                    f"{type(self).__name__} {name}= must be a prior "
                     f"distribution, got {type(d).__name__}"
                 )
         self.mu = mu
@@ -85,6 +105,17 @@ class NormalPopulation:
     def hyper_dists(self):
         return (self.mu, self.sigma)
 
+
+class NormalPopulation(_LocScalePopulation):
+    """Gaussian population: governed values ~ N(mu, sigma) (truncated
+    to the governed parameter's original prior support).
+
+    ``mu`` and ``sigma`` are prior :class:`~psfmc_tpu.distributions.
+    Distribution` objects over the two hyperparameters; ``sigma``'s
+    prior should have positive support (a device-side guard rejects
+    sigma <= 0 regardless).
+    """
+
     def jax_logp(self, x, phi):
         """Population log-density of governed values x (K,) given
         phi = (mu, sigma).  -inf when sigma <= 0."""
@@ -93,9 +124,103 @@ class NormalPopulation:
         lp = jnp.sum(
             -0.5 * ((x - mu) / safe) ** 2
             - jnp.log(safe)
-            - 0.5 * np.log(2.0 * np.pi)
+            - 0.5 * _LOG_2PI
         )
         return jnp.where(sigma > 0, lp, -jnp.inf)
+
+    # -- non-centered form: theta = mu + sigma * eta, eta ~ N(0, 1) --
+    def reconstruct(self, eta, phi):
+        return phi[0] + phi[1] * eta
+
+    def eta_logp(self, eta):
+        return jnp.sum(-0.5 * eta**2 - 0.5 * _LOG_2PI)
+
+    def eta_random(self, random_state, size):
+        return random_state.standard_normal(size)
+
+
+class LogNormalPopulation(_LocScalePopulation):
+    """Log-normal population: ln(theta) ~ N(mu, sigma), theta > 0.
+
+    The natural choice for positive, multiplicatively-scattered
+    parameters (effective radii, fluxes): the population is skewed in
+    theta but the hyperparameters live on the symmetric log scale.
+    Values <= 0 get density -inf (the governed parameter's own prior
+    support should already be positive).
+    """
+
+    def jax_logp(self, x, phi):
+        mu, sigma = phi[0], phi[1]
+        safe = jnp.where(sigma > 0, sigma, 1.0)
+        ok = jnp.all(x > 0) & (sigma > 0)
+        xs = jnp.where(x > 0, x, 1.0)
+        lx = jnp.log(xs)
+        lp = jnp.sum(
+            -0.5 * ((lx - mu) / safe) ** 2
+            - jnp.log(safe)
+            - lx
+            - 0.5 * _LOG_2PI
+        )
+        return jnp.where(ok, lp, -jnp.inf)
+
+    # -- non-centered form: theta = exp(mu + sigma * eta) --
+    def reconstruct(self, eta, phi):
+        return jnp.exp(phi[0] + phi[1] * eta)
+
+    def eta_logp(self, eta):
+        return jnp.sum(-0.5 * eta**2 - 0.5 * _LOG_2PI)
+
+    def eta_random(self, random_state, size):
+        return random_state.standard_normal(size)
+
+
+class StudentTPopulation(_LocScalePopulation):
+    """Student-t population: (theta - mu)/sigma ~ t(df), df static.
+
+    Robust to outlier targets — a catalog contaminated by a few
+    misclassified or badly-fit objects drags a Gaussian population's
+    (mu, sigma) while the t population downweights them (same logic as
+    ``Configuration(likelihood='student')`` at the pixel level).
+    """
+
+    def __init__(self, mu, sigma, df=4.0):
+        super().__init__(mu, sigma)
+        df = float(df)
+        if not df > 0:
+            raise ValueError(f"df must be positive, got {df}")
+        self.df = df
+        from scipy.special import gammaln
+
+        # host-folded normalization (df is static)
+        self._lognorm = float(
+            gammaln((df + 1.0) / 2.0)
+            - gammaln(df / 2.0)
+            - 0.5 * np.log(df * np.pi)
+        )
+
+    def jax_logp(self, x, phi):
+        mu, sigma = phi[0], phi[1]
+        safe = jnp.where(sigma > 0, sigma, 1.0)
+        t = (x - mu) / safe
+        lp = jnp.sum(
+            self._lognorm
+            - 0.5 * (self.df + 1.0) * jnp.log1p(t * t / self.df)
+            - jnp.log(safe)
+        )
+        return jnp.where(sigma > 0, lp, -jnp.inf)
+
+    # -- non-centered form: theta = mu + sigma * eta, eta ~ t(df) --
+    def reconstruct(self, eta, phi):
+        return phi[0] + phi[1] * eta
+
+    def eta_logp(self, eta):
+        return jnp.sum(
+            self._lognorm
+            - 0.5 * (self.df + 1.0) * jnp.log1p(eta * eta / self.df)
+        )
+
+    def eta_random(self, random_state, size):
+        return random_state.standard_t(self.df, size)
 
 
 @dataclass
@@ -148,7 +273,8 @@ class _HierarchicalFns:
     """
 
     def __init__(self, base_fns, obs, k, governed_cols, bounds,
-                 populations, hyper_offsets, hyper_dists, base_prior):
+                 populations, hyper_offsets, hyper_dists, base_prior,
+                 noncentered=False, target_sharding=None):
         from types import SimpleNamespace
 
         self._fns = base_fns
@@ -167,11 +293,51 @@ class _HierarchicalFns:
         self._hyper_offsets = hyper_offsets
         self._hyper_dists = hyper_dists
         self._base_prior = base_prior
+        self.noncentered = bool(noncentered)
+        self._target_sharding = target_sharding
 
         def log_posterior(big):
             big = jnp.asarray(big, self.dtype)
-            thetas = big[: self.k * d].reshape(self.k, d)
+            sampled = big[: self.k * d].reshape(self.k, d)
             phi = big[self.k * d :]
+
+            thetas = sampled
+            lp = jnp.asarray(0.0, self.dtype)
+            for (col, (a, b)), pop, off in zip(
+                zip(governed_cols, bounds), populations, hyper_offsets
+            ):
+                nh = len(pop.hyper_dists)
+                phi_p = jax.lax.dynamic_slice(phi, (off,), (nh,))
+                if noncentered:
+                    # sampled value is the standardized residual eta;
+                    # its density is phi-independent (no funnel) and
+                    # theta is reconstructed for the likelihood
+                    eta = sampled[:, col]
+                    x = pop.reconstruct(eta, phi_p).astype(self.dtype)
+                    lp = lp + pop.eta_logp(eta)
+                else:
+                    x = sampled[:, col]
+                    lp = lp + pop.jax_logp(x, phi_p)
+                # truncation to the original prior support (see module
+                # docstring) — in the centered NUTS path the transform
+                # already enforces it; here it also guards the
+                # ensemble path and the non-centered moving wall
+                if np.isfinite(a):
+                    lp = jnp.where(jnp.any(x < a), -jnp.inf, lp)
+                if np.isfinite(b):
+                    lp = jnp.where(jnp.any(x > b), -jnp.inf, lp)
+                if noncentered:
+                    # clamp the value fed to the renderer into the
+                    # template support: the guard above already voids
+                    # the density outside, and an unclamped excursion
+                    # (e.g. Sersic index <= 0) would render NaN whose
+                    # gradient poisons BOTH branches of the final
+                    # where()
+                    if np.isfinite(a):
+                        x = jnp.maximum(x, jnp.asarray(a, self.dtype))
+                    if np.isfinite(b):
+                        x = jnp.minimum(x, jnp.asarray(b, self.dtype))
+                    thetas = thetas.at[:, col].set(x)
 
             def lnl_one(th, od, ov, gp):
                 return base_fns.log_likelihood_obs(
@@ -186,22 +352,9 @@ class _HierarchicalFns:
                     jnp.asarray(self._obs["good_px"]),
                 )
             )
-            lp = jnp.sum(jax.vmap(base_prior)(thetas)).astype(self.dtype)
-            for (col, (a, b)), pop, off in zip(
-                zip(governed_cols, bounds), populations, hyper_offsets
-            ):
-                x = thetas[:, col]
-                # truncation to the original prior support (see module
-                # docstring) — the NUTS transform already enforces it,
-                # the guard keeps the ensemble path consistent
-                if np.isfinite(a):
-                    lp = jnp.where(jnp.any(x < a), -jnp.inf, lp)
-                if np.isfinite(b):
-                    lp = jnp.where(jnp.any(x > b), -jnp.inf, lp)
-                nh = len(pop.hyper_dists)
-                lp = lp + pop.jax_logp(
-                    x, jax.lax.dynamic_slice(phi, (off,), (nh,))
-                )
+            lp = lp + jnp.sum(
+                jax.vmap(base_prior)(thetas)
+            ).astype(self.dtype)
             for off, dist in enumerate(hyper_dists):
                 lp = lp + jnp.sum(dist.jax_logp(phi[off]))
             out = jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
@@ -280,6 +433,64 @@ class _HierTransform:
         return z[0] if squeeze else z
 
 
+class _UnboundedStandin:
+    """Stand-in dist whose support is all of R — makes the
+    UnconstrainingTransform treat a governed slot as identity (the
+    non-centered residual eta is unbounded)."""
+
+    class _RV:
+        @staticmethod
+        def support():
+            return (-np.inf, np.inf)
+
+    rv_frozen = _RV()
+
+
+def _noncentered_transform(fns, spec, governed_cols):
+    """Per-target bijection with governed slots identity-mapped.
+
+    Built from a shallow slot copy whose governed dists report
+    unbounded support; cached on the posterior bundle per governed-set.
+    Axis-pair members (reff/reff_b etc.) cannot be governed
+    non-centered: their dependent-bound bijection would read the RAW
+    residual as the bound value.
+    """
+    import dataclasses
+    from types import SimpleNamespace
+
+    from .models.transforms import UnconstrainingTransform
+
+    cache = getattr(fns, "programs", None)
+    key = ("hier_nc_transform", tuple(sorted(governed_cols)))
+    tr = cache.get(key) if cache is not None else None
+    if tr is None:
+        gov = set(int(c) for c in governed_cols)
+        slots = [
+            dataclasses.replace(s, dist=_UnboundedStandin())
+            if int(s.offset) in gov
+            else s
+            for s in spec.slots
+        ]
+        mod = SimpleNamespace(
+            slots=slots,
+            comp_specs=spec.comp_specs,
+            num_params=spec.num_params,
+        )
+        tr = UnconstrainingTransform(mod, dtype=fns.dtype)
+        for zb, za, _kb in tr.reffb_pairs:
+            if int(tr.offsets[zb]) in gov or int(tr.offsets[za]) in gov:
+                raise ValueError(
+                    "parametrization='noncentered' cannot govern an "
+                    "axis-pair parameter (reff/reff_b, fwhm/fwhm_b, "
+                    "...): the dependent minor-axis bound needs the "
+                    "constrained value — use parametrization="
+                    "'centered'"
+                )
+        if cache is not None:
+            cache[key] = tr
+    return tr
+
+
 def fit_hierarchical(
     model,
     obs_stack,
@@ -294,6 +505,7 @@ def fit_hierarchical(
     max_depth=8,
     init_pool=16,
     mesh=None,
+    parametrization="centered",
 ):
     """Joint hierarchical fit of K stacked observations.
 
@@ -311,11 +523,19 @@ def fit_hierarchical(
     :param sampler: ``'nuts'`` (default — the joint space is
         ``K*d + h`` dimensional, where gradients shine) or
         ``'ensemble'`` (small K only; walkers default to
-        ``2*(K*d+h) + 2``).
+        ``2*(K*d+h) + 2``).  A minimal prior-initialized ensemble on
+        razor per-target posteriors mixes slowly — verified drive:
+        22 walkers x 500 burn sat at the hyper prior edge while 64
+        walkers x 2000 burn matched NUTS to 3 digits; prefer NUTS, or
+        give the ensemble ~4x the minimal walkers and a generous burn.
     :param chains: NUTS chains (vmapped).
     :param mesh: optional :func:`psfmc_tpu.parallel.walker_mesh` — the
         CHAIN axis (NUTS) / walker axis (ensemble) shards over it, so
         ``chains`` (or ``nwalkers``) should be a mesh multiple.
+    :param parametrization: ``'centered'`` (default — governed values
+        sampled directly) or ``'noncentered'`` (standardized residuals
+        sampled; kills the small-sigma funnel, see module docstring).
+        Results are reported in constrained theta space either way.
     :returns: :class:`HierarchicalResult`.
     """
     from .batchfit import prepare_obs_stack
@@ -342,6 +562,12 @@ def fit_hierarchical(
 
     if not population:
         raise ValueError("population must name at least one parameter")
+    if parametrization not in ("centered", "noncentered"):
+        raise ValueError(
+            f"unknown parametrization {parametrization!r}: expected "
+            "'centered' or 'noncentered'"
+        )
+    noncentered = parametrization == "noncentered"
     slot_by_name = {s.name: s for s in spec.slots}
     governed_cols, bounds, populations = [], [], []
     hyper_names, hyper_dists, hyper_offsets = [], [], []
@@ -365,6 +591,26 @@ def fit_hierarchical(
         for hname, hdist in zip(pop.hyper_names, pop.hyper_dists):
             hyper_names.append(f"{name}:{hname}")
             hyper_dists.append(hdist)
+        if noncentered:
+            if not hasattr(pop, "reconstruct"):
+                raise ValueError(
+                    f"{type(pop).__name__} defines no non-centered "
+                    "form (reconstruct/eta_logp) — use "
+                    "parametrization='centered'"
+                )
+            si = getattr(pop, "scale_hyper_index", None)
+            if si is not None:
+                lo_s = float(
+                    pop.hyper_dists[si].rv_frozen.support()[0]
+                )
+                if lo_s < 0:
+                    raise ValueError(
+                        f"population on {name!r}: the scale "
+                        "hyperparameter's prior must have nonnegative "
+                        "support under parametrization='noncentered' "
+                        "(a negative sigma makes theta = "
+                        "reconstruct(eta, phi) two-to-one)"
+                    )
 
     base_prior = make_log_prior(
         [s for s in spec.slots if int(s.offset) not in governed_cols],
@@ -374,23 +620,28 @@ def fit_hierarchical(
     hier = _HierarchicalFns(
         fns, obs, k, governed_cols, bounds, populations,
         hyper_offsets, hyper_dists, base_prior,
+        noncentered=noncentered,
     )
     dim = hier.spec.num_params
 
     # initial positions: per-target prior draws + hyper prior draws
+    # (governed columns hold eta under the non-centered form)
     rng = np.random.RandomState(seed)
 
     def draw(n):
         per = model.init_params_from_priors(
             n * k, random_state=rng
-        ).reshape(n, k * d)
+        ).reshape(n, k, d)
+        if noncentered:
+            for col, pop in zip(governed_cols, populations):
+                per[:, :, col] = pop.eta_random(rng, (n, k))
         hyp = np.column_stack(
             [
                 np.ravel(hd.random(random_state=rng, size=n))
                 for hd in hyper_dists
             ]
         )
-        return np.concatenate([per, hyp], axis=1)
+        return np.concatenate([per.reshape(n, k * d), hyp], axis=1)
 
     if sampler == "nuts":
         from types import SimpleNamespace
@@ -403,8 +654,13 @@ def fit_hierarchical(
             comp_specs=[],
             num_params=len(hyper_dists),
         )
+        base_tr = (
+            _noncentered_transform(fns, spec, governed_cols)
+            if noncentered
+            else fns_transform(fns, spec)
+        )
         transform = _HierTransform(
-            fns_transform(fns, spec),
+            base_tr,
             UnconstrainingTransform(hyper_spec, dtype=fns.dtype),
             k,
             d,
@@ -453,6 +709,23 @@ def fit_hierarchical(
 
     flat = np.asarray(smp.flatchain, np.float64)
     per = flat[:, : k * d].reshape(len(flat), k, d)
+    if noncentered:
+        # report constrained thetas: reconstruct governed columns from
+        # the sampled residuals + that sample's own hyperparameters
+        # (single-twin rule — same reconstruct() the posterior used)
+        for col, pop, off in zip(
+            governed_cols, populations, hyper_offsets
+        ):
+            nh = len(pop.hyper_dists)
+            phi_chain = jnp.asarray(
+                flat[:, k * d + off : k * d + off + nh]
+            )
+            eta_chain = jnp.asarray(per[:, :, col])
+            rec = jax.vmap(pop.reconstruct)(eta_chain, phi_chain)
+            per[:, :, col] = np.asarray(rec, np.float64)
+        flat = np.concatenate(
+            [per.reshape(len(flat), k * d), flat[:, k * d :]], axis=1
+        )
     res = HierarchicalResult(
         param_names=slot_param_names(
             list(spec.param_names), list(spec.param_lens)

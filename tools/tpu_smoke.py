@@ -675,8 +675,23 @@ def smoke_hierarchy():
         mu_hat = float(res.hyper_mean[0])
         assert np.all(np.isfinite(res.hyper_chain))
         assert abs(mu_hat - np.mean(adus)) < 0.3, mu_hat
+        # non-centered leg: identity-slot transform + reconstructed
+        # reporting must also survive hardware
+        res_nc = fit_hierarchical(
+            model, obs, ivm,
+            population={"0_Sky_adu": NormalPopulation(
+                mu=D.Uniform(loc=-1.0, scale=3.0),
+                sigma=D.Uniform(loc=0.01, scale=0.6),
+            )},
+            sampler="nuts", chains=4, burn=100, iterations=100,
+            seed=2, parametrization="noncentered",
+        )
+        mu_nc = float(res_nc.hyper_mean[0])
+        assert np.all(np.isfinite(res_nc.hyper_chain))
+        assert abs(mu_nc - mu_hat) < 0.3, (mu_hat, mu_nc)
         return dict(
-            name=f"hierarchical NUTS (mu {mu_hat:.2f})", ok=True,
+            name=(f"hierarchical NUTS (mu {mu_hat:.2f}, "
+                  f"nc {mu_nc:.2f})"), ok=True,
             lnp=float(np.mean(res.hyper_chain[:, 0])),
             warm_s=time.time() - t0,
         )
