@@ -344,14 +344,29 @@ class _HierarchicalFns:
                     th, {"obs_data": od, "obs_var": ov, "good_px": gp}
                 )
 
-            lnl = jnp.sum(
-                jax.vmap(lnl_one)(
-                    thetas,
-                    jnp.asarray(self._obs["obs_data"]),
-                    jnp.asarray(self._obs["obs_var"]),
-                    jnp.asarray(self._obs["good_px"]),
-                )
-            )
+            stacks = [
+                jnp.asarray(self._obs["obs_data"]),
+                jnp.asarray(self._obs["obs_var"]),
+                jnp.asarray(self._obs["good_px"]),
+            ]
+            if self._target_sharding is not None:
+                # shard the TARGET axis: each device renders its K/ndev
+                # targets; the only collective is the scalar psum of
+                # the per-target lnl sum below (chains replicate).
+                # Only the UNBATCHED obs constants carry the
+                # constraint — thetas is chain-batched when the
+                # sampler vmaps this function, and a leading-axis spec
+                # would shard chains instead; XLA propagates the
+                # partition to the renders from the obs contraction.
+                # Constants stay host numpy until this traced
+                # constraint — never committed arrays (axon d2h).
+                stacks = [
+                    jax.lax.with_sharding_constraint(
+                        s, self._target_sharding
+                    )
+                    for s in stacks
+                ]
+            lnl = jnp.sum(jax.vmap(lnl_one)(thetas, *stacks))
             lp = lp + jnp.sum(
                 jax.vmap(base_prior)(thetas)
             ).astype(self.dtype)
@@ -505,6 +520,7 @@ def fit_hierarchical(
     max_depth=8,
     init_pool=16,
     mesh=None,
+    shard="chains",
     parametrization="centered",
 ):
     """Joint hierarchical fit of K stacked observations.
@@ -529,9 +545,16 @@ def fit_hierarchical(
         walkers x 2000 burn matched NUTS to 3 digits; prefer NUTS, or
         give the ensemble ~4x the minimal walkers and a generous burn.
     :param chains: NUTS chains (vmapped).
-    :param mesh: optional :func:`psfmc_tpu.parallel.walker_mesh` — the
-        CHAIN axis (NUTS) / walker axis (ensemble) shards over it, so
-        ``chains`` (or ``nwalkers``) should be a mesh multiple.
+    :param mesh: optional :func:`psfmc_tpu.parallel.walker_mesh` — see
+        ``shard`` for which axis it splits.
+    :param shard: which axis rides the mesh.  ``'chains'`` (default)
+        shards the NUTS chain / ensemble walker axis — right when
+        chains >= devices.  ``'targets'`` shards the K-target axis
+        inside the vmapped likelihood instead (chains replicate):
+        each device renders its K/ndev targets and the only collective
+        is the scalar psum of the per-target lnL sum — right for
+        big catalogs sampled with a handful of NUTS chains (K should
+        be a mesh multiple for even splits).
     :param parametrization: ``'centered'`` (default — governed values
         sampled directly) or ``'noncentered'`` (standardized residuals
         sampled; kills the small-sigma funnel, see module docstring).
@@ -617,10 +640,36 @@ def fit_hierarchical(
         spec.comp_specs,
         fns.dtype,
     )
+    if shard not in ("chains", "targets"):
+        raise ValueError(
+            f"unknown shard {shard!r}: expected 'chains' or 'targets'"
+        )
+    target_sharding = None
+    if mesh is not None and shard == "targets":
+        from .parallel.mesh import walker_sharding
+
+        target_sharding = walker_sharding(mesh)
+        if fns.conv_mode == "fft" and jax.default_backend() == "cpu":
+            # XLA's CPU fft thunk RET_CHECKs on the non-dim0-major
+            # layout the target partition propagates into the batched
+            # rfft2 (fft_thunk.cc LayoutUtil::IsMonotonicWithDim0Major,
+            # measured 2026-08-19); the dft matmul path shards fine
+            # and is the TPU default anyway.
+            import warnings
+
+            from .models.posterior import build_posterior
+
+            warnings.warn(
+                "shard='targets' with the CPU fft convolution hits an "
+                "XLA CPU fft layout limitation — using the dft "
+                "convolution for this fit"
+            )
+            fns = build_posterior(spec, dtype=fns.dtype,
+                                  conv_mode="dft")
     hier = _HierarchicalFns(
         fns, obs, k, governed_cols, bounds, populations,
         hyper_offsets, hyper_dists, base_prior,
-        noncentered=noncentered,
+        noncentered=noncentered, target_sharding=target_sharding,
     )
     dim = hier.spec.num_params
 
@@ -666,7 +715,7 @@ def fit_hierarchical(
             d,
         )
         sharding = None
-        if mesh is not None:
+        if mesh is not None and shard == "chains":
             from .parallel.mesh import walker_sharding
 
             sharding = walker_sharding(mesh)
@@ -689,7 +738,7 @@ def fit_hierarchical(
         if nw % 2:
             nw += 1
         sharding = None
-        if mesh is not None:
+        if mesh is not None and shard == "chains":
             from .parallel.mesh import walker_sharding
 
             sharding = walker_sharding(mesh)

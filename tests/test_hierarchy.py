@@ -530,6 +530,71 @@ def test_noncentered_validation(rng, gaussian_psf):
         )
 
 
+def test_target_sharded_matches_unsharded(rng):
+    """shard='targets' splits the K-target axis over the mesh inside
+    the vmapped likelihood (chains replicate); the posterior must
+    agree with the unsharded run, and the positions stay usable."""
+    from psfmc_tpu.parallel.mesh import walker_mesh
+
+    k, hw = 8, 12  # K a mesh multiple (8 virtual devices)
+    noise = 0.5
+    obs, ivm, _ = _sky_stacks(rng, k, hw, noise, 0.3, 0.08)
+    model = _sky_model(hw, noise)
+    pop = {
+        "0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-1.0, scale=3.0),
+            sigma=D.Uniform(loc=0.01, scale=0.6),
+        )
+    }
+    kwargs = dict(
+        sampler="nuts", chains=4, burn=300, iterations=300, seed=61
+    )
+    r_plain = fit_hierarchical(model, obs, ivm, population=pop,
+                               **kwargs)
+    r_shard = fit_hierarchical(
+        model, obs, ivm, population=pop,
+        mesh=walker_mesh(), shard="targets", **kwargs,
+    )
+    # sharding only changes the reduction layout: same trajectories up
+    # to f32 reassociation -> posterior summaries must agree tightly
+    assert abs(
+        r_plain.hyper_chain[:, 0].mean()
+        - r_shard.hyper_chain[:, 0].mean()
+    ) < 0.05
+    np.testing.assert_allclose(
+        r_shard.target_mean[:, 0], r_plain.target_mean[:, 0],
+        atol=0.05,
+    )
+    with pytest.raises(ValueError, match="unknown shard"):
+        fit_hierarchical(
+            model, obs, ivm, population=pop,
+            mesh=walker_mesh(), shard="typo", **kwargs,
+        )
+
+
+def test_target_sharded_ensemble_path(rng):
+    """The ensemble leg under shard='targets' (walker axis replicated,
+    target axis split)."""
+    from psfmc_tpu.parallel.mesh import walker_mesh
+
+    k, hw = 8, 12
+    noise = 0.5
+    obs, ivm, _ = _sky_stacks(rng, k, hw, noise, 0.3, 0.08)
+    model = _sky_model(hw, noise)
+    res = fit_hierarchical(
+        model, obs, ivm,
+        population={"0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-1.0, scale=3.0),
+            sigma=D.Uniform(loc=0.01, scale=0.6),
+        )},
+        sampler="ensemble", burn=600, iterations=600, seed=62,
+        mesh=walker_mesh(), shard="targets",
+    )
+    y_k = obs.mean(axis=(1, 2))
+    assert abs(res.hyper_mean[0] - y_k.mean()) < 0.15, res.summary()
+    assert np.all(np.abs(res.target_mean[:, 0] - y_k) < 0.25)
+
+
 def test_noncentered_ensemble_path(rng):
     """The ensemble sampler works under the non-centered form too (the
     guard + clamp live in the posterior, not the transform)."""
