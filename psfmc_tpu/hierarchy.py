@@ -51,9 +51,23 @@ Semantics notes:
   generous.  Results (``target_mean``/``flatchain``) are always
   reported in the CONSTRAINED theta space regardless of
   parametrization.
-* v1 scope: single-band models, a single PSF (no discrete index),
-  scalar governed slots.  The target axis is fully data-parallel;
-  sharding it over a mesh follows the batchfit pattern.
+* multiple PSFs: the discrete PSF index is MARGINALIZED per target
+  (the joint marginal over K index slots factorizes because lnL sums
+  over targets — one logsumexp over the PSF stack inside the vmapped
+  per-target likelihood, cost ~num_psfs x), exactly like the regular
+  NUTS sampler (sampler/nuts.py).  The reported chain's index columns
+  are Gibbs-sampled back per retained draw from the exact conditional.
+  Governing the index itself is rejected.
+* multi-band: a :class:`psfmc_tpu.models.JointModel` template works
+  directly (one obs/ivm stack per band, like
+  :func:`psfmc_tpu.batchfit.fit_batch`): per-target lnL sums the band
+  likelihoods against the GLOBAL slot layout (``Tied`` shares
+  structure), the slot prior + all band constraints evaluate once via
+  the joint comp_specs, and any band's stochastic PSF index
+  marginalizes independently.
+* v1 scope: scalar governed slots.  The target axis is fully
+  data-parallel; ``shard='targets'`` rides it over a mesh following
+  the batchfit pattern.
 """
 from __future__ import annotations
 
@@ -262,6 +276,113 @@ class HierarchicalResult:
             lines.append(f"  {k}: {v:.4g}")
         return "\n".join(lines)
 
+    def save(self, db_name, meta=None):
+        """Write the hierarchical trace as a FITS database.
+
+        One TRACE bintable (same extension name as the regular trace
+        database, so ``plot_chain``/``corner_plot`` work on it by
+        column name): per-target columns ``T{t}_<slot>`` in layout
+        order, then the hyper columns under their ``<param>:<hyper>``
+        names.  Governed names ride one ``GOVERN{i}`` card each
+        (a joined CSV would silently truncate at the 68-char FITS
+        card limit — the checkpoint nswap lesson).
+        """
+        from collections import OrderedDict
+
+        from .database import annotate_metadata
+        from .io.table import Table
+        from .parallel.multihost import barrier, is_primary
+
+        if self.flatchain is None:
+            raise ValueError(
+                "no flatchain on this result — nothing to save"
+            )
+        k, d = self.num_targets, len(self.param_names)
+        cols = OrderedDict()
+        for t in range(k):
+            for j, nm in enumerate(self.param_names):
+                cols[f"T{t}_{nm}"] = self.flatchain[:, t * d + j]
+        for j, nm in enumerate(self.hyper_names):
+            cols[nm] = self.flatchain[:, k * d + j]
+        m = OrderedDict(meta or {})
+        m["MCHIER"] = (1, "hierarchical population fit")
+        m["NTARGETS"] = (k, "targets in the joint posterior")
+        for i, g in enumerate(self.governed):
+            m[f"GOVERN{i}"] = (g, "population-governed parameter")
+        if "divergences" in self.diagnostics:
+            m["MCNDIV"] = (
+                float(self.diagnostics["divergences"]),
+                "divergent NUTS trajectories",
+            )
+        if "mean_accept" in self.diagnostics:
+            m["MCACCEPT"] = (
+                float(self.diagnostics["mean_accept"]),
+                "mean acceptance",
+            )
+        tbl = Table(cols, meta=annotate_metadata(m))
+        if is_primary():
+            tbl.write(db_name, format="fits", extname="TRACE")
+        barrier("save_hierarchical")
+        return tbl
+
+
+def load_hierarchical_result(db_name):
+    """Rebuild a :class:`HierarchicalResult` from ``save()`` output."""
+    import re
+
+    from .io.table import Table
+
+    tbl = Table.read(db_name, extname="TRACE")
+    meta = tbl.meta
+    if not meta.get("MCHIER"):
+        raise ValueError(
+            f"{db_name!r} is not a hierarchical trace database"
+        )
+    k = int(meta["NTARGETS"])
+    governed = []
+    for i in range(len(meta)):
+        key = f"GOVERN{i}"
+        if key not in meta:
+            break
+        governed.append(meta[key])
+    names, hyper_names = [], []
+    per_cols, hyper_cols = [], []
+    pat = re.compile(r"^T(\d+)_(.+)$")
+    for cname in tbl.colnames:
+        mm = pat.match(cname)
+        if mm:
+            if int(mm.group(1)) == 0:
+                names.append(mm.group(2))
+            per_cols.append(cname)
+        else:
+            hyper_names.append(cname)
+            hyper_cols.append(cname)
+    d = len(names)
+    n = len(tbl[per_cols[0]])
+    flat = np.empty((n, k * d + len(hyper_cols)), np.float64)
+    for t in range(k):
+        for j, nm in enumerate(names):
+            flat[:, t * d + j] = np.asarray(tbl[f"T{t}_{nm}"])
+    for j, cname in enumerate(hyper_cols):
+        flat[:, k * d + j] = np.asarray(tbl[cname])
+    per = flat[:, : k * d].reshape(n, k, d)
+    diags = {}
+    if "MCNDIV" in meta:
+        diags["divergences"] = float(meta["MCNDIV"])
+    if "MCACCEPT" in meta:
+        diags["mean_accept"] = float(meta["MCACCEPT"])
+    return HierarchicalResult(
+        param_names=names,
+        hyper_names=hyper_names,
+        num_targets=k,
+        target_mean=per.mean(axis=0),
+        target_std=per.std(axis=0),
+        hyper_chain=flat[:, k * d :],
+        governed=governed,
+        diagnostics=diags,
+        flatchain=flat,
+    )
+
 
 class _HierarchicalFns:
     """Duck-typed posterior bundle the samplers consume.
@@ -272,21 +393,20 @@ class _HierarchicalFns:
     product, not a streaming one).
     """
 
-    def __init__(self, base_fns, obs, k, governed_cols, bounds,
+    def __init__(self, bands, d, k, governed_cols, bounds,
                  populations, hyper_offsets, hyper_dists, base_prior,
                  noncentered=False, target_sharding=None):
         from types import SimpleNamespace
 
-        self._fns = base_fns
-        self.dtype = base_fns.dtype
-        d = base_fns.spec.num_params
+        self._bands = bands  # [{"fns", "obs", "psf": (col, npsf)|None}]
+        self.dtype = bands[0]["fns"].dtype
+        d = int(d)
         h = int(sum(len(p.hyper_dists) for p in populations))
-        self.k, self.d, self.h = int(k), int(d), h
+        self.k, self.d, self.h = int(k), d, h
         self.spec = SimpleNamespace(
             num_params=int(k) * d + h, num_psfs=1
         )
         self.programs: Dict = {}
-        self._obs = obs  # dict of (K, H, W) HOST numpy arrays
         self._governed_cols = governed_cols
         self._bounds = bounds
         self._populations = populations
@@ -295,6 +415,9 @@ class _HierarchicalFns:
         self._base_prior = base_prior
         self.noncentered = bool(noncentered)
         self._target_sharding = target_sharding
+        # discrete PSF-index columns being marginalized (reporting
+        # Gibbs pass + init pinning read this)
+        self.psf_margs = [b["psf"] for b in bands if b["psf"]]
 
         def log_posterior(big):
             big = jnp.asarray(big, self.dtype)
@@ -339,16 +462,47 @@ class _HierarchicalFns:
                         x = jnp.minimum(x, jnp.asarray(b, self.dtype))
                     thetas = thetas.at[:, col].set(x)
 
-            def lnl_one(th, od, ov, gp):
-                return base_fns.log_likelihood_obs(
-                    th, {"obs_data": od, "obs_var": ov, "good_px": gp}
-                )
+            def lnl_one(th, *flat):
+                tot = jnp.asarray(0.0, self.dtype)
+                for bi, band in enumerate(self._bands):
+                    od, ov, gp = flat[3 * bi : 3 * bi + 3]
+                    o = {"obs_data": od, "obs_var": ov, "good_px": gp}
+                    f = band["fns"]
+                    if band["psf"] is None:
+                        tot = tot + f.log_likelihood_obs(th, o)
+                        continue
+                    # discrete PSF index marginalized PER TARGET (the
+                    # joint marginal over K x bands index slots
+                    # factorizes: lnL sums over targets AND bands, and
+                    # each band's term depends only on its own index) —
+                    # same logsumexp the regular NUTS sampler uses
+                    # (sampler/nuts.py _marginal_lnpost).  The uniform
+                    # 1/num_psfs mixture weight is NOT added here:
+                    # base_prior evaluates the DiscreteUniform density
+                    # at the inert index column (placeholder 0, inside
+                    # support), contributing exactly -ln(num_psfs).
+                    col, npsf = band["psf"]
+                    lps = jnp.stack(
+                        [
+                            f.log_likelihood_obs(
+                                th.at[col].set(
+                                    jnp.asarray(j, th.dtype)
+                                ),
+                                o,
+                            )
+                            for j in range(npsf)
+                        ]
+                    )
+                    tot = tot + jax.scipy.special.logsumexp(lps)
+                return tot
 
-            stacks = [
-                jnp.asarray(self._obs["obs_data"]),
-                jnp.asarray(self._obs["obs_var"]),
-                jnp.asarray(self._obs["good_px"]),
-            ]
+            stacks = []
+            for band in self._bands:
+                stacks += [
+                    jnp.asarray(band["obs"]["obs_data"]),
+                    jnp.asarray(band["obs"]["obs_var"]),
+                    jnp.asarray(band["obs"]["good_px"]),
+                ]
             if self._target_sharding is not None:
                 # shard the TARGET axis: each device renders its K/ndev
                 # targets; the only collective is the scalar psum of
@@ -383,6 +537,90 @@ class _HierarchicalFns:
         self.log_posterior_and_images = lambda theta: (
             log_posterior(theta), {}
         )
+
+    def gibbs_psf_indices(self, per, seed, chunk=256):
+        """Per-draw, per-target PSF indices for the reported chain.
+
+        Sampling marginalizes the discrete indices out of the posterior
+        (the index columns ride inert at 0); reporting Gibbs-samples
+        them back per retained draw from the exact conditional
+        p(j | theta_k, y_k) ∝ exp(lnl_kj) — the hierarchical analogue
+        of the regular NUTS sampler's per-draw Gibbs pass.  Each
+        marginalized band's conditional is independent given theta
+        (its lnl term is the only one touching its index).
+
+        :param per: (n, k, d) constrained per-target thetas.
+        :returns: dict ``{theta_column: (n, k) float indices}``.
+        """
+        rng = np.random.RandomState(seed)
+        n = per.shape[0]
+        result = {}
+        for band in self._bands:
+            if band["psf"] is None:
+                continue
+            col, npsf = band["psf"]
+            f = band["fns"]
+            obs = [
+                jnp.asarray(band["obs"]["obs_data"]),
+                jnp.asarray(band["obs"]["obs_var"]),
+                jnp.asarray(band["obs"]["good_px"]),
+            ]
+
+            def lnls_one_draw(theta_kd, _f=f, _col=col, _n=npsf,
+                              _obs=obs):
+                def per_target(th, od, ov, gp):
+                    o = {"obs_data": od, "obs_var": ov, "good_px": gp}
+                    return jnp.stack(
+                        [
+                            _f.log_likelihood_obs(
+                                th.at[_col].set(
+                                    jnp.asarray(j, th.dtype)
+                                ),
+                                o,
+                            )
+                            for j in range(_n)
+                        ]
+                    )
+
+                return jax.vmap(per_target)(theta_kd, *_obs)
+
+            prog = jax.jit(jax.vmap(lnls_one_draw))
+            out = np.zeros(per.shape[:2], np.float64)
+            for lo in range(0, n, chunk):
+                block = per[lo : lo + chunk]
+                m = block.shape[0]
+                if m < chunk and n > chunk:
+                    # pad the tail chunk to the compiled shape
+                    block = np.concatenate(
+                        [block,
+                         np.repeat(block[-1:], chunk - m, axis=0)]
+                    )
+                lnls = np.asarray(
+                    prog(jnp.asarray(block, self.dtype)), np.float64
+                )[:m]
+                # Gumbel-max categorical draw per (draw, target)
+                g = rng.gumbel(size=lnls.shape)
+                out[lo : lo + chunk] = np.argmax(lnls + g, axis=-1)
+            result[col] = out
+        return result
+
+
+def _psf_marg_for(band_spec):
+    """(theta_column, num_psfs) when the band's PSF index is sampled,
+    else None (single PSF, or index held constant)."""
+    npsf = int(getattr(band_spec, "num_psfs", 1))
+    if npsf == 1:
+        return None
+    cs = next(
+        (c for c in band_spec.comp_specs if c.kind == "psfselector"),
+        None,
+    )
+    if cs is None:
+        return None
+    kind, payload = cs.params["psf_index"]
+    if kind != "theta":
+        return None
+    return (int(payload[0]), npsf)
 
 
 def _hyper_slots(populations, names, dists):
@@ -526,10 +764,14 @@ def fit_hierarchical(
     """Joint hierarchical fit of K stacked observations.
 
     :param model: template model (instance / component list / model
-        file) — its Configuration supplies PSF/mask/zeropoint/geometry;
-        per-target priors come from its component priors.
-    :param obs_stack / ivm_stack: (K, H, W) stacks (same semantics as
-        :func:`psfmc_tpu.batchfit.fit_batch`).
+        file, single-band or :class:`psfmc_tpu.models.JointModel`) —
+        its Configuration(s) supply PSF/mask/zeropoint/geometry;
+        per-target priors come from its component priors.  Multi-PSF
+        templates marginalize the discrete index per target (see
+        module docstring).
+    :param obs_stack / ivm_stack: (K, H, W) stacks — or, for a joint
+        model, a LIST of one (K, H_b, W_b) stack per band (same
+        semantics as :func:`psfmc_tpu.batchfit.fit_batch`).
     :param population: dict mapping a SCALAR parameter trace name
         (e.g. ``'1_Sersic_index'``) to a population object
         (:class:`NormalPopulation`); that parameter's per-target prior
@@ -568,20 +810,37 @@ def fit_hierarchical(
     model = as_model(model)
     fns = model.posterior_fns
     spec = model.spec
-    if getattr(spec, "band_specs", None) is not None or hasattr(
-        fns, "band_fns"
-    ):
-        raise NotImplementedError(
-            "fit_hierarchical v1 supports single-band models"
-        )
-    if getattr(spec, "num_psfs", 1) != 1:
-        raise NotImplementedError(
-            "fit_hierarchical v1 needs a single PSF (no discrete index)"
-        )
     d = spec.num_params
-    obs = prepare_obs_stack(spec, obs_stack, ivm_stack,
-                            np.dtype(fns.dtype))
-    k = obs["obs_data"].shape[0]
+    band_specs = getattr(spec, "band_specs", None)
+    if band_specs is None:
+        band_specs = [spec]
+        band_fns_list = [fns]
+        obs_stacks, ivm_stacks = [obs_stack], [ivm_stack]
+    else:
+        band_fns_list = fns.band_fns
+        if len(obs_stack) != len(band_specs) or len(ivm_stack) != len(
+            band_specs
+        ):
+            raise ValueError(
+                f"joint fit_hierarchical needs one obs/ivm stack per "
+                f"band ({len(band_specs)}), got {len(obs_stack)}/"
+                f"{len(ivm_stack)}"
+            )
+        obs_stacks, ivm_stacks = list(obs_stack), list(ivm_stack)
+    bands = []
+    k = None
+    for bs, bf, ob_s, iv_s in zip(
+        band_specs, band_fns_list, obs_stacks, ivm_stacks
+    ):
+        ob = prepare_obs_stack(bs, ob_s, iv_s, np.dtype(fns.dtype))
+        k_b = ob["obs_data"].shape[0]
+        if k is None:
+            k = k_b
+        elif k_b != k:
+            raise ValueError(
+                f"bands disagree on target count: {k_b} vs {k}"
+            )
+        bands.append({"fns": bf, "obs": ob, "psf": _psf_marg_for(bs)})
 
     if not population:
         raise ValueError("population must name at least one parameter")
@@ -605,6 +864,11 @@ def fit_hierarchical(
             raise ValueError(
                 f"population on {name!r}: vector slots (xy) are not "
                 "supported — govern scalar parameters"
+            )
+        if slot.is_discrete:
+            raise ValueError(
+                f"population on {name!r}: the discrete PSF index is "
+                "marginalized, not governed"
             )
         governed_cols.append(int(slot.offset))
         a, b = slot.dist.rv_frozen.support()
@@ -649,7 +913,9 @@ def fit_hierarchical(
         from .parallel.mesh import walker_sharding
 
         target_sharding = walker_sharding(mesh)
-        if fns.conv_mode == "fft" and jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu" and any(
+            b["fns"].conv_mode == "fft" for b in bands
+        ):
             # XLA's CPU fft thunk RET_CHECKs on the non-dim0-major
             # layout the target partition propagates into the batched
             # rfft2 (fft_thunk.cc LayoutUtil::IsMonotonicWithDim0Major,
@@ -664,10 +930,14 @@ def fit_hierarchical(
                 "XLA CPU fft layout limitation — using the dft "
                 "convolution for this fit"
             )
-            fns = build_posterior(spec, dtype=fns.dtype,
-                                  conv_mode="dft")
+            for b in bands:
+                if b["fns"].conv_mode == "fft":
+                    b["fns"] = build_posterior(
+                        b["fns"].spec, dtype=b["fns"].dtype,
+                        conv_mode="dft",
+                    )
     hier = _HierarchicalFns(
-        fns, obs, k, governed_cols, bounds, populations,
+        bands, d, k, governed_cols, bounds, populations,
         hyper_offsets, hyper_dists, base_prior,
         noncentered=noncentered, target_sharding=target_sharding,
     )
@@ -681,6 +951,11 @@ def fit_hierarchical(
         per = model.init_params_from_priors(
             n * k, random_state=rng
         ).reshape(n, k, d)
+        for col, _npsf in hier.psf_margs:
+            # the index is marginalized: pin its columns at 0 so the
+            # inert coordinates stay valid under base_prior (a frozen
+            # all-equal coordinate is stable under stretch/DE moves)
+            per[:, :, col] = 0.0
         if noncentered:
             for col, pop in zip(governed_cols, populations):
                 per[:, :, col] = pop.eta_random(rng, (n, k))
@@ -772,6 +1047,16 @@ def fit_hierarchical(
             eta_chain = jnp.asarray(per[:, :, col])
             rec = jax.vmap(pop.reconstruct)(eta_chain, phi_chain)
             per[:, :, col] = np.asarray(rec, np.float64)
+        flat = np.concatenate(
+            [per.reshape(len(flat), k * d), flat[:, k * d :]], axis=1
+        )
+    if hier.psf_margs:
+        # Gibbs-sample the marginalized indices back per retained draw
+        # (exact conditionals) so the reported chain carries them like
+        # the regular trace database's PSF_Index column(s)
+        for col, idx in hier.gibbs_psf_indices(per, seed=seed + 1
+                                               ).items():
+            per[:, :, col] = idx
         flat = np.concatenate(
             [per.reshape(len(flat), k * d), flat[:, k * d :]], axis=1
         )

@@ -8,6 +8,7 @@ recovery on PointSource mocks, and the input-validation surface.
 """
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from psfmc_tpu import distributions as D
@@ -235,6 +236,307 @@ def test_validation_errors(rng, gaussian_psf):
     ivm2 = np.full((3, 16, 16), 400.0)
     with pytest.raises(ValueError, match="vector"):
         fit_hierarchical(m2, obs2, ivm2, {"0_PointSource_xy": pop})
+
+
+# ---------------------------------------------------------------------
+# multi-PSF: per-target marginalization of the discrete index
+# ---------------------------------------------------------------------
+
+def _two_psfs(hw=16, sigmas=(1.5, 1.8)):
+    yy, xx = np.mgrid[:hw, :hw] - (hw - 1) / 2.0
+    r2 = xx**2 + yy**2
+    out = []
+    for s in sigmas:
+        p = np.exp(-r2 / (2 * s**2))
+        out.append(p / p.sum())
+    return out
+
+
+def _ps_model_two_psf(hw, noise, sigmas=(1.5, 1.8)):
+    p1, p2 = _two_psfs(sigmas=sigmas)
+    return MultiComponentModel(
+        [
+            Configuration(
+                obs_file=np.zeros((hw, hw)),
+                obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+                psf_files=[p1, p2],
+                psfivm_files=[np.full_like(p1, 1e12)] * 2,
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.0, scale=0.05)),
+            PointSource(
+                xy=D.Uniform(loc=(6.0, 6.0), scale=(4.0, 4.0)),
+                mag=D.Uniform(loc=19.5, scale=2.5),
+            ),
+        ]
+    )
+
+
+def test_multipsf_marginal_lnpost_exact(rng):
+    """The hierarchical joint lnpost with num_psfs=2 equals the manual
+    per-target logsumexp over indices + the uniform 1/num_psfs weight
+    (which rides in base_prior's DiscreteUniform term at the inert
+    index column) + the continuous priors."""
+    from psfmc_tpu.hierarchy import _HierarchicalFns
+    from psfmc_tpu.batchfit import prepare_obs_stack
+    from psfmc_tpu.models.posterior import make_log_prior
+
+    hw, noise, k = 16, 0.05, 2
+    model = _ps_model_two_psf(hw, noise)
+    fns = model.posterior_fns
+    spec = model.spec
+    obs_stack = 0.1 + rng.randn(k, hw, hw) * noise
+    ivm_stack = np.full((k, hw, hw), 1.0 / noise**2)
+    obs = prepare_obs_stack(spec, obs_stack, ivm_stack,
+                            np.dtype(fns.dtype))
+    d = spec.num_params
+    slot = {s.name: s for s in spec.slots}["1_PointSource_mag"]
+    gov_col = int(slot.offset)
+    psf_col = next(int(s.offset) for s in spec.slots if s.is_discrete)
+    pop = NormalPopulation(
+        mu=D.Uniform(loc=19.5, scale=2.5),
+        sigma=D.Uniform(loc=0.02, scale=1.5),
+    )
+    base_prior = make_log_prior(
+        [s for s in spec.slots if int(s.offset) != gov_col],
+        spec.comp_specs, fns.dtype,
+    )
+    hier = _HierarchicalFns(
+        [{"fns": fns, "obs": obs, "psf": (psf_col, 2)}], d, k,
+        [gov_col],
+        [tuple(map(float, slot.dist.rv_frozen.support()))], [pop],
+        [0], list(pop.hyper_dists), base_prior,
+    )
+    thetas = model.init_params_from_priors(k, random_state=rng)
+    thetas[:, psf_col] = 0.0
+    phi = np.array([20.5, 0.3])
+    big = np.concatenate([thetas.reshape(-1), phi])
+
+    got = float(hier.log_posterior(jnp.asarray(big)))
+    # manual: continuous priors + pop density + per-target
+    # logsumexp_j lnl_j - ln 2
+    expect = float(pop.jax_logp(jnp.asarray(thetas[:, gov_col]),
+                                jnp.asarray(phi)))
+    for hd, v in zip(pop.hyper_dists, phi):
+        expect += float(hd.jax_logp(jnp.asarray(v)))
+    for t in range(k):
+        th = jnp.asarray(thetas[t], fns.dtype)
+        expect += float(base_prior(th))
+        o = {"obs_data": jnp.asarray(obs["obs_data"][t]),
+             "obs_var": jnp.asarray(obs["obs_var"][t]),
+             "good_px": jnp.asarray(obs["good_px"][t])}
+        lps = [float(fns.log_likelihood_obs(th.at[psf_col].set(j), o))
+               for j in (0.0, 1.0)]
+        expect += float(jax.scipy.special.logsumexp(jnp.asarray(lps)))
+    np.testing.assert_allclose(got, expect, rtol=2e-5)
+
+
+def _multipsf_workload(sigmas, seed_mags=23):
+    from psfmc_tpu.batchfit import simulate_stack
+
+    hw, noise, k = 16, 0.01, 6
+    gen = _ps_model_two_psf(hw, noise, sigmas=sigmas)
+    rng2 = np.random.RandomState(seed_mags)
+    thetas = gen.init_params_from_priors(k, random_state=rng2)
+    mags = 20.5 + 0.25 * rng2.randn(k)
+    thetas[:, 1] = mags
+    thetas[:, 4] = 1.0  # every mock rendered with PSF index 1
+    obs, ivm, _ = simulate_stack(gen, k, seed=7, thetas=thetas)
+    res = fit_hierarchical(
+        gen, obs, ivm,
+        population={"1_PointSource_mag": NormalPopulation(
+            mu=D.Uniform(loc=19.5, scale=2.5),
+            sigma=D.Uniform(loc=0.02, scale=1.5),
+        )},
+        sampler="nuts", chains=4, burn=400, iterations=400, seed=8,
+    )
+    idx_cols = res.flatchain[:, [t * 5 + 4 for t in range(6)]]
+    return res, mags, idx_cols
+
+
+@pytest.mark.slow
+def test_multipsf_identical_psfs_anchor(rng):
+    """CALIBRATION anchor: with two IDENTICAL PSF realizations the
+    inter-PSF mismatch variance is zero and the marginalized posterior
+    must collapse to the single-PSF one — tight, unbiased recovery —
+    while the Gibbs indices are exactly uniform (no information)."""
+    res, mags, idx_cols = _multipsf_workload(sigmas=(1.5, 1.5))
+    assert abs(res.hyper_mean[0] - np.mean(mags)) < 0.15, res.summary()
+    assert np.all(np.abs(res.target_mean[:, 1] - mags) < 0.05)
+    assert set(np.unique(idx_cols)) <= {0.0, 1.0}
+    assert 0.3 < idx_cols.mean() < 0.7, idx_cols.mean(axis=0)
+
+
+@pytest.mark.slow
+def test_multipsf_population_recovery(rng):
+    """K point sources convolved with the BROADER of two distinct
+    PSFs: the Gibbs-filled index columns identify the true PSF and the
+    population is recovered within the posterior's OWN errors.
+
+    With distinct realizations the inter-PSF mismatch variance
+    (reference utils.py:136-157 parity, io/preprocess.py
+    calculate_psf_variability) dominates the bright PS core: per-target
+    mags are honestly WIDE (the model doubts its own PSF) and the
+    var-proportional-to-model ln-det term can shift the mode — so the
+    asserts here are calibration checks against the claimed stds, not
+    tight truth recovery (that's the identical-PSF anchor's job)."""
+    res, mags, idx_cols = _multipsf_workload(sigmas=(1.5, 1.8))
+    assert abs(res.hyper_mean[0] - np.mean(mags)) < (
+        4 * res.hyper_std[0] + 0.02
+    ), res.summary()
+    assert np.all(
+        np.abs(res.target_mean[:, 1] - mags)
+        < 4 * res.target_std[:, 1] + 0.05
+    ), (res.target_mean[:, 1] - mags, res.target_std[:, 1])
+    # index columns carry the Gibbs draws: the true PSF is identified
+    assert set(np.unique(idx_cols)) <= {0.0, 1.0}
+    assert idx_cols.mean() > 0.8, idx_cols.mean(axis=0)
+    assert np.all(res.target_mean[:, 4] > 0.5), res.target_mean[:, 4]
+
+
+def test_multipsf_ensemble_and_validation(rng):
+    """Ensemble path under marginalization (inert index columns stay
+    pinned), plus governing the index is rejected."""
+    hw, noise, k = 16, 0.05, 3
+    model = _ps_model_two_psf(hw, noise)
+    obs = 0.1 + rng.randn(k, hw, hw) * noise
+    ivm = np.full((k, hw, hw), 1.0 / noise**2)
+    pop = {
+        "0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-0.5, scale=1.0),
+            sigma=D.Uniform(loc=0.005, scale=0.3),
+        )
+    }
+    res = fit_hierarchical(
+        model, obs, ivm, population=pop, sampler="ensemble",
+        burn=200, iterations=100, seed=6,
+    )
+    assert np.all(np.isfinite(res.hyper_chain))
+    # index columns were Gibbs-filled with integers
+    idx_cols = res.flatchain[:, [t * 5 + 4 for t in range(k)]]
+    assert set(np.unique(idx_cols)) <= {0.0, 1.0}
+    with pytest.raises(ValueError, match="marginalized"):
+        fit_hierarchical(
+            model, obs, ivm,
+            population={"PSF_Index": NormalPopulation(
+                mu=D.Uniform(loc=0.0, scale=1.0),
+                sigma=D.Uniform(loc=0.01, scale=0.5),
+            )},
+        )
+
+
+# ---------------------------------------------------------------------
+# joint multi-band hierarchical fits
+# ---------------------------------------------------------------------
+
+def _joint_sky_model(hw_a, hw_b, noise, npsf_b=1):
+    """Two Sky-only bands (mixed shapes); band B optionally multi-PSF."""
+    from psfmc_tpu.models.joint import JointModel
+
+    def _cfg(hw, psfs):
+        return Configuration(
+            obs_file=np.zeros((hw, hw)),
+            obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+            psf_files=psfs if len(psfs) > 1 else psfs[0],
+            psfivm_files=(
+                [np.full_like(psfs[0], 1e12)] * len(psfs)
+                if len(psfs) > 1
+                else np.full_like(psfs[0], 1e12)
+            ),
+            mag_zeropoint=25.0,
+        )
+
+    def _delta(hw):
+        p = np.zeros((8, 8))
+        p[4, 4] = 1.0
+        return p
+
+    psfs_b = [_delta(hw_b)]
+    if npsf_b > 1:
+        blur = np.full((8, 8), 0.0)
+        blur[3:6, 3:6] = 1 / 9.0
+        psfs_b.append(blur)
+    return JointModel(
+        [
+            [_cfg(hw_a, [_delta(hw_a)]),
+             Sky(adu=D.Uniform(loc=-2.0, scale=6.0))],
+            [_cfg(hw_b, psfs_b),
+             Sky(adu=D.Uniform(loc=-2.0, scale=6.0))],
+        ]
+    )
+
+
+@pytest.mark.slow
+def test_joint_multiband_hierarchy(rng):
+    """Population on band A's sky level across K two-band targets
+    (mixed band shapes): hyper + per-target recovery against the
+    per-band MLEs, band B's independent levels untouched."""
+    k, hw_a, hw_b, noise = 6, 12, 8, 0.4
+    model = _joint_sky_model(hw_a, hw_b, noise)
+    adus_a = 0.5 + 0.06 * rng.randn(k)
+    adus_b = 1.2 + 0.3 * rng.randn(k)
+    obs_a = adus_a[:, None, None] + rng.randn(k, hw_a, hw_a) * noise
+    obs_b = adus_b[:, None, None] + rng.randn(k, hw_b, hw_b) * noise
+    ivm_a = np.full((k, hw_a, hw_a), 1.0 / noise**2)
+    ivm_b = np.full((k, hw_b, hw_b), 1.0 / noise**2)
+    res = fit_hierarchical(
+        model, [obs_a, obs_b], [ivm_a, ivm_b],
+        population={"0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-1.0, scale=3.0),
+            sigma=D.Uniform(loc=0.005, scale=0.8),
+        )},
+        sampler="nuts", chains=4, burn=400, iterations=400, seed=71,
+    )
+    y_a = obs_a.mean(axis=(1, 2))
+    y_b = obs_b.mean(axis=(1, 2))
+    s_a = noise / hw_a
+    assert abs(res.hyper_mean[0] - y_a.mean()) < (
+        4 * res.hyper_std[0] + 0.02
+    ), res.summary()
+    # governed band-A levels shrink toward the population...
+    np.testing.assert_allclose(
+        res.target_mean[:, 0], y_a, atol=5 * s_a
+    )
+    # ...while band B's levels just follow their own data
+    np.testing.assert_allclose(
+        res.target_mean[:, 1], y_b, atol=5 * noise / hw_b
+    )
+    # stack-count validation
+    with pytest.raises(ValueError, match="one obs/ivm stack per"):
+        fit_hierarchical(
+            model, [obs_a], [ivm_a],
+            population={"0_Sky_adu": NormalPopulation(
+                mu=D.Uniform(loc=-1.0, scale=3.0),
+                sigma=D.Uniform(loc=0.005, scale=0.8),
+            )},
+        )
+
+
+def test_joint_multiband_hierarchy_multipsf(rng):
+    """Structural check: a joint template whose second band carries a
+    stochastic 2-PSF selector runs under hierarchy (band-local
+    marginalization) and reports Gibbs-filled integer index columns."""
+    k, hw_a, hw_b, noise = 3, 12, 8, 0.4
+    model = _joint_sky_model(hw_a, hw_b, noise, npsf_b=2)
+    obs_a = 0.5 + rng.randn(k, hw_a, hw_a) * noise
+    obs_b = 1.2 + rng.randn(k, hw_b, hw_b) * noise
+    ivm_a = np.full((k, hw_a, hw_a), 1.0 / noise**2)
+    ivm_b = np.full((k, hw_b, hw_b), 1.0 / noise**2)
+    res = fit_hierarchical(
+        model, [obs_a, obs_b], [ivm_a, ivm_b],
+        population={"0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-1.0, scale=3.0),
+            sigma=D.Uniform(loc=0.005, scale=0.8),
+        )},
+        sampler="ensemble", burn=200, iterations=100, seed=72,
+    )
+    assert np.all(np.isfinite(res.hyper_chain))
+    d = model.num_params
+    idx_col = next(
+        i for i, n in enumerate(res.param_names) if "PSF_Index" in n
+    )
+    idx = res.flatchain[:, [t * d + idx_col for t in range(k)]]
+    assert set(np.unique(idx)) <= {0.0, 1.0}
 
 
 # ---------------------------------------------------------------------
@@ -593,6 +895,46 @@ def test_target_sharded_ensemble_path(rng):
     y_k = obs.mean(axis=(1, 2))
     assert abs(res.hyper_mean[0] - y_k.mean()) < 0.15, res.summary()
     assert np.all(np.abs(res.target_mean[:, 0] - y_k) < 0.25)
+
+
+def test_save_load_roundtrip(rng, tmp_path):
+    """HierarchicalResult.save -> load_hierarchical_result rebuilds
+    the result exactly (column layout, governed cards, diagnostics)."""
+    from psfmc_tpu.hierarchy import load_hierarchical_result
+
+    k, hw = 3, 12
+    noise = 0.5
+    obs, ivm, _ = _sky_stacks(rng, k, hw, noise, 0.3, 0.08)
+    model = _sky_model(hw, noise)
+    res = fit_hierarchical(
+        model, obs, ivm,
+        population={"0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-1.0, scale=3.0),
+            sigma=D.Uniform(loc=0.01, scale=0.6),
+        )},
+        sampler="nuts", chains=2, burn=100, iterations=100, seed=81,
+    )
+    db = str(tmp_path / "hier_db.fits")
+    res.save(db)
+    back = load_hierarchical_result(db)
+    assert back.param_names == res.param_names
+    assert back.hyper_names == res.hyper_names
+    assert back.num_targets == k
+    assert back.governed == ["0_Sky_adu"]
+    np.testing.assert_allclose(back.flatchain, res.flatchain,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(back.hyper_mean, res.hyper_mean)
+    assert back.diagnostics["divergences"] == (
+        res.diagnostics["divergences"]
+    )
+    # a non-hierarchical file is rejected loudly
+    other = str(tmp_path / "plain.fits")
+    from psfmc_tpu.io.table import Table
+
+    Table({"x": np.arange(4.0)}).write(other, format="fits",
+                                       extname="TRACE")
+    with pytest.raises(ValueError, match="not a hierarchical"):
+        load_hierarchical_result(other)
 
 
 def test_noncentered_ensemble_path(rng):

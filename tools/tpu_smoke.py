@@ -701,6 +701,81 @@ def smoke_hierarchy():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_hierarchy_multipsf():
+    """Multi-PSF hierarchical fit on hardware.
+
+    Exercises the per-target PSF-index marginalization (a stacked
+    logsumexp of at[col].set likelihood evals inside the vmapped
+    per-target lnl, inside the NUTS while_loop) and the post-hoc Gibbs
+    index replay (a fresh jitted vmapped program + argmax d2h) — both
+    new compute structures vs the single-PSF hierarchy probe.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.batchfit import simulate_stack
+    from psfmc_tpu.hierarchy import NormalPopulation, fit_hierarchical
+    from psfmc_tpu.models.components import (
+        Configuration,
+        PointSource,
+        Sky,
+    )
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    apply_knobs({})
+    k, hw, noise = 4, 16, 0.01
+    yy, xx = np.mgrid[:hw, :hw] - (hw - 1) / 2.0
+    r2 = xx**2 + yy**2
+    p1 = np.exp(-r2 / (2 * 1.5**2))
+    p1 /= p1.sum()
+    p2 = np.exp(-r2 / (2 * 1.8**2))
+    p2 /= p2.sum()
+    t0 = time.time()
+    try:
+        gen = MultiComponentModel(
+            [
+                Configuration(
+                    obs_file=np.zeros((hw, hw)),
+                    obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+                    psf_files=[p1, p2],
+                    psfivm_files=[np.full_like(p1, 1e12)] * 2,
+                    mag_zeropoint=25.0,
+                ),
+                Sky(adu=D.Normal(loc=0.0, scale=0.05)),
+                PointSource(
+                    xy=D.Uniform(loc=(6.0, 6.0), scale=(4.0, 4.0)),
+                    mag=D.Uniform(loc=19.5, scale=2.5),
+                ),
+            ]
+        )
+        rng2 = np.random.RandomState(23)
+        thetas = gen.init_params_from_priors(k, random_state=rng2)
+        thetas[:, 1] = 20.5 + 0.25 * rng2.randn(k)
+        thetas[:, 4] = 1.0  # rendered with PSF index 1
+        obs, ivm, _ = simulate_stack(gen, k, seed=7, thetas=thetas)
+        res = fit_hierarchical(
+            gen, obs, ivm,
+            population={"1_PointSource_mag": NormalPopulation(
+                mu=D.Uniform(loc=19.5, scale=2.5),
+                sigma=D.Uniform(loc=0.02, scale=1.5),
+            )},
+            sampler="nuts", chains=4, burn=100, iterations=100,
+            seed=8,
+        )
+        assert np.all(np.isfinite(res.hyper_chain))
+        idx = res.flatchain[:, [t * 5 + 4 for t in range(k)]]
+        assert set(np.unique(idx)) <= {0.0, 1.0}
+        frac1 = float(idx.mean())
+        assert frac1 > 0.6, frac1  # true PSF identified
+        return dict(
+            name=f"hierarchical multi-PSF (idx1 {frac1:.2f})",
+            ok=True, lnp=float(np.mean(res.hyper_chain[:, 0])),
+            warm_s=time.time() - t0,
+        )
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="hierarchical multi-PSF", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_model_criticism():
     """WAIC/PSIS-LOO pointwise replay + power-scaling sensitivity.
 
@@ -843,6 +918,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_hierarchy()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_hierarchy_multipsf()
     results.append(r)
     print(f"## {r}", flush=True)
 
