@@ -127,6 +127,45 @@ def main():
             f"+/- {res.target_std[k, idx_col]:.3f}"
         )
 
+    # 3. the inferred population itself: what a NEW catalog member's
+    # index would be, hyperparameter uncertainty folded in (wider than
+    # N(mu_hat, sigma_hat) exactly by the hyper posterior spread)
+    pred = res.predict_population(n=20000, seed=3)["1_Sersic_index"]
+    q = np.percentile(pred, [16, 50, 84])
+    print(
+        f"\npredictive population: median {q[1]:.3f}, "
+        f"68% interval [{q[0]:.3f}, {q[2]:.3f}] "
+        f"(truth N({mu_true}, {sig_true}): "
+        f"[{mu_true - sig_true:.3f}, {mu_true + sig_true:.3f}])"
+    )
+
+    # 4. population-family comparison via grouped cross-validation
+    # (leave-one-TARGET-out PSIS-LOO): Normal vs outlier-robust
+    # StudentT scatter on the same catalog
+    from psfmc_tpu.analysis.model_comparison import compare
+    from psfmc_tpu.hierarchy import StudentTPopulation, loo_targets
+
+    res_t = fit_hierarchical(
+        model, obs, ivm,
+        population={"1_Sersic_index": StudentTPopulation(
+            mu=D.Uniform(loc=0.5, scale=5.0),
+            sigma=D.Uniform(loc=0.05, scale=2.0),
+            df=4.0,
+        )},
+        sampler="nuts", chains=4, burn=BURN, iterations=ITERATIONS,
+        seed=4,
+    )
+    loo_n = loo_targets(model, obs, ivm, res, max_samples=400)
+    loo_t = loo_targets(model, obs, ivm, res_t, max_samples=400)
+    d, sd = compare(loo_n, loo_t)
+    print(
+        f"grouped LOO (Normal vs StudentT population): "
+        f"delta_elpd {d:+.2f} +/- {sd:.2f} "
+        f"({'Normal' if d > 0 else 'StudentT'} preferred; "
+        "|delta| < ~2 sigma means the data cannot tell — expected "
+        "here, the mock population IS Gaussian and K is small)"
+    )
+
 
 if __name__ == "__main__":
     main()

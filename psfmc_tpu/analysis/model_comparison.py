@@ -51,6 +51,35 @@ __all__ = [
 # pointwise log-likelihood matrix
 # ---------------------------------------------------------------------------
 
+def robust_lnp_keep(lnp):
+    """Keep-mask over retained rows: drop burn-in leakage by lnp floor.
+
+    The floor is a generous robust bound (median - max(50, 20 * 1.4826
+    * MAD)): genuine posterior lnp spread is ~sqrt(dim/2), so nothing
+    within dozens of its sigmas is touched; rows from still-descending
+    walkers at lnp ~ -1e6 (posterior weight e^-1e6, sample frequency
+    ~0.5%) ARE dropped — harmless to posterior-mean images, fatal to
+    per-point density variances (measured: 0.5% such rows turned
+    p_eff ~ 11 into 7e6 and flagged 44% of pixels k > 0.7).  Warns
+    when anything is dropped.  Shared by the pixel-level replay and
+    :func:`psfmc_tpu.hierarchy.target_loglike`.
+    """
+    lnp = np.asarray(lnp, np.float64)
+    med = np.median(lnp)
+    mad = np.median(np.abs(lnp - med))
+    floor = med - max(50.0, 20.0 * 1.4826 * mad)
+    keep = lnp >= floor
+    ndrop = int(np.sum(~keep))
+    if ndrop:
+        warnings.warn(
+            f"dropping {ndrop}/{keep.size} retained rows with lnp "
+            f"below {floor:.1f} (posterior median {med:.1f}) before "
+            "replay — burn-in leakage from late-converging walkers; "
+            "if this is more than a few percent, extend the burn"
+        )
+    return keep
+
+
 def _resolve_thetas(model, database, thetas, max_samples):
     if thetas is None:
         if database is None:
@@ -59,33 +88,15 @@ def _resolve_thetas(model, database, thetas, max_samples):
             )
         # Drop non-posterior debris before replay.  Two layers:
         # (1) fully-stuck walkers (reference images.py:44 semantics);
-        # (2) individual rows whose lnp sits catastrophically below the
-        # posterior bulk — walkers that were still descending when
-        # retention started leave a few early rows at lnp ~ -1e6 whose
-        # true posterior weight is e^-1e6 but whose sample frequency is
-        # ~0.5%.  Harmless to a posterior-mean image, fatal to
-        # per-pixel density VARIANCES: measured on the flagship
-        # example, 0.5% such rows turned p_eff ~ 11 into 7e6 and
-        # flagged 44% of pixels k > 0.7.  The floor is a generous
-        # robust bound (median - max(50, 20 * 1.4826 * MAD)): genuine
-        # posterior lnp spread is ~sqrt(dim/2), so nothing within
-        # dozens of its sigmas is touched.
+        # (2) individual rows below the robust lnp floor (see
+        # robust_lnp_keep — per-point density variances have zero
+        # tolerance for burn-in leakage posterior means shrug off).
         from ..database import filter_lowp_walkers
 
         database = filter_lowp_walkers(database, percentile=10)
         lnp = np.asarray(database["lnprobability"], np.float64)
-        med = np.median(lnp)
-        mad = np.median(np.abs(lnp - med))
-        floor = med - max(50.0, 20.0 * 1.4826 * mad)
-        keep = lnp >= floor
-        ndrop = int(np.sum(~keep))
-        if ndrop:
-            warnings.warn(
-                f"dropping {ndrop}/{keep.size} retained rows with lnp "
-                f"below {floor:.1f} (posterior median {med:.1f}) before "
-                "replay — burn-in leakage from late-converging walkers; "
-                "if this is more than a few percent, extend the burn"
-            )
+        keep = robust_lnp_keep(lnp)
+        if not keep.all():
             database = database[keep]
         thetas = model.thetas_from_database(database)
         if len(thetas) > max_samples:
@@ -194,7 +205,7 @@ class ELPDResult:
     ``pareto_k`` is per pixel for PSIS-LOO, ``None`` for WAIC.
     """
 
-    kind: str  # 'waic' | 'loo'
+    kind: str  # 'waic' | 'loo' | 'loo-target'
     elpd: float
     p_eff: float
     se: float
@@ -202,6 +213,9 @@ class ELPDResult:
     elpd_i: np.ndarray
     pareto_k: Optional[np.ndarray] = None
     notes: List[str] = field(default_factory=list)
+    #: what one data point is ('pixels'; 'targets' for the
+    #: hierarchical grouped LOO, psfmc_tpu.hierarchy.loo_targets)
+    unit: str = "pixels"
 
     @property
     def n_points(self) -> int:
@@ -213,17 +227,22 @@ class ELPDResult:
         return -2.0 * self.elpd
 
     def summary(self) -> str:
-        name = {"waic": "WAIC", "loo": "PSIS-LOO"}[self.kind]
+        name = {
+            "waic": "WAIC",
+            "loo": "PSIS-LOO",
+            # hierarchical leave-one-TARGET-out (hierarchy.loo_targets)
+            "loo-target": "PSIS-LOO (targets)",
+        }[self.kind]
         lines = [
             f"{name}: elpd = {self.elpd:.1f} +/- {self.se:.1f} "
-            f"({self.n_points} pixels, {self.n_samples} draws)",
+            f"({self.n_points} {self.unit}, {self.n_samples} draws)",
             f"  p_eff = {self.p_eff:.2f}",
         ]
         if self.pareto_k is not None:
             k = self.pareto_k
             lines.append(
                 f"  pareto_k: max {np.max(k):.2f}, "
-                f"{int(np.sum(k > 0.7))} pixels > 0.7"
+                f"{int(np.sum(k > 0.7))} {self.unit} > 0.7"
             )
         lines.extend(f"  WARNING: {n}" for n in self.notes)
         return "\n".join(lines)
@@ -233,12 +252,14 @@ class ELPDResult:
 # WAIC
 # ---------------------------------------------------------------------------
 
-def waic(model=None, database=None, loglike=None, **kw):
+def waic(model=None, database=None, loglike=None, unit="pixels", **kw):
     """WAIC (Watanabe 2010) from a fit.
 
     Either pass ``loglike`` (an (S, N) matrix from
     :func:`pointwise_loglike`) directly, or ``model`` + ``database``
     and it is computed on device.  Returns :class:`ELPDResult`.
+    ``unit`` names what one data point is ('pixels', or e.g. 'targets'
+    for a :func:`psfmc_tpu.hierarchy.target_loglike` matrix).
 
     Per pixel: ``lppd_i = log mean_s p(y_i|theta_s)`` (log-sum-exp) and
     ``p_i = var_s(ln p(y_i|theta_s))``; ``elpd_i = lppd_i - p_i``.
@@ -260,11 +281,12 @@ def waic(model=None, database=None, loglike=None, **kw):
         se=float(np.sqrt(elpd_i.size * np.var(elpd_i))),
         n_samples=s,
         elpd_i=elpd_i,
+        unit=unit,
     )
     nbad = int(np.sum(p_i > 0.4))
     if nbad:
         res.notes.append(
-            f"{nbad} pixels have var(ln p) > 0.4 — the WAIC penalty is "
+            f"{nbad} {unit} have var(ln p) > 0.4 — the WAIC penalty is "
             "unreliable there; use psis_loo"
         )
         warnings.warn(res.notes[-1])
@@ -276,14 +298,21 @@ def waic(model=None, database=None, loglike=None, **kw):
 # ---------------------------------------------------------------------------
 
 def psis_loo(model=None, database=None, loglike=None, point_chunk=2048,
-             **kw):
+             unit="pixels", advice=None, **kw):
     """PSIS-LOO (Vehtari, Gelman & Gabry 2017) from a fit.
 
     Leave-one-pixel-out predictive density by importance sampling from
     the full posterior, with the weight tails Pareto-smoothed per pixel
     (vectorized over ``point_chunk`` pixels at a time).  Returns
     :class:`ELPDResult` with the per-pixel Pareto ``k`` diagnostic.
+
+    ``unit``/``advice`` customize the heavy-tail warning when the data
+    points are not pixels (e.g. targets in
+    :func:`psfmc_tpu.hierarchy.loo_targets`' grouped LOO).
     """
+    if advice is None:
+        advice = ("inspect those pixels (unmasked artifacts?) or "
+                  "refit with the Student-t likelihood")
     if loglike is None:
         loglike = pointwise_loglike(model, database, **kw)
     ll = np.asarray(loglike, np.float64)
@@ -307,14 +336,14 @@ def psis_loo(model=None, database=None, loglike=None, point_chunk=2048,
         n_samples=s,
         elpd_i=elpd_i,
         pareto_k=kss,
+        unit=unit,
     )
     nbad = int(np.sum(kss > 0.7))
     if nbad:
         res.notes.append(
-            f"{nbad} pixels have Pareto k > 0.7 — their LOO terms are "
-            "unreliable (importance weights too heavy-tailed); inspect "
-            "those pixels (unmasked artifacts?) or refit with the "
-            "Student-t likelihood"
+            f"{nbad} {unit} have Pareto k > 0.7 — their LOO terms are "
+            f"unreliable (importance weights too heavy-tailed); "
+            f"{advice}"
         )
         warnings.warn(res.notes[-1])
     return res
@@ -473,7 +502,8 @@ def compare(a: ELPDResult, b: ELPDResult):
     if a.elpd_i.shape != b.elpd_i.shape:
         raise ValueError(
             "compare() needs two fits of the same data "
-            f"(got {a.elpd_i.shape} vs {b.elpd_i.shape} pixels)"
+            f"(got {a.elpd_i.shape} vs {b.elpd_i.shape} "
+            f"{a.unit}/{b.unit})"
         )
     d = a.elpd_i - b.elpd_i
     return float(np.sum(d)), float(np.sqrt(d.size * np.var(d)))

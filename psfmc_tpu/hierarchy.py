@@ -83,8 +83,11 @@ __all__ = [
     "NormalPopulation",
     "LogNormalPopulation",
     "StudentTPopulation",
+    "RegressionPopulation",
     "HierarchicalResult",
     "fit_hierarchical",
+    "target_loglike",
+    "loo_targets",
 ]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -178,8 +181,11 @@ class LogNormalPopulation(_LocScalePopulation):
         return jnp.where(ok, lp, -jnp.inf)
 
     # -- non-centered form: theta = exp(mu + sigma * eta) --
-    def reconstruct(self, eta, phi):
-        return jnp.exp(phi[0] + phi[1] * eta)
+    def reconstruct(self, eta, phi, xp=jnp):
+        # xp=np gives predict_population a pure-host path (no JAX
+        # backend init from an analysis process, f64 preserved); the
+        # traced posterior uses the jnp default — one implementation
+        return xp.exp(phi[0] + phi[1] * eta)
 
     def eta_logp(self, eta):
         return jnp.sum(-0.5 * eta**2 - 0.5 * _LOG_2PI)
@@ -237,6 +243,79 @@ class StudentTPopulation(_LocScalePopulation):
         return random_state.standard_t(self.df, size)
 
 
+class RegressionPopulation:
+    """Scaling-relation population: y ~ N(alpha + beta*(x - x0), sigma).
+
+    The hierarchical regression of one per-target parameter on another
+    — size-luminosity relations, fundamental-plane style fits — run
+    through the full pixel likelihood: ``fit_hierarchical(model, obs,
+    ivm, population={'1_Sersic_reff': RegressionPopulation(
+    covariate='1_Sersic_mag', alpha=..., beta=..., sigma=...,
+    x0=20.5)})`` infers (alpha, beta, sigma) jointly with every
+    target's parameters, so measurement error in BOTH axes is handled
+    exactly (the classic regression-dilution bias of fitting a line to
+    point estimates disappears — each target's x_k and y_k are sampled,
+    not plugged in).
+
+    ``covariate`` names another per-target SCALAR slot: its own
+    template prior stays in force (the regression is the conditional
+    density y | x).  The covariate may itself be governed by another
+    population — list it EARLIER in the ``population`` dict (its
+    constrained value feeds this density).  ``x0`` is a fixed pivot
+    (choose ~the sample midpoint: decorrelates alpha and beta).
+    ``alpha``/``beta``/``sigma`` are prior distributions over the
+    hyperparameters; sigma's prior needs positive support.
+
+    Non-centered form: y = alpha + beta*(x - x0) + sigma*eta with
+    eta ~ N(0,1) — same funnel cure as the location families.
+    """
+
+    hyper_names = ("alpha", "beta", "sigma")
+    scale_hyper_index = 2
+
+    def __init__(self, covariate, alpha, beta, sigma, x0=0.0):
+        if not isinstance(covariate, str):
+            raise TypeError(
+                "covariate must name a per-target parameter slot, "
+                f"got {type(covariate).__name__}"
+            )
+        for name, dd in (("alpha", alpha), ("beta", beta),
+                         ("sigma", sigma)):
+            if not hasattr(dd, "jax_logp"):
+                raise TypeError(
+                    f"RegressionPopulation {name}= must be a prior "
+                    f"distribution, got {type(dd).__name__}"
+                )
+        self.covariate = covariate
+        self.alpha = alpha
+        self.beta = beta
+        self.sigma = sigma
+        self.x0 = float(x0)
+
+    @property
+    def hyper_dists(self):
+        return (self.alpha, self.beta, self.sigma)
+
+    def jax_logp(self, y, phi, x):
+        """Conditional log-density of y (K,) given phi = (alpha, beta,
+        sigma) and covariate values x (K,).  -inf when sigma <= 0."""
+        alpha, beta, sigma = phi[0], phi[1], phi[2]
+        safe = jnp.where(sigma > 0, sigma, 1.0)
+        r = (y - alpha - beta * (x - self.x0)) / safe
+        lp = jnp.sum(-0.5 * r * r - jnp.log(safe) - 0.5 * _LOG_2PI)
+        return jnp.where(sigma > 0, lp, -jnp.inf)
+
+    # -- non-centered form ------------------------------------------------
+    def reconstruct(self, eta, phi, x, xp=jnp):
+        return phi[0] + phi[1] * (x - self.x0) + phi[2] * eta
+
+    def eta_logp(self, eta):
+        return jnp.sum(-0.5 * eta**2 - 0.5 * _LOG_2PI)
+
+    def eta_random(self, random_state, size):
+        return random_state.standard_normal(size)
+
+
 @dataclass
 class HierarchicalResult:
     """Posterior of a hierarchical catalog fit.
@@ -255,6 +334,16 @@ class HierarchicalResult:
     governed: List[str] = field(default_factory=list)
     diagnostics: Dict[str, float] = field(default_factory=dict)
     flatchain: Optional[np.ndarray] = None  # (S, K*d + h)
+    #: (S,) retained-draw log-posterior — lets target_loglike drop
+    #: burn-in leakage rows (robust lnp floor) before the PSIS replay
+    lnp: Optional[np.ndarray] = None
+    #: population family objects keyed by governed name (attached by
+    #: fit_hierarchical; not persisted — pass populations= to
+    #: predict_population after load_hierarchical_result)
+    populations: Optional[Dict[str, object]] = None
+    #: (lo, hi) template-prior truncation per governed name (attached
+    #: by fit_hierarchical; not persisted)
+    governed_bounds: Optional[Dict[str, tuple]] = None
 
     @property
     def hyper_mean(self) -> np.ndarray:
@@ -275,6 +364,114 @@ class HierarchicalResult:
         for k, v in self.diagnostics.items():
             lines.append(f"  {k}: {v:.4g}")
         return "\n".join(lines)
+
+    def predict_population(self, n=4000, seed=0, populations=None,
+                           bounds=None, max_tries=1000,
+                           covariates=None):
+        """Posterior-predictive draws of a NEW target's governed values.
+
+        For each draw, a hyper-posterior row ``phi_s`` is picked (with
+        replacement) and ``theta_new ~ p(theta | phi_s)`` is drawn from
+        the population family, rejection-truncated to the governed
+        template prior's support exactly like the fit's density (module
+        docstring: hard truncation, renormalized implicitly by the
+        rejection).  This is the inferred POPULATION distribution with
+        hyperparameter uncertainty folded in — e.g. the scatter of
+        Sersic indices a new catalog member would be drawn from — and
+        is wider than plugging in ``hyper_mean``.
+
+        ``populations``/``bounds`` (dicts keyed by governed name)
+        default to the objects :func:`fit_hierarchical` attached; after
+        :func:`load_hierarchical_result` they are gone — pass the same
+        ``population=`` families again (bounds omitted means
+        unbounded).  Returns ``{governed_name: (n,) draws}``.
+
+        A :class:`RegressionPopulation` is a CONDITIONAL density —
+        pass ``covariates={governed_name: x}`` (scalar, or (n,) array)
+        naming where on the relation to predict; e.g. the credible
+        band of the size-luminosity relation at ``mag=21``.
+        """
+        pops = populations if populations is not None else self.populations
+        if pops is None:
+            raise ValueError(
+                "no population families on this result (loaded from "
+                "disk?) — pass populations={name: family} matching the "
+                "fit's population= argument"
+            )
+        if bounds is None:
+            bounds = self.governed_bounds or {}
+        rng = np.random.RandomState(seed)
+        s_total = self.hyper_chain.shape[0]
+        hyper_index = {nm: j for j, nm in enumerate(self.hyper_names)}
+        out = {}
+        for name in self.governed:
+            pop = pops.get(name)
+            if pop is None:
+                raise ValueError(f"populations is missing {name!r}")
+            if not (hasattr(pop, "reconstruct")
+                    and hasattr(pop, "eta_random")):
+                raise TypeError(
+                    f"{type(pop).__name__} defines no sampler "
+                    "(reconstruct/eta_random) — cannot draw "
+                    "predictive values"
+                )
+            cols = [hyper_index[f"{name}:{h}"] for h in pop.hyper_names]
+            rows = rng.randint(0, s_total, size=n)
+            phi = tuple(
+                np.asarray(self.hyper_chain[rows, c], np.float64)
+                for c in cols
+            )
+            lo, hi = bounds.get(name, (-np.inf, np.inf))
+            xv = None
+            if getattr(pop, "covariate", None) is not None:
+                if covariates is None or name not in covariates:
+                    raise ValueError(
+                        f"{type(pop).__name__} on {name!r} is a "
+                        "conditional density — pass covariates="
+                        f"{{{name!r}: x}} (the {pop.covariate!r} "
+                        "value(s) to predict at)"
+                    )
+                xv = np.broadcast_to(
+                    np.asarray(covariates[name], np.float64), (n,)
+                )
+
+            def _draw(m, phi_m, x_m):
+                # host path: xp=np where the family supports it keeps
+                # this pure numpy (no JAX backend init from a fresh
+                # analysis process — the axon backend hangs outside
+                # Python-forced-CPU contexts — and f64 throughout);
+                # np.array copies (a JAX fallback returns a read-only
+                # view and the rejection loop writes in place)
+                eta = pop.eta_random(rng, m)
+                args = (eta, phi_m) if x_m is None else (eta, phi_m,
+                                                         x_m)
+                try:
+                    v = pop.reconstruct(*args, xp=np)
+                except TypeError:
+                    v = pop.reconstruct(*args)
+                return np.array(v, np.float64)
+
+            x = _draw(n, phi, xv)
+            bad = ~((x > lo) & (x < hi) & np.isfinite(x))
+            tries = 0
+            while bad.any():
+                tries += 1
+                if tries > max_tries:
+                    raise RuntimeError(
+                        f"predict_population: {int(bad.sum())}/{n} "
+                        f"draws of {name!r} still outside "
+                        f"({lo}, {hi}) after {max_tries} rejection "
+                        "rounds — the population mass barely "
+                        "overlaps the template support"
+                    )
+                x[bad] = _draw(
+                    int(bad.sum()),
+                    tuple(p[bad] for p in phi),
+                    None if xv is None else xv[bad],
+                )
+                bad = ~((x > lo) & (x < hi) & np.isfinite(x))
+            out[name] = x
+        return out
 
     def save(self, db_name, meta=None):
         """Write the hierarchical trace as a FITS database.
@@ -304,6 +501,10 @@ class HierarchicalResult:
                 cols[f"T{t}_{nm}"] = self.flatchain[:, t * d + j]
         for j, nm in enumerate(self.hyper_names):
             cols[nm] = self.flatchain[:, k * d + j]
+        if self.lnp is not None:
+            # same column name as the regular trace database; load
+            # special-cases it so it never reads as a hyper column
+            cols["lnprobability"] = np.asarray(self.lnp, np.float64)
         m = OrderedDict(meta or {})
         m["MCHIER"] = (1, "hierarchical population fit")
         m["NTARGETS"] = (k, "targets in the joint posterior")
@@ -354,7 +555,7 @@ def load_hierarchical_result(db_name):
             if int(mm.group(1)) == 0:
                 names.append(mm.group(2))
             per_cols.append(cname)
-        else:
+        elif cname != "lnprobability":
             hyper_names.append(cname)
             hyper_cols.append(cname)
     d = len(names)
@@ -371,6 +572,9 @@ def load_hierarchical_result(db_name):
         diags["divergences"] = float(meta["MCNDIV"])
     if "MCACCEPT" in meta:
         diags["mean_accept"] = float(meta["MCACCEPT"])
+    lnp = None
+    if "lnprobability" in tbl.colnames:
+        lnp = np.asarray(tbl["lnprobability"], np.float64)
     return HierarchicalResult(
         param_names=names,
         hyper_names=hyper_names,
@@ -381,7 +585,153 @@ def load_hierarchical_result(db_name):
         governed=governed,
         diagnostics=diags,
         flatchain=flat,
+        lnp=lnp,
     )
+
+
+def target_loglike(model, obs_stack, ivm_stack, result,
+                   max_samples=1000, chunk=256, seed=0):
+    """(S, K) per-target log-likelihood replay at the retained draws.
+
+    The data term of target k at each retained draw's theta_k — bands
+    summed, discrete PSF indices marginalized INCLUDING the uniform
+    1/num_psfs mixture weight (so rows are proper per-target
+    log-densities; the constant cancels between models with the same
+    PSF stack).  The pointwise unit here is a TARGET, not a pixel —
+    feed the matrix to :func:`psfmc_tpu.analysis.psis_loo` /
+    ``waic(loglike=..., unit='targets')`` via :func:`loo_targets`.
+
+    Rows below the robust lnp floor (burn-in leakage from
+    late-converging chains — see
+    :func:`psfmc_tpu.analysis.model_comparison.robust_lnp_keep`) are
+    dropped first when the result carries ``lnp``; per-target density
+    variances have the same zero tolerance for descent rows the
+    pixel-level criticism replay measured.
+    """
+    from .analysis.model_comparison import robust_lnp_keep
+    from .models.multicomponent import as_model
+
+    model = as_model(model)
+    fns = model.posterior_fns
+    spec = model.spec
+    d = spec.num_params
+    bands, k = _build_bands(fns, spec, obs_stack, ivm_stack)
+    if isinstance(result, HierarchicalResult):
+        flat = result.flatchain
+        if flat is None:
+            raise ValueError(
+                "result has no flatchain — nothing to replay"
+            )
+        if result.lnp is not None and len(result.lnp) == len(flat):
+            keep = robust_lnp_keep(result.lnp)
+            if not keep.all():
+                flat = flat[keep]
+    else:
+        flat = np.asarray(result, np.float64)
+        if flat.ndim != 2:
+            raise ValueError(
+                "result must be a HierarchicalResult or an "
+                "(S, K*d [+ h]) draw matrix"
+            )
+    if flat.shape[1] < k * d:
+        raise ValueError(
+            f"flatchain has {flat.shape[1]} columns — expected at "
+            f"least K*d = {k * d} for {k} targets x {d} params"
+        )
+    per = np.asarray(flat[:, : k * d], np.float64).reshape(-1, k, d)
+    n = per.shape[0]
+    if n > max_samples:
+        rows = np.random.RandomState(seed).choice(
+            n, max_samples, replace=False
+        )
+        per = per[np.sort(rows)]
+        n = per.shape[0]
+
+    # the replay program takes the obs stacks as ARGUMENTS (not baked
+    # constants) and caches on the posterior bundle — the canonical
+    # two-fit loo_targets comparison replays the same model/obs twice
+    # and must not compile twice (tunnel compiles cost minutes)
+    stacks = _band_stacks(bands)
+    cache = getattr(fns, "programs", None)
+    key = ("hier_target_loglike", k, chunk,
+           tuple(tuple(s.shape) for s in stacks))
+    prog = cache.get(key) if cache is not None else None
+    if prog is None:
+        lnl_one = _make_lnl_one(bands, fns.dtype)
+
+        def _replay(kd, *st):
+            return jax.vmap(
+                lambda one: jax.vmap(lnl_one)(one, *st)
+            )(kd)
+
+        prog = jax.jit(_replay)
+        if cache is not None:
+            cache[key] = prog
+    out = np.zeros((n, k), np.float64)
+    for lo in range(0, n, chunk):
+        block = per[lo : lo + chunk]
+        m = block.shape[0]
+        if m < chunk and n > chunk:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], chunk - m, axis=0)]
+            )
+        out[lo : lo + chunk] = np.asarray(
+            prog(jnp.asarray(block, fns.dtype), *stacks), np.float64
+        )[:m]
+    # proper mixture density: fold the uniform index weights the
+    # posterior convention leaves to base_prior
+    out += sum(
+        -np.log(b["psf"][1]) for b in bands if b["psf"] is not None
+    )
+    return out
+
+
+def loo_targets(model, obs_stack, ivm_stack, result, **kw):
+    """Leave-one-TARGET-out PSIS-LOO of a hierarchical fit.
+
+    Grouped cross-validation for comparing POPULATION models (e.g.
+    :class:`NormalPopulation` vs :class:`StudentTPopulation` on the
+    same catalog): the importance ratio for dropping target k is
+    1/p(y_k | theta_k) (Vehtari's leave-one-group-out construction —
+    p(theta | y_-k) ∝ p(theta | y)/p(y_k | theta)), so the estimate
+    correctly integrates over how the population prior would re-predict
+    the held-out target.  Compare two fits with
+    :func:`psfmc_tpu.analysis.model_comparison.compare`.
+
+    HONESTY NOTE: for targets whose own data dominate their posterior
+    (the no-pooling regime) removing y_k shifts theta_k a lot and the
+    importance weights go heavy-tailed — the per-target Pareto ``k``
+    diagnostic flags exactly those.  In practice k > 0.7 flags are
+    COMMON here because every NON-governed per-target parameter
+    (centroid, sky, …) is data-dominated by construction — dropping
+    y_k reverts them to the base prior no matter how strong the
+    pooling on the governed slot.  Two consequences: (1) absolute
+    elpd values are noisy, but the PAIRED comparison of two
+    population families via :func:`analysis.model_comparison.compare`
+    is much more stable (both fits share the same heavy-tail draws,
+    so the noise largely cancels in the per-target differences);
+    (2) tightening the template priors on nuisance parameters
+    (e.g. a narrow xy prior from a detection catalog) directly
+    improves the weights.  Verified behavior (2026-08-19 drive,
+    8 PS targets, mag pooled): all 8 targets k > 0.7 yet
+    delta_elpd = -1.6 +/- 0.7 reproducible across fits.
+    """
+    from .analysis.model_comparison import psis_loo
+
+    ll = target_loglike(model, obs_stack, ivm_stack, result, **kw)
+    res = psis_loo(
+        loglike=ll,
+        unit="targets",
+        advice=(
+            "those targets are in the no-pooling regime (their own "
+            "data dominate their posterior, so dropping them shifts "
+            "theta_k too far for importance sampling) — their grouped "
+            "LOO terms, and any elpd comparison leaning on them, are "
+            "not trustworthy"
+        ),
+    )
+    res.kind = "loo-target"
+    return res
 
 
 class _HierarchicalFns:
@@ -395,8 +745,12 @@ class _HierarchicalFns:
 
     def __init__(self, bands, d, k, governed_cols, bounds,
                  populations, hyper_offsets, hyper_dists, base_prior,
-                 noncentered=False, target_sharding=None):
+                 noncentered=False, target_sharding=None,
+                 cov_cols=None):
         from types import SimpleNamespace
+
+        if cov_cols is None:
+            cov_cols = [None] * len(populations)
 
         self._bands = bands  # [{"fns", "obs", "psf": (col, npsf)|None}]
         self.dtype = bands[0]["fns"].dtype
@@ -426,21 +780,29 @@ class _HierarchicalFns:
 
             thetas = sampled
             lp = jnp.asarray(0.0, self.dtype)
-            for (col, (a, b)), pop, off in zip(
-                zip(governed_cols, bounds), populations, hyper_offsets
+            for (col, (a, b)), pop, off, xcol in zip(
+                zip(governed_cols, bounds), populations, hyper_offsets,
+                cov_cols,
             ):
                 nh = len(pop.hyper_dists)
                 phi_p = jax.lax.dynamic_slice(phi, (off,), (nh,))
+                # regression covariate: read from THETAS, not sampled —
+                # a governed covariate processed earlier (dict order is
+                # validated) has already been reconstructed/clamped
+                # there under the non-centered form
+                xtra = () if xcol is None else (thetas[:, xcol],)
                 if noncentered:
                     # sampled value is the standardized residual eta;
                     # its density is phi-independent (no funnel) and
                     # theta is reconstructed for the likelihood
                     eta = sampled[:, col]
-                    x = pop.reconstruct(eta, phi_p).astype(self.dtype)
+                    x = pop.reconstruct(eta, phi_p, *xtra).astype(
+                        self.dtype
+                    )
                     lp = lp + pop.eta_logp(eta)
                 else:
                     x = sampled[:, col]
-                    lp = lp + pop.jax_logp(x, phi_p)
+                    lp = lp + pop.jax_logp(x, phi_p, *xtra)
                 # truncation to the original prior support (see module
                 # docstring) — in the centered NUTS path the transform
                 # already enforces it; here it also guards the
@@ -462,47 +824,8 @@ class _HierarchicalFns:
                         x = jnp.minimum(x, jnp.asarray(b, self.dtype))
                     thetas = thetas.at[:, col].set(x)
 
-            def lnl_one(th, *flat):
-                tot = jnp.asarray(0.0, self.dtype)
-                for bi, band in enumerate(self._bands):
-                    od, ov, gp = flat[3 * bi : 3 * bi + 3]
-                    o = {"obs_data": od, "obs_var": ov, "good_px": gp}
-                    f = band["fns"]
-                    if band["psf"] is None:
-                        tot = tot + f.log_likelihood_obs(th, o)
-                        continue
-                    # discrete PSF index marginalized PER TARGET (the
-                    # joint marginal over K x bands index slots
-                    # factorizes: lnL sums over targets AND bands, and
-                    # each band's term depends only on its own index) —
-                    # same logsumexp the regular NUTS sampler uses
-                    # (sampler/nuts.py _marginal_lnpost).  The uniform
-                    # 1/num_psfs mixture weight is NOT added here:
-                    # base_prior evaluates the DiscreteUniform density
-                    # at the inert index column (placeholder 0, inside
-                    # support), contributing exactly -ln(num_psfs).
-                    col, npsf = band["psf"]
-                    lps = jnp.stack(
-                        [
-                            f.log_likelihood_obs(
-                                th.at[col].set(
-                                    jnp.asarray(j, th.dtype)
-                                ),
-                                o,
-                            )
-                            for j in range(npsf)
-                        ]
-                    )
-                    tot = tot + jax.scipy.special.logsumexp(lps)
-                return tot
-
-            stacks = []
-            for band in self._bands:
-                stacks += [
-                    jnp.asarray(band["obs"]["obs_data"]),
-                    jnp.asarray(band["obs"]["obs_var"]),
-                    jnp.asarray(band["obs"]["good_px"]),
-                ]
+            lnl_one = _make_lnl_one(self._bands, self.dtype)
+            stacks = _band_stacks(self._bands)
             if self._target_sharding is not None:
                 # shard the TARGET axis: each device renders its K/ndev
                 # targets; the only collective is the scalar psum of
@@ -603,6 +926,100 @@ class _HierarchicalFns:
                 out[lo : lo + chunk] = np.argmax(lnls + g, axis=-1)
             result[col] = out
         return result
+
+
+def _make_lnl_one(bands, dtype):
+    """Per-target data term: sum of band likelihoods, PSF-marginalized.
+
+    ``lnl_one(th, *flat)`` takes one target's theta plus three arrays
+    per band (obs_data, obs_var, good_px).  The discrete PSF index is
+    marginalized PER TARGET AND BAND (the joint marginal over K x bands
+    index slots factorizes: lnL sums over targets and bands, and each
+    band's term depends only on its own index) — same logsumexp the
+    regular NUTS sampler uses (sampler/nuts.py _marginal_lnpost).  The
+    uniform 1/num_psfs mixture weight is NOT added here: base_prior
+    evaluates the DiscreteUniform density at the inert index column
+    (placeholder 0, inside support), contributing exactly
+    -ln(num_psfs).
+    """
+
+    def lnl_one(th, *flat):
+        tot = jnp.asarray(0.0, dtype)
+        for bi, band in enumerate(bands):
+            od, ov, gp = flat[3 * bi : 3 * bi + 3]
+            o = {"obs_data": od, "obs_var": ov, "good_px": gp}
+            f = band["fns"]
+            if band["psf"] is None:
+                tot = tot + f.log_likelihood_obs(th, o)
+                continue
+            col, npsf = band["psf"]
+            lps = jnp.stack(
+                [
+                    f.log_likelihood_obs(
+                        th.at[col].set(jnp.asarray(j, th.dtype)), o
+                    )
+                    for j in range(npsf)
+                ]
+            )
+            tot = tot + jax.scipy.special.logsumexp(lps)
+        return tot
+
+    return lnl_one
+
+
+def _band_stacks(bands):
+    """Flat [obs_data, obs_var, good_px] x bands device-array list."""
+    stacks = []
+    for band in bands:
+        stacks += [
+            jnp.asarray(band["obs"]["obs_data"]),
+            jnp.asarray(band["obs"]["obs_var"]),
+            jnp.asarray(band["obs"]["good_px"]),
+        ]
+    return stacks
+
+
+def _build_bands(fns, spec, obs_stack, ivm_stack):
+    """Band descriptors (prepared obs + per-band fns + PSF marg) and K.
+
+    Single-band models take plain (K, H, W) stacks; joint models take a
+    LIST of one stack per band.  Shared by :func:`fit_hierarchical` and
+    the :func:`target_loglike` replay so the two can never disagree on
+    the observation preprocessing.
+    """
+    from .batchfit import prepare_obs_stack
+
+    band_specs = getattr(spec, "band_specs", None)
+    if band_specs is None:
+        band_specs = [spec]
+        band_fns_list = [fns]
+        obs_stacks, ivm_stacks = [obs_stack], [ivm_stack]
+    else:
+        band_fns_list = fns.band_fns
+        if len(obs_stack) != len(band_specs) or len(ivm_stack) != len(
+            band_specs
+        ):
+            raise ValueError(
+                f"joint fit_hierarchical needs one obs/ivm stack per "
+                f"band ({len(band_specs)}), got {len(obs_stack)}/"
+                f"{len(ivm_stack)}"
+            )
+        obs_stacks, ivm_stacks = list(obs_stack), list(ivm_stack)
+    bands = []
+    k = None
+    for bs, bf, ob_s, iv_s in zip(
+        band_specs, band_fns_list, obs_stacks, ivm_stacks
+    ):
+        ob = prepare_obs_stack(bs, ob_s, iv_s, np.dtype(fns.dtype))
+        k_b = ob["obs_data"].shape[0]
+        if k is None:
+            k = k_b
+        elif k_b != k:
+            raise ValueError(
+                f"bands disagree on target count: {k_b} vs {k}"
+            )
+        bands.append({"fns": bf, "obs": ob, "psf": _psf_marg_for(bs)})
+    return bands, k
 
 
 def _psf_marg_for(band_spec):
@@ -803,7 +1220,6 @@ def fit_hierarchical(
         Results are reported in constrained theta space either way.
     :returns: :class:`HierarchicalResult`.
     """
-    from .batchfit import prepare_obs_stack
     from .models.multicomponent import as_model, slot_param_names
     from .models.posterior import make_log_prior
 
@@ -811,36 +1227,7 @@ def fit_hierarchical(
     fns = model.posterior_fns
     spec = model.spec
     d = spec.num_params
-    band_specs = getattr(spec, "band_specs", None)
-    if band_specs is None:
-        band_specs = [spec]
-        band_fns_list = [fns]
-        obs_stacks, ivm_stacks = [obs_stack], [ivm_stack]
-    else:
-        band_fns_list = fns.band_fns
-        if len(obs_stack) != len(band_specs) or len(ivm_stack) != len(
-            band_specs
-        ):
-            raise ValueError(
-                f"joint fit_hierarchical needs one obs/ivm stack per "
-                f"band ({len(band_specs)}), got {len(obs_stack)}/"
-                f"{len(ivm_stack)}"
-            )
-        obs_stacks, ivm_stacks = list(obs_stack), list(ivm_stack)
-    bands = []
-    k = None
-    for bs, bf, ob_s, iv_s in zip(
-        band_specs, band_fns_list, obs_stacks, ivm_stacks
-    ):
-        ob = prepare_obs_stack(bs, ob_s, iv_s, np.dtype(fns.dtype))
-        k_b = ob["obs_data"].shape[0]
-        if k is None:
-            k = k_b
-        elif k_b != k:
-            raise ValueError(
-                f"bands disagree on target count: {k_b} vs {k}"
-            )
-        bands.append({"fns": bf, "obs": ob, "psf": _psf_marg_for(bs)})
+    bands, k = _build_bands(fns, spec, obs_stack, ivm_stack)
 
     if not population:
         raise ValueError("population must name at least one parameter")
@@ -851,7 +1238,7 @@ def fit_hierarchical(
         )
     noncentered = parametrization == "noncentered"
     slot_by_name = {s.name: s for s in spec.slots}
-    governed_cols, bounds, populations = [], [], []
+    governed_cols, bounds, populations, cov_cols = [], [], [], []
     hyper_names, hyper_dists, hyper_offsets = [], [], []
     for name, pop in population.items():
         slot = slot_by_name.get(name)
@@ -874,6 +1261,37 @@ def fit_hierarchical(
         a, b = slot.dist.rv_frozen.support()
         bounds.append((float(a), float(b)))
         populations.append(pop)
+        xname = getattr(pop, "covariate", None)
+        if xname is None:
+            cov_cols.append(None)
+        else:
+            xslot = slot_by_name.get(xname)
+            if xslot is None:
+                raise ValueError(
+                    f"population on {name!r}: unknown covariate "
+                    f"{xname!r} — expected one of {sorted(slot_by_name)}"
+                )
+            if xslot.size != 1 or xslot.is_discrete:
+                raise ValueError(
+                    f"population on {name!r}: covariate {xname!r} must "
+                    "be a continuous scalar slot"
+                )
+            if xname == name:
+                raise ValueError(
+                    f"population on {name!r}: a parameter cannot be "
+                    "its own covariate"
+                )
+            keys = list(population)
+            if xname in population and (
+                keys.index(xname) >= keys.index(name)
+            ):
+                raise ValueError(
+                    f"population on {name!r}: its covariate {xname!r} "
+                    "is governed too — list the covariate's population "
+                    "FIRST (its constrained value feeds the regression "
+                    "density)"
+                )
+            cov_cols.append(int(xslot.offset))
         hyper_offsets.append(len(hyper_dists))
         for hname, hdist in zip(pop.hyper_names, pop.hyper_dists):
             hyper_names.append(f"{name}:{hname}")
@@ -940,6 +1358,7 @@ def fit_hierarchical(
         bands, d, k, governed_cols, bounds, populations,
         hyper_offsets, hyper_dists, base_prior,
         noncentered=noncentered, target_sharding=target_sharding,
+        cov_cols=cov_cols,
     )
     dim = hier.spec.num_params
 
@@ -1032,20 +1451,31 @@ def fit_hierarchical(
         )
 
     flat = np.asarray(smp.flatchain, np.float64)
+    # flatchain is chain.reshape(-1, dim) — lnprobability (nchains, S)
+    # flattens in the same row order
+    lnp_flat = np.asarray(smp.lnprobability, np.float64).reshape(-1)
     per = flat[:, : k * d].reshape(len(flat), k, d)
     if noncentered:
         # report constrained thetas: reconstruct governed columns from
         # the sampled residuals + that sample's own hyperparameters
-        # (single-twin rule — same reconstruct() the posterior used)
-        for col, pop, off in zip(
-            governed_cols, populations, hyper_offsets
+        # (single-twin rule — same reconstruct() the posterior used).
+        # Dict order means a governed regression covariate is already
+        # constrained in `per` when its dependent reads it.
+        for col, pop, off, xcol in zip(
+            governed_cols, populations, hyper_offsets, cov_cols
         ):
             nh = len(pop.hyper_dists)
             phi_chain = jnp.asarray(
                 flat[:, k * d + off : k * d + off + nh]
             )
             eta_chain = jnp.asarray(per[:, :, col])
-            rec = jax.vmap(pop.reconstruct)(eta_chain, phi_chain)
+            xtra = (
+                () if xcol is None
+                else (jnp.asarray(per[:, :, xcol]),)
+            )
+            rec = jax.vmap(pop.reconstruct)(
+                eta_chain, phi_chain, *xtra
+            )
             per[:, :, col] = np.asarray(rec, np.float64)
         flat = np.concatenate(
             [per.reshape(len(flat), k * d), flat[:, k * d :]], axis=1
@@ -1072,6 +1502,11 @@ def fit_hierarchical(
         governed=list(population.keys()),
         diagnostics=diags,
         flatchain=flat,
+        lnp=lnp_flat,
+        populations=dict(population),
+        governed_bounds={
+            nm: bounds[i] for i, nm in enumerate(population.keys())
+        },
     )
     return res
 

@@ -924,9 +924,28 @@ def test_save_load_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(back.flatchain, res.flatchain,
                                rtol=0, atol=0)
     np.testing.assert_allclose(back.hyper_mean, res.hyper_mean)
+    # the retained-draw lnp rides along (target_loglike's burn-in
+    # leakage filter needs it)
+    assert res.lnp is not None and len(res.lnp) == len(res.flatchain)
+    np.testing.assert_allclose(back.lnp, res.lnp, rtol=0, atol=0)
     assert back.diagnostics["divergences"] == (
         res.diagnostics["divergences"]
     )
+    # fit attaches the population families + template bounds; the
+    # loaded result lost them and says how to resupply
+    assert set(res.populations) == {"0_Sky_adu"}
+    lo, hi = res.governed_bounds["0_Sky_adu"]
+    assert (lo, hi) == (-2.0, 4.0)  # the Uniform template support
+    draws = res.predict_population(n=500, seed=3)["0_Sky_adu"]
+    assert draws.shape == (500,)
+    assert np.all((draws > lo) & (draws < hi))
+    with pytest.raises(ValueError, match="pass populations="):
+        back.predict_population(n=10)
+    d2 = back.predict_population(
+        n=500, seed=3, populations=res.populations,
+        bounds=res.governed_bounds,
+    )["0_Sky_adu"]
+    np.testing.assert_allclose(d2, draws)  # same chain, same seed
     # a non-hierarchical file is rejected loudly
     other = str(tmp_path / "plain.fits")
     from psfmc_tpu.io.table import Table
@@ -956,3 +975,400 @@ def test_noncentered_ensemble_path(rng):
     y_k = obs.mean(axis=(1, 2))
     assert abs(res.hyper_mean[0] - y_k.mean()) < 0.15, res.summary()
     assert np.all(np.abs(res.target_mean[:, 0] - y_k) < 0.25)
+
+
+# ---------------------------------------------------------------------
+# leave-one-TARGET-out cross-validation (loo_targets)
+# ---------------------------------------------------------------------
+
+def test_target_loglike_matches_analytic(rng):
+    """Each row of target_loglike equals the analytic f64 Gaussian
+    log-density of that target's pixels at the draw's sky level (delta
+    PSF, psfivm 1e12 -> PSF-variance channel negligible)."""
+    from psfmc_tpu.hierarchy import target_loglike
+
+    k, hw, noise = 3, 12, 0.5
+    obs, ivm, _ = _sky_stacks(rng, k, hw, noise, 0.3, 0.08)
+    model = _sky_model(hw, noise)
+    # hand-built draws: (S, K*d) with d = 1 (adu); extra hyper columns
+    # beyond K*d must be ignored
+    thetas = np.array(
+        [[0.10, 0.35, 0.52, 99.0, 99.0],
+         [0.44, 0.21, -0.05, 99.0, 99.0]]
+    )
+    ll = target_loglike(model, obs, ivm, thetas)
+    assert ll.shape == (2, k)
+    var = noise**2
+    for s in range(2):
+        for t in range(k):
+            r = obs[t].astype(np.float64) - thetas[s, t]
+            expect = (-0.5 * np.sum(r * r) / var
+                      - 0.5 * hw * hw * np.log(2 * np.pi * var))
+            np.testing.assert_allclose(ll[s, t], expect, atol=0.1)
+
+
+def test_target_loglike_multipsf_mixture_weight(rng):
+    """With two IDENTICAL PSFs the marginalized per-target density is
+    logsumexp(l, l) - ln 2 = l: it must equal the single-PSF model's
+    value exactly — the proper-mixture constant check."""
+    from psfmc_tpu.hierarchy import target_loglike
+
+    hw, noise, k = 16, 0.05, 2
+    obs = 0.1 + rng.randn(k, hw, hw) * noise
+    ivm = np.full((k, hw, hw), 1.0 / noise**2)
+    m2 = _ps_model_two_psf(hw, noise, sigmas=(1.5, 1.5))
+    p1, _ = _two_psfs(sigmas=(1.5, 1.5))
+    m1 = MultiComponentModel(
+        [
+            Configuration(
+                obs_file=np.zeros((hw, hw)),
+                obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+                psf_files=p1,
+                psfivm_files=np.full_like(p1, 1e12),
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.0, scale=0.05)),
+            PointSource(
+                xy=D.Uniform(loc=(6.0, 6.0), scale=(4.0, 4.0)),
+                mag=D.Uniform(loc=19.5, scale=2.5),
+            ),
+        ]
+    )
+    # shared slots: [adu, mag, xy_x, xy_y]; the 2-PSF layout appends
+    # the index column (overridden by the marginalization)
+    base = np.array(
+        [[0.02, 20.5, 7.5, 8.0, 0.01, 21.0, 8.5, 7.0]]
+    ).reshape(1, k, 4)
+    th1 = base.reshape(1, -1)
+    th2 = np.concatenate(
+        [base, np.zeros((1, k, 1))], axis=2
+    ).reshape(1, -1)
+    ll1 = target_loglike(m1, obs, ivm, th1)
+    ll2 = target_loglike(m2, obs, ivm, th2)
+    np.testing.assert_allclose(ll2, ll1, rtol=1e-5, atol=2e-3)
+
+
+def test_loo_targets_end_to_end(rng):
+    """Grouped PSIS-LOO over targets from a real hierarchical fit:
+    sane shapes/diagnostics, the paired compare() of a fit against
+    itself is exactly zero, and the draw subsampler works."""
+    from psfmc_tpu.analysis.model_comparison import compare
+    from psfmc_tpu.hierarchy import loo_targets, target_loglike
+
+    k, hw, noise = 4, 12, 0.5
+    obs, ivm, _ = _sky_stacks(rng, k, hw, noise, 0.3, 0.08)
+    model = _sky_model(hw, noise)
+    res = fit_hierarchical(
+        model, obs, ivm,
+        population={"0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-1.0, scale=3.0),
+            sigma=D.Uniform(loc=0.01, scale=0.6),
+        )},
+        sampler="ensemble", burn=400, iterations=200, seed=9,
+    )
+    loo = loo_targets(model, obs, ivm, res, max_samples=200)
+    assert loo.kind == "loo-target"
+    assert loo.n_points == k
+    assert np.isfinite(loo.elpd) and np.isfinite(loo.se)
+    assert loo.pareto_k.shape == (k,)
+    assert "targets" in loo.summary()
+    # partial pooling on a well-specified mock: p_eff per target < 1
+    assert 0.0 < loo.p_eff < 2.0 * k, loo.summary()
+    d, sd = compare(loo, loo)
+    assert d == 0.0 and sd == 0.0
+    # subsampling caps the draw count deterministically
+    ll = target_loglike(model, obs, ivm, res, max_samples=37, seed=1)
+    assert ll.shape == (37, k)
+
+
+# ---------------------------------------------------------------------
+# posterior-predictive population draws (predict_population)
+# ---------------------------------------------------------------------
+
+def _synthetic_result(hyper_chain, hyper_names, populations=None,
+                      governed_bounds=None):
+    """Minimal HierarchicalResult carrying only the hyper posterior
+    (predict_population reads nothing else)."""
+    governed = sorted({n.split(":")[0] for n in hyper_names})
+    return HierarchicalResult(
+        param_names=["x"],
+        hyper_names=list(hyper_names),
+        num_targets=1,
+        target_mean=np.zeros((1, 1)),
+        target_std=np.ones((1, 1)),
+        hyper_chain=np.asarray(hyper_chain, np.float64),
+        governed=governed,
+        populations=populations,
+        governed_bounds=governed_bounds,
+    )
+
+
+def test_predict_population_folds_hyper_uncertainty(rng):
+    """Normal population with mu ~ N(m0, s_mu) posterior and pinned
+    sigma: the predictive is N(m0, sqrt(sigma^2 + s_mu^2)) exactly
+    (Gaussian convolution) — wider than the plug-in N(m0, sigma)."""
+    m0, s_mu, sigma = 2.0, 0.3, 0.5
+    s = 4000
+    chain = np.stack(
+        [m0 + s_mu * rng.randn(s), np.full(s, sigma)], axis=1
+    )
+    pop = NormalPopulation(mu=D.Uniform(loc=0.0, scale=4.0),
+                           sigma=D.Uniform(loc=0.01, scale=2.0))
+    res = _synthetic_result(chain, ["p:mu", "p:sigma"],
+                            populations={"p": pop})
+    x = res.predict_population(n=200_000, seed=7)["p"]
+    # fold the chain's own realized moments, not the nominal ones
+    target_var = sigma**2 + chain[:, 0].var()
+    assert abs(x.mean() - chain[:, 0].mean()) < 0.01
+    assert abs(x.var() - target_var) < 0.01
+    assert x.var() > sigma**2 + 0.5 * s_mu**2  # genuinely wider
+
+
+def test_predict_population_truncation_matches_truncnorm(rng):
+    """Pinned hyperparameters + a one-sided template bound: the
+    rejection-truncated draws match scipy's truncnorm moments."""
+    from scipy import stats
+
+    mu, sigma, lo = 1.0, 1.0, 1.5
+    chain = np.tile([[mu, sigma]], (64, 1))
+    pop = NormalPopulation(mu=D.Uniform(loc=0.0, scale=4.0),
+                           sigma=D.Uniform(loc=0.01, scale=2.0))
+    res = _synthetic_result(
+        chain, ["p:mu", "p:sigma"], populations={"p": pop},
+        governed_bounds={"p": (lo, np.inf)},
+    )
+    x = res.predict_population(n=100_000, seed=11)["p"]
+    ref = stats.truncnorm((lo - mu) / sigma, np.inf, loc=mu,
+                          scale=sigma)
+    assert np.all(x > lo)
+    assert abs(x.mean() - ref.mean()) < 3e-2
+    assert abs(x.std() - ref.std()) < 3e-2
+
+
+def test_predict_population_lognormal_and_errors(rng):
+    """LogNormal predictive draws live on the log scale; hopeless
+    truncation raises instead of spinning; unknown families raise."""
+    chain = np.tile([[0.5, 0.2]], (32, 1))
+    pop = LogNormalPopulation(mu=D.Uniform(loc=-2.0, scale=4.0),
+                              sigma=D.Uniform(loc=0.01, scale=2.0))
+    res = _synthetic_result(chain, ["p:mu", "p:sigma"],
+                            populations={"p": pop})
+    x = res.predict_population(n=50_000, seed=5)["p"]
+    assert np.all(x > 0)
+    assert abs(np.log(x).mean() - 0.5) < 0.01
+    assert abs(np.log(x).std() - 0.2) < 0.01
+    # population mass nowhere near the template support -> loud error
+    res.governed_bounds = {"p": (1e6, np.inf)}
+    with pytest.raises(RuntimeError, match="barely overlaps"):
+        res.predict_population(n=100, max_tries=5)
+    # family without a sampler form
+    class _NoSampler:
+        hyper_names = ("mu", "sigma")
+    res.populations = {"p": _NoSampler()}
+    with pytest.raises(TypeError, match="no sampler"):
+        res.predict_population(n=10)
+
+
+def test_target_loglike_drops_burnin_leakage(rng):
+    """A HierarchicalResult carrying lnp gets the robust floor filter:
+    one descent row at lnp ~ -1e6 is dropped (with a warning) and the
+    replay matrix matches the clean-result matrix exactly."""
+    from psfmc_tpu.hierarchy import target_loglike
+
+    k, hw, noise = 2, 12, 0.5
+    obs, ivm, _ = _sky_stacks(rng, k, hw, noise, 0.3, 0.08)
+    model = _sky_model(hw, noise)
+    good = np.array(
+        [[0.10, 0.35, 9.0, 9.0],
+         [0.44, 0.21, 9.0, 9.0],
+         [0.30, 0.28, 9.0, 9.0]]
+    )
+    poison = np.vstack([good, [[-1.9, 3.9, 9.0, 9.0]]])
+
+    def _res(flat, lnp):
+        return HierarchicalResult(
+            param_names=["0_Sky_adu"], hyper_names=["h:a", "h:b"],
+            num_targets=k, target_mean=np.zeros((k, 1)),
+            target_std=np.ones((k, 1)),
+            hyper_chain=flat[:, k:], governed=["0_Sky_adu"],
+            flatchain=flat, lnp=lnp,
+        )
+
+    clean = target_loglike(model, obs, ivm, _res(good, None))
+    lnp = np.array([-10.0, -11.0, -9.5, -1e6])
+    with pytest.warns(UserWarning, match="burn-in leakage"):
+        filtered = target_loglike(model, obs, ivm, _res(poison, lnp))
+    np.testing.assert_allclose(filtered, clean, rtol=0, atol=0)
+    # flatchain-less result objects error clearly
+    bare = _res(good, None)
+    bare.flatchain = None
+    with pytest.raises(ValueError, match="no flatchain"):
+        target_loglike(model, obs, ivm, bare)
+
+
+def test_waic_unit_plumbing():
+    """waic on a target matrix reports targets, not pixels."""
+    from psfmc_tpu.analysis.model_comparison import compare, waic
+
+    rng2 = np.random.RandomState(0)
+    ll = -0.5 * rng2.rand(200, 4)
+    w = waic(loglike=ll, unit="targets")
+    assert "4 targets" in w.summary()
+    with pytest.raises(ValueError, match="targets"):
+        compare(w, waic(loglike=ll[:, :3], unit="targets"))
+
+
+# ---------------------------------------------------------------------
+# scaling-relation populations (RegressionPopulation)
+# ---------------------------------------------------------------------
+
+def _regression_setup(rng, k=10, hw=16, noise=0.3,
+                      alpha_t=0.02, beta_t=0.05, sig_t=0.01, x0=0.5):
+    """Sky(adu, dx) targets with dx_k = alpha + beta*(adu_k-x0) + eps:
+    both per-target parameters are sharply measured (adu from the mean
+    level, dx from the plane tilt), so the hyper posterior must land
+    on the injected relation."""
+    from psfmc_tpu.hierarchy import RegressionPopulation
+
+    adus = x0 + 0.4 * rng.randn(k)
+    dxs = alpha_t + beta_t * (adus - x0) + sig_t * rng.randn(k)
+    psf = np.zeros((8, 8))
+    psf[4, 4] = 1.0
+    model = MultiComponentModel(
+        [
+            Configuration(
+                obs_file=np.zeros((hw, hw)),
+                obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+                psf_files=psf,
+                psfivm_files=np.full_like(psf, 1e12),
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Uniform(loc=-2.0, scale=6.0),
+                dx=D.Uniform(loc=-1.0, scale=2.0)),
+        ]
+    )
+    xg = np.arange(hw) - (hw - 1) / 2.0
+    obs = (adus[:, None, None]
+           + dxs[:, None, None] * xg[None, None, :]
+           + rng.randn(k, hw, hw) * noise)
+    ivm = np.full((k, hw, hw), 1.0 / noise**2)
+    pop = RegressionPopulation(
+        covariate="0_Sky_adu",
+        alpha=D.Uniform(loc=-0.5, scale=1.0),
+        beta=D.Uniform(loc=-1.0, scale=2.0),
+        sigma=D.Uniform(loc=0.001, scale=0.3),
+        x0=x0,
+    )
+    return model, obs, ivm, pop, adus, dxs
+
+
+@pytest.mark.slow
+def test_regression_population_recovery(rng):
+    """(alpha, beta, sigma) of the injected relation recovered through
+    the pixel likelihood; the predictive at a covariate value sits on
+    the line."""
+    model, obs, ivm, pop, adus, dxs = _regression_setup(rng)
+    res = fit_hierarchical(
+        model, obs, ivm, population={"0_Sky_dx": pop},
+        sampler="nuts", chains=2, burn=300, iterations=300, seed=1,
+    )
+    a_hat, b_hat, s_hat = res.hyper_mean
+    a_sd, b_sd, s_sd = res.hyper_std
+    # truth within posterior error (generous: K=10 targets)
+    assert abs(a_hat - 0.02) < 4 * a_sd + 0.005, res.summary()
+    assert abs(b_hat - 0.05) < 4 * b_sd + 0.005, res.summary()
+    assert s_hat < 0.05, res.summary()  # scatter not inflated
+    # per-target dx shrink toward the relation, not away
+    assert np.all(np.abs(res.target_mean[:, 1] - dxs) < 0.01)
+    # conditional predictive at x: mean on the line, var >= sigma^2
+    pred = res.predict_population(
+        n=20000, seed=2, covariates={"0_Sky_dx": 0.9}
+    )["0_Sky_dx"]
+    line = a_hat + b_hat * (0.9 - 0.5)
+    assert abs(pred.mean() - line) < 0.005
+    # array covariates broadcast per draw
+    xs = np.linspace(0.1, 0.9, 20000)
+    band = res.predict_population(
+        n=20000, seed=3, covariates={"0_Sky_dx": xs}
+    )["0_Sky_dx"]
+    fit_beta = np.polyfit(xs, band, 1)[0]
+    assert abs(fit_beta - b_hat) < 0.02
+    # a conditional family without covariates= errors clearly
+    with pytest.raises(ValueError, match="conditional density"):
+        res.predict_population(n=10)
+
+
+@pytest.mark.slow
+def test_regression_noncentered_and_governed_covariate(rng):
+    """The covariate itself governed (NormalPopulation on adu) with the
+    regression listed after it, under parametrization='noncentered':
+    hyper posteriors match the centered fit and the reported flatchain
+    holds CONSTRAINED values (the double-reconstruction ordering)."""
+    model, obs, ivm, pop, adus, dxs = _regression_setup(rng)
+    pops = {
+        "0_Sky_adu": NormalPopulation(
+            mu=D.Uniform(loc=-1.0, scale=3.0),
+            sigma=D.Uniform(loc=0.01, scale=2.0),
+        ),
+        "0_Sky_dx": pop,
+    }
+    r_c = fit_hierarchical(
+        model, obs, ivm, population=pops, sampler="nuts",
+        chains=2, burn=300, iterations=300, seed=3,
+    )
+    r_nc = fit_hierarchical(
+        model, obs, ivm, population=pops, sampler="nuts",
+        chains=2, burn=300, iterations=300, seed=4,
+        parametrization="noncentered",
+    )
+    names = r_c.hyper_names
+    assert names == ["0_Sky_adu:mu", "0_Sky_adu:sigma",
+                     "0_Sky_dx:alpha", "0_Sky_dx:beta",
+                     "0_Sky_dx:sigma"]
+    for j in range(len(names)):
+        tol = 4 * np.hypot(r_c.hyper_std[j], r_nc.hyper_std[j]) + 0.01
+        assert abs(r_c.hyper_mean[j] - r_nc.hyper_mean[j]) < tol, (
+            names[j], r_c.summary(), r_nc.summary())
+    # flatchain reports constrained dx values (not residuals): the
+    # per-target means must sit at the measured tilts for BOTH fits
+    for r in (r_c, r_nc):
+        assert np.all(np.abs(r.target_mean[:, 1] - dxs) < 0.01)
+
+
+def test_regression_validation(rng):
+    """Covariate plumbing errors are loud and specific."""
+    from psfmc_tpu.hierarchy import RegressionPopulation
+
+    model, obs, ivm, pop, _, _ = _regression_setup(rng, k=3)
+
+    def fit(population):
+        return fit_hierarchical(
+            model, obs, ivm, population=population,
+            sampler="ensemble", burn=10, iterations=10, seed=5,
+        )
+
+    mk = lambda cov: RegressionPopulation(
+        covariate=cov,
+        alpha=D.Uniform(loc=-0.5, scale=1.0),
+        beta=D.Uniform(loc=-1.0, scale=2.0),
+        sigma=D.Uniform(loc=0.001, scale=0.3),
+    )
+    with pytest.raises(ValueError, match="unknown covariate"):
+        fit({"0_Sky_dx": mk("0_Sky_nope")})
+    with pytest.raises(ValueError, match="own covariate"):
+        fit({"0_Sky_dx": mk("0_Sky_dx")})
+    # governed covariate listed AFTER its dependent: rejected
+    with pytest.raises(ValueError, match="FIRST"):
+        fit({
+            "0_Sky_dx": mk("0_Sky_adu"),
+            "0_Sky_adu": NormalPopulation(
+                mu=D.Uniform(loc=-1.0, scale=3.0),
+                sigma=D.Uniform(loc=0.01, scale=2.0),
+            ),
+        })
+    with pytest.raises(TypeError, match="covariate must name"):
+        mk(3)
+    with pytest.raises(TypeError, match="must be a prior"):
+        RegressionPopulation(covariate="0_Sky_adu", alpha=1.0,
+                             beta=D.Uniform(loc=0, scale=1),
+                             sigma=D.Uniform(loc=0, scale=1))

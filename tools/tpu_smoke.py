@@ -765,8 +765,17 @@ def smoke_hierarchy_multipsf():
         assert set(np.unique(idx)) <= {0.0, 1.0}
         frac1 = float(idx.mean())
         assert frac1 > 0.6, frac1  # true PSF identified
+        # grouped leave-one-TARGET-out replay: a fresh jitted vmapped
+        # per-target-density program (PSF-marginalized, mixture weight
+        # folded) + PSIS on host — the loo_targets hardware check
+        from psfmc_tpu.hierarchy import loo_targets
+
+        loo = loo_targets(gen, obs, ivm, res, max_samples=100)
+        assert loo.n_points == k
+        assert np.isfinite(loo.elpd) and np.isfinite(loo.se)
         return dict(
-            name=f"hierarchical multi-PSF (idx1 {frac1:.2f})",
+            name=(f"hierarchical multi-PSF (idx1 {frac1:.2f}, "
+                  f"loo {loo.elpd:.0f})"),
             ok=True, lnp=float(np.mean(res.hyper_chain[:, 0])),
             warm_s=time.time() - t0,
         )
