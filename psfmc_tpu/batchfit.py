@@ -152,6 +152,65 @@ def prepare_obs_stack(spec, obs_stack, ivm_stack, dtype=np.float32):
     }
 
 
+def prepare_psf_stack(spec, psf_stack, psfivm_stack, oversample=1,
+                      dtype=np.float32):
+    """Per-target PSF stacks -> traced obs-dict spectra entries.
+
+    Survey mode: every target brings its own PSF star (the common HST/
+    JWST quasar-host workflow — one PSF per pointing), while the model
+    structure stays shared so the whole batch runs as ONE compiled
+    program.  Each target's PSFs go through exactly the preprocessing
+    the baked template PSF does (normalization, IVM->variance
+    propagation, inter-PSF mismatch variance, oversample binning,
+    conv_pad-aware FFT) by building a throwaway
+    :class:`~psfmc_tpu.models.components.PSFSelector` per target and
+    FFT'ing it with the spec-shared helper
+    (:func:`psfmc_tpu.models.spec.psf_spectra_for_selector`).
+
+    :param spec: the template ModelSpec (band spec for joint models).
+    :param psf_stack: length-K sequence; each entry one PSF (``(h, w)``
+        array or FITS filename) or a LIST of ``spec.num_psfs`` PSFs
+        when the template samples a stochastic PSF index.  A ``(K, h,
+        w)`` array works too.
+    :param psfivm_stack: inverse-variance maps, same structure.
+    :param oversample: PSF oversampling factor (block-binned down,
+        flux-preserving — Configuration ``psf_oversample`` semantics).
+    :returns: ``{"psf_f": (K, num_psfs, Hf, Wf) complex,
+        "var_f": ...}`` ready to merge into the fit's obs dict.
+    """
+    from .models.components import PSFSelector
+    from .models.spec import psf_spectra_for_selector
+
+    cdtype = (
+        np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+    )
+    npsf = int(getattr(spec, "num_psfs", 1))
+    if len(psf_stack) != len(psfivm_stack):
+        raise ValueError(
+            f"psf_stack and psfivm_stack disagree on target count: "
+            f"{len(psf_stack)} vs {len(psfivm_stack)}"
+        )
+    conv_pad = int(getattr(spec, "conv_pad", 0))
+    fs, vs = [], []
+    for p, i in zip(psf_stack, psfivm_stack):
+        if not isinstance(p, (list, tuple)):
+            p, i = [p], [i]
+        if len(p) != npsf:
+            raise ValueError(
+                f"each target needs {npsf} PSF(s) to match the "
+                f"template's stochastic index; got {len(p)}"
+            )
+        sel = PSFSelector(list(p), list(i), spec.shape,
+                          oversample=oversample)
+        f, v = psf_spectra_for_selector(sel, spec.shape, conv_pad)
+        fs.append(f)
+        vs.append(v)
+    return {
+        "psf_f": np.asarray(np.stack(fs), cdtype),
+        "var_f": np.asarray(np.stack(vs), cdtype),
+    }
+
+
 def _lnpost_obs_for(fns):
     """theta, traced-obs-dict -> lnpost; single-band or joint.
 
@@ -178,6 +237,11 @@ def _lnpost_obs_for(fns):
                 key: obs[f"b{i}_{key}"]
                 for key in ("obs_data", "obs_var", "good_px")
             }
+            # optional per-target PSF spectra (survey mode); dict
+            # membership is static per trace, so this is free
+            for key in ("psf_f", "var_f"):
+                if f"b{i}_{key}" in obs:
+                    ob[key] = obs[f"b{i}_{key}"]
             tot = tot + f.log_posterior_obs(theta, ob)
         out = jnp.where(jnp.isfinite(lp), tot, -jnp.inf)
         return jnp.where(jnp.isnan(out), -jnp.inf, out)
@@ -302,6 +366,9 @@ def fit_batch(
     record_every=0,
     mesh=None,
     chunk=None,
+    psf_stack=None,
+    psfivm_stack=None,
+    psf_oversample=1,
 ):
     """Fit the model independently to K stacked observations at once.
 
@@ -334,6 +401,16 @@ def fit_batch(
         chunk reuses one compiled program shape and device memory stays
         bounded.  Rounded up to a mesh multiple.  Default: all K in
         one call.
+    :param psf_stack: optional per-target PSFs (survey mode — each
+        target observed with its own PSF star): length-K sequence of
+        ``(h, w)`` arrays/filenames (or per-target LISTS of
+        ``num_psfs`` PSFs under a stochastic index), or a per-band
+        LIST of such for joint models.  See
+        :func:`prepare_psf_stack`.  Without it every target shares the
+        template Configuration's PSF.
+    :param psfivm_stack: PSF inverse-variance maps, same structure;
+        required with ``psf_stack``.
+    :param psf_oversample: per-target PSF oversampling factor.
     :returns: :class:`BatchFitResult`.
     """
     model = _as_model(model)
@@ -354,12 +431,28 @@ def fit_batch(
             f"record_every={record_every}"
         )
 
+    if (psf_stack is None) != (psfivm_stack is None):
+        raise ValueError(
+            "psf_stack and psfivm_stack must be given together"
+        )
+
     band_specs = getattr(spec, "band_specs", None)
     if band_specs is None:
         obs = prepare_obs_stack(
             spec, obs_stack, ivm_stack, np.dtype(fns.dtype)
         )
         k_real = obs["obs_data"].shape[0]
+        if psf_stack is not None:
+            psf = prepare_psf_stack(
+                spec, psf_stack, psfivm_stack, psf_oversample,
+                np.dtype(fns.dtype),
+            )
+            if psf["psf_f"].shape[0] != k_real:
+                raise ValueError(
+                    f"psf_stack target count {psf['psf_f'].shape[0]} "
+                    f"!= obs target count {k_real}"
+                )
+            obs.update(psf)
     else:
         # joint model: one (K, H_b, W_b) stack per band, flattened into
         # b{i}_-prefixed keys so the chunk/shard plumbing is unchanged
@@ -371,12 +464,22 @@ def fit_batch(
                 f"({len(band_specs)}), got {len(obs_stack)}/"
                 f"{len(ivm_stack)}"
             )
+        if psf_stack is not None and len(psf_stack) != len(band_specs):
+            raise ValueError(
+                f"joint fit_batch needs one psf_stack per band "
+                f"({len(band_specs)}), got {len(psf_stack)}"
+            )
         obs = {}
         k_real = None
         for i, (bs, ob, iv) in enumerate(
             zip(band_specs, obs_stack, ivm_stack)
         ):
             d = prepare_obs_stack(bs, ob, iv, np.dtype(fns.dtype))
+            if psf_stack is not None:
+                d.update(prepare_psf_stack(
+                    bs, psf_stack[i], psfivm_stack[i], psf_oversample,
+                    np.dtype(fns.dtype),
+                ))
             k = d["obs_data"].shape[0]
             if k_real is None:
                 k_real = k

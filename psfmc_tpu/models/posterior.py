@@ -842,13 +842,18 @@ class PosteriorFns:
         raw = raw + ps
         return raw, ps
 
-    def _images_impl(self, theta, obs_var=None):
+    def _images_impl(self, theta, obs_var=None, psf_f=None, var_f=None):
         """The four independent carry images (see module docstring).
 
         ``obs_var`` overrides the baked-in observation variance map with
         a traced array — the batched multi-target fit path
         (:mod:`psfmc_tpu.batchfit`) evaluates one compiled posterior
-        against a whole stack of observations.
+        against a whole stack of observations.  ``psf_f``/``var_f``
+        override the baked PSF + variance-kernel half-spectra with
+        traced ``(num_psfs, Hf, Wf)`` complex stacks (same layout as
+        ``spec.f_psf_stack``) — the survey-mode per-target-PSF path;
+        the stochastic index gathers into the override exactly as it
+        would into the constants.
         """
         c = self.constants
         idx = self._psf_index(theta)
@@ -857,10 +862,15 @@ class PosteriorFns:
         if self.conv_mode == "dft":
             from ..ops.fourier import convolve_rdft
 
-            psf_r = jnp.asarray(c["psf_r"])[idx]
-            psf_i = jnp.asarray(c["psf_i"])[idx]
-            var_r = jnp.asarray(c["var_r"])[idx]
-            var_i = jnp.asarray(c["var_i"])[idx]
+            if psf_f is None:
+                psf_r = jnp.asarray(c["psf_r"])[idx]
+                psf_i = jnp.asarray(c["psf_i"])[idx]
+                var_r = jnp.asarray(c["var_r"])[idx]
+                var_i = jnp.asarray(c["var_i"])[idx]
+            else:
+                fp, fv = psf_f[idx], var_f[idx]
+                psf_r, psf_i = jnp.real(fp), jnp.imag(fp)
+                var_r, var_i = jnp.real(fv), jnp.imag(fv)
             mats = c["rdft_mats"]
             conv = convolve_rdft(raw, psf_r, psf_i, mats)
             model_var = convolve_rdft(raw * raw, var_r, var_i, mats)
@@ -868,8 +878,11 @@ class PosteriorFns:
         else:
             # jnp wrap: the stacks are host numpy (see __init__) and the
             # index may be a tracer
-            f_psf = jnp.asarray(c["f_psf"])[idx]
-            f_var = jnp.asarray(c["f_var"])[idx]
+            if psf_f is None:
+                f_psf = jnp.asarray(c["f_psf"])[idx]
+                f_var = jnp.asarray(c["f_var"])[idx]
+            else:
+                f_psf, f_var = psf_f[idx], var_f[idx]
             conv = convolve(raw, f_psf)
             model_var = convolve(raw * raw, f_var)
             ps_conv = convolve(ps, f_psf)
@@ -1109,11 +1122,19 @@ class PosteriorFns:
         what lets :func:`psfmc_tpu.batchfit.fit_batch` evaluate one
         compiled program against a whole stack of mock observations
         (the completeness-simulation workflow the reference leaves to a
-        serial per-target loop).
+        serial per-target loop).  Optional ``psf_f``/``var_f`` entries
+        (``(num_psfs, Hf, Wf)`` complex half-spectra, layout of
+        ``spec.f_psf_stack`` — see
+        :func:`psfmc_tpu.batchfit.prepare_psf_stack`) replace the baked
+        PSF per observation: the survey mode where every target has its
+        own PSF star.
         """
         theta = jnp.asarray(theta, self.dtype)
         lp = self.log_prior(theta)
-        imgs = self._images_impl(theta, obs_var=obs["obs_var"])
+        imgs = self._images_impl(
+            theta, obs_var=obs["obs_var"],
+            psf_f=obs.get("psf_f"), var_f=obs.get("var_f"),
+        )
         resid = obs["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
         lnl = self._lnlike(resid, ivm, obs["good_px"])
@@ -1125,10 +1146,14 @@ class PosteriorFns:
         The likelihood-only twin of :meth:`log_posterior_obs` — the
         hierarchical population fit (:mod:`psfmc_tpu.hierarchy`) sums
         one of these per target and evaluates its own joint prior over
-        the stacked parameter vector.
+        the stacked parameter vector.  Honors the same optional
+        ``psf_f``/``var_f`` per-observation PSF override.
         """
         theta = jnp.asarray(theta, self.dtype)
-        imgs = self._images_impl(theta, obs_var=obs["obs_var"])
+        imgs = self._images_impl(
+            theta, obs_var=obs["obs_var"],
+            psf_f=obs.get("psf_f"), var_f=obs.get("var_f"),
+        )
         resid = obs["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
         return self._lnlike(resid, ivm, obs["good_px"])

@@ -477,14 +477,29 @@ def psf_spectra_for(config):
     joint multi-band spec builder — a consumer stacking
     ``psf_selector.psf_list`` directly would silently ignore padding.
     """
-    conv_pad = int(getattr(config, "conv_pad", 0))
-    sel = config.psf_selector
+    return psf_spectra_for_selector(
+        config.psf_selector,
+        config.obs_data.shape,
+        int(getattr(config, "conv_pad", 0)),
+    )
+
+
+def psf_spectra_for_selector(sel, obs_shape, conv_pad=0):
+    """(f_psf_stack, f_var_stack) for a PSFSelector at an obs shape.
+
+    The selector-level twin of :func:`psf_spectra_for` — the per-target
+    PSF path (:func:`psfmc_tpu.batchfit.prepare_psf_stack`) builds a
+    throwaway selector per target and FFTs it HERE so survey-mode PSFs
+    go through exactly the preprocessing the baked template PSF does
+    (normalization, variance propagation, oversample binning, padding).
+    For the no-pad branch the selector must have been constructed with
+    ``data_shape == obs_shape`` (its lazy FFT stacks are sized to it).
+    """
+    conv_pad = int(conv_pad)
     if conv_pad > 0:
         from ..ops.fourier import pad_and_rfft_image
 
-        padded = tuple(
-            int(n) + 2 * conv_pad for n in config.obs_data.shape
-        )
+        padded = tuple(int(n) + 2 * conv_pad for n in obs_shape)
         return (
             np.stack([pad_and_rfft_image(p, padded) for p in sel.spatial_psfs]),
             np.stack([pad_and_rfft_image(v, padded) for v in sel.spatial_vars]),

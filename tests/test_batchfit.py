@@ -419,3 +419,243 @@ def test_fit_batch_mesh_parity_and_padding():
     )
     assert res3.num_targets == 3
     assert np.all(np.isfinite(res3.mean))
+
+
+def _psf(sigma, n=16):
+    yy, xx = np.mgrid[0:n, 0:n].astype(float)
+    p = np.exp(-((xx - n / 2) ** 2 + (yy - n / 2) ** 2) / (2 * sigma**2))
+    return p / p.sum()
+
+
+def test_prepare_psf_stack_matches_baked():
+    """Survey-mode spectra go through EXACTLY the template PSF's
+    preprocessing: target-0 (the template's own PSF) reproduces the
+    baked stacks bitwise; a different PSF reproduces a fresh model
+    built around it (log_posterior_obs == that model's baked
+    log_posterior)."""
+    from psfmc_tpu.batchfit import prepare_psf_stack
+
+    rng = np.random.RandomState(30)
+    h = w = 24
+    narrow, wide = _psf(1.0), _psf(2.5)
+    pivm = np.ones_like(narrow) * 1e8
+    obs_img = 0.05 + rng.randn(h, w) * 0.05
+    ivm_img = np.full((h, w), 400.0)
+
+    def build(psf):
+        return MultiComponentModel([
+            Configuration(
+                obs_file=obs_img, obsivm_file=ivm_img, psf_files=psf,
+                psfivm_files=pivm, mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            PointSource(
+                xy=D.Uniform(loc=np.array([9.0, 9.0]),
+                             scale=np.array([6.0, 6.0])),
+                mag=D.Uniform(loc=21.0, scale=1.0),
+            ),
+        ])
+
+    tmpl = build(narrow)
+    spec = tmpl.spec
+    stk = prepare_psf_stack(spec, [narrow, wide], [pivm, pivm])
+    assert stk["psf_f"].shape == (2, 1) + spec.f_psf_stack.shape[1:]
+    # target 0 == the baked template spectra
+    assert np.array_equal(
+        stk["psf_f"][0], np.asarray(spec.f_psf_stack, stk["psf_f"].dtype)
+    )
+    assert np.array_equal(
+        stk["var_f"][0], np.asarray(spec.f_var_stack, stk["var_f"].dtype)
+    )
+
+    # target 1 == a fresh model baked around the wide PSF
+    other = build(wide)
+    obs = prepare_obs_stack(spec, obs_img[None].repeat(2, 0),
+                            ivm_img[None].repeat(2, 0))
+    obs.update(stk)
+    thetas = tmpl.init_params_from_priors(
+        6, random_state=np.random.RandomState(31)
+    )
+    for th in thetas:
+        one = {k: jnp.asarray(v[1]) for k, v in obs.items()}
+        got = float(
+            tmpl.posterior_fns.log_posterior_obs(jnp.asarray(th), one)
+        )
+        want = float(other.posterior_fns.log_posterior(jnp.asarray(th)))
+        assert np.isclose(got, want, rtol=1e-5, atol=1e-4), (got, want)
+        # and the likelihood-only twin honors the override too
+        got_l = float(
+            tmpl.posterior_fns.log_likelihood_obs(jnp.asarray(th), one)
+        )
+        want_l = float(
+            other.posterior_fns.log_likelihood(jnp.asarray(th))
+        )
+        assert np.isclose(got_l, want_l, rtol=1e-5, atol=1e-4)
+
+
+def test_fit_batch_per_target_psf():
+    """Survey-mode e2e: targets observed under DIFFERENT PSFs fit in
+    one batched program; each target's posterior matches a serial fit
+    with that PSF baked in (pull < 1 between the two posteriors)."""
+    rng = np.random.RandomState(32)
+    h = w = 24
+    psfs = [_psf(1.0), _psf(2.0), _psf(3.0)]
+    pivm = np.ones((16, 16)) * 1e8
+    noise = 0.05
+    ivm_img = np.full((h, w), 1.0 / noise**2)
+
+    def build(psf, obs_img):
+        return MultiComponentModel([
+            Configuration(
+                obs_file=obs_img, obsivm_file=ivm_img, psf_files=psf,
+                psfivm_files=pivm, mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            PointSource(
+                xy=D.Uniform(loc=np.array([9.0, 9.0]),
+                             scale=np.array([6.0, 6.0])),
+                mag=D.Uniform(loc=21.0, scale=1.0),
+            ),
+        ])
+
+    # simulate each target THROUGH a model with its own PSF baked
+    tmpl0 = build(psfs[0], 0.05 + rng.randn(h, w) * noise)
+    thetas = tmpl0.init_params_from_priors(
+        3, random_state=np.random.RandomState(33)
+    )
+    obs_list = []
+    for k in range(3):
+        m = build(psfs[k], np.zeros((h, w)))
+        mock, _ = m.simulate(theta=thetas[k], random_state=100 + k)
+        obs_list.append(mock)
+    obs = np.stack(obs_list)
+    ivm = np.broadcast_to(ivm_img, obs.shape).copy()
+
+    res = fit_batch(
+        tmpl0, obs, ivm, burn=250, iterations=250, seed=34,
+        psf_stack=list(psfs), psfivm_stack=[pivm] * 3,
+    )
+    pulls = res.pulls(thetas)
+    assert np.all(np.abs(pulls) < 6.0), pulls
+    # target 2 (sigma=3 PSF) against a serial baked fit of the same data
+    m2 = build(psfs[2], obs[2])
+    res2 = fit_batch(m2, obs[2:3], ivm[2:3], burn=250, iterations=250,
+                     seed=35)
+    comb = np.sqrt(res.std[2] ** 2 + res2.std[0] ** 2)
+    assert np.all(np.abs(res.mean[2] - res2.mean[0]) < 4.0 * comb), (
+        res.mean[2], res2.mean[0], comb
+    )
+    # the WRONG shared-template-PSF fit misses the wide-PSF target's
+    # magnitude: survey mode is load-bearing, not decorative
+    wrong = fit_batch(tmpl0, obs, ivm, burn=250, iterations=250, seed=34)
+    mag = res.param_names.index("1_PointSource_mag")
+    lens = res.param_lens
+    col = int(np.concatenate([[0], np.cumsum(lens)])[mag])
+    assert abs(wrong.mean[2, col] - thetas[2][col]) > 3.0 * wrong.std[
+        2, col
+    ]
+
+
+def test_per_target_psf_validation():
+    from psfmc_tpu.batchfit import prepare_psf_stack
+
+    model = _model(np.random.RandomState(36))
+    obs, ivm, _ = simulate_stack(model, 2, seed=37)
+    p = _psf(1.5)
+    pivm = np.ones_like(p) * 1e8
+    with pytest.raises(ValueError, match="together"):
+        fit_batch(model, obs, ivm, burn=5, iterations=5,
+                  psf_stack=[p, p])
+    with pytest.raises(ValueError, match="target count"):
+        fit_batch(model, obs, ivm, burn=5, iterations=5,
+                  psf_stack=[p], psfivm_stack=[pivm])
+    with pytest.raises(ValueError, match="disagree"):
+        prepare_psf_stack(model.spec, [p, p], [pivm])
+    with pytest.raises(ValueError, match="PSF"):
+        # template has 1 PSF; passing 2 per target must fail
+        prepare_psf_stack(model.spec, [[p, p]], [[pivm, pivm]])
+
+
+def test_fit_batch_per_target_psf_joint_chunked():
+    """Survey mode through the joint-band + chunked plumbing: per-band
+    per-target PSF spectra ride the b{i}_ keys, and chunk padding
+    repeats complex spectra rows cleanly.  Exactness anchor: the
+    traced joint lnpost with target-k PSFs == a fresh joint model
+    baked around them."""
+    from psfmc_tpu.batchfit import _lnpost_obs_for, prepare_psf_stack
+    from psfmc_tpu.models import JointModel, Tied
+
+    rng = np.random.RandomState(50)
+    obs_a = 0.05 + rng.randn(24, 24) * 0.05
+    obs_b = 0.05 + rng.randn(16, 16) * 0.08
+
+    def cfg(obs_img, noise, psf):
+        return Configuration(
+            obs_file=obs_img,
+            obsivm_file=np.full(obs_img.shape, 1.0 / noise**2),
+            psf_files=psf,
+            psfivm_files=np.full(psf.shape, 1e8),
+            mag_zeropoint=25.0,
+        )
+
+    def build(psf_a, psf_b):
+        ps_a = PointSource(
+            xy=D.Uniform(loc=np.array([9.0, 9.0]),
+                         scale=np.array([6.0, 6.0])),
+            mag=D.Uniform(loc=21.0, scale=1.0),
+        )
+        ps_b = PointSource(xy=Tied(ps_a, "xy"),
+                           mag=D.Uniform(loc=21.5, scale=1.0))
+        return JointModel([
+            [cfg(obs_a, 0.05, psf_a),
+             Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_a],
+            [cfg(obs_b, 0.08, psf_b),
+             Sky(adu=D.Normal(loc=0.05, scale=0.05)), ps_b],
+        ])
+
+    psfs_a = [_psf(1.2), _psf(2.2)]          # band-0 per-target PSFs
+    psfs_b = [_psf(1.8, 12), _psf(2.8, 12)]  # band-1 per-target PSFs
+    joint = build(psfs_a[0], psfs_b[0])
+
+    # exactness: target-1 spectra == joint model baked around them
+    obs_flat = {}
+    for i, bs in enumerate(joint.spec.band_specs):
+        with np.errstate(divide="ignore"):
+            ivm = np.where(
+                np.isfinite(bs.obs_var) & (bs.obs_var > 0),
+                1.0 / bs.obs_var, 0.0,
+            )
+        d = prepare_obs_stack(bs, np.asarray(bs.obs_data)[None], ivm[None])
+        band_psfs = [psfs_a, psfs_b][i]
+        d.update(prepare_psf_stack(
+            bs, [band_psfs[1]], [np.full(band_psfs[1].shape, 1e8)]
+        ))
+        for key, v in d.items():
+            obs_flat[f"b{i}_{key}"] = jnp.asarray(v[0])
+    other = build(psfs_a[1], psfs_b[1])
+    lnpost_obs = _lnpost_obs_for(joint.posterior_fns)
+    for t in joint.init_params_from_priors(
+        4, random_state=np.random.RandomState(51)
+    ):
+        got = float(lnpost_obs(jnp.asarray(t), obs_flat))
+        want = float(other.posterior_fns.log_posterior(jnp.asarray(t)))
+        assert np.isclose(got, want, rtol=1e-5, atol=1e-4), (got, want)
+
+    # mechanics: K=3 with chunk=2 (pads the complex rows), one PSF pair
+    # per target per band
+    obs_list, ivm_list, _ = simulate_stack(joint, 3, seed=52)
+    res = fit_batch(
+        joint, obs_list, ivm_list, burn=40, iterations=40, seed=53,
+        chunk=2,
+        psf_stack=[[psfs_a[0], psfs_a[1], psfs_a[0]],
+                   [psfs_b[0], psfs_b[1], psfs_b[0]]],
+        psfivm_stack=[[np.full(p.shape, 1e8) for p in
+                       (psfs_a[0], psfs_a[1], psfs_a[0])],
+                      [np.full(p.shape, 1e8) for p in
+                       (psfs_b[0], psfs_b[1], psfs_b[0])]],
+    )
+    assert res.num_targets == 3
+    assert np.all(np.isfinite(res.mean))
+    with pytest.raises(ValueError, match="per band"):
+        fit_batch(joint, obs_list, ivm_list, burn=5, iterations=5,
+                  psf_stack=[psfs_a], psfivm_stack=[[np.ones((16, 16))]])
