@@ -405,9 +405,9 @@ def fit_batch(
         target observed with its own PSF star): length-K sequence of
         ``(h, w)`` arrays/filenames (or per-target LISTS of
         ``num_psfs`` PSFs under a stochastic index), or a per-band
-        LIST of such for joint models.  See
-        :func:`prepare_psf_stack`.  Without it every target shares the
-        template Configuration's PSF.
+        LIST of such for joint models (a ``None`` entry keeps that
+        band's template PSF).  See :func:`prepare_psf_stack`.  Without
+        it every target shares the template Configuration's PSF.
     :param psfivm_stack: PSF inverse-variance maps, same structure;
         required with ``psf_stack``.
     :param psf_oversample: per-target PSF oversampling factor.
@@ -467,7 +467,8 @@ def fit_batch(
         if psf_stack is not None and len(psf_stack) != len(band_specs):
             raise ValueError(
                 f"joint fit_batch needs one psf_stack per band "
-                f"({len(band_specs)}), got {len(psf_stack)}"
+                f"({len(band_specs)}; None keeps that band's template "
+                f"PSF), got {len(psf_stack)}"
             )
         obs = {}
         k_real = None
@@ -475,7 +476,7 @@ def fit_batch(
             zip(band_specs, obs_stack, ivm_stack)
         ):
             d = prepare_obs_stack(bs, ob, iv, np.dtype(fns.dtype))
-            if psf_stack is not None:
+            if psf_stack is not None and psf_stack[i] is not None:
                 d.update(prepare_psf_stack(
                     bs, psf_stack[i], psfivm_stack[i], psf_oversample,
                     np.dtype(fns.dtype),

@@ -65,6 +65,11 @@ Semantics notes:
   structure), the slot prior + all band constraints evaluate once via
   the joint comp_specs, and any band's stochastic PSF index
   marginalizes independently.
+* survey mode: ``psf_stack=`` gives every target its own PSF star(s)
+  (same preprocessing as the template PSF — see
+  :func:`psfmc_tpu.batchfit.prepare_psf_stack`); the spectra ride the
+  per-target stacks into the vmapped likelihood and the stochastic
+  index gathers into them exactly as into the baked constants.
 * v1 scope: scalar governed slots.  The target axis is fully
   data-parallel; ``shard='targets'`` rides it over a mesh following
   the batchfit pattern.
@@ -590,7 +595,8 @@ def load_hierarchical_result(db_name):
 
 
 def target_loglike(model, obs_stack, ivm_stack, result,
-                   max_samples=1000, chunk=256, seed=0):
+                   max_samples=1000, chunk=256, seed=0,
+                   psf_stack=None, psfivm_stack=None, psf_oversample=1):
     """(S, K) per-target log-likelihood replay at the retained draws.
 
     The data term of target k at each retained draw's theta_k — bands
@@ -615,7 +621,11 @@ def target_loglike(model, obs_stack, ivm_stack, result,
     fns = model.posterior_fns
     spec = model.spec
     d = spec.num_params
-    bands, k = _build_bands(fns, spec, obs_stack, ivm_stack)
+    bands, k = _build_bands(
+        fns, spec, obs_stack, ivm_stack,
+        psf_stack=psf_stack, psfivm_stack=psfivm_stack,
+        psf_oversample=psf_oversample,
+    )
     if isinstance(result, HierarchicalResult):
         flat = result.flatchain
         if flat is None:
@@ -883,16 +893,13 @@ class _HierarchicalFns:
                 continue
             col, npsf = band["psf"]
             f = band["fns"]
-            obs = [
-                jnp.asarray(band["obs"]["obs_data"]),
-                jnp.asarray(band["obs"]["obs_var"]),
-                jnp.asarray(band["obs"]["good_px"]),
-            ]
+            keys = _band_keys(band)
+            obs = [jnp.asarray(band["obs"][kk]) for kk in keys]
 
             def lnls_one_draw(theta_kd, _f=f, _col=col, _n=npsf,
-                              _obs=obs):
-                def per_target(th, od, ov, gp):
-                    o = {"obs_data": od, "obs_var": ov, "good_px": gp}
+                              _obs=obs, _keys=keys):
+                def per_target(th, *planes):
+                    o = dict(zip(_keys, planes))
                     return jnp.stack(
                         [
                             _f.log_likelihood_obs(
@@ -928,26 +935,42 @@ class _HierarchicalFns:
         return result
 
 
+def _band_keys(band):
+    """Static obs-dict key order for one band's per-target arrays.
+
+    Three planes always; plus the survey-mode per-target PSF spectra
+    when the band carries them (dict membership is static per trace).
+    """
+    keys = ["obs_data", "obs_var", "good_px"]
+    if "psf_f" in band["obs"]:
+        keys += ["psf_f", "var_f"]
+    return keys
+
+
 def _make_lnl_one(bands, dtype):
     """Per-target data term: sum of band likelihoods, PSF-marginalized.
 
-    ``lnl_one(th, *flat)`` takes one target's theta plus three arrays
-    per band (obs_data, obs_var, good_px).  The discrete PSF index is
-    marginalized PER TARGET AND BAND (the joint marginal over K x bands
-    index slots factorizes: lnL sums over targets and bands, and each
-    band's term depends only on its own index) — same logsumexp the
-    regular NUTS sampler uses (sampler/nuts.py _marginal_lnpost).  The
-    uniform 1/num_psfs mixture weight is NOT added here: base_prior
-    evaluates the DiscreteUniform density at the inert index column
-    (placeholder 0, inside support), contributing exactly
-    -ln(num_psfs).
+    ``lnl_one(th, *flat)`` takes one target's theta plus that target's
+    per-band arrays in :func:`_band_keys` order (obs_data, obs_var,
+    good_px, and — in survey mode — the per-target PSF + variance
+    half-spectra, which :meth:`PosteriorFns.log_likelihood_obs` gathers
+    the stochastic index into exactly as it would into the baked
+    constants).  The discrete PSF index is marginalized PER TARGET AND
+    BAND (the joint marginal over K x bands index slots factorizes:
+    lnL sums over targets and bands, and each band's term depends only
+    on its own index) — same logsumexp the regular NUTS sampler uses
+    (sampler/nuts.py _marginal_lnpost).  The uniform 1/num_psfs mixture
+    weight is NOT added here: base_prior evaluates the DiscreteUniform
+    density at the inert index column (placeholder 0, inside support),
+    contributing exactly -ln(num_psfs).
     """
+    keylists = [_band_keys(b) for b in bands]
+    offs = np.concatenate([[0], np.cumsum([len(ks) for ks in keylists])])
 
     def lnl_one(th, *flat):
         tot = jnp.asarray(0.0, dtype)
         for bi, band in enumerate(bands):
-            od, ov, gp = flat[3 * bi : 3 * bi + 3]
-            o = {"obs_data": od, "obs_var": ov, "good_px": gp}
+            o = dict(zip(keylists[bi], flat[offs[bi] : offs[bi + 1]]))
             f = band["fns"]
             if band["psf"] is None:
                 tot = tot + f.log_likelihood_obs(th, o)
@@ -968,32 +991,39 @@ def _make_lnl_one(bands, dtype):
 
 
 def _band_stacks(bands):
-    """Flat [obs_data, obs_var, good_px] x bands device-array list."""
+    """Flat per-band device-array list in :func:`_band_keys` order."""
     stacks = []
     for band in bands:
-        stacks += [
-            jnp.asarray(band["obs"]["obs_data"]),
-            jnp.asarray(band["obs"]["obs_var"]),
-            jnp.asarray(band["obs"]["good_px"]),
-        ]
+        stacks += [jnp.asarray(band["obs"][k]) for k in _band_keys(band)]
     return stacks
 
 
-def _build_bands(fns, spec, obs_stack, ivm_stack):
+def _build_bands(fns, spec, obs_stack, ivm_stack, psf_stack=None,
+                 psfivm_stack=None, psf_oversample=1):
     """Band descriptors (prepared obs + per-band fns + PSF marg) and K.
 
     Single-band models take plain (K, H, W) stacks; joint models take a
-    LIST of one stack per band.  Shared by :func:`fit_hierarchical` and
-    the :func:`target_loglike` replay so the two can never disagree on
-    the observation preprocessing.
+    LIST of one stack per band.  ``psf_stack``/``psfivm_stack`` add
+    survey-mode per-target PSFs (:func:`psfmc_tpu.batchfit.
+    prepare_psf_stack` semantics; for a joint model a list with one
+    entry per band, ``None`` entries keeping that band's template PSF).
+    Shared by :func:`fit_hierarchical` and the :func:`target_loglike`
+    replay so the two can never disagree on the observation
+    preprocessing.
     """
-    from .batchfit import prepare_obs_stack
+    from .batchfit import prepare_obs_stack, prepare_psf_stack
 
+    if (psf_stack is None) != (psfivm_stack is None):
+        raise ValueError(
+            "psf_stack and psfivm_stack must be given together"
+        )
     band_specs = getattr(spec, "band_specs", None)
     if band_specs is None:
         band_specs = [spec]
         band_fns_list = [fns]
         obs_stacks, ivm_stacks = [obs_stack], [ivm_stack]
+        psf_stacks = [psf_stack]
+        psfivm_stacks = [psfivm_stack]
     else:
         band_fns_list = fns.band_fns
         if len(obs_stack) != len(band_specs) or len(ivm_stack) != len(
@@ -1004,11 +1034,29 @@ def _build_bands(fns, spec, obs_stack, ivm_stack):
                 f"band ({len(band_specs)}), got {len(obs_stack)}/"
                 f"{len(ivm_stack)}"
             )
+        if psf_stack is not None and (
+            len(psf_stack) != len(band_specs)
+            or len(psfivm_stack) != len(band_specs)
+        ):
+            raise ValueError(
+                f"joint psf_stack needs one entry per band "
+                f"({len(band_specs)}; None keeps that band's template "
+                f"PSF), got {len(psf_stack)}/{len(psfivm_stack)}"
+            )
         obs_stacks, ivm_stacks = list(obs_stack), list(ivm_stack)
+        psf_stacks = (
+            list(psf_stack) if psf_stack is not None
+            else [None] * len(band_specs)
+        )
+        psfivm_stacks = (
+            list(psfivm_stack) if psfivm_stack is not None
+            else [None] * len(band_specs)
+        )
     bands = []
     k = None
-    for bs, bf, ob_s, iv_s in zip(
-        band_specs, band_fns_list, obs_stacks, ivm_stacks
+    for bs, bf, ob_s, iv_s, ps_s, pi_s in zip(
+        band_specs, band_fns_list, obs_stacks, ivm_stacks,
+        psf_stacks, psfivm_stacks,
     ):
         ob = prepare_obs_stack(bs, ob_s, iv_s, np.dtype(fns.dtype))
         k_b = ob["obs_data"].shape[0]
@@ -1018,6 +1066,21 @@ def _build_bands(fns, spec, obs_stack, ivm_stack):
             raise ValueError(
                 f"bands disagree on target count: {k_b} vs {k}"
             )
+        if ps_s is not None:
+            if pi_s is None:
+                raise ValueError(
+                    "a band's psf_stack entry needs a matching "
+                    "psfivm_stack entry"
+                )
+            psf = prepare_psf_stack(
+                bs, ps_s, pi_s, psf_oversample, np.dtype(fns.dtype)
+            )
+            if psf["psf_f"].shape[0] != k_b:
+                raise ValueError(
+                    f"psf_stack target count {psf['psf_f'].shape[0]} "
+                    f"!= obs target count {k_b}"
+                )
+            ob.update(psf)
         bands.append({"fns": bf, "obs": ob, "psf": _psf_marg_for(bs)})
     return bands, k
 
@@ -1177,6 +1240,9 @@ def fit_hierarchical(
     mesh=None,
     shard="chains",
     parametrization="centered",
+    psf_stack=None,
+    psfivm_stack=None,
+    psf_oversample=1,
 ):
     """Joint hierarchical fit of K stacked observations.
 
@@ -1218,6 +1284,16 @@ def fit_hierarchical(
         sampled directly) or ``'noncentered'`` (standardized residuals
         sampled; kills the small-sigma funnel, see module docstring).
         Results are reported in constrained theta space either way.
+    :param psf_stack / psfivm_stack: optional survey-mode per-target
+        PSFs (each target observed with its own PSF star) — same
+        structure as :func:`psfmc_tpu.batchfit.fit_batch`: a length-K
+        sequence of PSFs (or per-target lists of ``num_psfs`` PSFs
+        under a stochastic index, marginalized per target as usual);
+        for a joint model, a list with one such entry per band
+        (``None`` keeps that band's template PSF).  Pass the SAME
+        stacks to :func:`target_loglike`/:func:`loo_targets` when
+        replaying.
+    :param psf_oversample: per-target PSF oversampling factor.
     :returns: :class:`HierarchicalResult`.
     """
     from .models.multicomponent import as_model, slot_param_names
@@ -1227,7 +1303,11 @@ def fit_hierarchical(
     fns = model.posterior_fns
     spec = model.spec
     d = spec.num_params
-    bands, k = _build_bands(fns, spec, obs_stack, ivm_stack)
+    bands, k = _build_bands(
+        fns, spec, obs_stack, ivm_stack,
+        psf_stack=psf_stack, psfivm_stack=psfivm_stack,
+        psf_oversample=psf_oversample,
+    )
 
     if not population:
         raise ValueError("population must name at least one parameter")

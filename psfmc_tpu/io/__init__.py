@@ -8,6 +8,7 @@ from .preprocess import (
     preprocess_obs,
     preprocess_psf,
 )
+from .cutout import CutoutStack, cutout_stack
 from .region import parse_region_file, region_mask
 from .table import Table
 from .wcs import MiniWCS, proj_plane_pixel_area
@@ -15,6 +16,8 @@ from .wcs import MiniWCS, proj_plane_pixel_area
 __all__ = [
     "fits",
     "Table",
+    "CutoutStack",
+    "cutout_stack",
     "MiniWCS",
     "proj_plane_pixel_area",
     "parse_region_file",

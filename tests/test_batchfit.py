@@ -659,3 +659,13 @@ def test_fit_batch_per_target_psf_joint_chunked():
     with pytest.raises(ValueError, match="per band"):
         fit_batch(joint, obs_list, ivm_list, burn=5, iterations=5,
                   psf_stack=[psfs_a], psfivm_stack=[[np.ones((16, 16))]])
+
+    # a None band entry keeps that band's template PSF
+    res_mixed = fit_batch(
+        joint, obs_list, ivm_list, burn=10, iterations=10, seed=54,
+        psf_stack=[[psfs_a[0], psfs_a[1], psfs_a[0]], None],
+        psfivm_stack=[[np.full(p.shape, 1e8) for p in
+                       (psfs_a[0], psfs_a[1], psfs_a[0])], None],
+    )
+    assert res_mixed.num_targets == 3
+    assert np.all(np.isfinite(res_mixed.mean))

@@ -1372,3 +1372,131 @@ def test_regression_validation(rng):
         RegressionPopulation(covariate="0_Sky_adu", alpha=1.0,
                              beta=D.Uniform(loc=0, scale=1),
                              sigma=D.Uniform(loc=0, scale=1))
+
+
+# ---------------------------------------------------------------------
+# survey mode: per-target PSFs (psf_stack=) in hierarchical fits
+# ---------------------------------------------------------------------
+
+def _ps_model_sigma(hw, noise, sigma, mag_prior=None):
+    """Single-PSF PointSource model with a Gaussian PSF of width sigma."""
+    yy, xx = np.mgrid[:hw, :hw] - (hw - 1) / 2.0
+    p = np.exp(-(xx**2 + yy**2) / (2 * sigma**2))
+    p = p / p.sum()
+    return MultiComponentModel(
+        [
+            Configuration(
+                obs_file=np.zeros((hw, hw)),
+                obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+                psf_files=p,
+                psfivm_files=np.full_like(p, 1e12),
+                mag_zeropoint=25.0,
+            ),
+            PointSource(
+                xy=D.Uniform(loc=(6.0, 6.0), scale=(4.0, 4.0)),
+                mag=mag_prior or D.Uniform(loc=19.5, scale=2.5),
+            ),
+        ]
+    ), p
+
+
+def test_per_target_psf_replay_parity(rng):
+    """psf_stack entries equal to the template's own PSF reproduce the
+    baked-constant per-target log-likelihoods exactly."""
+    from psfmc_tpu.hierarchy import target_loglike
+
+    hw, noise, k = 16, 0.05, 3
+    model, psf = _ps_model_sigma(hw, noise, 1.5)
+    thetas = model.init_params_from_priors(4 * k, random_state=rng)
+    flat = thetas.reshape(4, k * model.spec.num_params)
+    obs = rng.randn(k, hw, hw) * noise
+    ivm = np.full((k, hw, hw), 1.0 / noise**2)
+    base = target_loglike(model, obs, ivm, flat)
+    surv = target_loglike(
+        model, obs, ivm, flat,
+        psf_stack=[psf] * k,
+        psfivm_stack=[np.full_like(psf, 1e12)] * k,
+    )
+    np.testing.assert_allclose(surv, base, rtol=1e-6, atol=1e-6)
+    # a genuinely different PSF changes the likelihoods
+    _, psf2 = _ps_model_sigma(hw, noise, 2.4)
+    other = target_loglike(
+        model, obs, ivm, flat,
+        psf_stack=[psf2] * k,
+        psfivm_stack=[np.full_like(psf2, 1e12)] * k,
+    )
+    assert np.max(np.abs(other - base)) > 1e-3
+
+
+@pytest.mark.slow
+def test_per_target_psf_population_recovery(rng):
+    """K point sources each observed with its OWN PSF width: the
+    survey-mode hierarchical fit recovers the mag population, and the
+    per-target data terms prefer the true PSFs over forcing the
+    template PSF on every target."""
+    from psfmc_tpu.hierarchy import target_loglike
+
+    hw, noise, k = 16, 0.02, 4
+    sigmas = [1.2, 1.6, 2.0, 2.4]
+    mu_true, sig_true = 20.6, 0.2
+    rng2 = np.random.RandomState(21)
+    mags = mu_true + sig_true * rng2.randn(k)
+    template, _tpsf = _ps_model_sigma(hw, noise, sigmas[0])
+    obs = np.zeros((k, hw, hw))
+    psfs, psfivms = [], []
+    thetas = template.init_params_from_priors(k, random_state=rng2)
+    names = list(template.param_names)
+    assert names == ["0_PointSource_mag", "0_PointSource_xy"]
+    thetas[:, 0] = mags
+    for t in range(k):
+        gen, p = _ps_model_sigma(hw, noise, sigmas[t])
+        mock, _ = gen.simulate(theta=thetas[t], random_state=100 + t)
+        obs[t] = mock
+        psfs.append(p)
+        psfivms.append(np.full_like(p, 1e12))
+    ivm = np.full((k, hw, hw), 1.0 / noise**2)
+    pop = {"0_PointSource_mag": NormalPopulation(
+        mu=D.Uniform(loc=19.5, scale=2.5),
+        sigma=D.Uniform(loc=0.02, scale=1.5),
+    )}
+    res = fit_hierarchical(
+        template, obs, ivm, population=pop,
+        sampler="nuts", chains=2, burn=300, iterations=300, seed=9,
+        psf_stack=psfs, psfivm_stack=psfivms,
+    )
+    assert abs(res.hyper_mean[0] - np.mean(mags)) < max(
+        0.15, 4 * res.hyper_std[0]
+    ), res.summary()
+    assert np.all(np.abs(res.target_mean[:, 0] - mags) < 0.1), (
+        res.target_mean[:, 0] - mags
+    )
+    # falsification: replaying the chain against the template PSF for
+    # every target scores the broad-PSF targets much worse
+    ll_true = target_loglike(
+        template, obs, ivm, res,
+        psf_stack=psfs, psfivm_stack=psfivms,
+    )
+    ll_wrong = target_loglike(template, obs, ivm, res)
+    delta = ll_true.mean(axis=0) - ll_wrong.mean(axis=0)
+    assert delta[0] == pytest.approx(0.0, abs=2.0)  # target 0 IS the template
+    assert np.all(delta[1:] > 10.0), delta
+
+
+def test_per_target_psf_validation(rng):
+    model, psf = _ps_model_sigma(12, 0.5, 1.4)
+    obs = rng.randn(3, 12, 12) * 0.5
+    ivm = np.full((3, 12, 12), 4.0)
+    pop = {"0_PointSource_mag": NormalPopulation(
+        mu=D.Uniform(loc=19.5, scale=2.5),
+        sigma=D.Uniform(loc=0.02, scale=1.5),
+    )}
+    ivms = [np.full_like(psf, 1e12)] * 2
+    with pytest.raises(ValueError, match="together"):
+        fit_hierarchical(model, obs, ivm, pop, psf_stack=[psf] * 3,
+                         sampler="ensemble", burn=2, iterations=2)
+    with pytest.raises(ValueError, match="target count"):
+        fit_hierarchical(
+            model, obs, ivm, pop,
+            psf_stack=[psf] * 2, psfivm_stack=ivms,
+            sampler="ensemble", burn=2, iterations=2,
+        )

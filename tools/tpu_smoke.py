@@ -785,6 +785,110 @@ def smoke_hierarchy_multipsf():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_survey_psfs():
+    """Survey-mode per-target PSFs on hardware.
+
+    New hardware-facing structure: complex64 (K, npsf, Hf, Wf) PSF
+    half-spectra ride the TRACED obs stacks (not baked constants), are
+    gathered by the stochastic index and split into real/imag inside
+    the vmapped per-target likelihood — exercised through both
+    fit_batch (ensemble scan) and a hierarchical NUTS fit + its
+    target_loglike replay.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.batchfit import fit_batch
+    from psfmc_tpu.hierarchy import (
+        NormalPopulation,
+        fit_hierarchical,
+        target_loglike,
+    )
+    from psfmc_tpu.models.components import Configuration, PointSource
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    apply_knobs({})
+    k, hw, noise = 4, 16, 0.02
+    yy, xx = np.mgrid[:hw, :hw] - (hw - 1) / 2.0
+    r2 = xx**2 + yy**2
+
+    def _model(sigma):
+        p = np.exp(-r2 / (2 * sigma**2))
+        p /= p.sum()
+        return MultiComponentModel(
+            [
+                Configuration(
+                    obs_file=np.zeros((hw, hw)),
+                    obsivm_file=np.full((hw, hw), 1.0 / noise**2),
+                    psf_files=p,
+                    psfivm_files=np.full_like(p, 1e12),
+                    mag_zeropoint=25.0,
+                ),
+                PointSource(
+                    xy=D.Uniform(loc=(6.0, 6.0), scale=(4.0, 4.0)),
+                    mag=D.Uniform(loc=19.5, scale=2.5),
+                ),
+            ]
+        ), p
+
+    t0 = time.time()
+    try:
+        sigmas = [1.2, 1.6, 2.0, 2.4]
+        rng2 = np.random.RandomState(31)
+        template, _ = _model(sigmas[0])
+        thetas = template.init_params_from_priors(k, random_state=rng2)
+        mags = 20.6 + 0.2 * rng2.randn(k)
+        thetas[:, 0] = mags
+        obs = np.zeros((k, hw, hw))
+        psfs, psfivms = [], []
+        for t in range(k):
+            gen, p = _model(sigmas[t])
+            obs[t] = gen.simulate(theta=thetas[t],
+                                  random_state=100 + t)[0]
+            psfs.append(p)
+            psfivms.append(np.full_like(p, 1e12))
+        ivm = np.full((k, hw, hw), 1.0 / noise**2)
+
+        # fit_batch leg: K independent ensembles, per-target spectra
+        res_b = fit_batch(
+            template, obs, ivm, nwalkers=16, burn=150, iterations=150,
+            seed=3, psf_stack=psfs, psfivm_stack=psfivms,
+        )
+        dmag_b = np.abs(res_b.mean[:, 0] - mags)
+        assert np.all(np.isfinite(res_b.mean)), res_b.mean
+        assert np.all(dmag_b < 0.2), dmag_b
+
+        # hierarchical leg: NUTS gradients through the traced spectra
+        res_h = fit_hierarchical(
+            template, obs, ivm,
+            population={"0_PointSource_mag": NormalPopulation(
+                mu=D.Uniform(loc=19.5, scale=2.5),
+                sigma=D.Uniform(loc=0.02, scale=1.5),
+            )},
+            sampler="nuts", chains=2, burn=100, iterations=100,
+            seed=9, psf_stack=psfs, psfivm_stack=psfivms,
+        )
+        assert np.all(np.isfinite(res_h.hyper_chain))
+        dmag_h = np.abs(res_h.target_mean[:, 0] - mags)
+        assert np.all(dmag_h < 0.2), dmag_h
+        # replay falsification: true per-target PSFs beat the template
+        ll_true = target_loglike(template, obs, ivm, res_h,
+                                 psf_stack=psfs, psfivm_stack=psfivms,
+                                 max_samples=50)
+        ll_wrong = target_loglike(template, obs, ivm, res_h,
+                                  max_samples=50)
+        delta = (ll_true.mean(axis=0) - ll_wrong.mean(axis=0))[1:]
+        assert np.all(delta > 0), delta
+        return dict(
+            name=(f"survey per-target PSFs (dmag "
+                  f"{float(dmag_h.max()):.3f})"),
+            ok=True, lnp=float(ll_true.mean()),
+            warm_s=time.time() - t0,
+        )
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="survey per-target PSFs", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_model_criticism():
     """WAIC/PSIS-LOO pointwise replay + power-scaling sensitivity.
 
@@ -931,6 +1035,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_hierarchy_multipsf()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_survey_psfs()
     results.append(r)
     print(f"## {r}", flush=True)
 
