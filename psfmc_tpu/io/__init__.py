@@ -9,6 +9,7 @@ from .preprocess import (
     preprocess_psf,
 )
 from .cutout import CutoutStack, cutout_stack
+from .psfgrid import interpolate_psfs
 from .region import parse_region_file, region_mask
 from .table import Table
 from .wcs import MiniWCS, proj_plane_pixel_area
@@ -18,6 +19,7 @@ __all__ = [
     "Table",
     "CutoutStack",
     "cutout_stack",
+    "interpolate_psfs",
     "MiniWCS",
     "proj_plane_pixel_area",
     "parse_region_file",
