@@ -143,11 +143,13 @@ def main():
         nwalkers=16, burn=STEPS, iterations=STEPS, seed=5,
         psf_stack=psfs, psfivm_stack=psfivms,
     )
-    mag_col = res.param_names.index("1_PointSource_mag")
-    mcol = int(np.sum([
-        2 if n.endswith("_xy") else 1
-        for n in res.param_names[:mag_col]
-    ]))
+    from psfmc_tpu.models.multicomponent import slot_param_names
+
+    # flatchain/mean columns are SLOTS (xy takes 2) — always map names
+    # through slot_param_names, never param_names.index()
+    mcol = slot_param_names(res.param_names, res.param_lens).index(
+        "1_PointSource_mag"
+    )
     dmag = res.mean[:, mcol] - mags_true
     print("per-target mag errors:",
           np.array2string(dmag, precision=3))

@@ -499,6 +499,12 @@ def compare(a: ELPDResult, b: ELPDResult):
     models, so the paired SE is far smaller than combining the two
     marginal SEs — same data points required, asserted).
     """
+    if a.unit != b.unit:
+        raise ValueError(
+            "compare() cannot mix ELPD units: "
+            f"{a.unit} vs {b.unit} (per-pixel and per-target "
+            "densities are not on the same scale)"
+        )
     if a.elpd_i.shape != b.elpd_i.shape:
         raise ValueError(
             "compare() needs two fits of the same data "

@@ -76,6 +76,7 @@ Semantics notes:
 """
 from __future__ import annotations
 
+import inspect
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -440,19 +441,33 @@ class HierarchicalResult:
                     np.asarray(covariates[name], np.float64), (n,)
                 )
 
+            # host path: xp=np where the family supports it keeps this
+            # pure numpy (no JAX backend init from a fresh analysis
+            # process — the axon backend hangs outside
+            # Python-forced-CPU contexts — and f64 throughout).
+            # Signature inspection, NOT try/except TypeError: a real
+            # TypeError inside a custom family's reconstruct must
+            # surface, not silently re-run the jnp path.
+            try:
+                _rparams = inspect.signature(
+                    pop.reconstruct
+                ).parameters
+                _has_xp = "xp" in _rparams or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in _rparams.values()
+                )
+            except (TypeError, ValueError):  # builtins/C callables
+                _has_xp = False
+
             def _draw(m, phi_m, x_m):
-                # host path: xp=np where the family supports it keeps
-                # this pure numpy (no JAX backend init from a fresh
-                # analysis process — the axon backend hangs outside
-                # Python-forced-CPU contexts — and f64 throughout);
                 # np.array copies (a JAX fallback returns a read-only
                 # view and the rejection loop writes in place)
                 eta = pop.eta_random(rng, m)
                 args = (eta, phi_m) if x_m is None else (eta, phi_m,
                                                          x_m)
-                try:
+                if _has_xp:
                     v = pop.reconstruct(*args, xp=np)
-                except TypeError:
+                else:
                     v = pop.reconstruct(*args)
                 return np.array(v, np.float64)
 

@@ -78,6 +78,7 @@ def cutout_stack(image, ivm, positions, size, world=False):
         them through the mosaic header's TAN WCS.
     :returns: :class:`CutoutStack`.
     """
+    from .fits import Header
     from .preprocess import _get_image
     from .wcs import MiniWCS
 
@@ -137,8 +138,6 @@ def cutout_stack(image, ivm, positions, size, world=False):
         ivm_out[t] = ivm_img[y0 : y0 + h, x0 : x0 + w]
         origins[t] = (x0, y0)
         local[t] = (x - x0, y - y0)
-        from .fits import Header
-
         ch = hdr.copy() if hasattr(hdr, "copy") else Header()
         # cutout pixel X' = mosaic X - x0 (both 1-based), so the
         # reference pixel moves by exactly the origin

@@ -43,6 +43,17 @@ import numpy as np
 __all__ = ["interpolate_psfs"]
 
 
+def _safe_ivm(var, good=None):
+    """``1/var`` where ``var > 0`` (and ``good``), else 0.
+
+    The bad-pixel IVM convention shared by every branch of
+    :func:`interpolate_psfs` — keep the inversion rule in ONE place.
+    """
+    ok = (var > 0) if good is None else good & (var > 0)
+    with np.errstate(divide="ignore"):
+        return np.where(ok, 1.0 / np.where(ok, var, 1.0), 0.0)
+
+
 def _load_stars(star_psfs, star_ivms):
     """Run every star through the standard PSF preprocessing."""
     from .preprocess import _get_image, preprocess_psf
@@ -172,9 +183,7 @@ def interpolate_psfs(
     order = np.argsort(dist, axis=1, kind="stable")[:, :k]
 
     if method == "nearest":
-        with np.errstate(divide="ignore"):
-            ivms = np.where(variances > 0, 1.0 / np.where(
-                variances > 0, variances, 1.0), 0.0)
+        ivms = _safe_ivm(variances)
         if k == 1:
             sel = order[:, 0]
             return psfs[sel].copy(), ivms[sel].copy()
@@ -192,12 +201,7 @@ def interpolate_psfs(
         if d[0] < 1e-6:  # exact hit: that star verbatim
             j = sel[0]
             out_psf[t] = psfs[j]
-            with np.errstate(divide="ignore"):
-                out_ivm[t] = np.where(
-                    variances[j] > 0,
-                    1.0 / np.where(variances[j] > 0, variances[j], 1.0),
-                    0.0,
-                )
+            out_ivm[t] = _safe_ivm(variances[j])
             continue
         w_j = d ** -float(power)  # (k,)
         # per-pixel: only stars whose pixel is good contribute
@@ -210,6 +214,5 @@ def interpolate_psfs(
             any_good, (wpx * psfs[sel]).sum(0) / denom, 0.0
         )
         var = (wpx**2 * variances[sel]).sum(0) / denom**2
-        out_ivm[t] = np.where(any_good & (var > 0), 1.0 / np.where(
-            var > 0, var, 1.0), 0.0)
+        out_ivm[t] = _safe_ivm(var, good=any_good)
     return out_psf, out_ivm

@@ -244,6 +244,16 @@ def test_compare_requires_same_data():
         compare(a, b)
 
 
+def test_compare_requires_same_unit():
+    # per-pixel and per-target densities of coincidentally equal
+    # length must NOT compare silently
+    a = ELPDResult("loo", 0.0, 1.0, 1.0, 10, np.zeros(5), unit="pixels")
+    b = ELPDResult("loo-target", 0.0, 1.0, 1.0, 10, np.zeros(5),
+                   unit="targets")
+    with pytest.raises(ValueError, match="unit"):
+        compare(a, b)
+
+
 def test_pointwise_loglike_joint_concatenates_bands(rng, gaussian_psf):
     noise = 0.05
     mk_obs = lambda: 0.05 + rng.randn(24, 24) * noise
