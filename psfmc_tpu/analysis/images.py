@@ -231,11 +231,34 @@ def _add_stats_to_header(header, model, database, ppc_draws=100):
         good = np.asarray(~model.spec.bad_px)
         n_good = int(good.sum())
         dof = max(n_good - model.num_params, 1)
-        chi2 = float(np.sum((resid * resid * ivm)[good]))
-        model_stats["MCCHI2NU"] = (
-            round(chi2 / dof, 4),
-            "reduced chi-squared of the MAP model",
-        )
+        if getattr(model.spec, "likelihood", "gaussian") == "poisson":
+            # Poisson deviance replaces chi^2: the IVM input is mask-
+            # only under this likelihood, so a chi^2 against it would
+            # be meaningless
+            g = float(getattr(model.spec, "likelihood_gain", 1.0))
+            obs_c = np.asarray(model.spec.obs_data, np.float64) * g
+            mu = np.maximum(
+                np.asarray(imgs["convolved_model"][0], np.float64), 0.0
+            ) * g
+            ok = good & (mu > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(
+                    obs_c > 0,
+                    obs_c * np.log(np.where(obs_c > 0, obs_c, 1.0)
+                                   / np.where(mu > 0, mu, 1.0)),
+                    0.0,
+                )
+            dev = 2.0 * float(np.sum(np.where(ok, mu - obs_c + r, 0.0)))
+            model_stats["MCCHI2NU"] = (
+                round(dev / dof, 4),
+                "reduced Poisson deviance of the MAP model",
+            )
+        else:
+            chi2 = float(np.sum((resid * resid * ivm)[good]))
+            model_stats["MCCHI2NU"] = (
+                round(chi2 / dof, 4),
+                "reduced chi-squared of the MAP model",
+            )
     except Exception as err:  # noqa: BLE001 - header stat must not kill IO
         warn(f"could not compute MAP reduced chi^2: {err}")
 

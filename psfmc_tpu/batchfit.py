@@ -477,10 +477,22 @@ def fit_batch(
         ):
             d = prepare_obs_stack(bs, ob, iv, np.dtype(fns.dtype))
             if psf_stack is not None and psf_stack[i] is not None:
-                d.update(prepare_psf_stack(
+                if psfivm_stack[i] is None:
+                    raise ValueError(
+                        f"band {i}: psf_stack entry needs a matching "
+                        "psfivm_stack entry"
+                    )
+                p = prepare_psf_stack(
                     bs, psf_stack[i], psfivm_stack[i], psf_oversample,
                     np.dtype(fns.dtype),
-                ))
+                )
+                if p["psf_f"].shape[0] != d["obs_data"].shape[0]:
+                    raise ValueError(
+                        f"band {i}: psf_stack target count "
+                        f"{p['psf_f'].shape[0]} != obs target count "
+                        f"{d['obs_data'].shape[0]}"
+                    )
+                d.update(p)
             k = d["obs_data"].shape[0]
             if k_real is None:
                 k_real = k
@@ -730,11 +742,13 @@ def simulate_stack(model, n_mocks, seed=0, thetas=None, add_noise=True):
             f"thetas shape {thetas.shape} != ({n_mocks}, {spec.num_params})"
         )
 
-    def _mock_band(conv_batch, var):
+    def _mock_band(conv_batch, var, spec_b):
+        from .models.multicomponent import replicate_noise
+
         obs = np.asarray(conv_batch, np.float64)
         if add_noise:
             sigma = np.where(np.isfinite(var), np.sqrt(var), 0.0)
-            obs = obs + rng.randn(*obs.shape) * sigma[None]
+            obs = replicate_noise(rng, obs, spec_b, sigma[None])
         with np.errstate(divide="ignore"):
             ivm = np.where(np.isfinite(var) & (var > 0), 1.0 / var, 0.0)
         return obs, np.broadcast_to(ivm, obs.shape).copy()
@@ -757,11 +771,15 @@ def simulate_stack(model, n_mocks, seed=0, thetas=None, add_noise=True):
                 )
                 fns.programs[key] = prog
             conv = np.asarray(prog(th))
-            ob, iv = _mock_band(conv, np.asarray(bs.obs_var, np.float64))
+            ob, iv = _mock_band(
+                conv, np.asarray(bs.obs_var, np.float64), bs
+            )
             obs_list.append(ob)
             ivm_list.append(iv)
         return obs_list, ivm_list, thetas
 
     conv = model.render_images_batch(thetas)["convolved_model"]
-    obs, ivm_stack = _mock_band(conv, np.asarray(spec.obs_var, np.float64))
+    obs, ivm_stack = _mock_band(
+        conv, np.asarray(spec.obs_var, np.float64), spec
+    )
     return obs, ivm_stack, thetas

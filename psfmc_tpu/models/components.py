@@ -1231,11 +1231,20 @@ class Configuration(ComponentBase):
         region file defining the fit region.
     :param mag_zeropoint: magnitude of 1 count/second.
     :param likelihood: per-pixel likelihood family — ``'gaussian'``
-        (reference parity, default) or ``'student'`` (robust Student-t,
+        (reference parity, default), ``'student'`` (robust Student-t,
         beyond the reference: unmasked cosmic rays / artifacts get
-        heavy-tailed wings instead of quadratically dominating the fit).
+        heavy-tailed wings instead of quadratically dominating the
+        fit) or ``'poisson'`` (beyond the reference: exact low-count
+        likelihood — Cash statistic — for X-ray/UV/narrow-band imaging
+        where the Gaussian IVM approximation biases fluxes; the data
+        must be non-negative counts / count rates, and the IVM input
+        defines only the bad-pixel mask).
     :param likelihood_df: Student-t degrees of freedom (static; 3-8
-        are typical robust choices).  Ignored for ``'gaussian'``.
+        are typical robust choices).  Ignored otherwise.
+    :param likelihood_gain: Poisson counts per observation unit
+        (static): detected counts per pixel are ``gain * image``, so
+        pass GAIN for data in ADU, EXPTIME for count rates, 1.0 for
+        raw counts.  Ignored otherwise.
     :param psf_oversample: PSF fine-sampling factor (beyond the
         reference): PSF models sampled N-times finer than the data
         (e.g. subsampled TinyTim output) are block-binned to the native
@@ -1277,6 +1286,7 @@ class Configuration(ComponentBase):
         mag_zeropoint=0,
         likelihood="gaussian",
         likelihood_df=4.0,
+        likelihood_gain=1.0,
         psf_oversample=1,
         conv_pad=0,
         render_oversample=1,
@@ -1288,9 +1298,10 @@ class Configuration(ComponentBase):
         # build, not at the first posterior evaluation
         from ..ops.likelihood import make_lnlike
 
-        make_lnlike(likelihood, likelihood_df)
+        make_lnlike(likelihood, likelihood_df, likelihood_gain)
         self.likelihood = likelihood
         self.likelihood_df = float(likelihood_df)
+        self.likelihood_gain = float(likelihood_gain)
         conv_pad = int(conv_pad)
         if conv_pad < 0:
             raise ValueError(f"conv_pad must be >= 0, got {conv_pad}")

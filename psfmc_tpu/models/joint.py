@@ -137,6 +137,10 @@ def build_joint_specs(bands):
         comp_specs = [comp_spec_for(c, slot_map, wcs_map) for c in comps]
         all_comp_specs.extend(comp_specs)
         f_psf_stack, f_var_stack = psf_spectra_for(config)
+        if getattr(config, "likelihood", "gaussian") == "poisson":
+            from .spec import _check_poisson_inputs
+
+            _check_poisson_inputs(config, comp_specs)
         band_specs.append(
             ModelSpec(
                 comp_specs=comp_specs,
@@ -158,6 +162,9 @@ def build_joint_specs(bands):
                 # silently revert to the ModelSpec default)
                 likelihood=getattr(config, "likelihood", "gaussian"),
                 likelihood_df=getattr(config, "likelihood_df", 4.0),
+                likelihood_gain=float(
+                    getattr(config, "likelihood_gain", 1.0)
+                ),
                 conv_pad=int(getattr(config, "conv_pad", 0)),
                 render_oversample=int(
                     getattr(config, "render_oversample", 1)
@@ -348,13 +355,15 @@ class JointModel:
         theta = np.asarray(theta, np.float64)
         th = jnp.asarray(theta, self.posterior_fns.dtype)
         mocks = []
+        from .multicomponent import replicate_noise
+
         for bs, f in zip(self.spec.band_specs,
                          self.posterior_fns.band_fns):
             conv = np.asarray(f._images_impl(th)["conv"], np.float64)
             if add_noise:
                 var = np.asarray(bs.obs_var, np.float64)
                 sigma = np.where(np.isfinite(var), np.sqrt(var), 0.0)
-                conv = conv + rng.randn(*conv.shape) * sigma
+                conv = replicate_noise(rng, conv, bs, sigma)
             mocks.append(conv)
         return mocks, theta
 

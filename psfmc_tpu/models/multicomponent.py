@@ -33,7 +33,33 @@ from .posterior import (
 )
 from .spec import build_model_spec
 
-__all__ = ["MultiComponentModel"]
+__all__ = ["MultiComponentModel", "replicate_noise"]
+
+
+def replicate_noise(rng, conv, spec, sigma):
+    """ONE observation-noise replication rule for every mock producer.
+
+    ``simulate`` (single-band, joint, batched) and the PPC replicator
+    all draw replicated data through this function so the noise model
+    can never drift between the mocks a user inspects and the p-value
+    that flags them.  Per ``spec.likelihood``:
+
+    * ``gaussian`` — additive N(0, sigma) at the given sigma map;
+    * ``student`` — additive scaled Student-t (static df);
+    * ``poisson`` — counts at ``gain * model`` scaled back to
+      observation units (``sigma`` ignored; expectations clipped at 0
+      — a slightly negative convolved wing has Poisson mean 0).
+    """
+    kind = getattr(spec, "likelihood", "gaussian")
+    if kind == "poisson":
+        g = float(getattr(spec, "likelihood_gain", 1.0))
+        return rng.poisson(np.maximum(conv, 0.0) * g) / g
+    if kind == "student":
+        df = float(getattr(spec, "likelihood_df", 4.0))
+        noise = rng.standard_t(df, size=conv.shape)
+    else:
+        noise = rng.randn(*conv.shape)
+    return conv + noise * sigma
 
 
 def as_model(model):
@@ -366,7 +392,7 @@ class MultiComponentModel:
         if add_noise:
             sigma = np.sqrt(np.asarray(self.spec.obs_var, np.float64))
             sigma = np.where(np.isfinite(sigma), sigma, 0.0)
-            mock = mock + rng.randn(*mock.shape) * sigma
+            mock = replicate_noise(rng, mock, self.spec, sigma)
         return mock, theta
 
     def thetas_from_database(self, database, rows=None):
@@ -401,12 +427,9 @@ class MultiComponentModel:
         sigma = np.sqrt(
             np.where(ivm > 0, 1.0 / np.where(ivm > 0, ivm, 1.0), 0.0)
         )
-        if getattr(self.spec, "likelihood", "gaussian") == "student":
-            df = float(getattr(self.spec, "likelihood_df", 4.0))
-            noise = rng.standard_t(df, size=conv.shape)
-        else:
-            noise = rng.randn(*conv.shape)
-        return thetas, conv, ivm, conv + noise * sigma
+        return thetas, conv, ivm, replicate_noise(
+            rng, conv, self.spec, sigma
+        )
 
     def posterior_predictive(self, database, n=100, random_state=None):
         """Posterior-predictive mock observations (beyond the reference).
@@ -451,12 +474,34 @@ class MultiComponentModel:
         _thetas, conv, ivm, y_rep = self._replicate(database, n, rng)
         good = (~np.asarray(self.spec.bad_px))[None]
         obs = np.asarray(self.spec.obs_data, np.float64)[None]
-        t_obs = np.sum(
-            np.where(good, (obs - conv) ** 2 * ivm, 0.0), axis=(1, 2)
-        )
-        t_rep = np.sum(
-            np.where(good, (y_rep - conv) ** 2 * ivm, 0.0), axis=(1, 2)
-        )
+        if getattr(self.spec, "likelihood", "gaussian") == "poisson":
+            # Poisson deviance: 2 sum(mu - k + k ln(k/mu)); the k=0
+            # term is 2 mu (k ln k -> 0)
+            g = float(getattr(self.spec, "likelihood_gain", 1.0))
+            mu = np.maximum(conv, 0.0) * g
+
+            def _dev(y):
+                k = np.maximum(y, 0.0) * g
+                ok = good & (mu > 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = np.where(
+                        k > 0, k * np.log(np.where(k > 0, k, 1.0)
+                                          / np.where(mu > 0, mu, 1.0)),
+                        0.0,
+                    )
+                return 2.0 * np.sum(
+                    np.where(ok, mu - k + r, 0.0), axis=(1, 2)
+                )
+
+            t_obs = _dev(obs)
+            t_rep = _dev(y_rep)
+        else:
+            t_obs = np.sum(
+                np.where(good, (obs - conv) ** 2 * ivm, 0.0), axis=(1, 2)
+            )
+            t_rep = np.sum(
+                np.where(good, (y_rep - conv) ** 2 * ivm, 0.0), axis=(1, 2)
+            )
         # (1+k)/(n+2): both ends smoothed, so the estimate can reach
         # neither exact 0 nor exact 1 at finite n
         return float((1 + np.sum(t_rep >= t_obs)) / (n + 2))

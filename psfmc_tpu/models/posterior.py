@@ -395,10 +395,12 @@ class PosteriorFns:
         self.mag_zp = float(spec.mag_zeropoint)
 
         # per-pixel likelihood family (spec.likelihood): 'gaussian'
-        # (reference parity) or 'student' (robust, static df)
+        # (reference parity), 'student' (robust, static df) or
+        # 'poisson' (low-count; static gain, model passed per call)
         self._lnlike = make_lnlike(
             getattr(spec, "likelihood", "gaussian"),
             getattr(spec, "likelihood_df", 4.0),
+            getattr(spec, "likelihood_gain", 1.0),
         )
         # pointwise twin feeding WAIC/PSIS-LOO (analysis path only)
         from ..ops.likelihood import make_lnlike_pointwise
@@ -406,6 +408,7 @@ class PosteriorFns:
         self._lnlike_pointwise = make_lnlike_pointwise(
             getattr(spec, "likelihood", "gaussian"),
             getattr(spec, "likelihood_df", 4.0),
+            getattr(spec, "likelihood_gain", 1.0),
         )
         self.log_prior = self._make_log_prior()
         self.log_posterior = partial(self._lnpost_impl, with_images=False)
@@ -1032,7 +1035,7 @@ class PosteriorFns:
         imgs = self._images_impl(theta)
         resid = c["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        lnl = self._lnlike(resid, ivm, c["good_px"])
+        lnl = self._lnlike(resid, ivm, c["good_px"], imgs["conv"])
         lnpost = jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
         if with_images:
             return lnpost, imgs
@@ -1050,7 +1053,7 @@ class PosteriorFns:
         imgs = self._images_impl(theta)
         resid = c["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        return self._lnlike(resid, ivm, c["good_px"])
+        return self._lnlike(resid, ivm, c["good_px"], imgs["conv"])
 
     def pointwise_log_likelihood(self, theta):
         """Per-pixel log-density map (H, W); 0 at masked pixels.
@@ -1067,7 +1070,9 @@ class PosteriorFns:
         imgs = self._images_impl(theta)
         resid = c["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        return self._lnlike_pointwise(resid, ivm, c["good_px"])
+        return self._lnlike_pointwise(
+            resid, ivm, c["good_px"], imgs["conv"]
+        )
 
     def pointwise_predictive_cdf(self, theta):
         """Per-pixel P(y_rep <= y_obs | theta) map; 0.5 at masked px.
@@ -1086,8 +1091,9 @@ class PosteriorFns:
         cdf_fn = make_cdf_pointwise(
             getattr(self.spec, "likelihood", "gaussian"),
             getattr(self.spec, "likelihood_df", 4.0),
+            getattr(self.spec, "likelihood_gain", 1.0),
         )
-        return cdf_fn(resid, ivm, c["good_px"])
+        return cdf_fn(resid, ivm, c["good_px"], imgs["conv"])
 
     def pointwise_lnl_and_cdf(self, theta):
         """(log-density map, predictive-CDF map) from ONE render.
@@ -1106,10 +1112,11 @@ class PosteriorFns:
         cdf_fn = make_cdf_pointwise(
             getattr(self.spec, "likelihood", "gaussian"),
             getattr(self.spec, "likelihood_df", 4.0),
+            getattr(self.spec, "likelihood_gain", 1.0),
         )
         return (
-            self._lnlike_pointwise(resid, ivm, c["good_px"]),
-            cdf_fn(resid, ivm, c["good_px"]),
+            self._lnlike_pointwise(resid, ivm, c["good_px"], imgs["conv"]),
+            cdf_fn(resid, ivm, c["good_px"], imgs["conv"]),
         )
 
     def log_posterior_obs(self, theta, obs):
@@ -1137,7 +1144,7 @@ class PosteriorFns:
         )
         resid = obs["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        lnl = self._lnlike(resid, ivm, obs["good_px"])
+        lnl = self._lnlike(resid, ivm, obs["good_px"], imgs["conv"])
         return jnp.where(jnp.isfinite(lp), lnl + lp, -jnp.inf)
 
     def log_likelihood_obs(self, theta, obs):
@@ -1156,7 +1163,7 @@ class PosteriorFns:
         )
         resid = obs["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
-        return self._lnlike(resid, ivm, obs["good_px"])
+        return self._lnlike(resid, ivm, obs["good_px"], imgs["conv"])
 
     def _render_images(self, theta):
         """All five reference image types (models.py:213-226 blobs)."""

@@ -82,9 +82,11 @@ class ModelSpec:
     f_var_stack: np.ndarray
     num_psfs: int
     # per-pixel likelihood family ('gaussian' reference parity,
-    # 'student' robust) + its static degrees of freedom
+    # 'student' robust, 'poisson' low-count) + its static degrees of
+    # freedom (student) / counts-per-observation-unit gain (poisson)
     likelihood: str = "gaussian"
     likelihood_df: float = 4.0
+    likelihood_gain: float = 1.0
     # convolution padding in pixels (0 = reference wrap behavior);
     # when > 0 the f_*_stack spectra are sized to the PADDED grid
     conv_pad: int = 0
@@ -507,6 +509,35 @@ def psf_spectra_for_selector(sel, obs_shape, conv_pad=0):
     return np.stack(sel.psf_list), np.stack(sel.var_list)
 
 
+def _check_poisson_inputs(config, comp_specs):
+    """Eager validation for ``likelihood='poisson'`` models.
+
+    Counts cannot be negative: background-subtracted imaging (good
+    pixels below zero) has no Poisson density — the continuous
+    extension would silently evaluate nonsense, so reject it at model
+    build.  A sampled :class:`~psfmc_tpu.models.components.NoiseScale`
+    is rejected too: the Poisson likelihood never reads the variance
+    plane, so the scale would be an inert parameter the user believes
+    is doing something.
+    """
+    good = ~np.asarray(config.bad_px, bool)
+    obs = np.asarray(config.obs_data, np.float64)
+    if np.any(obs[good] < 0):
+        raise ValueError(
+            "likelihood='poisson' needs non-negative data at every "
+            f"good pixel (found min {obs[good].min():.4g}): Poisson "
+            "counts cannot be background-subtracted below zero — mask "
+            "the offending pixels or use the gaussian/student "
+            "likelihood"
+        )
+    if any(cs.kind == "noisescale" for cs in comp_specs):
+        raise ValueError(
+            "NoiseScale cannot be combined with likelihood='poisson': "
+            "the Poisson likelihood has no variance plane to scale "
+            "(the parameter would be sampled but inert)"
+        )
+
+
 def build_model_spec(
     components: List[ComponentBase],
     config: Optional[Configuration] = None,
@@ -544,6 +575,10 @@ def build_model_spec(
     conv_pad = int(getattr(config, "conv_pad", 0))
     f_psf_stack, f_var_stack = psf_spectra_for(config)
 
+    likelihood = getattr(config, "likelihood", "gaussian")
+    if likelihood == "poisson":
+        _check_poisson_inputs(config, comp_specs)
+
     return ModelSpec(
         comp_specs=comp_specs,
         slots=slots,
@@ -556,8 +591,9 @@ def build_model_spec(
         f_psf_stack=f_psf_stack,
         f_var_stack=f_var_stack,
         num_psfs=len(config.psf_selector.spatial_psfs),
-        likelihood=getattr(config, "likelihood", "gaussian"),
+        likelihood=likelihood,
         likelihood_df=getattr(config, "likelihood_df", 4.0),
+        likelihood_gain=float(getattr(config, "likelihood_gain", 1.0)),
         conv_pad=conv_pad,
         render_oversample=int(getattr(config, "render_oversample", 1)),
         oversample_window=int(getattr(config, "oversample_window", 16)),

@@ -576,6 +576,48 @@ def test_per_target_psf_validation():
         prepare_psf_stack(model.spec, [[p, p]], [[pivm, pivm]])
 
 
+def test_per_target_psf_validation_joint():
+    """The joint branch validates per-band PSF stacks like the
+    single-band branch: per-target count mismatch and a missing
+    psfivm entry raise clear errors (not vmap shape errors)."""
+    from psfmc_tpu.models import JointModel
+
+    rng = np.random.RandomState(60)
+    p = _psf(1.5)
+    pivm = np.ones_like(p) * 1e8
+
+    def band(noise):
+        return [
+            Configuration(
+                obs_file=0.05 + rng.randn(24, 24) * noise,
+                obsivm_file=np.full((24, 24), 1.0 / noise**2),
+                psf_files=p,
+                psfivm_files=pivm,
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            PointSource(
+                xy=D.Uniform(loc=np.array([9.0, 9.0]),
+                             scale=np.array([6.0, 6.0])),
+                mag=D.Uniform(loc=21.0, scale=1.0),
+            ),
+        ]
+
+    joint = JointModel([band(0.05), band(0.08)])
+    obs_list, ivm_list, _ = simulate_stack(joint, 2, seed=61)
+
+    # band 0: 3 PSFs for 2 targets -> explicit count error
+    with pytest.raises(ValueError, match="target count"):
+        fit_batch(joint, obs_list, ivm_list, burn=5, iterations=5,
+                  psf_stack=[[p, p, p], None],
+                  psfivm_stack=[[pivm, pivm, pivm], None])
+    # band 0: PSFs given but no matching psfivm entry
+    with pytest.raises(ValueError, match="psfivm_stack"):
+        fit_batch(joint, obs_list, ivm_list, burn=5, iterations=5,
+                  psf_stack=[[p, p], None],
+                  psfivm_stack=[None, None])
+
+
 def test_fit_batch_per_target_psf_joint_chunked():
     """Survey mode through the joint-band + chunked plumbing: per-band
     per-target PSF spectra ride the b{i}_ keys, and chunk padding

@@ -173,3 +173,190 @@ def test_student_posterior_is_differentiable(rng, gaussian_psf):
     for adu in (0.1, 1.9):  # near truth and far (90-sigma residuals)
         g = jax.grad(fns.log_posterior)(jnp.asarray([adu]))
         assert np.all(np.isfinite(np.asarray(g))), (adu, np.asarray(g))
+
+
+# ---------------------------------------------------------------------------
+# Poisson (Cash) family — low-count imaging beyond the reference
+
+
+def test_poisson_matches_scipy(rng):
+    from psfmc_tpu.ops.likelihood import (
+        make_lnlike_pointwise,
+        poisson_lnlike,
+    )
+
+    model = np.abs(rng.rand(12, 12)) * 50 + 5
+    k = rng.poisson(model).astype(np.float64)
+    resid = k - model
+    good = rng.rand(12, 12) > 0.1
+    ivm = np.ones((12, 12))
+    pw = make_lnlike_pointwise("poisson", gain=1.0)
+    m = np.asarray(pw(jnp.asarray(resid), jnp.asarray(ivm),
+                      jnp.asarray(good), jnp.asarray(model)))
+    want = stats.poisson.logpmf(k, model)
+    assert np.allclose(m[good], want[good], rtol=1e-8)
+    assert np.all(m[~good] == 0.0)
+    # single-twin rule: scalar == sum of the pointwise map
+    s = float(poisson_lnlike(jnp.asarray(resid), jnp.asarray(ivm),
+                             jnp.asarray(good), jnp.asarray(model), 1.0))
+    assert s == pytest.approx(float(m.sum()), rel=1e-12)
+    # gain invariance: ADU data at gain g == raw counts at gain 1
+    g = 4.0
+    s_g = float(poisson_lnlike(
+        jnp.asarray(resid / g), jnp.asarray(ivm), jnp.asarray(good),
+        jnp.asarray(model / g), g,
+    ))
+    assert s_g == pytest.approx(s, rel=1e-10)
+    # nonpositive expected counts at a good pixel = invalid model
+    bad_model = model.copy()
+    bad_model[3, 3] = -0.5
+    s_bad = float(poisson_lnlike(
+        jnp.asarray(k - bad_model), jnp.asarray(ivm), jnp.asarray(good),
+        jnp.asarray(bad_model), 1.0,
+    ))
+    assert s_bad == -np.inf
+
+
+def test_poisson_cdf_matches_scipy(rng):
+    from psfmc_tpu.ops.likelihood import make_cdf_pointwise
+
+    model = np.abs(rng.rand(10, 10)) * 30 + 2
+    k = rng.poisson(model).astype(np.float64)
+    good = rng.rand(10, 10) > 0.1
+    cdf = make_cdf_pointwise("poisson", gain=1.0)
+    got = np.asarray(cdf(jnp.asarray(k - model), jnp.ones((10, 10)),
+                         jnp.asarray(good), jnp.asarray(model)))
+    want = stats.poisson.cdf(k, model)
+    assert np.allclose(got[good], want[good], rtol=1e-8)
+    assert np.all(got[~good] == 0.5)
+
+
+def _poisson_config(obs, gain=1.0, **kw):
+    h, w = obs.shape
+    psf = np.zeros((8, 8))
+    psf[3:5, 3:5] = 0.25
+    return Configuration(
+        obs_file=obs,
+        obsivm_file=np.ones((h, w)),  # mask only under poisson
+        psf_files=psf,
+        psfivm_files=np.ones((8, 8)) * 1e12,
+        mag_zeropoint=25.0,
+        likelihood="poisson",
+        likelihood_gain=gain,
+        **kw,
+    )
+
+
+def test_poisson_validation(rng):
+    from psfmc_tpu.models.components import NoiseScale
+
+    with pytest.raises(ValueError, match="likelihood_gain"):
+        make_lnlike("poisson", gain=0.0)
+    # background-subtracted (negative) data rejected at build
+    obs = np.abs(rng.rand(16, 16)) * 5
+    obs[4, 4] = -0.3
+    with pytest.raises(ValueError, match="non-negative"):
+        build_model_spec([
+            _poisson_config(obs),
+            Sky(adu=D.Uniform(loc=0.1, scale=5.0)),
+        ])
+    # a sampled NoiseScale is inert under poisson -> rejected
+    with pytest.raises(ValueError, match="NoiseScale"):
+        build_model_spec([
+            _poisson_config(np.abs(rng.rand(16, 16)) * 5),
+            Sky(adu=D.Uniform(loc=0.1, scale=5.0)),
+            NoiseScale(scale=D.Uniform(loc=0.5, scale=2.0)),
+        ])
+
+
+def test_poisson_fit_recovers_low_counts(rng):
+    """End-to-end at ~3 counts/px sky: framework-generated Poisson mock
+    (simulate routes noise through the shared replicate_noise rule),
+    ensemble fit with the exact Poisson likelihood, truth recovered
+    within the posterior's own uncertainty."""
+    from psfmc_tpu.models.components import PointSource
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    sky_t, mag_t = 3.0, 22.0  # ~3 counts/px sky, ~158-count source
+    comps = [
+        _poisson_config(np.full((24, 24), sky_t)),
+        Sky(adu=D.Uniform(loc=1.0, scale=4.0)),
+        PointSource(
+            xy=D.Uniform(loc=(10.0, 10.0), scale=(4.0, 4.0)),
+            mag=D.Uniform(loc=21.0, scale=2.0),
+        ),
+    ]
+    model = MultiComponentModel(components=comps)
+    truth = np.array([sky_t, mag_t, 12.0, 12.0])
+    mock, _ = model.simulate(theta=truth, random_state=7)
+    assert np.all(mock >= 0) and np.all(mock == np.round(mock))
+
+    refit = MultiComponentModel(components=[
+        _poisson_config(mock),
+        Sky(adu=D.Uniform(loc=1.0, scale=4.0)),
+        PointSource(
+            xy=D.Uniform(loc=(10.0, 10.0), scale=(4.0, 4.0)),
+            mag=D.Uniform(loc=21.0, scale=2.0),
+        ),
+    ])
+    nw, dim = 32, 4
+    p0 = refit.init_params_from_priors(
+        nw, random_state=np.random.RandomState(8)
+    )
+    s = EnsembleSampler(nw, dim, refit.posterior_fns, seed=9)
+    s.init_state(p0)
+    s.run_burn(400)
+    s.reset()
+    s.run_sampling(300)
+    flat = np.asarray(s.chain, np.float64).reshape(-1, dim)
+    mean, std = flat.mean(0), flat.std(0)
+    pulls = (mean - truth) / std
+    assert np.all(np.abs(pulls) < 5.0), (mean, std, pulls)
+    # single-twin rule through the model: pointwise sum == scalar lnL
+    # (host f64 re-sum of the fetched f32 map vs the device f32 tree
+    # reduction — identical terms, different summation order)
+    fns = refit.posterior_fns
+    th = jnp.asarray(mean)
+    assert float(np.sum(np.asarray(fns.pointwise_log_likelihood(th)))) \
+        == pytest.approx(float(fns.log_likelihood(th)), rel=5e-6)
+    # image products under poisson: MCCHI2NU switches to the reduced
+    # Poisson deviance (the Gaussian chi^2 has no meaning without a
+    # variance plane) and must come out O(1) on a true-model fit
+    import os
+    import tempfile
+
+    from psfmc_tpu.analysis.images import save_posterior_images
+    from psfmc_tpu.database import save_database
+    from psfmc_tpu.io import fits as pfits
+
+    with tempfile.TemporaryDirectory() as td:
+        dbp = os.path.join(td, "poisson_db.fits")
+        save_database(s, refit, dbp, meta_dict={"MCITER": 300})
+        from psfmc_tpu.database import load_database
+
+        refit.set_accumulated_from_sampler(s)
+        out = os.path.join(td, "out_{}")
+        save_posterior_images(
+            refit, load_database(dbp), output_name=out, ppc_draws=20
+        )
+        hdr = pfits.getheader(out.format("residual") + ".fits")
+        assert 0.3 < float(hdr["MCCHI2NU"]) < 3.0
+        comment = next(
+            c for k, _v, c in hdr.cards() if k == "MCCHI2NU"
+        )
+        assert "deviance" in comment
+
+
+def test_poisson_posterior_is_differentiable(rng):
+    import jax
+
+    obs = rng.poisson(4.0, size=(16, 16)).astype(np.float64)
+    spec = build_model_spec([
+        _poisson_config(obs),
+        Sky(adu=D.Uniform(loc=0.5, scale=10.0)),
+    ])
+    fns = build_posterior(spec, dtype=jnp.float64)
+    for adu in (4.0, 9.0):
+        g = jax.grad(fns.log_posterior)(jnp.asarray([adu]))
+        assert np.all(np.isfinite(np.asarray(g))), (adu, np.asarray(g))

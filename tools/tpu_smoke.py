@@ -627,6 +627,88 @@ def smoke_noise_scale():
                     error=f"{type(e).__name__}: {e}")
 
 
+def smoke_poisson_likelihood():
+    """Poisson (Cash) likelihood inside the jitted scan on hardware.
+
+    The density runs jss.gammaln on traced count images and the
+    criticism CDF runs jss.gammaincc — both TPU-lowered special
+    functions the Gaussian path never touches.  Low-count mock
+    (~3 counts/px sky + a ~160-count point source); the fit must
+    recover sky and mag, and the pointwise lnl map must sum to the
+    scalar (single-twin rule) on the chip.
+    """
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Configuration, PointSource, Sky
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+
+    apply_knobs({})
+    rng = np.random.RandomState(2)
+    h = w = 24
+    psf = np.zeros((8, 8))
+    psf[3:5, 3:5] = 0.25
+    sky_t, mag_t = 3.0, 22.0
+
+    def build(obs):
+        return MultiComponentModel([
+            Configuration(
+                obs_file=obs,
+                obsivm_file=np.ones((h, w)),  # mask only under poisson
+                psf_files=psf,
+                psfivm_files=np.full_like(psf, 1e12),
+                mag_zeropoint=25.0,
+                likelihood="poisson",
+                likelihood_gain=1.0,
+            ),
+            Sky(adu=D.Uniform(loc=1.0, scale=4.0)),
+            PointSource(
+                xy=D.Uniform(loc=(10.0, 10.0), scale=(4.0, 4.0)),
+                mag=D.Uniform(loc=21.0, scale=2.0),
+            ),
+        ])
+
+    t0 = time.time()
+    try:
+        truth = np.array([sky_t, mag_t, 12.0, 12.0])
+        mock, _ = build(np.full((h, w), sky_t)).simulate(
+            theta=truth, random_state=7
+        )
+        model = build(mock)
+        sampler = EnsembleSampler(
+            32, model.num_params, model.posterior_fns, seed=3
+        )
+        sampler.init_state(
+            model.init_params_from_priors(32, random_state=rng)
+        )
+        sampler.run_burn(300)
+        sampler.reset()
+        sampler.run_sampling(200)
+        device_sync(sampler.state.positions)
+        flat = np.asarray(sampler.flatchain, np.float64)
+        mean, std = flat.mean(0), flat.std(0)
+        pulls = (mean - truth) / std
+        assert np.all(np.abs(pulls) < 6.0), (mean, std, pulls)
+        fns = model.posterior_fns
+        import jax.numpy as jnp
+
+        th = jnp.asarray(mean, fns.dtype)
+        pw = float(np.sum(np.asarray(fns.pointwise_log_likelihood(th),
+                                     np.float64)))
+        sc = float(fns.log_likelihood(th))
+        assert abs(pw - sc) < 1e-2 + 1e-5 * abs(sc), (pw, sc)
+        cdfm = np.asarray(fns.pointwise_predictive_cdf(th))
+        assert np.all((cdfm >= 0) & (cdfm <= 1))
+        lnp = float(np.mean(sampler.lnprobability[:, -1]))
+        return dict(
+            name=(f"poisson lnl (sky {mean[0]:.2f}~{sky_t}, "
+                  f"mag {mean[1]:.2f}~{mag_t})"),
+            ok=True, lnp=lnp, warm_s=time.time() - t0,
+        )
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        return dict(name="poisson lnl", ok=False,
+                    error=f"{type(e).__name__}: {e}")
+
+
 def smoke_hierarchy():
     """Hierarchical population NUTS on hardware.
 
@@ -1027,6 +1109,10 @@ def main():
     print(f"## {r}", flush=True)
 
     r = smoke_noise_scale()
+    results.append(r)
+    print(f"## {r}", flush=True)
+
+    r = smoke_poisson_likelihood()
     results.append(r)
     print(f"## {r}", flush=True)
 
