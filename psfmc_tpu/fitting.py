@@ -211,6 +211,7 @@ def model_galaxy_mcmc(
     moves="stretch",
     max_depth=8,
     criticism=False,
+    rejuvenate=True,
 ):
     """Model the surface brightness distribution of a galaxy or galaxies
     using multi-component MCMC parameter estimation.
@@ -273,6 +274,16 @@ def model_galaxy_mcmc(
         cards).  Costs roughly one extra batched render pass; run it
         on converged chains (the diagnostics flag under-burned runs
         loudly, by design).
+    :param rejuvenate: when True (default), walkers stranded far below
+        the ensemble's lnp bulk are teleported onto randomly chosen
+        healthy walkers between BURN segments (burn-phase only — never
+        during retained sampling; seeded, so runs stay reproducible).
+        The reference instead drops such walkers after the fact
+        (``filter_lowp_walkers``), silently wasting their samples.
+        Refuses to act when half the ensemble is below the floor
+        (that's multimodality or misfit, not stragglers).  Applies to
+        the ensemble and PT samplers; NUTS chains are independent and
+        are never teleported.
     :param init: ``'prior'`` (default) initializes walkers from prior
         draws (reference models.py:108-130 semantics); ``'map'`` first
         runs a multi-start gradient MAP fit (:func:`psfmc_tpu.optimize.
@@ -412,6 +423,8 @@ def model_galaxy_mcmc(
                         (database, mc_model) if existing_iter > 0 else None
                     ),
                     checkpoint_interval=checkpoint_interval,
+                    rejuvenate=rejuvenate,
+                    seed=seed,
                 )
 
     if database is None:
@@ -445,6 +458,8 @@ def model_galaxy_mcmc(
             db_name=db_name,
             burn_total=burn,
             checkpoint_interval=checkpoint_interval,
+            rejuvenate=rejuvenate,
+            seed=seed,
         )
 
     if is_joint:
@@ -519,6 +534,8 @@ def _run_sampling(
     resume_payload=None,
     prior_db=None,
     checkpoint_interval=None,
+    rejuvenate=True,
+    seed=0,
 ):
     """Burn + retained sampling with convergence retries; saves the DB.
 
@@ -564,7 +581,20 @@ def _run_sampling(
     if burn > 0:
         _print(f"Burning: {burn} iterations x {sampler.nwalkers} walkers")
 
+        rejuv_rng = np.random.RandomState(np.uint32(seed) ^ 0x5EED)
+
         def burn_cb(done, total):
+            if (
+                rejuvenate
+                and done < total
+                and hasattr(sampler, "rejuvenate_stuck")
+            ):
+                # burn-only walker rescue (see EnsembleSampler.
+                # rejuvenate_stuck); runs BEFORE the checkpoint so a
+                # resume continues from the repaired ensemble
+                n_fix = sampler.rejuvenate_stuck(random_state=rejuv_rng)
+                if n_fix:
+                    _print(f"  rejuvenated {n_fix} stuck walkers")
             print_progress(burn_done + done - 1, burn_total, "Burning")
             if done < total:  # final state is checkpointed by save_round
                 save_database(

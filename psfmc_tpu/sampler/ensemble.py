@@ -579,6 +579,64 @@ class EnsembleSampler:
             "n": np.int32(0),
         }
 
+    def rejuvenate_stuck(self, random_state=None, floor_sigmas=20.0,
+                         min_drop=50.0):
+        """Burn-phase rescue: teleport stranded walkers onto healthy ones.
+
+        A walker initialized in a pathological corner (an ``-inf``
+        plateau, a razor support edge) can take thousands of stretch
+        moves to rejoin the bulk; the reference only ships a post-hoc
+        ``filter_lowp_walkers`` that silently discards those chains.
+        Here the driver repairs them DURING burn: any walker whose lnp
+        sits below the same robust floor the analysis layer uses
+        (``median - max(min_drop, floor_sigmas * 1.4826 * MAD)`` —
+        :func:`psfmc_tpu.analysis.model_comparison.robust_lnp_keep`
+        semantics) is replaced by a copy of a randomly chosen healthy
+        walker.  Copies (no jitter) are inside the support by
+        construction; the next stretch move re-diversifies them
+        against the complementary half-ensemble.
+
+        ONLY call between burn segments — teleporting during retained
+        sampling would bias the posterior.  When half or more of the
+        ensemble is below the floor this is NOT a few bad walkers
+        (multimodality / genuine misfit) and the method refuses to act.
+
+        :returns: number of walkers rejuvenated (0 = no-op).
+        """
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        lnp = _fetch(self.state.log_prob, np.float64)
+        finite = np.isfinite(lnp)
+        if not finite.any():
+            return 0
+        med = np.median(lnp[finite])
+        mad = np.median(np.abs(lnp[finite] - med))
+        floor = med - max(float(min_drop),
+                          float(floor_sigmas) * 1.4826 * mad)
+        stuck = ~finite | (lnp < floor)
+        n_stuck = int(stuck.sum())
+        if n_stuck == 0 or n_stuck >= self.nwalkers // 2:
+            return 0
+        donors = rng.choice(np.flatnonzero(~stuck), size=n_stuck)
+        # np.array copy: _fetch of a JAX array is a READ-ONLY view
+        pos = np.array(_fetch(self.state.positions, np.float64))
+        pos[stuck] = pos[donors]
+        p0 = jnp.asarray(pos, self.fns.dtype)
+        if self.sharding is not None:
+            p0 = _put_sharded(p0, self.sharding)
+        # recompute lnp (one batched eval) instead of patching the old
+        # vector: keeps device layout/sharding/dtype exactly as the
+        # step program expects
+        self.state = replace(
+            self.state,
+            positions=p0,
+            log_prob=self._batched_lnpost()(p0),
+        )
+        return n_stuck
+
     def reset(self):
         """Clear chain storage + acceptance counts; keep current positions.
 

@@ -697,6 +697,62 @@ class PTEnsembleSampler(EnsembleSampler):
         self._naccept = np.zeros(self.nwalkers, dtype=np.int64)
         return self.state
 
+    def rejuvenate_stuck(self, random_state=None, floor_sigmas=20.0,
+                         min_drop=50.0):
+        """Per-rung burn-phase walker rescue (see
+        :meth:`EnsembleSampler.rejuvenate_stuck`).
+
+        Each rung's robust lnp floor uses its OWN tempered posterior
+        (``beta * lnL + lnprior``), and donors come from the same rung
+        — a hot-rung position teleported into the cold rung would be a
+        likelihood outlier there by construction.  Like/prior vectors
+        are recomputed in one batched eval afterwards.
+        """
+        rng = (
+            random_state
+            if isinstance(random_state, np.random.RandomState)
+            else np.random.RandomState(random_state)
+        )
+        lnl = _fetch(self.state.log_like, np.float64)
+        lpr = _fetch(self.state.log_prior, np.float64)
+        lnp = np.asarray(self.betas, np.float64)[:, None] * lnl + lpr
+        # np.array copy: _fetch of a JAX array is a READ-ONLY view
+        pos = np.array(_fetch(self.state.positions, np.float64))
+        total = 0
+        for t in range(self.ntemps):
+            row = lnp[t]
+            finite = np.isfinite(row)
+            if not finite.any():
+                continue
+            med = np.median(row[finite])
+            mad = np.median(np.abs(row[finite] - med))
+            floor = med - max(float(min_drop),
+                              float(floor_sigmas) * 1.4826 * mad)
+            stuck = ~finite | (row < floor)
+            n_stuck = int(stuck.sum())
+            if n_stuck == 0 or n_stuck >= self.nwalkers // 2:
+                continue
+            donors = rng.choice(np.flatnonzero(~stuck), size=n_stuck)
+            pos[t, stuck] = pos[t, donors]
+            total += n_stuck
+        if total == 0:
+            return 0
+        p0 = jnp.asarray(pos, self.fns.dtype)
+        pt_sharding = self._pt_sharding()
+        if pt_sharding is not None:
+            from ..parallel.multihost import put_sharded
+
+            p0 = put_sharded(p0, pt_sharding)
+        like_b, prior_b = self._batched_like_prior()
+        flat = p0.reshape(self.ntemps * self.nwalkers, self.dim)
+        self.state = replace(
+            self.state,
+            positions=p0,
+            log_like=like_b(flat).reshape(self.ntemps, self.nwalkers),
+            log_prior=prior_b(flat).reshape(self.ntemps, self.nwalkers),
+        )
+        return total
+
     def reset(self):
         self._chain = None
         self._lnprob = None

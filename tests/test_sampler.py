@@ -263,3 +263,65 @@ def test_raw_m2_accumulation_survives_huge_mean():
     np.testing.assert_allclose(
         np.asarray(s.state.accum["raw"], np.float64), want_mean, rtol=1e-6
     )
+
+
+def test_rejuvenate_stuck_repairs_stranded_walkers():
+    """Burn-phase walker rescue: stranded walkers teleport onto healthy
+    donors; healthy ensembles and majority-stuck ensembles are no-ops."""
+    post = GaussianPosterior()
+    nwalkers, dim = 32, 3
+    rng = np.random.RandomState(3)
+    p0 = rng.randn(nwalkers, dim) * 0.3 + np.asarray(post.mean)
+    # strand 4 walkers absurdly far out (lnp ~ -5e5)
+    p0[:4] = 1000.0
+
+    s = EnsembleSampler(nwalkers, dim, post, seed=1, image_shape=(2, 2))
+    s.init_state(p0)
+    lnp0 = np.asarray(s.state.log_prob, np.float64)
+    assert (lnp0[:4] < -1e4).all()
+
+    n = s.rejuvenate_stuck(random_state=np.random.RandomState(0))
+    assert n == 4
+    lnp1 = np.asarray(s.state.log_prob, np.float64)
+    pos1 = np.asarray(s.state.positions, np.float64)
+    med = np.median(lnp1)
+    assert np.all(lnp1 > med - 50.0)
+    # teleported rows are exact copies of healthy rows
+    healthy = pos1[4:]
+    for row in pos1[:4]:
+        assert np.any(np.all(np.isclose(healthy, row[None]), axis=1))
+    # second call: nothing left to fix
+    assert s.rejuvenate_stuck(random_state=np.random.RandomState(0)) == 0
+
+    # majority stuck -> refuse (not a stragglers problem)
+    p_bad = p0.copy()
+    p_bad[: nwalkers // 2 + 2] = 1000.0
+    s2 = EnsembleSampler(nwalkers, dim, post, seed=1, image_shape=(2, 2))
+    s2.init_state(p_bad)
+    assert s2.rejuvenate_stuck(random_state=np.random.RandomState(0)) == 0
+
+
+def test_rejuvenate_stuck_handles_minus_inf():
+    """-inf walkers (outside the prior support) count as stuck even
+    though they poison MAD arithmetic."""
+
+    class HardSupport(GaussianPosterior):
+        def log_posterior(self, theta):
+            lnp = super().log_posterior(theta)
+            return jnp.where(theta[0] > -5.0, lnp, -jnp.inf)
+
+        def log_posterior_and_images(self, theta):
+            return self.log_posterior(theta), {
+                "img": jnp.ones((2, 2), self.dtype) * theta[0]
+            }
+
+    post = HardSupport()
+    nwalkers, dim = 16, 3
+    rng = np.random.RandomState(5)
+    p0 = rng.randn(nwalkers, dim) * 0.3 + np.asarray(post.mean)
+    p0[0, 0] = -100.0  # outside support -> -inf
+    s = EnsembleSampler(nwalkers, dim, post, seed=2, image_shape=(2, 2))
+    s.init_state(p0)
+    assert not np.isfinite(np.asarray(s.state.log_prob)[0])
+    assert s.rejuvenate_stuck(random_state=np.random.RandomState(1)) == 1
+    assert np.all(np.isfinite(np.asarray(s.state.log_prob)))

@@ -334,3 +334,32 @@ def test_pt_mixed_moves_preserve_posterior(rng):
     assert np.allclose(flat.mean(axis=0), np.asarray(post.mean), atol=0.1)
     assert np.allclose(np.cov(flat.T), np.asarray(post.cov), atol=0.3)
     assert np.all(pt.swap_acceptance_fraction > 0.05)
+
+
+def test_pt_rejuvenate_stuck_per_rung():
+    """Per-rung burn-phase walker rescue: stranded cold-rung walkers
+    teleport onto same-rung donors; like/prior recomputed."""
+    post = BimodalPosterior()
+    nwalkers, ntemps = 32, 3
+    rng = np.random.RandomState(2)
+    p0 = np.broadcast_to(
+        5.0 + rng.randn(nwalkers, 2) * 0.3, (ntemps, nwalkers, 2)
+    ).copy()
+    p0[0, :3] = 500.0  # strand 3 cold-rung walkers (lnp ~ -5e5)
+
+    s = PTEnsembleSampler(
+        nwalkers, 2, post, ntemps=ntemps, seed=4, image_shape=(2, 2)
+    )
+    s.init_state(p0)
+    assert (np.asarray(s.state.log_like)[0, :3] < -1e4).all()
+    n = s.rejuvenate_stuck(random_state=np.random.RandomState(0))
+    assert n == 3
+    lnl = np.asarray(s.state.log_like, np.float64)
+    assert np.all(lnl[0] > -100.0)
+    # donors came from the SAME rung: every cold-rung position is one
+    # of the original healthy cold-rung positions
+    pos = np.asarray(s.state.positions, np.float64)
+    healthy = p0[0, 3:]
+    for row in pos[0]:
+        assert np.any(np.all(np.isclose(healthy, row[None]), axis=1))
+    assert s.rejuvenate_stuck(random_state=np.random.RandomState(0)) == 0
