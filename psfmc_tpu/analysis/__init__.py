@@ -25,6 +25,7 @@ from .statistics import (
     ess_bulk,
     ess_tail,
     convergence_summary,
+    to_inference_dict,
 )
 
 __all__ = [
@@ -52,6 +53,7 @@ __all__ = [
     "ess_bulk",
     "ess_tail",
     "convergence_summary",
+    "to_inference_dict",
 ]
 
 try:  # matplotlib is optional at import time
@@ -60,7 +62,9 @@ try:  # matplotlib is optional at import time
         plot_autocorr,
         plot_criticism,
         plot_hist,
+        plot_profile,
         plot_trace,
+        radial_profile,
     )
 
     __all__ += [
@@ -68,7 +72,9 @@ try:  # matplotlib is optional at import time
         "plot_autocorr",
         "plot_criticism",
         "plot_hist",
+        "plot_profile",
         "plot_trace",
+        "radial_profile",
     ]
 except ImportError:  # pragma: no cover
     pass

@@ -27,6 +27,8 @@ __all__ = [
     "plot_trace",
     "plot_hist",
     "plot_autocorr",
+    "plot_profile",
+    "radial_profile",
     "corner_plot",
     "plot_criticism",
 ]
@@ -174,6 +176,8 @@ def _load_db_and_model(db_file, model_file):
     if model_file is not None:
         from ..models.multicomponent import MultiComponentModel
 
+        if isinstance(model_file, MultiComponentModel):
+            return disp_name, db, model_file
         try:
             model = MultiComponentModel(model_file)
         except Exception as exc:  # fuzzy-matched file may not be a model
@@ -508,6 +512,180 @@ def plot_criticism(database, model, save=False, draws=500):
     fig.tight_layout()
     _show_or_save(fig, save, f"{disp_name}_criticism.pdf")
     return loo, pit
+
+
+def radial_profile(image, center, variance=None, good=None, bin_px=1.0,
+                   rmax=None):
+    """Azimuthally averaged radial profile in whole-pixel annuli.
+
+    Host f64 numpy (analysis layer).  ``center`` is 0-based ``(x, y)``;
+    annuli are ``[i*bin_px, (i+1)*bin_px)`` out to ``rmax`` (default:
+    the largest radius fully inside the frame).  Bad pixels
+    (``good=False``) are excluded from both the mean and the error.
+
+    :returns: ``(r_mid, mean, err, npix)`` — annulus mid-radii, the
+        area-weighted mean per annulus (NaN where empty), the standard
+        error of that mean from the per-pixel ``variance`` map
+        (``sqrt(sum var) / N``; NaN when no variance given), and the
+        contributing pixel count.
+    """
+    image = np.asarray(image, np.float64)
+    h, w = image.shape
+    cx, cy = float(center[0]), float(center[1])
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.hypot(xx - cx, yy - cy)
+    if good is None:
+        good = np.ones(image.shape, bool)
+    if rmax is None:
+        rmax = max(min(cx, cy, (w - 1) - cx, (h - 1) - cy), bin_px)
+    nb = max(int(np.floor(float(rmax) / float(bin_px))), 1)
+    edges = np.arange(nb + 1, dtype=np.float64) * float(bin_px)
+    idx = np.digitize(r.ravel(), edges) - 1
+    ok = np.asarray(good).ravel() & (idx >= 0) & (idx < nb)
+    sel = idx[ok]
+    cnt = np.bincount(sel, minlength=nb).astype(np.float64)
+    mean = np.bincount(sel, weights=image.ravel()[ok], minlength=nb)
+    mean = np.where(cnt > 0, mean / np.maximum(cnt, 1.0), np.nan)
+    if variance is not None:
+        v = np.asarray(variance, np.float64).ravel()[ok]
+        err = np.sqrt(
+            np.bincount(sel, weights=v, minlength=nb)
+        ) / np.maximum(cnt, 1.0)
+        err = np.where(cnt > 0, err, np.nan)
+    else:
+        err = np.full(nb, np.nan)
+    r_mid = 0.5 * (edges[:-1] + edges[1:])
+    return r_mid, mean, err, cnt.astype(np.int64)
+
+
+def plot_profile(db, model=None, save=False, component=None, bin_px=1.0,
+                 rmax=None):
+    """Radial surface-brightness profile: data vs posterior-mean model.
+
+    The classic 1-D sanity check of 2-D decomposition work (the
+    reference has no analogue): azimuthal annulus averages of the
+    observation (points with noise error bars), the posterior-mean
+    convolved model (line) and — when the model has a point source —
+    the point-source-subtracted data, over a residual significance
+    panel ``(data - model) / noise`` per annulus.  PSF mismatch, sky
+    errors and Sersic-index tension that hide in a 2-D residual image
+    show up here at a glance.
+
+    Radii are measured from ``component``'s posterior-mean center
+    (a trace prefix like ``'1_Sersic'``); default is the brightest
+    pixel of the posterior-mean convolved model.  In mag/arcsec^2 when
+    the observation header carries a celestial WCS (surface brightness
+    via the pixel area and the Configuration zeropoint), linear image
+    units otherwise.
+
+    Needs the model (to replay posterior-mean images): pass
+    ``model=`` or keep the model file next to the DB so the fuzzy
+    CLI match finds it.
+    """
+    import matplotlib.pyplot as pp
+
+    disp_name, db, model = _load_db_and_model(db, model)
+    if model is None:
+        raise ValueError(
+            "plot_profile needs the model (for the posterior-mean "
+            "image replay): pass model= or keep the model file next "
+            "to the database"
+        )
+    # posterior_images may be pre-filled with ONES by reset_images —
+    # only trust it when samples were actually accumulated
+    imgs = getattr(model, "posterior_images", None)
+    if not imgs or getattr(model, "accumulated_samples", 0) == 0:
+        thetas = model.thetas_from_database(
+            filter_lowp_walkers(db, percentile=10)
+        )
+        imgs = model.replay_posterior_means(thetas)
+    obs = np.asarray(model.spec.obs_data, np.float64)
+    good = ~np.asarray(model.spec.bad_px, bool)
+    conv = np.asarray(imgs["convolved_model"], np.float64)
+    ivm = np.asarray(imgs["composite_ivm"], np.float64)
+    var = np.where(good & (ivm > 0), 1.0 / np.where(ivm > 0, ivm, 1.0),
+                   np.inf)
+    good = good & np.isfinite(var)
+
+    if component is not None:
+        col = f"{component}_xy"
+        if col in db.colnames:
+            center = np.asarray(db[col], np.float64).mean(axis=0)
+        else:
+            raise KeyError(
+                f"no trace column {col!r} (constant centers are not in "
+                f"the DB); available: {db.colnames}"
+            )
+    else:
+        iy, ix = np.unravel_index(
+            np.argmax(np.where(good, conv, -np.inf)), conv.shape
+        )
+        center = np.array([ix, iy], np.float64)
+
+    r, d_mean, d_err, _ = radial_profile(
+        obs, center, variance=var, good=good, bin_px=bin_px, rmax=rmax
+    )
+    _, m_mean, _, _ = radial_profile(
+        conv, center, good=good, bin_px=bin_px, rmax=rmax
+    )
+    ps_mean = None
+    if "point_source_subtracted" in imgs and not np.allclose(
+        np.asarray(imgs["point_source_subtracted"]), obs
+    ):
+        _, ps_mean, _, _ = radial_profile(
+            np.asarray(imgs["point_source_subtracted"], np.float64),
+            center, good=good, bin_px=bin_px, rmax=rmax,
+        )
+
+    # mag/arcsec^2 when the header has a celestial WCS; linear otherwise
+    zp = float(model.spec.mag_zeropoint)
+    px_area = None
+    if model.obs_header is not None:
+        try:
+            wcs = MiniWCS(model.obs_header)
+            px_area = proj_plane_pixel_area(wcs) * 3600.0**2
+        except (KeyError, ValueError):
+            px_area = None
+
+    def to_mu(f):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return zp - 2.5 * np.log10(np.where(f > 0, f, np.nan)
+                                       / px_area)
+
+    fig, (ax, axr) = pp.subplots(
+        2, 1, sharex=True, figsize=(6.4, 6.4),
+        gridspec_kw={"height_ratios": [3, 1], "hspace": 0.05},
+    )
+    if px_area is not None:
+        ax.errorbar(r, to_mu(d_mean),
+                    yerr=2.5 / np.log(10) * d_err / np.abs(d_mean),
+                    fmt="o", ms=3, color="k", label="data")
+        ax.plot(r, to_mu(m_mean), color="C3", lw=2, label="model")
+        if ps_mean is not None:
+            ax.plot(r, to_mu(ps_mean), "s", ms=3, color="C0", mfc="none",
+                    label="data - point source")
+        ax.invert_yaxis()
+        ax.set_ylabel(r"$\mu$ (mag arcsec$^{-2}$)")
+    else:
+        ax.errorbar(r, d_mean, yerr=d_err, fmt="o", ms=3, color="k",
+                    label="data")
+        ax.plot(r, m_mean, color="C3", lw=2, label="model")
+        if ps_mean is not None:
+            ax.plot(r, ps_mean, "s", ms=3, color="C0", mfc="none",
+                    label="data - point source")
+        ax.set_yscale("symlog", linthresh=max(np.nanmin(d_err), 1e-12))
+        ax.set_ylabel("surface brightness (image units)")
+    ax.legend(frameon=False)
+    fig.suptitle(disp_name)
+
+    with np.errstate(invalid="ignore"):
+        axr.axhline(0.0, color="0.6", lw=1)
+        axr.plot(r, (d_mean - m_mean) / d_err, "o", ms=3, color="k")
+    axr.set_ylabel(r"resid ($\sigma$)")
+    axr.set_xlabel(f"radius from ({center[0]:.1f}, {center[1]:.1f}) (pix)")
+
+    _show_or_save(fig, save, f"{disp_name}_profile.pdf")
+    return r, d_mean, m_mean, d_err
 
 
 def _show_or_save(fig, save, filename):

@@ -242,6 +242,55 @@ def ess_tail(chains, quantiles=(0.05, 0.95)):
     return float(out)
 
 
+def _walker_grid(database):
+    """(row order, nwalkers, nsamples) for chain reconstruction.
+
+    Walker IDs may be NON-contiguous (``filter_lowp_walkers`` drops
+    whole walkers but keeps their original IDs) — map to dense indices
+    instead of assuming max+1 chains.
+    """
+    walker = np.asarray(database["walker"], int)
+    sample = np.asarray(database["sample"], int)
+    uniq_w = np.unique(walker)
+    nw = len(uniq_w)
+    ns = len(walker) // nw
+    if nw * ns != len(walker):
+        raise ValueError(
+            "database rows do not form a complete walker x sample "
+            f"grid ({len(walker)} rows, {nw} walkers)"
+        )
+    dense_w = np.searchsorted(uniq_w, walker)
+    return np.lexsort((sample, dense_w)), nw, ns
+
+
+def to_inference_dict(database):
+    """ArviZ-ready dict of (chain, draw[, k]) arrays from a trace DB.
+
+    Interop with the wider Bayesian-workflow ecosystem:
+    ``arviz.from_dict(**to_inference_dict(db))`` builds an
+    ``InferenceData`` (arviz is NOT a dependency of this package — the
+    returned value is plain numpy).  ``posterior`` holds one entry per
+    trace column (vector stochastics like ``xy`` keep a trailing
+    length-2 axis); ``sample_stats`` carries the log-posterior as
+    ``lp`` (the arviz-conventional name).  The ensemble-walker caveat
+    of :func:`convergence_summary` applies to any cross-chain
+    diagnostic run downstream.
+    """
+    order, nw, ns = _walker_grid(database)
+    posterior = {}
+    for name in database.colnames:
+        if name in {"walker", "sample", "lnprobability"}:
+            continue
+        col = np.asarray(database[name], np.float64)
+        shaped = col[order].reshape((nw, ns) + col.shape[1:])
+        posterior[name] = shaped
+    lp = np.asarray(database["lnprobability"], np.float64)
+    return {
+        "posterior": posterior,
+        "sample_stats": {"lp": lp[order].reshape(nw, ns)},
+    }
+
+
 def convergence_summary(database):
     """Per-parameter modern diagnostics from a trace database.
 
@@ -260,21 +309,7 @@ def convergence_summary(database):
     """
     from collections import OrderedDict
 
-    walker = np.asarray(database["walker"], int)
-    sample = np.asarray(database["sample"], int)
-    # walker IDs may be NON-contiguous (filter_lowp_walkers drops
-    # whole walkers but keeps their original IDs) — map to dense
-    # indices instead of assuming max+1 chains
-    uniq_w = np.unique(walker)
-    nw = len(uniq_w)
-    ns = len(walker) // nw
-    if nw * ns != len(walker):
-        raise ValueError(
-            "database rows do not form a complete walker x sample "
-            f"grid ({len(walker)} rows, {nw} walkers)"
-        )
-    dense_w = np.searchsorted(uniq_w, walker)
-    order = np.lexsort((sample, dense_w))
+    order, nw, ns = _walker_grid(database)
     out = OrderedDict()
     skip = {"walker", "sample"}
     for name in database.colnames:

@@ -24,6 +24,10 @@ Modes:
       overplotted.
   trace - value vs. sample index plots (assess burn-in length).
   autocorr - autocorrelation vs. lag plots with effective-sample counts.
+  profile - radial surface-brightness profile: data vs posterior-mean
+      model with a residual-significance panel.  Takes an OPTIONAL
+      component prefix ('1_Sersic') to center on instead of a trace
+      name; bare database filenames center on the model peak.
   save - write pdf files instead of opening windows.
 
 Derived trace names (components given as <index>_<type>):
@@ -61,7 +65,7 @@ def plot_chain_main(argv=None):
 
     args = argv[1:]
     mode = "hist"
-    for check_mode in ("hist", "chain", "trace", "autocorr"):
+    for check_mode in ("hist", "chain", "trace", "autocorr", "profile"):
         if check_mode in args:
             args.remove(check_mode)
             mode = check_mode
@@ -72,10 +76,16 @@ def plot_chain_main(argv=None):
 
         matplotlib.use("Agg")
 
-    trace_name = args[0]
-    db_names = args[1:] or glob.glob("*db.fits")
+    if mode == "profile" and args and args[0].endswith(".fits"):
+        # profile takes an OPTIONAL component prefix ('1_Sersic'), not
+        # a trace name — bare db filenames mean "center on the peak"
+        trace_name = None
+        db_names = args
+    else:
+        trace_name = args[0]
+        db_names = args[1:] or glob.glob("*db.fits")
 
-    from .analysis import plot_autocorr, plot_hist, plot_trace
+    from .analysis import plot_autocorr, plot_hist, plot_profile, plot_trace
 
     for db_name in db_names:
         # fuzzy-match the most similarly named model .py next to the db
@@ -97,6 +107,9 @@ def plot_chain_main(argv=None):
             plot_trace(trace_name, db_name, model=model_name, save=save)
         elif mode == "autocorr":
             plot_autocorr(trace_name, db_name, save=save)
+        elif mode == "profile":
+            plot_profile(db_name, model=model_name, save=save,
+                         component=trace_name)
     return 0
 
 

@@ -2,6 +2,7 @@
 from . import fits
 from .preprocess import (
     calculate_psf_variability,
+    make_source_mask,
     mask_from_file,
     norm_psf,
     pre_fft_psf,
@@ -30,4 +31,5 @@ __all__ = [
     "pre_fft_psf",
     "calculate_psf_variability",
     "mask_from_file",
+    "make_source_mask",
 ]

@@ -35,6 +35,7 @@ __all__ = [
     "pre_fft_psf",
     "calculate_psf_variability",
     "mask_from_file",
+    "make_source_mask",
 ]
 
 
@@ -83,7 +84,19 @@ def mask_from_file(mask_file, obs_hdr, shape):
 
     ds9 regions define the fitting region; pixels outside it are excluded
     (reference utils.py:82-103 uses ``~regfilt.mask``).
+
+    Beyond the reference, an in-memory boolean/integer array (nonzero =
+    exclude) is accepted directly — the natural hand-off from
+    :func:`make_source_mask` and from survey pipelines that build masks
+    programmatically.
     """
+    if isinstance(mask_file, np.ndarray):
+        if mask_file.shape != tuple(shape):
+            raise ValueError(
+                f"mask array shape {mask_file.shape} != data shape "
+                f"{tuple(shape)}"
+            )
+        return mask_file.astype(bool)
     try:
         data = fits.getdata(mask_file)
         return np.asarray(data).astype(bool)
@@ -95,6 +108,77 @@ def mask_from_file(mask_file, obs_hdr, shape):
     except (ValueError, UnicodeDecodeError) as err:
         warn(f"Could not interpret mask file {mask_file}: {err}")
     return None
+
+
+def make_source_mask(image, ivm=None, target_xy=None, nsigma=3.0,
+                     npixels=5, grow=2, keep_radius=3.0):
+    """Exclusion mask for contaminating neighbors (True = exclude).
+
+    Beyond the reference (whose users draw ds9 circles by hand): the
+    standard detect-and-mask step survey pipelines need before feeding
+    cutouts to :func:`psfmc_tpu.batchfit.fit_batch` —
+
+    1. sigma-clipped background statistics (5 iterations at 3 sigma),
+    2. threshold detection at ``median + nsigma * std``,
+    3. 8-connected components, dropping those smaller than ``npixels``
+       (single hot pixels belong to the IVM, not the mask),
+    4. the component containing — or any component within
+       ``keep_radius`` pixels of — ``target_xy`` (default: the image
+       center) is the source being fit and stays UNmasked,
+    5. everything else is grown by ``grow`` dilations (detection
+       thresholds miss faint wings).
+
+    Non-finite pixels and ``ivm <= 0`` pixels are ignored throughout
+    (they are already bad pixels).  Host numpy; returns a bool (H, W)
+    array that feeds ``Configuration(mask_file=mask)`` directly.
+    """
+    from scipy import ndimage
+
+    image = np.asarray(image, np.float64)
+    good = np.isfinite(image)
+    if ivm is not None:
+        _, ivm_img = _get_image(ivm)
+        good &= np.isfinite(ivm_img) & (np.asarray(ivm_img) > 0)
+    if not good.any():
+        raise ValueError("make_source_mask: no finite pixels")
+
+    vals = image[good]
+    med = np.median(vals)
+    std = vals.std()
+    for _ in range(5):  # sigma-clipped background stats
+        clip = np.abs(vals - med) < 3.0 * std
+        if clip.all() or not clip.any():
+            break
+        vals = vals[clip]
+        med = np.median(vals)
+        std = vals.std()
+    if std == 0.0:
+        return np.zeros(image.shape, bool)
+
+    detect = good & (image > med + float(nsigma) * std)
+    labels, nlab = ndimage.label(detect, structure=np.ones((3, 3), int))
+    if nlab == 0:
+        return np.zeros(image.shape, bool)
+    counts = np.bincount(labels.ravel(), minlength=nlab + 1)
+
+    h, w = image.shape
+    if target_xy is None:
+        target_xy = ((w - 1) / 2.0, (h - 1) / 2.0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    near = np.hypot(
+        xx - float(target_xy[0]), yy - float(target_xy[1])
+    ) <= float(keep_radius)
+    keep = set(np.unique(labels[near & detect]).tolist())
+    keep.discard(0)
+
+    mask = np.zeros(image.shape, bool)
+    for lab in range(1, nlab + 1):
+        if lab in keep or counts[lab] < int(npixels):
+            continue
+        mask |= labels == lab
+    if mask.any() and grow:
+        mask = ndimage.binary_dilation(mask, iterations=int(grow))
+    return mask
 
 
 def bin_psf(psf_data, psf_var, oversample):

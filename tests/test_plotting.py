@@ -111,3 +111,95 @@ def test_cli_entrypoints(db_file, tmp_path):
         )
         == 0
     )
+
+
+def test_radial_profile_numerics():
+    from psfmc_tpu.analysis.plotting import radial_profile
+
+    h = w = 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    center = (16.0, 16.0)
+    r = np.hypot(xx - center[0], yy - center[1])
+    img = 2.0 + r  # linear ramp: annulus mean ~ mid-radius + 2
+    var = np.full((h, w), 0.25)
+    good = np.ones((h, w), bool)
+    good[0:2, :] = False  # a masked stripe
+
+    r_mid, mean, err, npx = radial_profile(
+        img, center, variance=var, good=good, bin_px=1.0
+    )
+    assert np.all(np.isfinite(mean[npx > 0]))
+    # the annulus mean of (2 + r) tracks 2 + r_mid to half a bin
+    ok = npx > 3
+    assert np.all(np.abs(mean[ok] - (2.0 + r_mid[ok])) < 0.5)
+    # error of the mean: sqrt(sum var)/N = 0.5/sqrt(N)
+    assert np.allclose(err[ok], 0.5 / np.sqrt(npx[ok]), rtol=1e-12)
+    # masked pixels excluded: counts are below the full annulus area
+    full = radial_profile(img, center, bin_px=1.0)[3]
+    assert np.all(npx <= full) and np.any(npx < full)
+    # constant image: every annulus mean is the constant
+    cmean = radial_profile(np.full((h, w), 7.0), center, bin_px=2.0)[1]
+    assert np.allclose(cmean[~np.isnan(cmean)], 7.0)
+
+
+def test_plot_profile_end_to_end(tmp_path):
+    """Tiny real fit -> db -> radial profile pdf; model curve must track
+    the data profile of the injected source within the noise."""
+    import jax.numpy as jnp
+
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.analysis.plotting import plot_profile
+    from psfmc_tpu.models.components import (
+        Configuration,
+        PointSource,
+        Sky,
+    )
+    from psfmc_tpu.models.multicomponent import MultiComponentModel
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    rng = np.random.RandomState(11)
+    h = w = 24
+    noise = 0.01
+    psf = np.zeros((8, 8))
+    psf[3:5, 3:5] = 0.25
+
+    def build(obs):
+        return MultiComponentModel([
+            Configuration(
+                obs_file=obs,
+                obsivm_file=np.full((h, w), 1.0 / noise**2),
+                psf_files=psf,
+                psfivm_files=np.full_like(psf, 1e12),
+                mag_zeropoint=25.0,
+            ),
+            Sky(adu=D.Normal(loc=0.05, scale=0.05)),
+            PointSource(
+                xy=D.Uniform(loc=(10.0, 10.0), scale=(4.0, 4.0)),
+                mag=D.Uniform(loc=20.5, scale=1.5),
+            ),
+        ])
+
+    truth = np.array([0.05, 21.3, 12.0, 12.0])
+    mock, _ = build(np.zeros((h, w))).simulate(theta=truth, random_state=3)
+    model = build(mock)
+    s = EnsembleSampler(16, 4, model.posterior_fns, seed=5)
+    s.init_state(model.init_params_from_priors(16, random_state=rng))
+    s.run_burn(150)
+    s.reset()
+    s.run_sampling(100)
+
+    dbp = str(tmp_path / "prof_db.fits")
+    save_database(s, model, dbp, meta_dict={"MCITER": 100})
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r, d_mean, m_mean, d_err = plot_profile(dbp, model=model, save=True)
+    finally:
+        os.chdir(cwd)
+    assert os.path.exists(tmp_path / "prof_db_profile.pdf")
+    # model profile tracks the data within a few annulus sigma
+    ok = np.isfinite(d_mean) & np.isfinite(m_mean) & (d_err > 0)
+    assert ok.sum() >= 5
+    z = (d_mean[ok] - m_mean[ok]) / d_err[ok]
+    assert np.all(np.abs(z) < 6.0), z

@@ -157,3 +157,76 @@ def test_polygon_too_few_vertices_raises():
 
     with _pytest.raises(ValueError):
         region_mask("image\npolygon(2,2,8,8)\n", (16, 16))
+
+
+# ---------------------------------------------------------------------------
+# Automatic neighbor masking (io.make_source_mask, beyond the reference)
+
+
+def _mock_field(rng, h=64, w=64, noise=1.0):
+    """Noise field + target blob at center + neighbor blob + hot pixel."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+
+    def blob(x0, y0, peak, sig):
+        return peak * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2)
+                             / (2 * sig**2))
+
+    img = rng.randn(h, w) * noise
+    img += blob(31.5, 31.5, 40.0, 2.5)   # the target
+    img += blob(45.0, 18.0, 30.0, 2.0)   # a contaminating neighbor
+    img[50, 5] = 100.0                   # single hot pixel
+    return img
+
+
+def test_make_source_mask_masks_neighbor_not_target():
+    import pytest
+
+    from psfmc_tpu.io.preprocess import make_source_mask
+
+    rng = np.random.RandomState(42)
+    img = _mock_field(rng)
+    mask = make_source_mask(img, nsigma=3.0, npixels=5, grow=2)
+
+    assert mask[18, 45]          # neighbor core excluded
+    assert not mask[31, 31]      # target core kept
+    assert not mask[32, 32]
+    assert not mask[50, 5]       # hot single pixel: IVM's job, not ours
+    # background mostly untouched
+    assert mask.mean() < 0.10
+    # grow widens the exclusion
+    m0 = make_source_mask(img, nsigma=3.0, npixels=5, grow=0)
+    assert mask.sum() > m0.sum()
+    # explicit target selection: center on the NEIGHBOR instead
+    m2 = make_source_mask(img, target_xy=(45.0, 18.0))
+    assert not m2[18, 45] and m2[31, 31]
+    # shape-mismatched ndarray masks are rejected downstream
+    from psfmc_tpu.io.preprocess import mask_from_file
+
+    with pytest.raises(ValueError, match="shape"):
+        mask_from_file(mask[:32], None, img.shape)
+
+
+def test_source_mask_feeds_configuration():
+    """An in-memory mask array flows through Configuration like a
+    mask file: masked pixels become bad pixels (excluded from the
+    likelihood), untouched variance elsewhere."""
+    from psfmc_tpu.io.preprocess import make_source_mask
+    from psfmc_tpu.models.components import Configuration
+
+    rng = np.random.RandomState(7)
+    img = _mock_field(rng)
+    ivm = np.ones_like(img)
+    mask = make_source_mask(img, ivm=ivm)
+    psf = np.zeros((8, 8))
+    psf[3:5, 3:5] = 0.25
+    cfg = Configuration(
+        obs_file=img,
+        obsivm_file=ivm,
+        psf_files=psf,
+        psfivm_files=np.full_like(psf, 1e10),
+        mask_file=mask,
+        mag_zeropoint=25.0,
+    )
+    bad = np.asarray(cfg.bad_px)
+    assert bad[18, 45] and not bad[31, 31]
+    assert np.all(bad[mask])

@@ -246,3 +246,40 @@ def test_convergence_summary_non_contiguous_walkers(rng):
     out = convergence_summary(db)
     assert abs(out["a"]["rhat"] - 1.0) < 0.03
     assert out["a"]["ess_bulk"] > 0.4 * len(ids) * ns
+
+
+def test_to_inference_dict_roundtrip():
+    """ArviZ-dict export: (chain, draw) reshape must invert the DB's
+    walker/sample row layout exactly (incl. non-contiguous walker IDs
+    after filter_lowp_walkers and vector xy columns)."""
+    from psfmc_tpu.analysis.statistics import to_inference_dict
+    from psfmc_tpu.io.table import Table
+
+    nw, ns = 4, 6
+    rng = np.random.RandomState(0)
+    walker = np.repeat([0, 2, 5, 7], ns)  # non-contiguous IDs
+    sample = np.tile(np.arange(ns), nw)
+    a = rng.randn(nw * ns)
+    xy = rng.randn(nw * ns, 2)
+    lnp = rng.randn(nw * ns)
+    # shuffle rows: the exporter must not rely on row order
+    perm = rng.permutation(nw * ns)
+    db = Table(
+        {
+            "walker": walker[perm],
+            "sample": sample[perm],
+            "0_Sky_adu": a[perm],
+            "1_PointSource_xy": xy[perm],
+            "lnprobability": lnp[perm],
+        }
+    )
+    d = to_inference_dict(db)
+    post = d["posterior"]
+    assert set(post) == {"0_Sky_adu", "1_PointSource_xy"}
+    assert post["0_Sky_adu"].shape == (nw, ns)
+    assert post["1_PointSource_xy"].shape == (nw, ns, 2)
+    assert d["sample_stats"]["lp"].shape == (nw, ns)
+    # chain 1 (walker ID 2), draw 3 must be the right original row
+    assert post["0_Sky_adu"][1, 3] == a[1 * ns + 3]
+    assert np.all(post["1_PointSource_xy"][2, 0] == xy[2 * ns])
+    assert d["sample_stats"]["lp"][3, 5] == lnp[3 * ns + 5]
