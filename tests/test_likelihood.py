@@ -360,3 +360,100 @@ def test_poisson_posterior_is_differentiable(rng):
     for adu in (4.0, 9.0):
         g = jax.grad(fns.log_posterior)(jnp.asarray([adu]))
         assert np.all(np.isfinite(np.asarray(g))), (adu, np.asarray(g))
+
+
+def test_poisson_beats_naive_gaussian_at_low_counts(rng):
+    """The reason the family exists: at few-counts-per-pixel depth the
+    common practice (Gaussian likelihood with ivm = 1/max(counts, 1))
+    systematically biases the sky estimate — weighting by OBSERVED
+    counts overweights downward fluctuations.  The exact Poisson
+    likelihood is unbiased on the same data."""
+    from psfmc_tpu.sampler.ensemble import EnsembleSampler
+
+    sky_t = 2.0  # 2 counts/px
+    counts = rng.poisson(sky_t, size=(48, 48)).astype(np.float64)
+
+    def run(likelihood, ivm):
+        comps = [
+            Configuration(
+                obs_file=counts,
+                obsivm_file=ivm,
+                psf_files=np.full((8, 8), 1.0 / 64),
+                psfivm_files=np.full((8, 8), 1e12),
+                mag_zeropoint=25.0,
+                likelihood=likelihood,
+            ),
+            Sky(adu=D.Uniform(loc=0.5, scale=4.0)),
+        ]
+        spec = build_model_spec(comps)
+        fns = build_posterior(spec, dtype=jnp.float64)
+        s = EnsembleSampler(16, 1, fns, seed=2)
+        s.init_state(sky_t + rng.randn(16, 1) * 0.1)
+        s.run_burn(200)
+        s.reset()
+        s.run_sampling(200)
+        flat = np.asarray(s.chain, np.float64).reshape(-1)
+        return flat.mean(), flat.std()
+
+    naive_ivm = 1.0 / np.maximum(counts, 1.0)
+    g_mean, g_std = run("gaussian", naive_ivm)
+    p_mean, p_std = run("poisson", np.ones_like(counts))
+    g_pull = (g_mean - sky_t) / g_std
+    p_pull = (p_mean - sky_t) / p_std
+    # naive-Gaussian bias is many posterior sigma; Poisson is calibrated
+    assert abs(g_pull) > 5.0, (g_mean, g_std)
+    assert abs(p_pull) < 4.0, (p_mean, p_std)
+
+
+def test_joint_band_poisson(rng, gaussian_psf):
+    """A Poisson band inside a joint fit keeps its family and its gain
+    (the per-band ModelSpec must carry likelihood_gain through)."""
+    from psfmc_tpu.models import JointModel
+    from psfmc_tpu.models.components import PointSource
+
+    counts = rng.poisson(3.0, size=(24, 24)).astype(np.float64)
+    obs_g = 0.1 + rng.randn(24, 24) * 0.01
+
+    cfg_p = Configuration(
+        obs_file=counts,
+        obsivm_file=np.ones((24, 24)),
+        psf_files=gaussian_psf[4:28, 4:28],
+        psfivm_files=np.ones((24, 24)) * 1e8,
+        mag_zeropoint=25.0,
+        likelihood="poisson",
+        likelihood_gain=2.0,
+    )
+    cfg_g = Configuration(
+        obs_file=obs_g,
+        obsivm_file=np.full((24, 24), 1e4),
+        psf_files=gaussian_psf[4:28, 4:28],
+        psfivm_files=np.ones((24, 24)) * 1e8,
+        mag_zeropoint=25.0,
+    )
+
+    def band(cfg):
+        # a Poisson band needs positive expected counts EVERYWHERE —
+        # without the Sky, off-source pixels have mu = 0 and the model
+        # is correctly rejected with -inf
+        return [
+            cfg,
+            Sky(adu=D.Uniform(loc=0.01, scale=5.0)),
+            PointSource(
+                xy=D.Uniform(loc=(8.0, 8.0), scale=(8.0, 8.0)),
+                mag=D.Uniform(loc=20.0, scale=2.0),
+            ),
+        ]
+
+    joint = JointModel([band(cfg_p), band(cfg_g)])
+    fns = joint.posterior_fns
+    assert fns.band_fns[0].spec.likelihood == "poisson"
+    assert fns.band_fns[0].spec.likelihood_gain == 2.0
+    theta = np.array([3.0, 21.0, 12.0, 11.5, 0.1, 21.0, 12.0, 11.5])
+    b0 = float(fns.band_fns[0].log_likelihood(jnp.asarray(theta)))
+    assert np.isfinite(b0)
+    # standalone twin at the same theta
+    spec0 = build_model_spec(band(cfg_p))
+    solo = build_posterior(spec0, dtype=fns.band_fns[0].dtype)
+    b0_solo = float(solo.log_likelihood(jnp.asarray(theta[:4])))
+    assert b0 == pytest.approx(b0_solo, rel=1e-8)
+    assert np.isfinite(float(fns.log_posterior(jnp.asarray(theta))))
