@@ -143,6 +143,19 @@ def prepare_obs_stack(spec, obs_stack, ivm_stack, dtype=np.float32):
         | (ivm_stack <= 0)
         | np.asarray(spec.bad_px)[None]
     )
+    if getattr(spec, "likelihood", "gaussian") == "poisson":
+        # same eager check build_model_spec runs for the baked obs:
+        # negative good-pixel counts have no Poisson density, and the
+        # device math would silently evaluate nonsense
+        neg = (~bad) & (obs_stack < 0)
+        if neg.any():
+            k_bad = int(np.flatnonzero(neg.any(axis=(1, 2)))[0])
+            raise ValueError(
+                "likelihood='poisson' needs non-negative data at every "
+                f"good pixel, but target {k_bad} has min "
+                f"{obs_stack[k_bad][neg[k_bad]].min():.4g} — mask the "
+                "offending pixels (ivm 0) or use gaussian/student"
+            )
     with np.errstate(divide="ignore"):
         var = np.where(bad, np.inf, 1.0 / np.where(bad, 1.0, ivm_stack))
     return {

@@ -711,3 +711,32 @@ def test_fit_batch_per_target_psf_joint_chunked():
     )
     assert res_mixed.num_targets == 3
     assert np.all(np.isfinite(res_mixed.mean))
+
+
+def test_poisson_batch_rejects_negative_counts():
+    """The traced-obs path enforces the same non-negative-counts rule
+    the baked path checks at model build."""
+    from psfmc_tpu.batchfit import prepare_obs_stack
+
+    psf = _psf(1.5)
+    cfg = Configuration(
+        obs_file=np.abs(np.random.RandomState(0).rand(24, 24)) * 5,
+        obsivm_file=np.ones((24, 24)),
+        psf_files=psf,
+        psfivm_files=np.ones_like(psf) * 1e8,
+        mag_zeropoint=25.0,
+        likelihood="poisson",
+    )
+    model = MultiComponentModel([
+        cfg,
+        Sky(adu=D.Uniform(loc=1.0, scale=4.0)),
+    ])
+    obs = np.abs(np.random.RandomState(1).rand(2, 24, 24)) * 5
+    obs[1, 3, 4] = -0.5
+    with pytest.raises(ValueError, match="non-negative"):
+        prepare_obs_stack(model.spec, obs, np.ones_like(obs))
+    # masking the offending pixel (ivm 0) makes it acceptable
+    ivm = np.ones_like(obs)
+    ivm[1, 3, 4] = 0.0
+    d = prepare_obs_stack(model.spec, obs, ivm)
+    assert not d["good_px"][1, 3, 4]
