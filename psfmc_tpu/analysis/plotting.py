@@ -515,13 +515,17 @@ def plot_criticism(database, model, save=False, draws=500):
 
 
 def radial_profile(image, center, variance=None, good=None, bin_px=1.0,
-                   rmax=None):
+                   rmax=None, axis_ratio=1.0, angle=0.0):
     """Azimuthally averaged radial profile in whole-pixel annuli.
 
     Host f64 numpy (analysis layer).  ``center`` is 0-based ``(x, y)``;
     annuli are ``[i*bin_px, (i+1)*bin_px)`` out to ``rmax`` (default:
-    the largest radius fully inside the frame).  Bad pixels
+    the largest circular radius fully inside the frame).  Bad pixels
     (``good=False``) are excluded from both the mean and the error.
+    ``axis_ratio < 1`` with ``angle`` (radians, the component ``angle``
+    convention — the renderer's +90° PA rotation is applied here too)
+    switches to ELLIPTICAL annuli: the radius is the semi-major axis of
+    the aligned ellipse through each pixel, GALFIT-ellipse style.
 
     :returns: ``(r_mid, mean, err, npix)`` — annulus mid-radii, the
         area-weighted mean per annulus (NaN where empty), the standard
@@ -533,7 +537,12 @@ def radial_profile(image, center, variance=None, good=None, bin_px=1.0,
     h, w = image.shape
     cx, cy = float(center[0]), float(center[1])
     yy, xx = np.mgrid[0:h, 0:w]
-    r = np.hypot(xx - cx, yy - cy)
+    ang = float(angle) + 0.5 * np.pi  # renderer parity (ops/sersic.py)
+    ca, sa = np.cos(ang), np.sin(ang)
+    dx, dy = xx - cx, yy - cy
+    u = ca * dx + sa * dy
+    v = -sa * dx + ca * dy
+    r = np.hypot(u, v / float(axis_ratio))
     if good is None:
         good = np.ones(image.shape, bool)
     if rmax is None:
@@ -558,8 +567,27 @@ def radial_profile(image, center, variance=None, good=None, bin_px=1.0,
     return r_mid, mean, err, cnt.astype(np.int64)
 
 
+def _component_angle_degrees(model, component):
+    """True when the named component's ``angle`` attribute is in
+    degrees (its static ``angle_degrees`` flag); False when unknown.
+
+    Trace prefixes number non-Configuration components in model-file
+    order, which is exactly ``spec.comp_specs`` order.
+    """
+    if model is None:
+        return False
+    try:
+        idx = int(component.split("_", 1)[0])
+        cs = model.spec.comp_specs[idx]
+    except (ValueError, IndexError, AttributeError):
+        return False
+    return bool(getattr(cs, "static", None) or {}) and bool(
+        cs.static.get("angle_degrees", False)
+    )
+
+
 def plot_profile(db, model=None, save=False, component=None, bin_px=1.0,
-                 rmax=None):
+                 rmax=None, axis_ratio=None, angle=None):
     """Radial surface-brightness profile: data vs posterior-mean model.
 
     The classic 1-D sanity check of 2-D decomposition work (the
@@ -573,10 +601,15 @@ def plot_profile(db, model=None, save=False, component=None, bin_px=1.0,
 
     Radii are measured from ``component``'s posterior-mean center
     (a trace prefix like ``'1_Sersic'``); default is the brightest
-    pixel of the posterior-mean convolved model.  In mag/arcsec^2 when
-    the observation header carries a celestial WCS (surface brightness
-    via the pixel area and the Configuration zeropoint), linear image
-    units otherwise.
+    pixel of the posterior-mean convolved model.  When the named
+    component has fitted ``reff``/``reff_b``/``angle`` columns, the
+    annuli default to ELLIPSES matching its posterior-mean shape
+    (GALFIT-ellipse semantics: the radius axis is the isophote
+    semi-major axis); override with ``axis_ratio=``/``angle=`` (angle
+    in the component's own units) or force circles with
+    ``axis_ratio=1``.  In mag/arcsec^2 when the observation header
+    carries a celestial WCS (surface brightness via the pixel area and
+    the Configuration zeropoint), linear image units otherwise.
 
     Needs the model (to replay posterior-mean images): pass
     ``model=`` or keep the model file next to the DB so the fuzzy
@@ -616,25 +649,45 @@ def plot_profile(db, model=None, save=False, component=None, bin_px=1.0,
                 f"no trace column {col!r} (constant centers are not in "
                 f"the DB); available: {db.colnames}"
             )
+        # elliptical annuli matching the component's posterior-mean
+        # shape, when it has one (stochastic columns only — constants
+        # are not in the DB, same limit as the derived traces)
+        if axis_ratio is None and (
+            f"{component}_reff" in db.colnames
+            and f"{component}_reff_b" in db.colnames
+        ):
+            axis_ratio = float(
+                np.mean(np.asarray(db[f"{component}_reff_b"], np.float64))
+                / np.mean(np.asarray(db[f"{component}_reff"], np.float64))
+            )
+        if angle is None and f"{component}_angle" in db.colnames:
+            angle = float(
+                np.mean(np.asarray(db[f"{component}_angle"], np.float64))
+            )
+            if _component_angle_degrees(model, component):
+                angle = np.deg2rad(angle)
     else:
         iy, ix = np.unravel_index(
             np.argmax(np.where(good, conv, -np.inf)), conv.shape
         )
         center = np.array([ix, iy], np.float64)
 
+    prof_kw = dict(
+        good=good, bin_px=bin_px, rmax=rmax,
+        axis_ratio=1.0 if axis_ratio is None else float(axis_ratio),
+        angle=0.0 if angle is None else float(angle),
+    )
     r, d_mean, d_err, _ = radial_profile(
-        obs, center, variance=var, good=good, bin_px=bin_px, rmax=rmax
+        obs, center, variance=var, **prof_kw
     )
-    _, m_mean, _, _ = radial_profile(
-        conv, center, good=good, bin_px=bin_px, rmax=rmax
-    )
+    _, m_mean, _, _ = radial_profile(conv, center, **prof_kw)
     ps_mean = None
     if "point_source_subtracted" in imgs and not np.allclose(
         np.asarray(imgs["point_source_subtracted"]), obs
     ):
         _, ps_mean, _, _ = radial_profile(
             np.asarray(imgs["point_source_subtracted"], np.float64),
-            center, good=good, bin_px=bin_px, rmax=rmax,
+            center, **prof_kw,
         )
 
     # mag/arcsec^2 when the header has a celestial WCS; linear otherwise

@@ -203,3 +203,34 @@ def test_plot_profile_end_to_end(tmp_path):
     assert ok.sum() >= 5
     z = (d_mean[ok] - m_mean[ok]) / d_err[ok]
     assert np.all(np.abs(z) < 6.0), z
+
+
+def test_radial_profile_elliptical_annuli():
+    """Elliptical annuli: on an image that is a pure function of the
+    elliptical radius, shape-matched annuli reproduce the 1-D profile
+    almost exactly while circular annuli smear it."""
+    from psfmc_tpu.analysis.plotting import radial_profile
+
+    h = w = 49
+    cx = cy = 24.0
+    q, ang = 0.5, 0.6  # radians, component convention
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    a = ang + 0.5 * np.pi  # renderer's +90 PA rotation
+    u = np.cos(a) * (xx - cx) + np.sin(a) * (yy - cy)
+    v = -np.sin(a) * (xx - cx) + np.cos(a) * (yy - cy)
+    r_ell = np.hypot(u, v / q)
+    img = np.exp(-r_ell / 6.0)
+
+    r, mean, _, npx = radial_profile(
+        img, (cx, cy), bin_px=2.0, rmax=20.0, axis_ratio=q, angle=ang
+    )
+    ok = npx > 8
+    resid_ell = np.abs(mean[ok] - np.exp(-r[ok] / 6.0))
+    rc, mc, _, npc = radial_profile(
+        img, (cx, cy), bin_px=2.0, rmax=20.0
+    )
+    okc = npc > 8
+    resid_circ = np.abs(mc[okc] - np.exp(-rc[okc] / 6.0))
+    # matched ellipses: sub-percent; circles: badly mixed radii
+    assert resid_ell.max() < 0.02, resid_ell
+    assert resid_circ.max() > 5 * resid_ell.max()
