@@ -188,8 +188,13 @@ def prepare_psf_stack(spec, psf_stack, psfivm_stack, oversample=1,
     :param psfivm_stack: inverse-variance maps, same structure.
     :param oversample: PSF oversampling factor (block-binned down,
         flux-preserving — Configuration ``psf_oversample`` semantics).
-    :returns: ``{"psf_f": (K, num_psfs, Hf, Wf) complex,
-        "var_f": ...}`` ready to merge into the fit's obs dict.
+    :returns: ``{"psf_f_re"/"psf_f_im": (K, num_psfs, Hf, Wf) float,
+        "var_f_re"/"var_f_im": ...}`` ready to merge into the fit's obs
+        dict.  Spectra ride as SEPARATE real/imag planes because
+        complex host->device transfer is UNIMPLEMENTED on the axon TPU
+        backend (h2d is async — the failure only surfaced at the next
+        blocking fetch, measured 2026-08-20); the posterior reassembles
+        ``lax.complex`` inside jit, which costs nothing.
     """
     from .models.components import PSFSelector
     from .models.spec import psf_spectra_for_selector
@@ -218,9 +223,14 @@ def prepare_psf_stack(spec, psf_stack, psfivm_stack, oversample=1,
         f, v = psf_spectra_for_selector(sel, spec.shape, conv_pad)
         fs.append(f)
         vs.append(v)
+    f_all = np.asarray(np.stack(fs), cdtype)
+    v_all = np.asarray(np.stack(vs), cdtype)
+    rdtype = np.dtype(dtype)
     return {
-        "psf_f": np.asarray(np.stack(fs), cdtype),
-        "var_f": np.asarray(np.stack(vs), cdtype),
+        "psf_f_re": np.ascontiguousarray(f_all.real, rdtype),
+        "psf_f_im": np.ascontiguousarray(f_all.imag, rdtype),
+        "var_f_re": np.ascontiguousarray(v_all.real, rdtype),
+        "var_f_im": np.ascontiguousarray(v_all.imag, rdtype),
     }
 
 
@@ -252,7 +262,8 @@ def _lnpost_obs_for(fns):
             }
             # optional per-target PSF spectra (survey mode); dict
             # membership is static per trace, so this is free
-            for key in ("psf_f", "var_f"):
+            for key in ("psf_f", "var_f", "psf_f_re", "psf_f_im",
+                        "var_f_re", "var_f_im"):
                 if f"b{i}_{key}" in obs:
                     ob[key] = obs[f"b{i}_{key}"]
             tot = tot + f.log_posterior_obs(theta, ob)
@@ -460,9 +471,9 @@ def fit_batch(
                 spec, psf_stack, psfivm_stack, psf_oversample,
                 np.dtype(fns.dtype),
             )
-            if psf["psf_f"].shape[0] != k_real:
+            if psf["psf_f_re"].shape[0] != k_real:
                 raise ValueError(
-                    f"psf_stack target count {psf['psf_f'].shape[0]} "
+                    f"psf_stack target count {psf['psf_f_re'].shape[0]} "
                     f"!= obs target count {k_real}"
                 )
             obs.update(psf)
@@ -499,10 +510,10 @@ def fit_batch(
                     bs, psf_stack[i], psfivm_stack[i], psf_oversample,
                     np.dtype(fns.dtype),
                 )
-                if p["psf_f"].shape[0] != d["obs_data"].shape[0]:
+                if p["psf_f_re"].shape[0] != d["obs_data"].shape[0]:
                     raise ValueError(
                         f"band {i}: psf_stack target count "
-                        f"{p['psf_f'].shape[0]} != obs target count "
+                        f"{p['psf_f_re'].shape[0]} != obs target count "
                         f"{d['obs_data'].shape[0]}"
                     )
                 d.update(p)

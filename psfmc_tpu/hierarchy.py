@@ -957,7 +957,11 @@ def _band_keys(band):
     when the band carries them (dict membership is static per trace).
     """
     keys = ["obs_data", "obs_var", "good_px"]
-    if "psf_f" in band["obs"]:
+    # survey-mode per-target PSF spectra ride as real/imag planes
+    # (complex h2d is UNIMPLEMENTED on axon — see prepare_psf_stack)
+    if "psf_f_re" in band["obs"]:
+        keys += ["psf_f_re", "psf_f_im", "var_f_re", "var_f_im"]
+    elif "psf_f" in band["obs"]:  # legacy complex dicts still accepted
         keys += ["psf_f", "var_f"]
     return keys
 
@@ -1090,9 +1094,9 @@ def _build_bands(fns, spec, obs_stack, ivm_stack, psf_stack=None,
             psf = prepare_psf_stack(
                 bs, ps_s, pi_s, psf_oversample, np.dtype(fns.dtype)
             )
-            if psf["psf_f"].shape[0] != k_b:
+            if psf["psf_f_re"].shape[0] != k_b:
                 raise ValueError(
-                    f"psf_stack target count {psf['psf_f'].shape[0]} "
+                    f"psf_stack target count {psf['psf_f_re'].shape[0]} "
                     f"!= obs target count {k_b}"
                 )
             ob.update(psf)

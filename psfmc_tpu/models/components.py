@@ -1238,7 +1238,13 @@ class Configuration(ComponentBase):
         likelihood — Cash statistic — for X-ray/UV/narrow-band imaging
         where the Gaussian IVM approximation biases fluxes; the data
         must be non-negative counts / count rates, and the IVM input
-        defines only the bad-pixel mask).
+        defines only the bad-pixel mask.  A model whose expected counts
+        go non-positive at any good pixel is rejected with ``-inf`` —
+        note a bright ``PointSource``'s lanczos3 interpolation kernel
+        has negative side lobes reaching ~14% of the flux at the worst
+        sub-pixel phase (less once smoothed by a realistic PSF), so
+        the sky level must cover them or such proposals are correctly
+        rejected).
     :param likelihood_df: Student-t degrees of freedom (static; 3-8
         are typical robust choices).  Ignored otherwise.
     :param likelihood_gain: Poisson counts per observation unit

@@ -261,6 +261,26 @@ def make_log_prior(slots, comp_specs, dtype):
     return log_prior
 
 
+
+def _obs_psf_spectra(obs):
+    """(psf_f, var_f) from a traced-obs dict, or (None, None).
+
+    Spectra arrive either as complex arrays ("psf_f"/"var_f") or as
+    separate real/imag planes ("psf_f_re"/"psf_f_im"/...): complex
+    host->device transfer is UNIMPLEMENTED on the axon TPU backend
+    (and asynchronous — the failure only surfaces at the next blocking
+    fetch), so the batched survey paths ship real planes and the
+    complex view is rebuilt here INSIDE jit for free.
+    """
+    fp = obs.get("psf_f")
+    if fp is None and "psf_f_re" in obs:
+        fp = jax.lax.complex(obs["psf_f_re"], obs["psf_f_im"])
+    fv = obs.get("var_f")
+    if fv is None and "var_f_re" in obs:
+        fv = jax.lax.complex(obs["var_f_re"], obs["var_f_im"])
+    return fp, fv
+
+
 class PosteriorFns:
     """Bundle of pure functions over a fixed ModelSpec.
 
@@ -1138,9 +1158,9 @@ class PosteriorFns:
         """
         theta = jnp.asarray(theta, self.dtype)
         lp = self.log_prior(theta)
+        fp, fv = _obs_psf_spectra(obs)
         imgs = self._images_impl(
-            theta, obs_var=obs["obs_var"],
-            psf_f=obs.get("psf_f"), var_f=obs.get("var_f"),
+            theta, obs_var=obs["obs_var"], psf_f=fp, var_f=fv,
         )
         resid = obs["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]
@@ -1157,9 +1177,9 @@ class PosteriorFns:
         ``psf_f``/``var_f`` per-observation PSF override.
         """
         theta = jnp.asarray(theta, self.dtype)
+        fp, fv = _obs_psf_spectra(obs)
         imgs = self._images_impl(
-            theta, obs_var=obs["obs_var"],
-            psf_f=obs.get("psf_f"), var_f=obs.get("var_f"),
+            theta, obs_var=obs["obs_var"], psf_f=fp, var_f=fv,
         )
         resid = obs["obs_data"] - imgs["conv"]
         ivm = 1.0 / imgs["var"]

@@ -459,13 +459,16 @@ def test_prepare_psf_stack_matches_baked():
     tmpl = build(narrow)
     spec = tmpl.spec
     stk = prepare_psf_stack(spec, [narrow, wide], [pivm, pivm])
-    assert stk["psf_f"].shape == (2, 1) + spec.f_psf_stack.shape[1:]
+    # real/imag planes (complex h2d is UNIMPLEMENTED on axon)
+    assert stk["psf_f_re"].shape == (2, 1) + spec.f_psf_stack.shape[1:]
+    psf_f0 = stk["psf_f_re"][0] + 1j * stk["psf_f_im"][0]
+    var_f0 = stk["var_f_re"][0] + 1j * stk["var_f_im"][0]
     # target 0 == the baked template spectra
     assert np.array_equal(
-        stk["psf_f"][0], np.asarray(spec.f_psf_stack, stk["psf_f"].dtype)
+        psf_f0, np.asarray(spec.f_psf_stack, psf_f0.dtype)
     )
     assert np.array_equal(
-        stk["var_f"][0], np.asarray(spec.f_var_stack, stk["var_f"].dtype)
+        var_f0, np.asarray(spec.f_var_stack, var_f0.dtype)
     )
 
     # target 1 == a fresh model baked around the wide PSF
