@@ -326,3 +326,37 @@ def summary_main(argv=None):
                 print(f"(model criticism unavailable: {err})")
                 status = max(status, 1)
     return status
+
+
+IMPORT_GALFIT_DOC = """
+Convert a GALFIT .feedme input file into a psfMC model file.
+
+Usage: psfmc-import-galfit galfit.feedme [out_model.py]
+
+Writes the generated model source to out_model.py (stdout if omitted).
+Free GALFIT parameters (fit toggle 1) become Uniform priors centered
+on the value; fixed ones become constants.  Review the priors and add
+the Configuration(...) block before fitting — GALFIT has no PSF
+uncertainty input, so the data declaration stays yours.
+All conventions (position -1, angle +90, expdisk scale length,
+GALFIT's surface-brightness-parameterized king/nuker/edgedisk) are
+converted exactly; see psfmc_tpu.io.galfit.
+"""
+
+
+def import_galfit_main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 2 or argv[1] in ("-h", "--help"):
+        print(IMPORT_GALFIT_DOC)
+        return 2
+    # pure host parsing + scipy quadrature: no jax import, no backend
+    from .io.galfit import feedme_to_model_source
+
+    src = feedme_to_model_source(argv[1])
+    if len(argv) > 2:
+        with open(argv[2], "w") as fh:
+            fh.write(src)
+        print(f"wrote {argv[2]}")
+    else:
+        sys.stdout.write(src)
+    return 0

@@ -1,5 +1,6 @@
 """IO subsystem: native FITS codec, tables, WCS, ds9 regions, preprocessing."""
 from . import fits
+from .galfit import components_from_feedme, feedme_to_model_source, parse_feedme
 from .preprocess import (
     calculate_psf_variability,
     make_source_mask,
@@ -32,4 +33,7 @@ __all__ = [
     "calculate_psf_variability",
     "mask_from_file",
     "make_source_mask",
+    "components_from_feedme",
+    "feedme_to_model_source",
+    "parse_feedme",
 ]

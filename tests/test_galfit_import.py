@@ -1,0 +1,334 @@
+"""GALFIT feedme importer (io/galfit.py).
+
+Parses the reference's real GALFIT input (reference tests/sim.feedme)
+plus synthetic feedme text covering every importable object type and
+the hidden shape parameters; asserts the documented convention
+conversions (position -1, angle +90, expdisk scale length ->
+half-light radius, FWHM -> reff, q -> semi-minor sizes) and the EXACT
+surface-brightness -> total-magnitude conversion for GALFIT's
+SB-parameterized families (king / nuker / edgedisk).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from psfmc_tpu import distributions as D
+from psfmc_tpu.io.galfit import (
+    _sb_factor_king,
+    _sb_factor_nuker,
+    components_from_feedme,
+    feedme_to_model_source,
+    parse_feedme,
+)
+from psfmc_tpu.models.components import (
+    DeVaucouleurs,
+    EdgeDisk,
+    ExpDisk,
+    Ferrer,
+    Gaussian,
+    King,
+    Moffat,
+    PointSource,
+    Sersic,
+    Sky,
+)
+
+HEADER = """
+A) obs.fits
+J) 26.0               # zeropoint
+K) 0.05 0.05          # plate scale
+P) 0
+"""
+
+
+def test_parse_reference_feedme(reference_dir):
+    path = os.path.join(reference_dir, "tests", "sim.feedme")
+    if not os.path.exists(path):
+        pytest.skip("sim.feedme missing")
+    model = parse_feedme(path)
+    assert model.mag_zeropoint == pytest.approx(26.2303)
+    assert model.plate_scale == pytest.approx((0.06, 0.06))
+    # the commented-out '#D) psf.fits' entry must NOT be picked up
+    assert "D" not in model.header
+    (obj,) = model.objects
+    assert obj.kind == "sersic"
+    assert obj.params["1"] == ([64.5, 64.5], [1, 1])
+    assert obj.params["4"] == ([6.3], [1])
+
+
+def test_import_reference_feedme(reference_dir):
+    path = os.path.join(reference_dir, "tests", "sim.feedme")
+    if not os.path.exists(path):
+        pytest.skip("sim.feedme missing")
+    (comp,) = components_from_feedme(path)
+    assert isinstance(comp, Sersic)
+    assert comp.angle_degrees is True
+    # every toggled parameter became a Uniform prior centered on the
+    # GALFIT value with the documented conversions applied
+    xy = comp._priors["xy"]
+    assert isinstance(xy, D.Uniform)
+    np.testing.assert_allclose(xy.rv_frozen.mean(), [63.5, 63.5])
+    assert comp._priors["reff"].rv_frozen.median() == pytest.approx(
+        6.3 * (3.0 + 1.0 / 3.0) / 2.0
+    )  # Uniform over [v/3, 3v]
+    assert comp._priors["index"].rv_frozen.support()[0] == pytest.approx(
+        3.25
+    )
+    # psfMC angle = GALFIT angle + 90 (reference sim.feedme:1)
+    lo, hi = comp._priors["angle"].rv_frozen.support()
+    assert 0.5 * (lo + hi) == pytest.approx(25.35 + 90.0)
+    # axis ratio folds into the semi-minor radius
+    lo_b, hi_b = comp._priors["reff_b"].rv_frozen.support()
+    assert hi_b == pytest.approx(0.82 * 6.3 * 3.0)
+
+    # priors='fixed' imports plain constants
+    (const,) = components_from_feedme(path, priors="fixed")
+    assert isinstance(const.reff, float) and const.reff == 6.3
+    np.testing.assert_allclose(const.xy, [63.5, 63.5])
+    assert const.angle == pytest.approx(115.35)
+
+
+FEEDME_MULTI = HEADER + """
+# Object 1
+ 0) sky
+ 1) 12.5  0      # sky value
+ 2) 0.01  1      # dsky/dx
+ 3) 0.0   0      # dsky/dy
+
+ 0) psf
+ 1) 30.0 40.0 1 1
+ 3) 19.5 1
+
+ 0) expdisk
+ 1) 65.0 66.0 0 0
+ 3) 20.0 0
+ 4) 4.0  0       # scale length Rs
+ 9) 0.5  0
+10) 10.0 0
+
+ 0) gaussian
+ 1) 65.0 65.0 0 0
+ 3) 22.0 0
+ 4) 6.0  0       # FWHM
+ 9) 1.0  0
+10) 0.0  0
+
+ 0) moffat
+ 1) 65.0 65.0 0 0
+ 3) 21.0 1
+ 4) 3.0  1       # FWHM
+ 5) 2.5  0       # beta
+ 9) 0.9  0
+10) 5.0  0
+
+ 0) devauc
+ 1) 60.0 60.0 0 0
+ 3) 18.0 0
+ 4) 10.0 0
+ 9) 0.7  0
+10) 0.0  0
+C0) 0.3  1
+F1) 0.05 30.0 1 1
+B2) 0.02 1
+R0) power
+R1) 2.0  0
+R2) 12.0 0
+R3) 120.0 1
+R4) 0.5  0
+
+ 0) ferrer
+ 1) 50.0 50.0 0 0
+ 3) 19.0 0
+ 4) 8.0  0
+ 5) 2.0  0
+ 6) 1.0  0
+ 9) 0.8  0
+10) 0.0  0
+"""
+
+
+def test_import_all_types():
+    comps = components_from_feedme(FEEDME_MULTI)
+    sky, ps, disk, gauss, mof, dev, fer = comps
+    assert isinstance(sky, Sky)
+    assert sky.adu == 12.5  # toggle 0 -> constant
+    assert isinstance(sky._priors["dx"], D.Uniform)  # toggle 1 -> prior
+    assert not sky._has("dy")  # zero + fixed: omitted entirely
+
+    assert isinstance(ps, PointSource)
+    np.testing.assert_allclose(
+        ps._priors["xy"].rv_frozen.mean(), [29.0, 39.0]
+    )
+    assert isinstance(ps._priors["mag"], D.Uniform)
+
+    assert isinstance(disk, ExpDisk)
+    # scale length -> half-light radius: reff = kappa(n=1) * Rs
+    assert disk.reff == pytest.approx(1.6783469900166605 * 4.0)
+    assert disk.reff_b == pytest.approx(0.5 * disk.reff)
+    assert disk.angle == pytest.approx(100.0)
+
+    assert isinstance(gauss, Gaussian)
+    assert gauss.reff == pytest.approx(3.0)  # FWHM/2
+
+    assert isinstance(mof, Moffat)
+    assert isinstance(mof._priors["fwhm"], D.Uniform)
+    # q fixed but major-axis free: the minor axis must be free too
+    assert isinstance(mof._priors["fwhm_b"], D.Uniform)
+    assert mof.index == 2.5
+
+    assert isinstance(dev, DeVaucouleurs)
+    for attr in ("c0", "f1", "f1_phi", "b2", "rot_ang"):
+        assert isinstance(dev._priors[attr], D.Uniform), attr
+    assert dev.rot_out == 12.0
+    assert dev.rot_in == 2.0
+    assert dev.rot_pow == 0.5
+
+    assert isinstance(fer, Ferrer)
+    assert fer.rout == 8.0 and fer.rout_b == pytest.approx(6.4)
+
+
+def test_sb_factor_parity_with_device_normalization():
+    """Host quadrature twins == the renderers' own flux factors.
+
+    The mu -> mag conversion divides by the SAME radial integral the
+    renderer multiplies by, so an imported king/nuker really produces
+    the feedme's anchor surface brightness.
+    """
+    from psfmc_tpu.ops.profiles import (
+        king_radial_factor,
+        nuker_radial_factor,
+    )
+
+    rc, rt, alpha, q = 5.0, 20.0, 2.0, 0.8
+    sq_xt = (rt / rc) ** 2
+    qk = (1.0 + sq_xt) ** (-1.0 / alpha)
+    dev = float(king_radial_factor(np.float64(sq_xt), np.float64(alpha)))
+    host = _sb_factor_king(rc, q * rc, rt, alpha)
+    # device: flux/i0 = pi rc rc_b kf; SB(0) = i0 (1-q)^alpha
+    expect = np.pi * rc * (q * rc) * dev / (1.0 - qk) ** alpha
+    assert host == pytest.approx(expect, rel=1e-8)
+
+    rb, a, b, g = 3.0, 1.5, 3.0, 0.5
+    dev_n = float(
+        nuker_radial_factor(np.float64(a), np.float64(b), np.float64(g))
+    )
+    host_n = _sb_factor_nuker(rb, rb, a, b, g)
+    # device: flux/i0 = pi rb rb_b nf with i0 = SB at the break radius
+    assert host_n == pytest.approx(np.pi * rb * rb * dev_n, rel=1e-7)
+
+
+FEEDME_SB = HEADER + """
+ 0) king
+ 1) 30.0 30.0 0 0
+ 3) 20.0 0       # mu(0) mag/arcsec^2
+ 4) 5.0  0       # Rc
+ 5) 20.0 0       # Rt
+ 6) 2.0  0
+ 9) 1.0  0
+10) 0.0  0
+
+ 0) edgedisk
+ 1) 30.0 30.0 0 0
+ 3) 21.0 0       # mu(0)
+ 4) 2.0  0       # scale height
+ 5) 8.0  0       # scale length
+10) 0.0  0
+"""
+
+
+def test_sb_anchor_end_to_end():
+    """Imported king/edgedisk render the feedme's central SB exactly.
+
+    Renders each component centered ON a pixel and compares that
+    pixel's value to the mu(0)-implied counts/px (point sampling of
+    these cored/finite-center profiles is exact at the center).
+    """
+    import jax.numpy as jnp
+
+    from psfmc_tpu.ops.coords import coord_grids
+    from psfmc_tpu.ops.profiles import render_edgedisk, render_king
+
+    comps = components_from_feedme(FEEDME_SB, priors="fixed")
+    king, disk = comps
+    assert isinstance(king, King) and isinstance(disk, EdgeDisk)
+
+    zp, px_area = 26.0, 0.05 * 0.05
+    xg, yg = coord_grids((61, 61))
+    img_k = np.asarray(
+        render_king(
+            jnp.asarray(xg), jnp.asarray(yg),
+            jnp.asarray([30.0, 30.0]), jnp.float64(king.mag),
+            jnp.float64(king.rc), jnp.float64(king.rc_b),
+            jnp.float64(king.rt), jnp.float64(king.alpha),
+            jnp.float64(king.angle), jnp.float64(zp),
+            angle_degrees=True,
+        )
+    )
+    counts_mu0 = 10.0 ** (-0.4 * (20.0 - zp)) * px_area
+    assert img_k[30, 30] == pytest.approx(counts_mu0, rel=1e-6)
+
+    img_d = np.asarray(
+        render_edgedisk(
+            jnp.asarray(xg), jnp.asarray(yg),
+            jnp.asarray([30.0, 30.0]), jnp.float64(disk.mag),
+            jnp.float64(disk.rs), jnp.float64(disk.hs),
+            jnp.float64(disk.angle), jnp.float64(zp),
+            angle_degrees=True,
+        )
+    )
+    counts_mu0 = 10.0 ** (-0.4 * (21.0 - zp)) * px_area
+    assert img_d[30, 30] == pytest.approx(counts_mu0, rel=1e-5)
+    # GALFIT orders edgedisk 4) scale HEIGHT, 5) scale LENGTH
+    assert disk.hs == 2.0 and disk.rs == 8.0
+
+
+def test_sb_families_require_zp_and_scale():
+    body = FEEDME_SB.replace("J) 26.0               # zeropoint\n", "")
+    with pytest.raises(ValueError, match="zeropoint"):
+        components_from_feedme(body)
+
+
+def test_model_source_roundtrip(tmp_path):
+    """feedme -> model-file text -> DSL parser == direct import."""
+    from psfmc_tpu.model_parser import component_list_from_string
+
+    src = feedme_to_model_source(FEEDME_MULTI)
+    parsed = component_list_from_string(src, model_dir=str(tmp_path))
+    direct = components_from_feedme(FEEDME_MULTI)
+    assert [type(c).__name__ for c in parsed] == [
+        type(c).__name__ for c in direct
+    ]
+    # spot-check: constants identical, priors same support
+    disk_p, disk_d = parsed[2], direct[2]
+    assert disk_p.reff == pytest.approx(disk_d.reff)
+    mof_p, mof_d = parsed[4], direct[4]
+    np.testing.assert_allclose(
+        mof_p._priors["fwhm"].rv_frozen.support(),
+        mof_d._priors["fwhm"].rv_frozen.support(),
+    )
+
+
+def test_unknown_type_warns_and_skips():
+    body = HEADER + """
+ 0) powsersic
+ 1) 30.0 30.0 0 0
+ 3) 20.0 0
+
+ 0) sky
+ 1) 3.0 0
+"""
+    with pytest.warns(UserWarning, match="powsersic"):
+        comps = components_from_feedme(body)
+    assert len(comps) == 1 and isinstance(comps[0], Sky)
+
+
+def test_margin_overrides_and_validation():
+    with pytest.raises(ValueError, match="unknown margin"):
+        components_from_feedme(FEEDME_MULTI, margins={"bogus": 1.0})
+    comps = components_from_feedme(
+        FEEDME_MULTI, margins={"position": 2.0}
+    )
+    ps = comps[1]
+    lo, hi = ps._priors["xy"].rv_frozen.support()
+    np.testing.assert_allclose(np.asarray(hi) - np.asarray(lo), 4.0)
