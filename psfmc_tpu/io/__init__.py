@@ -1,6 +1,11 @@
 """IO subsystem: native FITS codec, tables, WCS, ds9 regions, preprocessing."""
 from . import fits
-from .galfit import components_from_feedme, feedme_to_model_source, parse_feedme
+from .galfit import (
+    components_from_feedme,
+    feedme_to_model_source,
+    parse_feedme,
+    results_to_feedme,
+)
 from .preprocess import (
     calculate_psf_variability,
     make_source_mask,
@@ -36,4 +41,5 @@ __all__ = [
     "components_from_feedme",
     "feedme_to_model_source",
     "parse_feedme",
+    "results_to_feedme",
 ]

@@ -27,7 +27,8 @@ tests/test_components.py:71-74):
   :class:`~psfmc_tpu.models.components.Gaussian`);
 * axis ratio ``q`` -> semi-minor size ``= q * semi-major``;
 * GALFIT's surface-brightness-parameterized families (``king`` mu(0),
-  ``nuker`` mu(Rb), ``edgedisk`` mu(0), all mag/arcsec^2) are
+  ``nuker`` mu(Rb), ``ferrer`` mu(0), ``edgedisk`` mu(0), all
+  mag/arcsec^2) are
   converted EXACTLY to this package's total-magnitude convention via
   the same radial flux integrals the renderers use (host scipy
   quadrature twins — no device math at import time), using the
@@ -58,6 +59,7 @@ __all__ = [
     "parse_feedme",
     "components_from_feedme",
     "feedme_to_model_source",
+    "results_to_feedme",
     "GalfitObject",
     "GalfitModel",
 ]
@@ -187,6 +189,22 @@ def _sb_factor_king(rc, rc_b, rt, alpha):
 
     val, _ = quad(integrand, 0.0, sq_xt, limit=200)
     return np.pi * rc * rc_b * val / (1.0 - q) ** alpha
+
+
+def _sb_factor_ferrer(rout, rout_b, alpha, beta):
+    """flux / (central-SB counts/px) for the modified Ferrer profile.
+
+    ``SB(t)/SB(0) = (1 - t^(2-beta))^alpha`` over the elliptical area
+    element ``pi rout rout_b d(t^2)`` — the closed form is
+    ``(2/p) B(2/p, alpha+1)`` with ``p = 2 - beta``
+    (``ops.profiles.ferrer_radial_factor``; SB(0) = i0 exactly).
+    """
+    from scipy.special import beta as beta_fn
+
+    p = 2.0 - beta
+    return np.pi * rout * rout_b * (2.0 / p) * beta_fn(
+        2.0 / p, alpha + 1.0
+    )
 
 
 def _sb_factor_nuker(rb, rb_b, alpha, beta, gamma):
@@ -393,11 +411,20 @@ def _obj_params(obj, zp, plate_scale, margins):
         out["angle"] = angle_p()
         return "Nuker", out
     if kind == "ferrer":
-        out["mag"] = mag_p()
-        out["rout"] = _size(_val(obj, "4"), _free(obj, "4"), sf)
+        r_out = _val(obj, "4")
+        a0 = _val(obj, "5", 2.0)
+        b0 = _val(obj, "6", 0.0)
+        q = _val(obj, "9", 1.0)
+        mu0 = _val(obj, "3")
+        mag = _mu_to_mag(
+            mu0, _sb_factor_ferrer(r_out, q * r_out, a0, b0),
+            zp, plate_scale,
+        )
+        out["mag"] = _P(mag, _free(obj, "3"), mag - mm, mag + mm)
+        out["rout"] = _size(r_out, _free(obj, "4"), sf)
         out["rout_b"] = q_times("rout")
-        a = _val(obj, "5", 2.0)
-        b = _val(obj, "6", 0.0)
+        a = a0
+        b = b0
         out["alpha"] = _P(a, _free(obj, "5"), max(0.1, a / 2.0), 2.0 * a)
         out["beta"] = _P(
             b, _free(obj, "6"), 0.0, min(1.95, max(2.0 * b, b + 0.5))
@@ -505,13 +532,15 @@ def _build_tables(source, margins=None):
     zp = model.mag_zeropoint
     ps = model.plate_scale
     needs_sb = any(
-        o.kind in ("king", "nuker", "edgedisk") for o in model.objects
+        o.kind in ("king", "nuker", "edgedisk", "ferrer")
+        for o in model.objects
     )
     if needs_sb and (zp is None or ps is None):
         raise ValueError(
-            "king/nuker/edgedisk are surface-brightness parameterized "
-            "in GALFIT: the feedme must carry J) zeropoint and K) "
-            "plate scale for the exact mu -> total-mag conversion"
+            "king/nuker/edgedisk/ferrer are surface-brightness "
+            "parameterized in GALFIT: the feedme must carry J) "
+            "zeropoint and K) plate scale for the exact mu -> "
+            "total-mag conversion"
         )
     tables = []
     for obj in model.objects:
@@ -623,4 +652,276 @@ def feedme_to_model_source(source, margins=None):
         if cls_name not in ("Sky", "PointSource"):
             args.append("angle_degrees=True")
         lines.append(f"{cls_name}({', '.join(args)})")
+    return "\n".join(lines) + "\n"
+
+
+def _mag_to_mu(mag, factor, zp, plate_scale):
+    """Inverse of :func:`_mu_to_mag`: total magnitude -> GALFIT anchor
+    surface brightness (mag/arcsec^2)."""
+    px_area = plate_scale[0] * plate_scale[1]
+    counts_px = 10.0 ** (-0.4 * (mag - zp)) / factor
+    return zp - 2.5 * np.log10(counts_px / px_area)
+
+
+_EXPORT_SHAPE = (
+    ("c0", "C0"), ("b1", "B1"), ("b2", "B2"), ("b3", "B3"),
+)
+
+
+def results_to_feedme(model, database=None, plate_scale=None,
+                      mag_zeropoint=None):
+    """Export a fitted (or built) model back to GALFIT feedme text.
+
+    The reverse of :func:`components_from_feedme`, closing the
+    round trip with GALFIT-based pipelines: positions go back to
+    1-based, angles to GALFIT PA (psfMC angle - 90), ``ExpDisk``
+    half-light radius back to a scale length, ``Gaussian`` ``reff``
+    back to FWHM, semi-minor sizes back to axis ratios ``q``, and the
+    SB-parameterized families back to their anchor surface
+    brightnesses (exact inverse of the import conversion).
+
+    :param model: a ``MultiComponentModel`` (``Configuration`` and
+        ``PSFSelector`` are skipped — GALFIT's control header is left
+        as comments for you to fill in), or a bare component list
+        (then ``mag_zeropoint`` is required when SB families are
+        present).
+    :param database: optional trace database — stochastic parameters
+        export their posterior MEAN (a plain mean: multimodal or
+        circular-phase posteriors deserve a look at the corner plot
+        first, not a feedme).  Without it, priors export their current
+        ``.value`` (the median right after model construction).
+    :param plate_scale: (dx, dy) arcsec/px for the ``K)`` entry and
+        the SB conversions; defaults to the observation WCS pixel
+        scale when the model carries one.
+    :returns: feedme text (write it wherever GALFIT expects it).
+    """
+    comps = getattr(model, "components", model)
+    zp = mag_zeropoint
+    if zp is None:
+        spec = getattr(model, "spec", None)
+        zp = float(spec.mag_zeropoint) if spec is not None else None
+    if plate_scale is None:
+        hdr = getattr(model, "obs_header", None)
+        if hdr is not None:
+            try:
+                from .wcs import MiniWCS, proj_plane_pixel_area
+
+                area = proj_plane_pixel_area(MiniWCS(hdr)) * 3600.0**2
+                plate_scale = (np.sqrt(area), np.sqrt(area))
+            except (KeyError, ValueError):
+                plate_scale = None
+
+    means = None
+    if database is not None:
+        from ..analysis.statistics import summary
+
+        means = {k: v["mean"] for k, v in summary(database).items()}
+
+    def value(comp, attr):
+        if attr in comp._priors:
+            prior = comp._priors[attr]
+            if means is not None:
+                name = getattr(prior, "name", None)
+                if np.asarray(prior.value).size == 2:
+                    k0, k1 = f"{name}_0", f"{name}_1"
+                    if k0 in means:
+                        return np.array([means[k0], means[k1]]), 1
+                elif name in means:
+                    return means[name], 1
+            return np.asarray(prior.value, np.float64), 1
+        return np.asarray(getattr(comp, attr), np.float64), 0
+
+    def angle_gf(comp):
+        v, t = value(comp, "angle")
+        if not getattr(comp, "angle_degrees", False):
+            v = np.rad2deg(v)
+        return float(v) - 90.0, t
+
+    def need_scale():
+        if zp is None or plate_scale is None:
+            raise ValueError(
+                "exporting king/nuker/ferrer/edgedisk needs the "
+                "zeropoint and plate scale (GALFIT parameterizes them "
+                "by surface brightness): pass mag_zeropoint= / "
+                "plate_scale= or use a model with a WCS header"
+            )
+
+    lines = [
+        "# Generated by psfmc_tpu.io.galfit.results_to_feedme",
+        "# A) ... input image    B) ... output    D) ... psf",
+        f"J) {zp if zp is not None else 26.0:.4f}",
+    ]
+    if plate_scale is not None:
+        lines.append(f"K) {plate_scale[0]:.4f} {plate_scale[1]:.4f}")
+    lines.append("")
+
+    def pline(key, vals, togs, comment=""):
+        vs = " ".join(f"{float(v):.4f}" for v in np.atleast_1d(vals))
+        ts = " ".join(str(int(t)) for t in np.atleast_1d(togs))
+        pad = "" if not comment else f"    # {comment}"
+        lines.append(f"{key:>3}) {vs} {ts}{pad}")
+
+    def shape_lines(comp):
+        for attr, key in _EXPORT_SHAPE:
+            if comp._has(attr):
+                v, t = value(comp, attr)
+                pline(key, v, t)
+        for m in (1, 2, 3, 4):
+            if comp._has(f"f{m}"):
+                a, ta = value(comp, f"f{m}")
+                p, tp = (
+                    value(comp, f"f{m}_phi")
+                    if comp._has(f"f{m}_phi") else (0.0, 0)
+                )
+                pv = float(p)
+                if not getattr(comp, "angle_degrees", False):
+                    pv = float(np.rad2deg(pv))
+                pline(f"F{m}", [float(a), pv], [ta, tp],
+                      "azimuthal fourier mode")
+        if comp._has("rot_ang"):
+            lines.append(" R0) power")
+            for attr, key in (
+                ("rot_in", "R1"), ("rot_out", "R2"),
+                ("rot_ang", "R3"), ("rot_pow", "R4"),
+            ):
+                if comp._has(attr):
+                    v, t = value(comp, attr)
+                    pline(key, v, t)
+
+    n_exported = 0
+    for comp in comps:
+        kind = type(comp).__name__
+        if kind in ("Configuration", "PSFSelector"):
+            continue
+        if kind not in (
+            "Sky", "PointSource", "Sersic", "ExpDisk", "DeVaucouleurs",
+            "Gaussian", "Moffat", "King", "Ferrer", "Nuker", "EdgeDisk",
+        ):
+            warnings.warn(
+                f"{kind} has no GALFIT equivalent — skipped in the "
+                "feedme export"
+            )
+            continue
+        n_exported += 1
+        if kind == "Sky":
+            lines.append(" 0) sky")
+            v, t = value(comp, "adu")
+            pline("1", v, t, "sky background")
+            for attr, key in (("dx", "2"), ("dy", "3")):
+                if comp._has(attr):
+                    v, t = value(comp, attr)
+                    pline(key, v, t)
+            lines.append("")
+            continue
+
+        xy, t_xy = value(comp, "xy")
+        gf_kind = {
+            "PointSource": "psf", "Sersic": "sersic",
+            "ExpDisk": "expdisk", "DeVaucouleurs": "devauc",
+            "Gaussian": "gaussian", "Moffat": "moffat", "King": "king",
+            "Ferrer": "ferrer", "Nuker": "nuker", "EdgeDisk": "edgedisk",
+        }[kind]
+        lines.append(f" 0) {gf_kind}")
+        pline("1", np.asarray(xy) + 1.0, [t_xy, t_xy], "position x, y")
+        mag, t_mag = value(comp, "mag")
+
+        if kind == "PointSource":
+            pline("3", mag, t_mag, "total magnitude")
+        elif kind in ("Sersic", "ExpDisk", "DeVaucouleurs", "Gaussian"):
+            pline("3", mag, t_mag, "total magnitude")
+            reff, t_r = value(comp, "reff")
+            reff_b, t_rb = value(comp, "reff_b")
+            if kind == "ExpDisk":
+                pline("4", reff / _KAPPA_N1, t_r, "scale length Rs")
+            elif kind == "Gaussian":
+                pline("4", 2.0 * reff, t_r, "FWHM")
+            else:
+                pline("4", reff, t_r, "R_e")
+            if kind == "Sersic":
+                n, t_n = value(comp, "index")
+                pline("5", n, t_n, "sersic index")
+            pline("9", reff_b / reff, max(t_rb, t_r), "axis ratio q")
+            a, t_a = angle_gf(comp)
+            pline("10", a, t_a, "position angle")
+            shape_lines(comp)
+        elif kind == "Moffat":
+            pline("3", mag, t_mag, "total magnitude")
+            fw, t_f = value(comp, "fwhm")
+            fw_b, t_fb = value(comp, "fwhm_b")
+            n, t_n = value(comp, "index")
+            pline("4", fw, t_f, "FWHM")
+            pline("5", n, t_n, "powerlaw beta")
+            pline("9", fw_b / fw, max(t_fb, t_f), "axis ratio q")
+            a, t_a = angle_gf(comp)
+            pline("10", a, t_a, "position angle")
+            shape_lines(comp)
+        elif kind == "King":
+            need_scale()
+            rc, t_rc = value(comp, "rc")
+            rc_b, t_rcb = value(comp, "rc_b")
+            rt, t_rt = value(comp, "rt")
+            al, t_al = value(comp, "alpha")
+            mu = _mag_to_mu(
+                mag, _sb_factor_king(rc, rc_b, rt, al), zp, plate_scale
+            )
+            pline("3", mu, t_mag, "mu(0) mag/arcsec^2")
+            pline("4", rc, t_rc, "Rc")
+            pline("5", rt, t_rt, "Rt")
+            pline("6", al, t_al, "alpha")
+            pline("9", rc_b / rc, max(t_rcb, t_rc), "axis ratio q")
+            a, t_a = angle_gf(comp)
+            pline("10", a, t_a, "position angle")
+            shape_lines(comp)
+        elif kind == "Ferrer":
+            need_scale()
+            ro, t_ro = value(comp, "rout")
+            ro_b, t_rob = value(comp, "rout_b")
+            al, t_al = value(comp, "alpha")
+            be, t_be = value(comp, "beta")
+            mu = _mag_to_mu(
+                mag, _sb_factor_ferrer(ro, ro_b, al, be), zp, plate_scale
+            )
+            pline("3", mu, t_mag, "mu(0) mag/arcsec^2")
+            pline("4", ro, t_ro, "R_out")
+            pline("5", al, t_al, "alpha")
+            pline("6", be, t_be, "beta")
+            pline("9", ro_b / ro, max(t_rob, t_ro), "axis ratio q")
+            a, t_a = angle_gf(comp)
+            pline("10", a, t_a, "position angle")
+            shape_lines(comp)
+        elif kind == "Nuker":
+            need_scale()
+            rb, t_rb = value(comp, "rb")
+            rb_b, t_rbb = value(comp, "rb_b")
+            al, t_al = value(comp, "alpha")
+            be, t_be = value(comp, "beta")
+            ga, t_ga = value(comp, "gamma")
+            mu = _mag_to_mu(
+                mag, _sb_factor_nuker(rb, rb_b, al, be, ga),
+                zp, plate_scale,
+            )
+            pline("3", mu, t_mag, "mu(Rb) mag/arcsec^2")
+            pline("4", rb, t_rb, "Rb")
+            pline("5", al, t_al, "alpha")
+            pline("6", be, t_be, "beta")
+            pline("7", ga, t_ga, "gamma")
+            pline("9", rb_b / rb, max(t_rbb, t_rb), "axis ratio q")
+            a, t_a = angle_gf(comp)
+            pline("10", a, t_a, "position angle")
+            shape_lines(comp)
+        elif kind == "EdgeDisk":
+            need_scale()
+            rs, t_rs = value(comp, "rs")
+            hs, t_hs = value(comp, "hs")
+            mu = _mag_to_mu(
+                mag, 2.0 * np.pi * rs * hs, zp, plate_scale
+            )
+            pline("3", mu, t_mag, "mu(0) mag/arcsec^2")
+            pline("4", hs, t_hs, "scale height")
+            pline("5", rs, t_rs, "scale length")
+            a, t_a = angle_gf(comp)
+            pline("10", a, t_a, "position angle")
+        lines.append("")
+    if n_exported == 0:
+        warnings.warn("results_to_feedme: no exportable components")
     return "\n".join(lines) + "\n"

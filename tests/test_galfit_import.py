@@ -15,11 +15,13 @@ import pytest
 
 from psfmc_tpu import distributions as D
 from psfmc_tpu.io.galfit import (
+    _sb_factor_ferrer,
     _sb_factor_king,
     _sb_factor_nuker,
     components_from_feedme,
     feedme_to_model_source,
     parse_feedme,
+    results_to_feedme,
 )
 from psfmc_tpu.models.components import (
     DeVaucouleurs,
@@ -332,3 +334,86 @@ def test_margin_overrides_and_validation():
     ps = comps[1]
     lo, hi = ps._priors["xy"].rv_frozen.support()
     np.testing.assert_allclose(np.asarray(hi) - np.asarray(lo), 4.0)
+
+
+def test_ferrer_sb_factor_parity():
+    """GALFIT's ferrer is mu(0)-parameterized; the closed-form host
+    twin must equal the renderer's own normalization factor."""
+    from psfmc_tpu.ops.profiles import ferrer_radial_factor
+
+    ro, a, b = 8.0, 2.0, 1.0
+    dev = float(
+        ferrer_radial_factor(np.float64(a), np.float64(b))
+    )
+    host = _sb_factor_ferrer(ro, 0.8 * ro, a, b)
+    # device: flux/i0 = pi rout rout_b ff with SB(0) = i0 exactly
+    assert host == pytest.approx(np.pi * ro * 0.8 * ro * dev, rel=1e-10)
+
+
+def test_results_to_feedme_roundtrip():
+    """import (fixed) -> export -> re-import reproduces every value.
+
+    Covers the reverse conversions: +1 positions, -90 angles, ExpDisk
+    scale length, Gaussian FWHM, axis ratios, and the mag -> mu
+    inversion for the SB families.
+    """
+    full = FEEDME_MULTI + FEEDME_SB.replace(HEADER, "")
+    direct = components_from_feedme(full, priors="fixed")
+    out = results_to_feedme(
+        direct, mag_zeropoint=26.0, plate_scale=(0.05, 0.05)
+    )
+    back = components_from_feedme(out, priors="fixed")
+    assert [type(c).__name__ for c in back] == [
+        type(c).__name__ for c in direct
+    ]
+    for c_d, c_b in zip(direct, back):
+        for attr in sorted(c_d._constants):
+            v_d = np.asarray(getattr(c_d, attr), np.float64)
+            v_b = np.asarray(getattr(c_b, attr), np.float64)
+            np.testing.assert_allclose(
+                v_b, v_d, rtol=2e-3, atol=5e-4,
+                err_msg=f"{type(c_d).__name__}.{attr}",
+            )
+
+
+def test_results_to_feedme_toggles_and_db_means():
+    """Free priors export toggle 1 / constants 0; a database exports
+    posterior means in place of prior values."""
+    comps = components_from_feedme(FEEDME_MULTI)
+    out = results_to_feedme(
+        comps, mag_zeropoint=26.0, plate_scale=(0.05, 0.05)
+    )
+    parsed = parse_feedme(out)
+    mof = [o for o in parsed.objects if o.kind == "moffat"][0]
+    assert mof.params["4"][1] == [1]  # fwhm was free
+    assert mof.params["5"][1] == [0]  # beta was fixed
+    sky = [o for o in parsed.objects if o.kind == "sky"][0]
+    assert sky.params["1"][1] == [0] and sky.params["2"][1] == [1]
+
+    # posterior means via a synthetic trace database
+    from psfmc_tpu.io.table import Table
+
+    # trace names are assigned at spec build; mirror it here
+    for i, c in enumerate(comps):
+        c.update_stochastic_names(count=i)
+    ps = comps[1]  # PointSource with free xy + mag
+    names = [p.name for _a, p in ps.sorted_prior_items()]
+    assert any("PointSource_mag" in n for n in names)
+    mag_col = [n for n in names if n.endswith("_mag")][0]
+    xy_col = [n for n in names if n.endswith("_xy")][0]
+    n = 16
+    db = Table(
+        {
+            mag_col: np.full(n, 19.25),
+            xy_col: np.tile([31.0, 41.0], (n, 1)),
+            "lnprobability": np.zeros(n),
+            "walker": np.repeat([0, 1], n // 2),
+            "sample": np.tile(np.arange(n // 2), 2),
+        }
+    )
+    out_db = results_to_feedme(
+        comps, database=db, mag_zeropoint=26.0, plate_scale=(0.05, 0.05)
+    )
+    ps_obj = [o for o in parse_feedme(out_db).objects if o.kind == "psf"][0]
+    assert ps_obj.params["3"][0][0] == pytest.approx(19.25)
+    assert ps_obj.params["1"][0] == pytest.approx([32.0, 42.0])
