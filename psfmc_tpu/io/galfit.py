@@ -40,11 +40,17 @@ the GALFIT value with documented margins (see
 is a maximum-likelihood fitter, so its file carries no prior widths —
 the generated ones are sensible defaults, not gospel.
 
+Parameter-constraint files (the ``G)`` input) are applied where an
+exact equivalent exists: single-component ranges tighten the free
+parameter's prior bounds; zero-offset / unit-ratio couples become
+:class:`~psfmc_tpu.models.components.Tied` links (same slot, exact by
+construction).  Nonzero offsets, non-unit ratios and pair ranges have
+no exact analogue and warn.
+
 Not imported (warned about when present): GALFIT ``log`` spiral ramps
 (only the ``power`` ramp family exists here), spiral inclination
-projection ``R9``/``R10``, the ``isophote``/``powsersic`` object
-types, and parameter-constraint files ``G)`` (use
-:class:`~psfmc_tpu.models.components.Tied` by hand).
+projection ``R9``/``R10``, and the ``isophote``/``powsersic`` object
+types.
 """
 from __future__ import annotations
 
@@ -60,6 +66,8 @@ __all__ = [
     "components_from_feedme",
     "feedme_to_model_source",
     "results_to_feedme",
+    "parse_constraints",
+    "GalfitConstraint",
     "GalfitObject",
     "GalfitModel",
 ]
@@ -543,7 +551,7 @@ def _build_tables(source, margins=None):
             "total-mag conversion"
         )
     tables = []
-    for obj in model.objects:
+    for gf_num, obj in enumerate(model.objects, start=1):
         res = _obj_params(obj, zp, ps, mg)
         if res is None:
             continue
@@ -558,11 +566,246 @@ def _build_tables(source, margins=None):
                 f"GALFIT {obj.kind}: hidden shape parameters are not "
                 "applicable to this component type — skipped"
             )
-        tables.append((cls, params))
+        # gf_num = the object's 1-based position in the feedme — the
+        # numbering GALFIT constraint files use
+        tables.append((gf_num, cls, params))
     return model, tables
 
 
-def components_from_feedme(source, margins=None, priors="uniform"):
+@dataclass
+class GalfitConstraint:
+    """One parsed GALFIT constraint-file line."""
+
+    comps: List[int]
+    par: str
+    kind: str  # 'offset' | 'ratio' | 'abs_range' | 'rel_range'
+    lo: float = 0.0
+    hi: float = 0.0
+
+
+def parse_constraints(source) -> List[GalfitConstraint]:
+    """Parse a GALFIT parameter-constraint file (the ``G)`` input).
+
+    Grammar (GALFIT EXAMPLE.CONSTRAINTS): each line is a component
+    spec, a parameter name, then either ``offset`` / ``ratio``
+    (couple components at their initial offset/ratio), ``lo to hi``
+    (absolute range) or ``lo hi`` (range relative to the input
+    value).  Component specs: ``2`` one component, ``2_1`` a coupled
+    pair, ``2/1`` a ratio pair.
+    """
+    if "\n" not in source and "\0" not in source:
+        with open(source) as fh:
+            source = fh.read()
+    out = []
+    for raw in source.splitlines():
+        body = raw.split("#", 1)[0].strip()
+        if not body:
+            continue
+        toks = body.split()
+        if len(toks) < 3:
+            warnings.warn(f"constraint line {raw!r}: too few fields")
+            continue
+        cspec, par = toks[0], toks[1].lower()
+        comps = [int(c) for c in re.split(r"[_/]", cspec)]
+        rest = [t.lower() for t in toks[2:]]
+        if rest[0] in ("offset", "ratio"):
+            out.append(GalfitConstraint(comps, par, rest[0]))
+        elif "to" in rest:
+            i = rest.index("to")
+            out.append(GalfitConstraint(
+                comps, par, "abs_range",
+                float(rest[i - 1]), float(rest[i + 1]),
+            ))
+        else:
+            out.append(GalfitConstraint(
+                comps, par, "rel_range", float(rest[0]), float(rest[1])
+            ))
+    return out
+
+
+_SIZE_ATTR = {
+    "Sersic": "reff", "ExpDisk": "reff", "DeVaucouleurs": "reff",
+    "Gaussian": "reff", "Moffat": "fwhm", "King": "rc",
+    "Ferrer": "rout", "Nuker": "rb", "EdgeDisk": "rs",
+}
+# GALFIT constraint sizes are in the feedme's own parameterization:
+# expdisk ranges are on the scale length, gaussian on the FWHM
+_SIZE_CONV = {"ExpDisk": _KAPPA_N1, "Gaussian": 0.5}
+
+
+def _constraint_attr(cls, par):
+    """(attr, value-conversion fn) for a constraint par name, or
+    (None, reason) when inexpressible."""
+    if par in ("x", "y"):
+        return "xy", None
+    if par == "mag":
+        return "mag", None
+    if par in ("re", "rs", "rc", "rb", "rout", "fwhm", "4"):
+        conv = _SIZE_CONV.get(cls, 1.0)
+        return _SIZE_ATTR.get(cls), (lambda v: v * conv)
+    if par in ("n", "index"):
+        return "index", None
+    if par == "pa":
+        return "angle", (lambda v: v + 90.0)
+    if par == "q":
+        return None, (
+            "axis-ratio constraints do not map onto the semi-minor-"
+            "size parameterization"
+        )
+    return par, None  # alpha/beta/gamma/rt/c0/f1/... pass through
+
+
+def _apply_constraints(tables, cons):
+    """Fold constraint-file lines into the parameter tables.
+
+    Single-component ranges tighten the free parameter's prior bounds
+    (absolute ranges replace them; relative ranges are value+lo..hi).
+    Zero-offset / unit-ratio couples become exact ties
+    (:class:`~psfmc_tpu.models.components.Tied` — same slot, no extra
+    parameter).  Everything else GALFIT's grammar allows (nonzero
+    offsets, non-unit ratios, pair ranges) has no exact equivalent
+    here and warns.
+    """
+    by_num = {num: (cls, params) for num, cls, params in tables}
+    # collect x/y pair-offsets: tying xy ties BOTH coordinates
+    xy_pairs = {}
+    for c in cons:
+        if len(c.comps) == 2 and c.par in ("x", "y") and c.kind in (
+            "offset", "ratio"
+        ):
+            xy_pairs.setdefault(tuple(sorted(c.comps)), set()).add(c.par)
+
+    def warn(c, why):
+        warnings.warn(
+            f"constraint {'_'.join(map(str, c.comps))} {c.par} "
+            f"{c.kind}: {why}"
+        )
+
+    seen_pairs = set()
+    for c in cons:
+        missing = [n for n in c.comps if n not in by_num]
+        if missing:
+            warn(c, f"unknown/unimported component {missing}")
+            continue
+        if len(c.comps) == 1:
+            cls, params = by_num[c.comps[0]]
+            if c.kind in ("offset", "ratio"):
+                warn(c, "needs two components")
+                continue
+            attr, conv = _constraint_attr(cls, c.par)
+            if attr is None:
+                warn(c, conv)
+                continue
+            if attr not in params:
+                warn(c, f"{cls} has no such parameter")
+                continue
+            p = params[attr]
+            if attr == "xy":
+                value, is_free, lo, hi = p
+                if not is_free:
+                    warn(c, "parameter is fixed in the feedme")
+                    continue
+                i = 0 if c.par == "x" else 1
+                if c.kind == "abs_range":
+                    lo[i], hi[i] = c.lo - 1.0, c.hi - 1.0  # 1-based
+                else:
+                    lo[i] = value[i] + c.lo
+                    hi[i] = value[i] + c.hi
+                params[attr] = (value, is_free, lo, hi)
+                continue
+            if not p.free:
+                warn(c, "parameter is fixed in the feedme")
+                continue
+            if c.kind == "abs_range":
+                lo, hi = c.lo, c.hi
+                if conv is not None:
+                    lo, hi = conv(lo), conv(hi)
+                if cls in ("King", "Ferrer", "Nuker", "EdgeDisk") and (
+                    c.par == "mag"
+                ):
+                    warn(c, "absolute mu ranges are not converted — "
+                            "use a relative range")
+                    continue
+            else:  # relative to the (converted) input value
+                scale = conv(1.0) - conv(0.0) if conv is not None else 1.0
+                lo = p.value + c.lo * scale
+                hi = p.value + c.hi * scale
+            if lo >= hi:
+                warn(c, f"empty range [{lo}, {hi}]")
+                continue
+            params[attr] = _P(
+                min(max(p.value, lo), hi), True, lo, hi
+            )
+            continue
+
+        # pair constraint: expressible exactly only as an equality tie
+        a, b = sorted(c.comps)
+        if c.par in ("x", "y"):
+            if (a, b) in seen_pairs:
+                continue
+            seen_pairs.add((a, b))
+            if xy_pairs.get((a, b)) == {"x"} or xy_pairs.get(
+                (a, b)
+            ) == {"y"}:
+                warn(c, "only one coordinate coupled — tying BOTH "
+                        "(xy shares one slot pair here)")
+            va = by_num[a][1]["xy"][0]
+            vb = by_num[b][1]["xy"][0]
+            if not np.allclose(va, vb, atol=1e-6):
+                warn(c, f"initial positions differ ({va} vs {vb}): "
+                        "only zero-offset couples are exact ties")
+                continue
+            by_num[b][1]["xy"] = ("tie", a, "xy")
+            continue
+        cls_a, params_a = by_num[a]
+        cls_b, params_b = by_num[b]
+        attr_a, _ = _constraint_attr(cls_a, c.par)
+        attr_b, _ = _constraint_attr(cls_b, c.par)
+        if attr_a is None or attr_b is None:
+            warn(c, "unsupported parameter for coupling")
+            continue
+        if attr_a not in params_a or attr_b not in params_b:
+            warn(c, "component lacks the parameter")
+            continue
+        va, vb = params_a[attr_a].value, params_b[attr_b].value
+        if not np.isclose(va, vb, atol=1e-6):
+            why = (
+                f"initial values differ ({va:.4g} vs {vb:.4g}): only "
+                "zero-offset/unit-ratio couples are exact ties"
+            )
+            warn(c, why)
+            continue
+        params_b[attr_b] = ("tie", a, attr_a)
+    return tables
+
+
+def _load_feedme_constraints(source, model, constraints):
+    """Resolve the ``constraints=`` argument (or the feedme's ``G)``
+    entry when the feedme was given as a path)."""
+    if constraints is None:
+        g = model.header.get("G", "")
+        if g and g.lower() not in ("none", ""):
+            import os
+
+            base = (
+                os.path.dirname(os.path.abspath(source))
+                if "\n" not in source else "."
+            )
+            path = g if os.path.isabs(g) else os.path.join(base, g)
+            if os.path.exists(path):
+                return parse_constraints(path)
+            warnings.warn(
+                f"feedme names constraint file G) {g!r} but it was "
+                "not found — pass constraints= explicitly"
+            )
+        return []
+    if isinstance(constraints, (list, tuple)):
+        return list(constraints)
+    return parse_constraints(constraints)
+
+
+def components_from_feedme(source, margins=None, priors="uniform",
+                           constraints=None):
     """Build live psfMC components from a GALFIT feedme.
 
     :param source: feedme text or a path to the file.
@@ -573,6 +816,12 @@ def components_from_feedme(source, margins=None, priors="uniform"):
         (fit toggle 1) a Uniform prior with those margins;
         ``'fixed'`` imports everything as constants (render-parity
         checks, or a MAP starting point).
+    :param constraints: GALFIT parameter-constraint file (path, text,
+        or a pre-parsed list): single-component ranges tighten the
+        prior bounds, zero-offset/unit-ratio couples become exact
+        :class:`~psfmc_tpu.models.components.Tied` links.  When
+        omitted and the feedme's ``G)`` entry names a findable file,
+        it is loaded automatically.
     :returns: component list ready for
         ``MultiComponentModel([Configuration(...), *components])`` —
         the data inputs stay yours to declare (GALFIT has no PSF
@@ -581,15 +830,22 @@ def components_from_feedme(source, margins=None, priors="uniform"):
     """
     from .. import distributions as D
     from ..models import components as C
+    from ..models.components import Tied
 
     if priors not in ("uniform", "fixed"):
         raise ValueError(f"priors must be 'uniform'|'fixed': {priors!r}")
-    _model, tables = _build_tables(source, margins)
+    model, tables = _build_tables(source, margins)
+    cons = _load_feedme_constraints(source, model, constraints)
+    if cons:
+        tables = _apply_constraints(tables, cons)
     out = []
-    for cls_name, params in tables:
+    by_num = {}
+    for gf_num, cls_name, params in tables:
         kwargs = {}
         for attr, p in params.items():
-            if attr == "xy":
+            if isinstance(p, tuple) and isinstance(p[0], str):
+                kwargs[attr] = Tied(by_num[p[1]], p[2])
+            elif attr == "xy":
                 value, is_free, lo, hi = p
                 if is_free and priors == "uniform":
                     kwargs["xy"] = D.Uniform(loc=lo, scale=hi - lo)
@@ -601,7 +857,9 @@ def components_from_feedme(source, margins=None, priors="uniform"):
                 kwargs[attr] = p.value
         if cls_name not in ("Sky", "PointSource"):
             kwargs["angle_degrees"] = True
-        out.append(getattr(C, cls_name)(**kwargs))
+        comp = getattr(C, cls_name)(**kwargs)
+        by_num[gf_num] = comp
+        out.append(comp)
     return out
 
 
@@ -611,15 +869,22 @@ def _fmt(v):
     return f"{float(v):g}"
 
 
-def feedme_to_model_source(source, margins=None):
+def feedme_to_model_source(source, margins=None, constraints=None):
     """GALFIT feedme -> psfMC model-file text (the DSL the parser runs).
 
     The recommended import path: review the generated priors, add the
     ``Configuration`` block (obs/ivm/psf/psfivm files), then fit with
     ``model_galaxy_mcmc``.  Free GALFIT parameters appear as
-    ``Uniform`` priors; fixed ones as plain constants.
+    ``Uniform`` priors; fixed ones as plain constants; constraint-file
+    equality couples (see :func:`parse_constraints`) appear as
+    ``Tied(...)`` references — components are emitted as named
+    assignments (``c1 = Sersic(...)``), which the model-file DSL
+    collects, so ties can name their target.
     """
     model, tables = _build_tables(source, margins)
+    cons = _load_feedme_constraints(source, model, constraints)
+    if cons:
+        tables = _apply_constraints(tables, cons)
     lines = [
         "# Generated from a GALFIT feedme by psfmc_tpu.io.galfit",
         "# Review the prior widths: GALFIT files carry starting",
@@ -630,10 +895,12 @@ def feedme_to_model_source(source, margins=None):
         "#     mask_file=...)",
         "",
     ]
-    for cls_name, params in tables:
+    for gf_num, cls_name, params in tables:
         args = []
         for attr, p in params.items():
-            if attr == "xy":
+            if isinstance(p, tuple) and isinstance(p[0], str):
+                args.append(f"{attr}=Tied(c{p[1]}, '{p[2]}')")
+            elif attr == "xy":
                 value, is_free, lo, hi = p
                 if is_free:
                     args.append(
@@ -651,7 +918,11 @@ def feedme_to_model_source(source, margins=None):
                 args.append(f"{attr}={_fmt(p.value)}")
         if cls_name not in ("Sky", "PointSource"):
             args.append("angle_degrees=True")
-        lines.append(f"{cls_name}({', '.join(args)})")
+        # assignment + bare mention: the DSL collects only bare
+        # expressions (assignment alone would NOT add the component),
+        # and the name lets Tied(...) reference it
+        lines.append(f"c{gf_num} = {cls_name}({', '.join(args)})")
+        lines.append(f"c{gf_num}")
     return "\n".join(lines) + "\n"
 
 

@@ -417,3 +417,84 @@ def test_results_to_feedme_toggles_and_db_means():
     ps_obj = [o for o in parse_feedme(out_db).objects if o.kind == "psf"][0]
     assert ps_obj.params["3"][0][0] == pytest.approx(19.25)
     assert ps_obj.params["1"][0] == pytest.approx([32.0, 42.0])
+
+
+FEEDME_CON = HEADER + """
+ 0) sersic
+ 1) 30.0 30.0 1 1
+ 3) 20.0 1
+ 4) 5.0  1
+ 5) 2.5  1
+ 9) 0.8  0
+10) 0.0  0
+
+ 0) psf
+ 1) 30.0 30.0 1 1
+ 3) 21.0 1
+"""
+
+CONSTRAINTS = """
+# comp  par  constraint
+ 1      n    0.5 to 6      # absolute range
+ 1      mag  -1 1          # relative range
+ 1      re   2 to 9        # absolute size range
+ 2_1    x    offset        # couple positions (zero initial offset)
+ 2_1    y    offset
+"""
+
+
+def test_constraint_ranges_and_ties():
+    from psfmc_tpu.models.components import Tied
+
+    comps = components_from_feedme(FEEDME_CON, constraints=CONSTRAINTS)
+    ser, ps = comps
+    lo, hi = ser._priors["index"].rv_frozen.support()
+    assert (lo, hi) == pytest.approx((0.5, 6.0))
+    lo, hi = ser._priors["mag"].rv_frozen.support()
+    assert (lo, hi) == pytest.approx((19.0, 21.0))
+    lo, hi = ser._priors["reff"].rv_frozen.support()
+    assert (lo, hi) == pytest.approx((2.0, 9.0))
+    # the PSF position is tied to the Sersic centroid (exact)
+    assert isinstance(ps._constants["xy"], Tied)
+    assert ps._constants["xy"].component is ser
+
+    # the generated model source carries the tie and parses back
+    from psfmc_tpu.model_parser import component_list_from_string
+
+    src = feedme_to_model_source(FEEDME_CON, constraints=CONSTRAINTS)
+    assert "Tied(c1, 'xy')" in src
+    parsed = component_list_from_string(src)
+    assert isinstance(parsed[1]._constants["xy"], Tied)
+    assert parsed[1]._constants["xy"].component is parsed[0]
+
+
+def test_constraint_warnings():
+    comps_txt = FEEDME_CON
+    with pytest.warns(UserWarning, match="initial values differ"):
+        components_from_feedme(
+            comps_txt, constraints=" 2_1 mag offset\n"
+        )  # mags 20 vs 21: not an exact tie
+    with pytest.warns(UserWarning, match="axis-ratio"):
+        components_from_feedme(comps_txt, constraints=" 1 q 0.5 to 1\n")
+    with pytest.warns(UserWarning, match="fixed in the feedme"):
+        components_from_feedme(comps_txt, constraints=" 1 pa -10 10\n")
+
+
+def test_constraint_autoload_from_g_entry(tmp_path):
+    (tmp_path / "cons.txt").write_text(" 1 n 1.0 to 4.0\n")
+    feedme = FEEDME_CON.replace(
+        "P) 0", "P) 0\nG) cons.txt"
+    )
+    (tmp_path / "gal.feedme").write_text(feedme)
+    comps = components_from_feedme(str(tmp_path / "gal.feedme"))
+    lo, hi = comps[0]._priors["index"].rv_frozen.support()
+    assert (lo, hi) == pytest.approx((1.0, 4.0))
+    # a tied model builds into a working spec (shared slots)
+    comps2 = components_from_feedme(
+        FEEDME_CON, constraints=CONSTRAINTS
+    )
+    from psfmc_tpu.models.spec import build_param_slots
+
+    slots, slot_map, _ = build_param_slots(comps2)
+    names = [s.name for s in slots]
+    assert not any("PointSource_xy" in n for n in names)  # tied: no slot
