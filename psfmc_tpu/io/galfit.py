@@ -739,6 +739,13 @@ def _apply_constraints(tables, cons):
             continue
 
         # pair constraint: expressible exactly only as an equality tie
+        # — and only the offset/ratio couple forms ARE equality
+        # couples; a pair RANGE (difference/ratio within bounds) has
+        # no exact analogue even when the initial values coincide
+        if c.kind not in ("offset", "ratio"):
+            warn(c, "pair ranges (difference/ratio bounds) have no "
+                    "exact equivalent here")
+            continue
         a, b = sorted(c.comps)
         if c.par in ("x", "y"):
             if (a, b) in seen_pairs:

@@ -498,3 +498,17 @@ def test_constraint_autoload_from_g_entry(tmp_path):
     slots, slot_map, _ = build_param_slots(comps2)
     names = [s.name for s in slots]
     assert not any("PointSource_xy" in n for n in names)  # tied: no slot
+
+
+def test_pair_range_constraint_is_not_a_tie():
+    """`2_1 mag -0.5 0.5` bounds a DIFFERENCE — equal initial values
+    must NOT silently become an exact tie."""
+    from psfmc_tpu.models.components import Tied
+
+    feedme = FEEDME_CON.replace("3) 21.0 1", "3) 20.0 1")  # equal mags
+    with pytest.warns(UserWarning, match="pair ranges"):
+        comps = components_from_feedme(
+            feedme, constraints=" 2_1 mag -0.5 0.5\n"
+        )
+    assert not isinstance(comps[1]._constants.get("mag"), Tied)
+    assert "mag" in comps[1]._priors
