@@ -902,6 +902,16 @@ def feedme_to_model_source(source, margins=None, constraints=None):
         "#     mask_file=...)",
         "",
     ]
+    try:
+        e = int(float((model.header.get("E") or "1").split()[0]))
+    except ValueError:
+        e = 1
+    if e > 1:
+        # GALFIT's E) PSF fine-sampling factor maps 1:1 onto
+        # Configuration(psf_oversample=...)
+        lines[-2] = lines[-2].replace(
+            "mask_file=...)", f"mask_file=..., psf_oversample={e})"
+        )
     for gf_num, cls_name, params in tables:
         args = []
         for attr, p in params.items():

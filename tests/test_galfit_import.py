@@ -512,3 +512,14 @@ def test_pair_range_constraint_is_not_a_tie():
         )
     assert not isinstance(comps[1]._constants.get("mag"), Tied)
     assert "mag" in comps[1]._priors
+
+
+def test_psf_oversample_hint_from_e_entry():
+    src = feedme_to_model_source(
+        "J) 26.0\nK) 0.05 0.05\nE) 5\n 0) sky\n 1) 1.0 0\n"
+    )
+    assert "psf_oversample=5" in src
+    src2 = feedme_to_model_source(
+        "J) 26.0\nK) 0.05 0.05\n 0) sky\n 1) 1.0 0\n"
+    )
+    assert "psf_oversample" not in src2
