@@ -523,3 +523,48 @@ def test_psf_oversample_hint_from_e_entry():
         "J) 26.0\nK) 0.05 0.05\n 0) sky\n 1) 1.0 0\n"
     )
     assert "psf_oversample" not in src2
+
+
+@pytest.mark.parametrize("rc,rt,alpha", [
+    (3.0, 9.0, 2.0), (5.0, 40.0, 1.2), (2.0, 5.0, 3.5),
+])
+def test_king_factor_grid(rc, rt, alpha):
+    from psfmc_tpu.ops.profiles import king_radial_factor
+
+    sq_xt = (rt / rc) ** 2
+    qk = (1.0 + sq_xt) ** (-1.0 / alpha)
+    dev = float(king_radial_factor(np.float64(sq_xt), np.float64(alpha)))
+    host = _sb_factor_king(rc, rc, rt, alpha)
+    assert host == pytest.approx(
+        np.pi * rc * rc * dev / (1.0 - qk) ** alpha, rel=1e-6
+    )
+
+
+@pytest.mark.parametrize("alpha,beta,gamma", [
+    (1.5, 3.0, 0.5), (0.8, 2.5, -0.3), (4.0, 5.0, 1.5),
+])
+def test_nuker_factor_grid(alpha, beta, gamma):
+    from psfmc_tpu.ops.profiles import nuker_radial_factor
+
+    dev = float(nuker_radial_factor(
+        np.float64(alpha), np.float64(beta), np.float64(gamma)
+    ))
+    host = _sb_factor_nuker(2.0, 2.0, alpha, beta, gamma)
+    assert host == pytest.approx(np.pi * 4.0 * dev, rel=1e-6)
+
+
+def test_import_galfit_cli(tmp_path):
+    from psfmc_tpu.cli import import_galfit_main
+
+    fm = tmp_path / "gal.feedme"
+    fm.write_text(HEADER + "\n 0) sky\n 1) 4.0 1\n")
+    out = tmp_path / "model.py"
+    assert import_galfit_main(["x", str(fm), str(out)]) == 0
+    text = out.read_text()
+    assert "Sky(adu=Uniform" in text
+    # the written file runs through the DSL
+    from psfmc_tpu.model_parser import component_list_from_file
+
+    comps = component_list_from_file(str(out))
+    assert len(comps) == 1
+    assert import_galfit_main(["x"]) == 2  # usage
