@@ -241,6 +241,14 @@ def _mu_to_mag(mu, factor, zp, plate_scale):
     """GALFIT surface brightness (mag/arcsec^2 at the family's anchor
     radius) -> total magnitude, given flux = factor * (counts/px at
     the anchor)."""
+    if not np.isfinite(factor) or factor <= 0:
+        raise ValueError(
+            "GALFIT surface-brightness -> total-magnitude conversion "
+            "failed: the profile's flux integral is divergent or "
+            "invalid for these parameters (e.g. nuker gamma >= 2) — "
+            "they lie outside both GALFIT's sane range and this "
+            "renderer's support"
+        )
     px_area = plate_scale[0] * plate_scale[1]
     counts_px = 10.0 ** (-0.4 * (mu - zp)) * px_area
     return zp - 2.5 * np.log10(counts_px * factor)
@@ -566,6 +574,25 @@ def _build_tables(source, margins=None):
                 f"GALFIT {obj.kind}: hidden shape parameters are not "
                 "applicable to this component type — skipped"
             )
+        # Renderer-support clamping (nuker gamma <= 1.95, beta >= 2.05,
+        # c0 >= -1.9, ...) can produce bounds that EXCLUDE the GALFIT
+        # value itself — the generated Uniform then silently cannot
+        # reach GALFIT's solution.  The value is unsupported by the
+        # renderer anyway: clamp it into the support and say so.
+        for attr, p in params.items():
+            if (
+                isinstance(p, _P)
+                and np.all(np.isfinite([p.value, p.lo, p.hi]))
+                and not (p.lo <= p.value <= p.hi)
+            ):
+                clamped = min(max(p.value, p.lo), p.hi)
+                warnings.warn(
+                    f"GALFIT {obj.kind} {attr}: value {p.value:g} lies "
+                    "outside this renderer's supported range — prior "
+                    f"bounds [{p.lo:g}, {p.hi:g}], value clamped to "
+                    f"{clamped:g}"
+                )
+                p.value = clamped
         # gf_num = the object's 1-based position in the feedme — the
         # numbering GALFIT constraint files use
         tables.append((gf_num, cls, params))
@@ -700,6 +727,10 @@ def _apply_constraints(tables, cons):
                 warn(c, f"{cls} has no such parameter")
                 continue
             p = params[attr]
+            if isinstance(p, tuple) and p and isinstance(p[0], str):
+                warn(c, "parameter is already tied — range ignored "
+                        "(bound the tie's target instead)")
+                continue
             if attr == "xy":
                 value, is_free, lo, hi = p
                 if not is_free:
@@ -738,51 +769,82 @@ def _apply_constraints(tables, cons):
             )
             continue
 
-        # pair constraint: expressible exactly only as an equality tie
-        # — and only the offset/ratio couple forms ARE equality
-        # couples; a pair RANGE (difference/ratio within bounds) has
-        # no exact analogue even when the initial values coincide
+        # pair/group constraint: expressible exactly only as an
+        # equality tie — and only the offset/ratio couple forms ARE
+        # equality couples; a pair RANGE (difference/ratio within
+        # bounds) has no exact analogue even when the values coincide.
+        # GALFIT's grammar allows couples of ANY length ('3_2_1 mag
+        # offset'): every later component ties to the first.
         if c.kind not in ("offset", "ratio"):
             warn(c, "pair ranges (difference/ratio bounds) have no "
                     "exact equivalent here")
             continue
-        a, b = sorted(c.comps)
+        a, *rest = sorted(c.comps)
         if c.par in ("x", "y"):
-            if (a, b) in seen_pairs:
+            key = tuple(sorted(c.comps))
+            if key in seen_pairs:
                 continue
-            seen_pairs.add((a, b))
-            if xy_pairs.get((a, b)) == {"x"} or xy_pairs.get(
-                (a, b)
+            seen_pairs.add(key)
+            if xy_pairs.get(key) == {"x"} or xy_pairs.get(
+                key
             ) == {"y"}:
                 warn(c, "only one coordinate coupled — tying BOTH "
                         "(xy shares one slot pair here)")
-            va = by_num[a][1]["xy"][0]
-            vb = by_num[b][1]["xy"][0]
-            if not np.allclose(va, vb, atol=1e-6):
-                warn(c, f"initial positions differ ({va} vs {vb}): "
-                        "only zero-offset couples are exact ties")
+            if "xy" not in by_num[a][1]:
+                warn(c, f"component {a} has no position (sky?) — "
+                        "cannot couple x/y")
                 continue
-            by_num[b][1]["xy"] = ("tie", a, "xy")
+            va = by_num[a][1]["xy"][0]
+            if isinstance(va, str):  # already a tie from another line
+                warn(c, f"component {a} position is already tied — "
+                        "chain the couple to the tie's target instead")
+                continue
+            for b in rest:
+                if "xy" not in by_num[b][1]:
+                    warn(c, f"component {b} has no position (sky?) — "
+                            "skipped in the couple")
+                    continue
+                vb = by_num[b][1]["xy"][0]
+                if isinstance(vb, str):
+                    warn(c, f"component {b} position is already tied")
+                    continue
+                if not np.allclose(va, vb, atol=1e-6):
+                    warn(c, f"initial positions differ ({va} vs {vb}):"
+                            " only zero-offset couples are exact ties")
+                    continue
+                by_num[b][1]["xy"] = ("tie", a, "xy")
             continue
         cls_a, params_a = by_num[a]
-        cls_b, params_b = by_num[b]
         attr_a, _ = _constraint_attr(cls_a, c.par)
-        attr_b, _ = _constraint_attr(cls_b, c.par)
-        if attr_a is None or attr_b is None:
+        if attr_a is None:
             warn(c, "unsupported parameter for coupling")
             continue
-        if attr_a not in params_a or attr_b not in params_b:
-            warn(c, "component lacks the parameter")
+        if attr_a not in params_a or not isinstance(
+            params_a[attr_a], _P
+        ):
+            warn(c, f"component {a} lacks the parameter (or it is "
+                    "already tied)")
             continue
-        va, vb = params_a[attr_a].value, params_b[attr_b].value
-        if not np.isclose(va, vb, atol=1e-6):
-            why = (
-                f"initial values differ ({va:.4g} vs {vb:.4g}): only "
-                "zero-offset/unit-ratio couples are exact ties"
-            )
-            warn(c, why)
-            continue
-        params_b[attr_b] = ("tie", a, attr_a)
+        va = params_a[attr_a].value
+        for b in rest:
+            cls_b, params_b = by_num[b]
+            attr_b, _ = _constraint_attr(cls_b, c.par)
+            if attr_b is None:
+                warn(c, "unsupported parameter for coupling")
+                continue
+            if attr_b not in params_b or not isinstance(
+                params_b[attr_b], _P
+            ):
+                warn(c, f"component {b} lacks the parameter (or it "
+                        "is already tied)")
+                continue
+            vb = params_b[attr_b].value
+            if not np.isclose(va, vb, atol=1e-6):
+                warn(c, f"initial values differ ({va:.4g} vs {vb:.4g})"
+                        ": only zero-offset/unit-ratio couples are "
+                        "exact ties")
+                continue
+            params_b[attr_b] = ("tie", a, attr_a)
     return tables
 
 
@@ -892,16 +954,8 @@ def feedme_to_model_source(source, margins=None, constraints=None):
     cons = _load_feedme_constraints(source, model, constraints)
     if cons:
         tables = _apply_constraints(tables, cons)
-    lines = [
-        "# Generated from a GALFIT feedme by psfmc_tpu.io.galfit",
-        "# Review the prior widths: GALFIT files carry starting",
-        "# values, not prior ranges.",
-        "",
-        "# Configuration(obs_file=..., obsivm_file=..., psf_files=...,",
-        f"#     psfivm_files=..., mag_zeropoint={model.mag_zeropoint},",
-        "#     mask_file=...)",
-        "",
-    ]
+    extras = ""
+    notes = []
     try:
         e = int(float((model.header.get("E") or "1").split()[0]))
     except ValueError:
@@ -909,9 +963,61 @@ def feedme_to_model_source(source, margins=None, constraints=None):
     if e > 1:
         # GALFIT's E) PSF fine-sampling factor maps 1:1 onto
         # Configuration(psf_oversample=...)
-        lines[-2] = lines[-2].replace(
-            "mask_file=...)", f"mask_file=..., psf_oversample={e})"
-        )
+        extras += f", psf_oversample={e}"
+    # I) convolution box: GALFIT convolves each component over an
+    # I)-sized box, so model flux from up to half the box beyond the
+    # fit region scatters in.  Configuration(conv_pad=P) reproduces
+    # that headroom exactly — render + convolve on an obs+2P grid,
+    # crop back — so the conversion is P = ceil(max(box)/2).  (This
+    # errs generous: GALFIT's box is per-component and also a speed
+    # knob; shrink conv_pad if your sources sit well inside the frame.)
+    i_body = model.header.get("I")
+    if i_body:
+        try:
+            dims = [float(t) for t in i_body.split()[:2]]
+            pad = int(np.ceil(max(dims) / 2.0))
+        except (ValueError, IndexError):
+            pad = 0
+        if pad > 0:
+            extras += f", conv_pad={pad}"
+            notes.append(
+                f"# GALFIT I) convolution box {i_body.split('#')[0].strip()}"
+                f" -> conv_pad={pad} (= ceil(box/2): flux from that far"
+            )
+            notes.append(
+                "#   beyond the frame is convolved instead of wrapping;"
+                " reduce it to trade edge fidelity for speed)"
+            )
+    # H) fit region: GALFIT fits only this sub-window — there is no
+    # in-framework crop knob (the obs/ivm arrays you pass ARE the fit
+    # region), so carry the intent as an explicit cutout note.
+    h_body = model.header.get("H")
+    if h_body:
+        try:
+            xmin, xmax, ymin, ymax = [
+                int(float(t)) for t in h_body.split()[:4]
+            ]
+            notes.append(
+                f"# GALFIT H) fit region x:{xmin}-{xmax} y:{ymin}-"
+                f"{ymax} (1-based, inclusive): crop the inputs to it"
+            )
+            notes.append(
+                f"#   first, e.g. obs = full_obs[{ymin - 1}:{ymax}, "
+                f"{xmin - 1}:{xmax}] (same for the IVM and mask)"
+            )
+        except (ValueError, IndexError):
+            pass
+    lines = [
+        "# Generated from a GALFIT feedme by psfmc_tpu.io.galfit",
+        "# Review the prior widths: GALFIT files carry starting",
+        "# values, not prior ranges.",
+        "",
+        "# Configuration(obs_file=..., obsivm_file=..., psf_files=...,",
+        f"#     psfivm_files=..., mag_zeropoint={model.mag_zeropoint},",
+        f"#     mask_file=...{extras})",
+        *notes,
+        "",
+    ]
     for gf_num, cls_name, params in tables:
         args = []
         for attr, p in params.items():
@@ -977,7 +1083,10 @@ def results_to_feedme(model, database=None, plate_scale=None,
         export their posterior MEAN (a plain mean: multimodal or
         circular-phase posteriors deserve a look at the corner plot
         first, not a feedme).  Without it, priors export their current
-        ``.value`` (the median right after model construction).
+        ``.value`` — which right after model construction is a RANDOM
+        prior draw (reference distributions.py:76 semantics): pass a
+        database, or set parameter values first, for deterministic
+        output.
     :param plate_scale: (dx, dy) arcsec/px for the ``K)`` entry and
         the SB conversions; defaults to the observation WCS pixel
         scale when the model carries one.
@@ -1003,20 +1112,65 @@ def results_to_feedme(model, database=None, plate_scale=None,
     if database is not None:
         from ..analysis.statistics import summary
 
+        if isinstance(database, str):
+            from ..database import load_database
+
+            database = load_database(database)
         means = {k: v["mean"] for k, v in summary(database).items()}
+        # prior .name is only assigned at spec build — a freshly
+        # parsed component list has empty names, which would silently
+        # fall back to construction-time .value instead of the
+        # posterior mean.  Assign the canonical layout names (file
+        # order minus Configuration, alphabetical within component —
+        # the same convention spec.py uses) when they are missing.
+        named = [
+            c for c in comps
+            if type(c).__name__ not in ("Configuration", "PSFSelector")
+        ]
+        if any(
+            not getattr(p, "name", "")
+            for c in named for p in c._priors.values()
+        ):
+            for count, c in enumerate(named):
+                c.update_stochastic_names(count=count)
+
+    def prior_value(comp, attr):
+        prior = comp._priors[attr]
+        if means is not None:
+            name = getattr(prior, "name", None)
+            if np.asarray(prior.value).size == 2:
+                k0, k1 = f"{name}_0", f"{name}_1"
+                if k0 in means:
+                    return np.array([means[k0], means[k1]]), 1
+            elif name in means:
+                return means[name], 1
+        return np.asarray(prior.value, np.float64), 1
 
     def value(comp, attr):
+        # Tied attributes live in _constants: resolve to the tie
+        # OWNER's slot so a database export writes the owner's
+        # posterior mean and free-toggle — dereferencing the Tied via
+        # getattr would read the owner prior's construction-time
+        # .value, silently breaking the exactly-coupled geometry in
+        # the exported feedme (advisor round-3 finding).
+        from ..models.components import Tied
+
+        tie = comp.__dict__.get("_tied_offsets", {}).get(attr)
+        if tie is not None:
+            # offset-tie: this attr's prior IS the registration
+            # offset — the absolute exported value is owner + offset
+            base, _t = value(tie.component, tie.attr)
+            off, _t2 = prior_value(comp, attr)
+            return (
+                np.asarray(base, np.float64)
+                + np.asarray(off, np.float64),
+                1,
+            )
+        const = comp.__dict__.get("_constants", {}).get(attr)
+        if isinstance(const, Tied):
+            return value(const.component, const.attr)
         if attr in comp._priors:
-            prior = comp._priors[attr]
-            if means is not None:
-                name = getattr(prior, "name", None)
-                if np.asarray(prior.value).size == 2:
-                    k0, k1 = f"{name}_0", f"{name}_1"
-                    if k0 in means:
-                        return np.array([means[k0], means[k1]]), 1
-                elif name in means:
-                    return means[name], 1
-            return np.asarray(prior.value, np.float64), 1
+            return prior_value(comp, attr)
         return np.asarray(getattr(comp, attr), np.float64), 0
 
     def angle_gf(comp):
@@ -1074,6 +1228,12 @@ def results_to_feedme(model, database=None, plate_scale=None,
             ):
                 if comp._has(attr):
                     v, t = value(comp, attr)
+                    # R3 is an angle: GALFIT fields are degrees, so a
+                    # radians-mode component converts like angle/phases
+                    if attr == "rot_ang" and not getattr(
+                        comp, "angle_degrees", False
+                    ):
+                        v = np.rad2deg(v)
                     pline(key, v, t)
 
     n_exported = 0

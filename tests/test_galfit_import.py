@@ -568,3 +568,139 @@ def test_import_galfit_cli(tmp_path):
     comps = component_list_from_file(str(out))
     assert len(comps) == 1
     assert import_galfit_main(["x"]) == 2  # usage
+
+
+def test_tied_export_uses_owner_posterior_mean():
+    """A Tied attribute exports its OWNER's posterior mean (and free
+    toggle) — not the owner prior's stale construction-time value
+    (advisor round-3 finding: the coupled geometry silently broke in
+    database exports)."""
+    from psfmc_tpu.io.table import Table
+
+    comps = components_from_feedme(FEEDME_CON, constraints=CONSTRAINTS)
+    ser, ps = comps
+    for i, c in enumerate(comps):
+        c.update_stochastic_names(count=i)
+    xy_col = ser._priors["xy"].name
+    n = 8
+    cols = {
+        xy_col: np.tile([33.25, 35.5], (n, 1)),
+        "lnprobability": np.zeros(n),
+        "walker": np.repeat([0, 1], n // 2),
+        "sample": np.tile(np.arange(n // 2), 2),
+    }
+    for _a, p in ser.sorted_prior_items():
+        if p.name not in cols:
+            cols[p.name] = np.full(n, float(np.mean(p.value)))
+    for _a, p in ps.sorted_prior_items():
+        cols[p.name] = np.full(n, float(np.mean(p.value)))
+    db = Table(cols)
+    out = results_to_feedme(
+        comps, database=db, mag_zeropoint=26.0, plate_scale=(0.05, 0.05)
+    )
+    parsed = parse_feedme(out)
+    ser_o = [o for o in parsed.objects if o.kind == "sersic"][0]
+    ps_o = [o for o in parsed.objects if o.kind == "psf"][0]
+    # both carry the shared slot's posterior mean (back to 1-based)
+    assert ser_o.params["1"][0] == pytest.approx([34.25, 36.5])
+    assert ps_o.params["1"][0] == pytest.approx([34.25, 36.5])
+    # toggle follows the OWNER's free state
+    assert ps_o.params["1"][1] == [1, 1]
+
+
+def test_multi_component_couple_ties_to_first():
+    """GALFIT's grammar allows couples of any length ('3_2_1 mag
+    offset'): every later component ties to the first instead of
+    aborting the import (advisor round-3 finding)."""
+    from psfmc_tpu.models.components import Tied
+
+    feedme = FEEDME_CON.replace("3) 21.0 1", "3) 20.0 1") + (
+        "\n 0) psf\n 1) 40.0 40.0 1 1\n 3) 20.0 1\n"
+    )
+    comps = components_from_feedme(
+        feedme, constraints=" 3_2_1 mag offset\n"
+    )
+    ser, ps1, ps2 = comps
+    assert isinstance(ps1._constants.get("mag"), Tied)
+    assert ps1._constants["mag"].component is ser
+    assert isinstance(ps2._constants.get("mag"), Tied)
+    assert ps2._constants["mag"].component is ser
+
+
+def test_xy_couple_to_sky_warns_not_raises():
+    """An x/y couple referencing a component without a position (a
+    mis-numbered constraint hitting the sky) warns instead of raising
+    KeyError (advisor round-3 finding)."""
+    feedme = HEADER + (
+        " 0) sky\n 1) 1.0 1\n\n"
+        " 0) psf\n 1) 30.0 30.0 1 1\n 3) 21.0 1\n"
+    )
+    with pytest.warns(UserWarning, match="has no position"):
+        comps = components_from_feedme(
+            feedme, constraints=" 2_1 x offset\n 2_1 y offset\n"
+        )
+    assert len(comps) == 2  # import survived
+
+
+def test_support_clamped_bounds_keep_the_value_inside():
+    """Renderer-support clamping (nuker gamma <= 1.95) must not
+    produce a prior that excludes the GALFIT value: the value clamps
+    into the support with a warning (advisor round-3 finding)."""
+    feedme = HEADER + (
+        " 0) nuker\n 1) 30.0 30.0 1 1\n 3) 18.0 1\n 4) 5.0 1\n"
+        " 5) 1.5 1\n 6) 4.0 1\n 7) 1.98 1\n 9) 1.0 0\n10) 0.0 0\n"
+    )
+    with pytest.warns(UserWarning, match="gamma.*outside"):
+        comps = components_from_feedme(feedme)
+    (nk,) = comps
+    lo, hi = nk._priors["gamma"].rv_frozen.support()
+    assert hi <= 1.95 + 1e-9
+    # the prior contains the clamped starting value
+    assert lo <= hi
+    assert np.isfinite(float(nk._priors["gamma"].logp(hi - 1e-6)))
+
+    # a DIVERGENT flux integral (gamma >= 2) fails loudly, not NaN
+    bad = feedme.replace("7) 1.98 1", "7) 2.5 1")
+    with pytest.raises(ValueError, match="divergent"):
+        components_from_feedme(bad)
+
+
+def test_rot_ang_exports_degrees_for_radians_mode():
+    """R3 is a GALFIT degrees field: a radians-mode component's
+    rot_ang converts on export (advisor round-3 finding)."""
+    ser = Sersic(
+        xy=np.array([30.0, 30.0]), mag=20.0, reff=5.0, reff_b=4.0,
+        index=2.0, angle=0.5, angle_degrees=False,
+        rot_ang=1.0, rot_out=5.0,
+    )
+    out = results_to_feedme([ser])
+    parsed = parse_feedme(out)
+    (obj,) = parsed.objects
+    assert obj.params["R3"][0][0] == pytest.approx(np.rad2deg(1.0))
+    assert obj.params["10"][0][0] == pytest.approx(
+        np.rad2deg(0.5) - 90.0
+    )
+
+
+def test_conv_pad_hint_from_i_entry():
+    """GALFIT I) convolution box -> conv_pad hint (= ceil(box/2)) in
+    the generated model (round-3 verdict item 4)."""
+    src = feedme_to_model_source(
+        "J) 26.0\nK) 0.05 0.05\nI) 60 50\n 0) sky\n 1) 1.0 0\n"
+    )
+    assert "conv_pad=30" in src
+    assert "convolution box" in src
+    src2 = feedme_to_model_source(
+        "J) 26.0\nK) 0.05 0.05\n 0) sky\n 1) 1.0 0\n"
+    )
+    assert "conv_pad" not in src2
+
+
+def test_fit_region_note_from_h_entry():
+    """GALFIT H) fit region -> explicit 0-based cutout note."""
+    src = feedme_to_model_source(
+        "J) 26.0\nK) 0.05 0.05\nH) 101 228 51 178\n"
+        " 0) sky\n 1) 1.0 0\n"
+    )
+    assert "fit region x:101-228 y:51-178" in src
+    assert "full_obs[50:178, 100:228]" in src
