@@ -102,12 +102,18 @@ def mask_from_file(mask_file, obs_hdr, shape):
         return np.asarray(data).astype(bool)
     except Exception:
         pass  # not FITS
+    # Not FITS -> the file is meant as a ds9 region.  Scope errors
+    # (unsupported frame/shape, unparseable line) must be HARD: a
+    # degraded mask silently changes which pixels constrain the fit
+    # (round-3 verdict item 7).
     try:
         inside = region_mask(mask_file, shape, header=obs_hdr)
-        return ~inside
     except (ValueError, UnicodeDecodeError) as err:
-        warn(f"Could not interpret mask file {mask_file}: {err}")
-    return None
+        raise ValueError(
+            f"mask file {mask_file!r} is neither FITS nor a usable "
+            f"ds9 region file: {err}"
+        ) from err
+    return ~inside
 
 
 def make_source_mask(image, ivm=None, target_xy=None, nsigma=3.0,

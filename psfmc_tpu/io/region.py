@@ -28,6 +28,15 @@ __all__ = ["parse_region_file", "region_mask", "RegionShape"]
 
 _SKY_SYSTEMS = {"fk5", "fk4", "icrs", "j2000", "b1950"}
 _PIX_SYSTEMS = {"image", "physical"}
+# frames pyregion/astropy convert but this parser does not — a hard
+# error, never a silently mis-framed mask
+_UNSUPPORTED_SYSTEMS = {
+    "galactic", "ecliptic", "linear", "amplifier", "detector", "wcs",
+    "wcsa", "wcsb", "wcsc",
+}
+_SUPPORTED_SHAPES = {
+    "circle", "ellipse", "box", "annulus", "point", "polygon",
+}
 
 _SHAPE_RE = re.compile(
     r"^\s*(?P<exclude>-?)\s*(?P<shape>[a-zA-Z]+)\s*\(\s*(?P<args>[^)]*)\)"
@@ -85,13 +94,34 @@ def parse_region_file(path_or_text):
         if line.startswith("global"):
             continue
         lower = line.lower().rstrip(";")
-        if lower in _SKY_SYSTEMS | _PIX_SYSTEMS | {"fk4", "galactic", "linear"}:
+        if lower in _SKY_SYSTEMS | _PIX_SYSTEMS:
             system = lower
             continue
+        if lower in _UNSUPPORTED_SYSTEMS:
+            # the reference (via pyregion+astropy) converts these
+            # frames; silently reading their coordinates as fk5 or
+            # pixels would produce a wrong mask — fail loudly instead
+            raise ValueError(
+                f"ds9 coordinate system {lower!r} is not supported "
+                f"(supported: {sorted(_PIX_SYSTEMS | _SKY_SYSTEMS)}); "
+                "convert the region file to fk5/icrs or image "
+                "coordinates"
+            )
         m = _SHAPE_RE.match(line)
         if not m:
+            if "(" in line:
+                # a shape-looking line that did not parse must not
+                # silently drop out of the mask
+                raise ValueError(
+                    f"unparseable ds9 region line: {line!r}"
+                )
             continue
         shape = m.group("shape").lower()
+        if shape not in _SUPPORTED_SHAPES:
+            raise ValueError(
+                f"ds9 region shape {shape!r} is not supported "
+                f"(supported: {sorted(_SUPPORTED_SHAPES)})"
+            )
         tokens = [t for t in m.group("args").split(",") if t.strip()]
         params = []
         for i, tok in enumerate(tokens):

@@ -17,6 +17,31 @@ _D2R = np.pi / 180.0
 
 class MiniWCS:
     def __init__(self, header):
+        # Scope guard: only the gnomonic projection is implemented.
+        # A non-TAN CTYPE (SIN/ARC/AIT/...) or SIP distortion suffix
+        # would silently be treated as TAN — warn so sbeff pixel areas
+        # and sky-region mapping are not quietly wrong (the reference
+        # delegates to astropy.wcs, which handles any projection).
+        import warnings
+
+        for key in ("CTYPE1", "CTYPE2"):
+            ctype = str(header.get(key, "") or "")
+            code = ctype[5:8] if len(ctype) >= 8 else ""
+            if ctype and code and code != "TAN":
+                warnings.warn(
+                    f"MiniWCS supports only the TAN projection; header "
+                    f"{key}={ctype!r} is treated AS TAN — pixel areas "
+                    "and sky->pixel mappings may be wrong away from "
+                    "the reference point"
+                )
+                break
+            if ctype.endswith("-SIP"):
+                warnings.warn(
+                    f"MiniWCS ignores SIP distortion coefficients "
+                    f"({key}={ctype!r}): sky positions are linear-WCS "
+                    "accurate only"
+                )
+                break
         self.crpix = np.array(
             [float(header.get("CRPIX1", 1.0)), float(header.get("CRPIX2", 1.0))]
         )

@@ -230,3 +230,74 @@ def test_source_mask_feeds_configuration():
     bad = np.asarray(cfg.bad_px)
     assert bad[18, 45] and not bad[31, 31]
     assert np.all(bad[mask])
+
+
+def test_unsupported_frame_is_a_hard_error():
+    """Silently mis-framing a galactic-coordinate mask would corrupt
+    the fit; the parser must name the frame instead (round-3 verdict
+    item 7; reference delegates frame conversion to pyregion)."""
+    import pytest
+
+    from psfmc_tpu.io.region import parse_region_file
+
+    with pytest.raises(ValueError, match="galactic"):
+        parse_region_file("galactic\ncircle(10,10,5)\n")
+    with pytest.raises(ValueError, match="ecliptic"):
+        parse_region_file("ecliptic\ncircle(10,10,5)\n")
+
+
+def test_unsupported_shape_is_a_hard_error():
+    import pytest
+
+    from psfmc_tpu.io.region import parse_region_file
+
+    for shape in ("panda", "epanda", "pie", "vector"):
+        with pytest.raises(ValueError, match=shape):
+            parse_region_file(f"image\n{shape}(10,10,5,6,7)\n")
+
+
+def test_unparseable_shape_line_is_a_hard_error():
+    import pytest
+
+    from psfmc_tpu.io.region import parse_region_file
+
+    with pytest.raises(ValueError, match="unparseable"):
+        parse_region_file("image\ncircle(10,10\n")
+
+
+def test_non_tan_wcs_warns():
+    import pytest
+
+    from psfmc_tpu.io.wcs import MiniWCS
+
+    hdr = {
+        "CTYPE1": "RA---SIN", "CTYPE2": "DEC--SIN",
+        "CRPIX1": 1.0, "CRPIX2": 1.0,
+        "CRVAL1": 10.0, "CRVAL2": -5.0,
+        "CD1_1": -1e-5, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 1e-5,
+    }
+    with pytest.warns(UserWarning, match="TAN"):
+        MiniWCS(hdr)
+    # SIP suffix warns about ignored distortions
+    hdr2 = dict(hdr, CTYPE1="RA---TAN-SIP", CTYPE2="DEC--TAN-SIP")
+    with pytest.warns(UserWarning, match="SIP"):
+        MiniWCS(hdr2)
+    # plain TAN stays silent
+    import warnings
+
+    hdr3 = dict(hdr, CTYPE1="RA---TAN", CTYPE2="DEC--TAN")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        MiniWCS(hdr3)
+
+
+def test_bad_region_mask_file_is_a_hard_error_in_preprocess():
+    """mask_from_file must not degrade to 'no mask' when the region
+    file is unsupported — which pixels constrain the fit would change
+    silently (round-3 verdict item 7)."""
+    import pytest
+
+    from psfmc_tpu.io.preprocess import mask_from_file
+
+    with pytest.raises(ValueError, match="galactic"):
+        mask_from_file("galactic\ncircle(10,10,5)\n", None, (16, 16))
