@@ -322,6 +322,66 @@ class RegressionPopulation:
         return random_state.standard_normal(size)
 
 
+# -- population persistence (round-3 verdict item 6) ---------------------
+# predict_population after load_hierarchical_result needs the family's
+# STATIC structure (class + covariate/x0/df), not its hyper priors (the
+# hyper posterior rides hyper_chain).  Loaded families carry placeholder
+# hyper priors and are flagged — fit_hierarchical refuses them.
+_POP_FAMILIES = {}
+
+
+def _register_population(cls):
+    _POP_FAMILIES[cls.__name__] = cls
+    return cls
+
+
+for _cls in (NormalPopulation, LogNormalPopulation, StudentTPopulation,
+             RegressionPopulation):
+    _register_population(_cls)
+
+
+def _pop_static_spec(pop):
+    """(family_name, {static kwargs}) for a population family, or
+    (None, reason) when the family is custom/unregistered."""
+    name = type(pop).__name__
+    if name not in _POP_FAMILIES:
+        return None, (
+            f"{name} is not a built-in population family — its spec "
+            "is not persisted; pass populations= after loading"
+        )
+    extra = {}
+    if isinstance(pop, StudentTPopulation):
+        extra["df"] = float(pop.df)
+    if isinstance(pop, RegressionPopulation):
+        extra["covariate"] = str(pop.covariate)
+        extra["x0"] = float(pop.x0)
+    return name, extra
+
+
+def _pop_from_spec(name, extra):
+    """Predict-only family instance from a persisted spec."""
+    from . import distributions as D
+
+    cls = _POP_FAMILIES[name]
+    # placeholder hyper priors: predict_population never evaluates
+    # them (draws come from hyper_chain rows); sigma's placeholder has
+    # positive support to satisfy constructor conventions
+    loc = D.Normal(loc=0.0, scale=1.0)
+    scale = D.Uniform(loc=0.0, scale=1.0)
+    if cls is RegressionPopulation:
+        pop = cls(
+            covariate=extra["covariate"],
+            alpha=loc, beta=D.Normal(loc=0.0, scale=1.0), sigma=scale,
+            x0=float(extra.get("x0", 0.0)),
+        )
+    elif cls is StudentTPopulation:
+        pop = cls(mu=loc, sigma=scale, df=float(extra.get("df", 4.0)))
+    else:
+        pop = cls(mu=loc, sigma=scale)
+    pop._hyper_priors_placeholder = True
+    return pop
+
+
 @dataclass
 class HierarchicalResult:
     """Posterior of a hierarchical catalog fit.
@@ -344,11 +404,12 @@ class HierarchicalResult:
     #: burn-in leakage rows (robust lnp floor) before the PSIS replay
     lnp: Optional[np.ndarray] = None
     #: population family objects keyed by governed name (attached by
-    #: fit_hierarchical; not persisted — pass populations= to
-    #: predict_population after load_hierarchical_result)
+    #: fit_hierarchical; built-in families persist their STATIC spec
+    #: through save()/load_hierarchical_result — loaded instances are
+    #: predict-only, with placeholder hyper priors)
     populations: Optional[Dict[str, object]] = None
     #: (lo, hi) template-prior truncation per governed name (attached
-    #: by fit_hierarchical; not persisted)
+    #: by fit_hierarchical; persisted through save()/load)
     governed_bounds: Optional[Dict[str, tuple]] = None
 
     @property
@@ -530,6 +591,31 @@ class HierarchicalResult:
         m["NTARGETS"] = (k, "targets in the joint posterior")
         for i, g in enumerate(self.governed):
             m[f"GOVERN{i}"] = (g, "population-governed parameter")
+            pop = (self.populations or {}).get(g)
+            if pop is not None:
+                fam, extra = _pop_static_spec(pop)
+                if fam is None:
+                    from warnings import warn
+
+                    warn(extra)
+                else:
+                    m[f"POPFAM{i}"] = (fam, "population family")
+                    if "df" in extra:
+                        m[f"POPDF{i}"] = (extra["df"], "population df")
+                    if "covariate" in extra:
+                        m[f"POPCOV{i}"] = (
+                            extra["covariate"], "regression covariate"
+                        )
+                    if "x0" in extra:
+                        m[f"POPX0{i}"] = (extra["x0"], "regression pivot")
+            lo, hi = (self.governed_bounds or {}).get(
+                g, (-np.inf, np.inf)
+            )
+            # non-finite bounds are simply absent (FITS float cards)
+            if np.isfinite(lo):
+                m[f"GBLO{i}"] = (float(lo), "governed support lo")
+            if np.isfinite(hi):
+                m[f"GBHI{i}"] = (float(hi), "governed support hi")
         if "divergences" in self.diagnostics:
             m["MCNDIV"] = (
                 float(self.diagnostics["divergences"]),
@@ -595,6 +681,21 @@ def load_hierarchical_result(db_name):
     lnp = None
     if "lnprobability" in tbl.colnames:
         lnp = np.asarray(tbl["lnprobability"], np.float64)
+    pops, bounds = {}, {}
+    for i, g in enumerate(governed):
+        fam = meta.get(f"POPFAM{i}")
+        if fam:
+            extra = {}
+            if f"POPDF{i}" in meta:
+                extra["df"] = float(meta[f"POPDF{i}"])
+            if f"POPCOV{i}" in meta:
+                extra["covariate"] = str(meta[f"POPCOV{i}"])
+            if f"POPX0{i}" in meta:
+                extra["x0"] = float(meta[f"POPX0{i}"])
+            pops[g] = _pop_from_spec(fam, extra)
+        lo = float(meta.get(f"GBLO{i}", -np.inf))
+        hi = float(meta.get(f"GBHI{i}", np.inf))
+        bounds[g] = (lo, hi)
     return HierarchicalResult(
         param_names=names,
         hyper_names=hyper_names,
@@ -606,6 +707,8 @@ def load_hierarchical_result(db_name):
         diagnostics=diags,
         flatchain=flat,
         lnp=lnp,
+        populations=pops or None,
+        governed_bounds=bounds or None,
     )
 
 
@@ -1340,6 +1443,13 @@ def fit_hierarchical(
     governed_cols, bounds, populations, cov_cols = [], [], [], []
     hyper_names, hyper_dists, hyper_offsets = [], [], []
     for name, pop in population.items():
+        if getattr(pop, "_hyper_priors_placeholder", False):
+            raise ValueError(
+                f"population on {name!r}: this family was loaded from "
+                "a saved result — its hyper priors are placeholders "
+                "(predict-only).  Construct a fresh family with real "
+                "hyper priors to fit."
+            )
         slot = slot_by_name.get(name)
         if slot is None:
             raise ValueError(

@@ -932,20 +932,24 @@ def test_save_load_roundtrip(rng, tmp_path):
         res.diagnostics["divergences"]
     )
     # fit attaches the population families + template bounds; the
-    # loaded result lost them and says how to resupply
+    # STATIC spec persists (round-3 verdict item 6), so a loaded
+    # result predicts without resupplying populations=
     assert set(res.populations) == {"0_Sky_adu"}
     lo, hi = res.governed_bounds["0_Sky_adu"]
     assert (lo, hi) == (-2.0, 4.0)  # the Uniform template support
     draws = res.predict_population(n=500, seed=3)["0_Sky_adu"]
     assert draws.shape == (500,)
     assert np.all((draws > lo) & (draws < hi))
-    with pytest.raises(ValueError, match="pass populations="):
-        back.predict_population(n=10)
-    d2 = back.predict_population(
-        n=500, seed=3, populations=res.populations,
-        bounds=res.governed_bounds,
-    )["0_Sky_adu"]
+    assert back.governed_bounds["0_Sky_adu"] == (lo, hi)
+    d2 = back.predict_population(n=500, seed=3)["0_Sky_adu"]
     np.testing.assert_allclose(d2, draws)  # same chain, same seed
+    # loaded families are predict-only: refitting with their
+    # placeholder hyper priors is refused loudly
+    with pytest.raises(ValueError, match="placeholder"):
+        fit_hierarchical(
+            model, obs, ivm, population=back.populations,
+            sampler="nuts", chains=2, burn=2, iterations=2, seed=1,
+        )
     # a non-hierarchical file is rejected loudly
     other = str(tmp_path / "plain.fits")
     from psfmc_tpu.io.table import Table
@@ -1500,3 +1504,68 @@ def test_per_target_psf_validation(rng):
             psf_stack=[psf] * 2, psfivm_stack=ivms,
             sampler="ensemble", burn=2, iterations=2,
         )
+
+
+def test_population_spec_persistence_unit(tmp_path):
+    """Static family specs (df, covariate, x0) and governed bounds
+    round-trip through save/load without running a fit."""
+    from psfmc_tpu.hierarchy import (
+        HierarchicalResult,
+        RegressionPopulation,
+        StudentTPopulation,
+        load_hierarchical_result,
+    )
+
+    n, k = 32, 2
+    rng = np.random.RandomState(0)
+    flat = rng.randn(n, k * 2 + 5)
+    res = HierarchicalResult(
+        param_names=["0_Sky_adu", "0_Sky_dx"],
+        hyper_names=["0_Sky_adu:mu", "0_Sky_adu:sigma",
+                     "0_Sky_dx:alpha", "0_Sky_dx:beta",
+                     "0_Sky_dx:sigma"],
+        num_targets=k,
+        target_mean=flat[:, : k * 2].reshape(n, k, 2).mean(0),
+        target_std=flat[:, : k * 2].reshape(n, k, 2).std(0),
+        hyper_chain=flat[:, k * 2:],
+        governed=["0_Sky_adu", "0_Sky_dx"],
+        flatchain=flat,
+        populations={
+            "0_Sky_adu": StudentTPopulation(
+                mu=D.Normal(loc=0.0, scale=1.0),
+                sigma=D.Uniform(loc=0.0, scale=1.0),
+                df=7.5,
+            ),
+            "0_Sky_dx": RegressionPopulation(
+                covariate="0_Sky_adu",
+                alpha=D.Normal(loc=0.0, scale=1.0),
+                beta=D.Normal(loc=0.0, scale=1.0),
+                sigma=D.Uniform(loc=0.0, scale=1.0),
+                x0=21.25,
+            ),
+        },
+        governed_bounds={
+            "0_Sky_adu": (-2.0, 4.0),
+            "0_Sky_dx": (-np.inf, np.inf),
+        },
+    )
+    db = str(tmp_path / "spec_db.fits")
+    res.save(db)
+    back = load_hierarchical_result(db)
+    st = back.populations["0_Sky_adu"]
+    rg = back.populations["0_Sky_dx"]
+    assert type(st).__name__ == "StudentTPopulation"
+    assert st.df == 7.5
+    assert type(rg).__name__ == "RegressionPopulation"
+    assert rg.covariate == "0_Sky_adu"
+    assert rg.x0 == 21.25
+    assert back.governed_bounds["0_Sky_adu"] == (-2.0, 4.0)
+    assert back.governed_bounds["0_Sky_dx"] == (-np.inf, np.inf)
+    # predictions agree with the in-memory result (regression needs
+    # its covariate value)
+    a = res.predict_population(n=200, seed=5,
+                               covariates={"0_Sky_dx": 21.0})
+    b = back.predict_population(n=200, seed=5,
+                                covariates={"0_Sky_dx": 21.0})
+    np.testing.assert_allclose(a["0_Sky_adu"], b["0_Sky_adu"])
+    np.testing.assert_allclose(a["0_Sky_dx"], b["0_Sky_dx"])
