@@ -43,15 +43,85 @@ def main():
 
     import jax
 
-    # Persistent compile cache (harmless if the backend bypasses it)
+    # Persistent compile cache.  Default lives IN THE REPO (committed, so
+    # it survives driver rounds — /tmp does not; the round-3 verdict
+    # measured every driver bench as a worst-case cold compile because of
+    # exactly this).  JAX_CACHE_DIR still overrides.
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR", os.path.join(repo, ".jaxcache")
+    )
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+    # Per-program compile-vs-cache-hit evidence on stderr: capture jax's
+    # DEBUG-level dispatch/compiler records and echo the ones that prove
+    # what warmup actually paid for (persistent-cache hit vs backend
+    # compile, with times), so the bench artifact itself shows whether a
+    # slow warmup is a cold compile or irreducible trace/lowering.
+    import logging
+
+    cache_stats = {"hits": 0, "misses": 0, "compile_s": 0.0, "trace_s": 0.0}
+
+    class _CompileLog(logging.Handler):
+        _PATTERNS = (
+            "Persistent compilation cache hit",
+            "PERSISTENT COMPILATION CACHE MISS",
+            "Finished XLA compilation",
+            "Finished tracing + transforming",
+        )
+
+        def emit(self, record):
+            try:
+                msg = record.getMessage()
+            except Exception:
+                return
+            if not any(p in msg for p in self._PATTERNS):
+                # propagation to the root handler is disabled while
+                # this handler is active — pass real warnings through
+                if record.levelno >= logging.WARNING:
+                    print(f"# [jax] {msg}", file=sys.stderr)
+                return
+            if "cache hit" in msg:
+                cache_stats["hits"] += 1
+                msg = msg.split(" with key")[0]
+            elif "CACHE MISS" in msg:
+                cache_stats["misses"] += 1
+                msg = msg.split(" with key")[0]
+            elif "Finished XLA compilation" in msg:
+                try:
+                    cache_stats["compile_s"] += float(
+                        msg.rsplit(" in ", 1)[1].split(" sec")[0]
+                    )
+                except Exception:
+                    pass
+            elif "Finished tracing" in msg:
+                try:
+                    cache_stats["trace_s"] += float(
+                        msg.rsplit(" in ", 1)[1].split(" sec")[0]
+                    )
+                except Exception:
+                    pass
+            print(f"# [jax] {msg}", file=sys.stderr)
+
+    # DEBUG capture is scoped to the warmup phase only and propagation
+    # is cut while active: leaving the jax logger at DEBUG through the
+    # timed region measurably slows the hot loop (measured +1.3 s on
+    # the 0.64 s headline, 2026-08-20) via per-dispatch record
+    # formatting in this image's root logging handler.
+    _jax_logger = logging.getLogger("jax")
+    _jax_prev_level = _jax_logger.level
+    _jax_logger.setLevel(logging.DEBUG)
+    _jax_logger.propagate = False
+    _compile_log = _CompileLog(logging.DEBUG)
+    _jax_logger.addHandler(_compile_log)
+
+    def _end_compile_logging():
+        _jax_logger.setLevel(_jax_prev_level)
+        _jax_logger.propagate = True
+        _jax_logger.removeHandler(_compile_log)
 
     spec_mod = importlib.util.spec_from_file_location(
         "graft_entry", os.path.join(repo, "__graft_entry__.py")
@@ -153,6 +223,7 @@ def main():
     sampler.reset()
     sampler.run_sampling(ITERATIONS)
     compile_s = time.time() - t_compile
+    _end_compile_logging()
 
     # Timed region: full production pass (burn + retained sampling),
     # matching run_example.py's configuration.
@@ -204,6 +275,14 @@ def main():
         "mfu": round(mfu, 4),
     }
     # diagnostics on stderr; the contract line on stdout
+    print(
+        f"# compile cache: {cache_stats['hits']} hits, "
+        f"{cache_stats['misses']} misses (dir={cache_dir}); warmup split: "
+        f"trace+lower {cache_stats['trace_s']:.1f}s, backend compile "
+        f"{cache_stats['compile_s']:.1f}s (cache hits make this the "
+        "deserialization cost), remainder is program execution",
+        file=sys.stderr,
+    )
     print(
         f"# devices={jax.devices()} tunnel_first_contact={contact_s:.1f}s "
         f"warmup={compile_s:.1f}s "
