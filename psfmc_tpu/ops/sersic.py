@@ -32,11 +32,14 @@ the sample.
 """
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from .coords import mag_to_flux
-from .fastmath import exp_log_fns, exp_log_fns_unsafe
+from .fastmath import exp_log_fns, exp_log_fns_unsafe, fast_recip
 from .gammainc import gammaincinv_half, gammaincinv_half_table
 
 __all__ = [
@@ -192,7 +195,20 @@ def sersic_profile_core(dx, dy, m00, m01, m10, m11, kappa, rp, sbeff,
         return sbeff * sb
     sq_off = jnp.maximum(dx * dx + dy * dy, 0.125)
     krp_p = kappa * rp * p
-    corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
+    # PSFMC_CORR_RECIP=1: Newton-reciprocal correction divide
+    # (ops.fastmath.fast_recip, ~7e-6 rel on a CORRECTION term).
+    # Stage-level it wins big (0.041 vs 0.110 ms/iter scan-timed
+    # render, v5e 2026-08-20) but END-TO-END it is exact parity
+    # (ab_corr_recip.py, 10 interleaved reps: best 0.558 vs 0.557 s,
+    # median 0.593 vs 0.596) — XLA hides the divide latency across
+    # the fused batch.  Default stays the exact hardware divide;
+    # the knob and tools record the closed experiment (the 7th
+    # measured micro-variant, same fate as the six Pallas kernels).
+    if os.environ.get("PSFMC_CORR_RECIP", "0") == "1":
+        # fast_recip falls through to the hardware divide for non-f32
+        corr = 1.0 + (krp_p * krp_p) * (1.0 / 3.0) * fast_recip(sq_off)
+    else:
+        corr = 1.0 + (krp_p * krp_p) / (3.0 * sq_off)
     return sbeff * sb * corr
 
 

@@ -40,3 +40,33 @@ def gaussian_psf():
     yy, xx = np.mgrid[0:32, 0:32].astype(float)
     psf = np.exp(-((xx - 16) ** 2 + (yy - 16) ** 2) / (2 * 1.5**2))
     return psf / psf.sum()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast tier touching every module (< 10 min at -n 8)",
+    )
+    config.addinivalue_line(
+        "markers",
+        "slow: excluded from the quick tier (tests/_slow_tests.py)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier markers from the frozen slow list (round-3 verdict item 3).
+
+    Every test is ``quick`` unless its node id (with or without its
+    parametrize brackets) appears in ``tests/_slow_tests.py`` — new
+    tests land in the quick tier by default, keeping its coverage
+    complete; promote them to the slow list when they outgrow ~20 s.
+    """
+    from _slow_tests import SLOW_TESTS
+
+    for item in items:
+        nid = item.nodeid
+        bare = nid.split("[", 1)[0]
+        if nid in SLOW_TESTS or bare in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
