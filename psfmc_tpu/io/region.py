@@ -4,10 +4,15 @@ The reference relies on the optional ``pyregion`` package to turn ds9
 region files into fitting masks (reference utils.py:82-103); this module
 implements the subset needed natively:
 
-* coordinate systems: ``image``/``physical`` (1-based FITS pixels) and
-  ``fk5``/``icrs``/``j2000`` (degrees, mapped through :class:`MiniWCS`),
+* coordinate systems: ``image``/``physical`` (1-based FITS pixels),
+  ``fk5``/``fk4``/``icrs``/``j2000``/``b1950`` (degrees, mapped through
+  :class:`MiniWCS`), and ``galactic``/``ecliptic`` (degree longitudes,
+  rotated exactly into fk5 first — see :mod:`.wcs`),
 * shapes: ``circle``, ``ellipse``, ``box``, ``annulus``, ``point``,
-  ``polygon`` (even-odd crossing test over pixel centers),
+  ``polygon`` (even-odd crossing test over pixel centers), and the
+  wedge family ``pie``/``panda``/``epanda``/``bpanda`` (angles are
+  degrees CCW from the +x pixel axis; the ``nangle``/``nradius``
+  display-subdivision counts do not change the covered area),
 * include/exclude semantics: a leading ``-`` excludes; the inside-mask is
   ``(union of includes) & ~(union of excludes)`` — matching pyregion's
   filter combination, so ``~mask`` is the excluded-pixel map like the
@@ -27,15 +32,20 @@ from .wcs import MiniWCS
 __all__ = ["parse_region_file", "region_mask", "RegionShape"]
 
 _SKY_SYSTEMS = {"fk5", "fk4", "icrs", "j2000", "b1950"}
+# sky frames whose longitudes are plain degrees (no h:m:s sexagesimal
+# hour convention) and need a rotation into fk5 before the WCS
+_DEG_SKY_SYSTEMS = {"galactic", "ecliptic"}
+_ALL_SKY_SYSTEMS = _SKY_SYSTEMS | _DEG_SKY_SYSTEMS
 _PIX_SYSTEMS = {"image", "physical"}
 # frames pyregion/astropy convert but this parser does not — a hard
 # error, never a silently mis-framed mask
 _UNSUPPORTED_SYSTEMS = {
-    "galactic", "ecliptic", "linear", "amplifier", "detector", "wcs",
+    "linear", "amplifier", "detector", "wcs",
     "wcsa", "wcsb", "wcsc",
 }
 _SUPPORTED_SHAPES = {
     "circle", "ellipse", "box", "annulus", "point", "polygon",
+    "panda", "epanda", "bpanda", "pie",
 }
 
 _SHAPE_RE = re.compile(
@@ -94,7 +104,7 @@ def parse_region_file(path_or_text):
         if line.startswith("global"):
             continue
         lower = line.lower().rstrip(";")
-        if lower in _SKY_SYSTEMS | _PIX_SYSTEMS:
+        if lower in _ALL_SKY_SYSTEMS | _PIX_SYSTEMS:
             system = lower
             continue
         if lower in _UNSUPPORTED_SYSTEMS:
@@ -128,6 +138,7 @@ def parse_region_file(path_or_text):
             # polygon args are all coordinate pairs (x1,y1,x2,y2,...);
             # other shapes have one leading coordinate pair
             is_coord = i % 2 == 0 if shape == "polygon" else i == 0
+            # galactic/ecliptic longitudes are degrees, not hours
             is_ra = is_coord and system in _SKY_SYSTEMS
             params.append(_parse_coord(tok, is_ra=is_ra))
         shapes.append(
@@ -185,9 +196,35 @@ def _polygon_inside(vertices, xg, yg):
     return inside
 
 
+def _to_fk5(lon, lat, system):
+    """Map a degree pair from the region's sky frame into fk5."""
+    if system == "galactic":
+        from .wcs import galactic_to_equatorial
+
+        return galactic_to_equatorial(lon, lat)
+    if system == "ecliptic":
+        from .wcs import ecliptic_to_equatorial
+
+        return ecliptic_to_equatorial(lon, lat)
+    return lon, lat
+
+
+def _angle_in_wedge(theta, a1, a2):
+    """CCW wedge containment with wrap: a1 -> a2 counterclockwise.
+
+    a1 == a2 (mod 360) means the full circle, matching ds9's default
+    ``panda 0 360``.
+    """
+    span = (a2 - a1) % 360.0
+    if span == 0.0:
+        return np.ones_like(theta, dtype=bool)
+    return (theta - a1) % 360.0 <= span
+
+
 def _shape_inside(shape, xg, yg, wcs):
     """Boolean inside-map for one shape. xg/yg are 1-based pixel centers."""
     p = shape.params
+    sky = shape.system in _ALL_SKY_SYSTEMS
     if shape.shape == "polygon":
         if len(p) < 6 or len(p) % 2:
             raise ValueError(
@@ -195,24 +232,86 @@ def _shape_inside(shape, xg, yg, wcs):
                 f"got {len(p)}"
             )
         pairs = [(p[i], p[i + 1]) for i in range(0, len(p), 2)]
-        if shape.system in _SKY_SYSTEMS:
+        if sky:
             if wcs is None:
                 raise ValueError("Sky-coordinate region requires a WCS header")
-            verts = [wcs.sky_to_pixel(px[0], py[0]) for px, py in pairs]
+            verts = [
+                wcs.sky_to_pixel(
+                    *_to_fk5(px[0], py[0], shape.system)
+                )
+                for px, py in pairs
+            ]
         else:
             verts = [(px[0], py[0]) for px, py in pairs]
         return _polygon_inside(np.asarray(verts), xg, yg)
-    if shape.system in _SKY_SYSTEMS:
+    if sky:
         if wcs is None:
             raise ValueError("Sky-coordinate region requires a WCS header")
-        cx, cy = wcs.sky_to_pixel(p[0][0], p[1][0])
+        cx, cy = wcs.sky_to_pixel(
+            *_to_fk5(p[0][0], p[1][0], shape.system)
+        )
         sizes = [_size_to_pixels(v, u, wcs) for v, u in p[2:]]
+        # plain numbers among the trailing args (angles, counts) must
+        # NOT be scaled: keep the raw values alongside
+        raw = [v for v, _u in p[2:]]
     else:
         cx, cy = p[0][0], p[1][0]
         sizes = [v for v, _u in p[2:]]
+        raw = sizes
 
     dx = xg - cx
     dy = yg - cy
+
+    # -- composite wedge shapes (ds9 "pie and annulus" family) ----------
+    # Angles are degrees CCW from the +x pixel axis (ds9's image-frame
+    # convention); the n_ang/n_rad division counts only affect ds9's
+    # display subdivisions, not the covered area, so the mask is the
+    # union: wedge AND (outer region minus inner region).
+    if shape.shape == "pie":
+        a1, a2 = raw[0], raw[1]
+        theta = np.degrees(np.arctan2(dy, dx)) % 360.0
+        return _angle_in_wedge(theta, a1, a2)
+    if shape.shape == "panda":
+        a1, a2 = raw[0], raw[1]
+        r1, r2 = sizes[3], sizes[4]
+        theta = np.degrees(np.arctan2(dy, dx)) % 360.0
+        sq = dx * dx + dy * dy
+        return (
+            _angle_in_wedge(theta, a1, a2)
+            & (sq >= r1 * r1)
+            & (sq <= r2 * r2)
+        )
+    if shape.shape == "epanda":
+        # x y a1 a2 nang a_in b_in a_out b_out nrad [rot]
+        a1, a2 = raw[0], raw[1]
+        ai, bi, ao, bo = sizes[3], sizes[4], sizes[5], sizes[6]
+        rot = raw[8] if len(raw) > 8 else 0.0
+        ang = np.deg2rad(rot)
+        u = np.cos(ang) * dx + np.sin(ang) * dy
+        v = -np.sin(ang) * dx + np.cos(ang) * dy
+        # wedge angles rotate with the region (ds9 draws the angular
+        # divisions in the rotated frame)
+        theta = np.degrees(np.arctan2(v, u)) % 360.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inner = (
+                (u / ai) ** 2 + (v / bi) ** 2 <= 1.0
+                if ai > 0 and bi > 0
+                else np.zeros_like(u, dtype=bool)
+            )
+        outer = (u / ao) ** 2 + (v / bo) ** 2 <= 1.0
+        return _angle_in_wedge(theta, a1, a2) & outer & ~inner
+    if shape.shape == "bpanda":
+        # x y a1 a2 nang w_in h_in w_out h_out nrad [rot]
+        a1, a2 = raw[0], raw[1]
+        wi, hi, wo, ho = sizes[3], sizes[4], sizes[5], sizes[6]
+        rot = raw[8] if len(raw) > 8 else 0.0
+        ang = np.deg2rad(rot)
+        u = np.cos(ang) * dx + np.sin(ang) * dy
+        v = -np.sin(ang) * dx + np.cos(ang) * dy
+        theta = np.degrees(np.arctan2(v, u)) % 360.0
+        inner = (np.abs(u) <= wi / 2) & (np.abs(v) <= hi / 2)
+        outer = (np.abs(u) <= wo / 2) & (np.abs(v) <= ho / 2)
+        return _angle_in_wedge(theta, a1, a2) & outer & ~inner
     if shape.shape == "circle":
         r = sizes[0]
         return dx * dx + dy * dy <= r * r

@@ -10,7 +10,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["MiniWCS", "proj_plane_pixel_area"]
+__all__ = [
+    "MiniWCS",
+    "proj_plane_pixel_area",
+    "galactic_to_equatorial",
+    "equatorial_to_galactic",
+    "ecliptic_to_equatorial",
+    "equatorial_to_ecliptic",
+]
 
 _D2R = np.pi / 180.0
 
@@ -136,3 +143,62 @@ class MiniWCS:
 def proj_plane_pixel_area(wcs):
     """Pixel area in deg^2 (mirrors astropy.wcs.utils helper of same name)."""
     return wcs.pixel_area_deg2()
+
+
+# -- sky-frame rotations (galactic / ecliptic <-> equatorial J2000) ------
+# Equatorial(J2000) -> galactic rotation matrix (IAU 1958 pole at
+# J2000: ra 192.85948, dec 27.12825, theta 122.93192 — the standard
+# matrix astropy/SLALIB use to ~1e-7).
+_EQ_TO_GAL = np.array([
+    [-0.0548755604, -0.8734370902, -0.4838350155],
+    [+0.4941094279, -0.4448296300, +0.7469822445],
+    [-0.8676661490, -0.1980763734, +0.4559837762],
+])
+_OBLIQUITY_J2000 = 23.4392911 * _D2R  # IAU 1976/2000 mean obliquity
+
+
+def _sph_to_vec(lon_deg, lat_deg):
+    lon = np.asarray(lon_deg, float) * _D2R
+    lat = np.asarray(lat_deg, float) * _D2R
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)])
+
+
+def _vec_to_sph(v):
+    lon = np.arctan2(v[1], v[0]) / _D2R % 360.0
+    lat = np.arcsin(np.clip(v[2], -1.0, 1.0)) / _D2R
+    return lon, lat
+
+
+def galactic_to_equatorial(l_deg, b_deg):
+    """Galactic (l, b) -> equatorial J2000 (ra, dec), degrees.
+
+    Exact spherical rotation (the frame conversion pyregion delegates
+    to astropy; reference utils.py:82-103 accepts galactic-frame ds9
+    regions through it).  FK5(J2000)-vs-ICRS differences are ~25 mas —
+    irrelevant at mask-pixel scale.
+    """
+    return _vec_to_sph(_EQ_TO_GAL.T @ _sph_to_vec(l_deg, b_deg))
+
+
+def equatorial_to_galactic(ra_deg, dec_deg):
+    """Inverse of :func:`galactic_to_equatorial` (round-trip tested)."""
+    return _vec_to_sph(_EQ_TO_GAL @ _sph_to_vec(ra_deg, dec_deg))
+
+
+def ecliptic_to_equatorial(lon_deg, lat_deg):
+    """Ecliptic J2000 (lon, lat) -> equatorial J2000 (ra, dec), deg."""
+    v = _sph_to_vec(lon_deg, lat_deg)
+    ce, se = np.cos(_OBLIQUITY_J2000), np.sin(_OBLIQUITY_J2000)
+    return _vec_to_sph(np.stack([
+        v[0], v[1] * ce - v[2] * se, v[1] * se + v[2] * ce
+    ]))
+
+
+def equatorial_to_ecliptic(ra_deg, dec_deg):
+    """Inverse of :func:`ecliptic_to_equatorial` (round-trip tested)."""
+    v = _sph_to_vec(ra_deg, dec_deg)
+    ce, se = np.cos(_OBLIQUITY_J2000), np.sin(_OBLIQUITY_J2000)
+    return _vec_to_sph(np.stack([
+        v[0], v[1] * ce + v[2] * se, -v[1] * se + v[2] * ce
+    ]))

@@ -240,10 +240,10 @@ def test_unsupported_frame_is_a_hard_error():
 
     from psfmc_tpu.io.region import parse_region_file
 
-    with pytest.raises(ValueError, match="galactic"):
-        parse_region_file("galactic\ncircle(10,10,5)\n")
-    with pytest.raises(ValueError, match="ecliptic"):
-        parse_region_file("ecliptic\ncircle(10,10,5)\n")
+    with pytest.raises(ValueError, match="linear"):
+        parse_region_file("linear\ncircle(10,10,5)\n")
+    with pytest.raises(ValueError, match="detector"):
+        parse_region_file("detector\ncircle(10,10,5)\n")
 
 
 def test_unsupported_shape_is_a_hard_error():
@@ -251,7 +251,7 @@ def test_unsupported_shape_is_a_hard_error():
 
     from psfmc_tpu.io.region import parse_region_file
 
-    for shape in ("panda", "epanda", "pie", "vector"):
+    for shape in ("vector", "projection", "segment"):
         with pytest.raises(ValueError, match=shape):
             parse_region_file(f"image\n{shape}(10,10,5,6,7)\n")
 
@@ -301,3 +301,106 @@ def test_bad_region_mask_file_is_a_hard_error_in_preprocess():
 
     with pytest.raises(ValueError, match="galactic"):
         mask_from_file("galactic\ncircle(10,10,5)\n", None, (16, 16))
+
+
+def test_pie_and_panda_shapes():
+    import numpy as np
+
+    from psfmc_tpu.io.region import region_mask
+
+    shape = (64, 64)
+    # pie: quarter wedge 0-90 deg CCW from +x about (32, 32)
+    m = region_mask("image\npie(32,32,0,90)\n", shape)
+    assert m[40 - 1, 40 - 1]      # +x +y quadrant (1-based pixels)
+    assert not m[20 - 1, 40 - 1]  # -y side
+    assert not m[40 - 1, 20 - 1]  # -x side
+    # panda: annulus 5..10 px within the same wedge
+    m2 = region_mask("image\npanda(32,32,0,90,3,5,10,2)\n", shape)
+    assert m2[32 - 1 + 7, 32 - 1]      # r=7 along +y
+    assert not m2[32 - 1 + 3, 32 - 1]  # inside inner radius
+    assert not m2[32 - 1 + 12, 32 - 1]  # outside outer radius
+    assert not m2[32 - 1 - 7, 32 - 1]  # wrong wedge
+    # full-circle panda equals a plain annulus
+    m3 = region_mask("image\npanda(32,32,0,360,4,5,10,2)\n", shape)
+    m4 = region_mask("image\nannulus(32,32,5,10)\n", shape)
+    np.testing.assert_array_equal(m3, m4)
+
+
+def test_epanda_and_bpanda_shapes():
+    import numpy as np
+
+    from psfmc_tpu.io.region import region_mask
+
+    shape = (64, 64)
+    # unrotated epanda with full angle range == elliptical annulus
+    m = region_mask(
+        "image\nepanda(32,32,0,360,4,4,2,12,6,2,0)\n", shape
+    )
+    e_out = region_mask("image\nellipse(32,32,12,6,0)\n", shape)
+    e_in = region_mask("image\nellipse(32,32,4,2,0)\n", shape)
+    np.testing.assert_array_equal(m, e_out & ~e_in)
+    # rotation carries the wedge with the region: a 0-90 wedge in a
+    # 90-deg-rotated epanda covers the (-y, +x)->(+y ...) rotated
+    # quadrant — check one inside and one outside point
+    m2 = region_mask(
+        "image\nepanda(32,32,0,90,3,0,0,12,6,2,90)\n", shape
+    )
+    # rotated frame: u = +y axis; wedge 0..90 => +u +v quadrant =>
+    # +y and -x halfplane
+    assert m2[32 - 1 + 4, 32 - 1 - 2]
+    assert not m2[32 - 1 - 4, 32 - 1 + 2]
+    # bpanda full range == box annulus
+    m3 = region_mask(
+        "image\nbpanda(32,32,0,360,4,8,4,24,12,2,0)\n", shape
+    )
+    b_out = region_mask("image\nbox(32,32,24,12,0)\n", shape)
+    b_in = region_mask("image\nbox(32,32,8,4,0)\n", shape)
+    np.testing.assert_array_equal(m3, b_out & ~b_in)
+
+
+def test_galactic_and_ecliptic_frames():
+    """A circle written in galactic/ecliptic coordinates masks the
+    same pixels as the equivalent fk5 circle (exact frame rotation)."""
+    import numpy as np
+
+    from psfmc_tpu.io.region import region_mask
+    from psfmc_tpu.io.wcs import (
+        ecliptic_to_equatorial,
+        equatorial_to_ecliptic,
+        equatorial_to_galactic,
+        galactic_to_equatorial,
+    )
+
+    ra, dec = 150.2345, -12.6789
+    # round trips to ~1e-9 deg
+    l, b = equatorial_to_galactic(ra, dec)
+    ra2, dec2 = galactic_to_equatorial(l, b)
+    assert abs(ra2 - ra) < 1e-7 and abs(dec2 - dec) < 1e-7
+    el, eb = equatorial_to_ecliptic(ra, dec)
+    ra3, dec3 = ecliptic_to_equatorial(el, eb)
+    assert abs(ra3 - ra) < 1e-7 and abs(dec3 - dec) < 1e-7
+    # known anchor: the J2000 galactic pole (the standard FK5
+    # rotation matrix implies a pole ~1 arcsec from the rounded
+    # textbook numbers — irrelevant at mask-pixel scale)
+    pl, pb = equatorial_to_galactic(192.85948, 27.12825)
+    assert abs(pb - 90.0) < 5e-4
+
+    hdr = {
+        "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+        "CRPIX1": 33.0, "CRPIX2": 33.0,
+        "CRVAL1": ra, "CRVAL2": dec,
+        "CD1_1": -2.0e-5, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 2.0e-5,
+    }
+    shape = (64, 64)
+    m_fk5 = region_mask(
+        f"fk5\ncircle({ra},{dec},1.0\")\n", shape, header=hdr
+    )
+    m_gal = region_mask(
+        f"galactic\ncircle({l},{b},1.0\")\n", shape, header=hdr
+    )
+    m_ecl = region_mask(
+        f"ecliptic\ncircle({el},{eb},1.0\")\n", shape, header=hdr
+    )
+    assert m_fk5.sum() > 0
+    np.testing.assert_array_equal(m_gal, m_fk5)
+    np.testing.assert_array_equal(m_ecl, m_fk5)
