@@ -31,15 +31,18 @@ class MiniWCS:
         # delegates to astropy.wcs, which handles any projection).
         import warnings
 
+        self.proj = "TAN"
         for key in ("CTYPE1", "CTYPE2"):
             ctype = str(header.get(key, "") or "")
             code = ctype[5:8] if len(ctype) >= 8 else ""
-            if ctype and code and code != "TAN":
+            if ctype and code and code in ("SIN", "ARC"):
+                self.proj = code
+            elif ctype and code and code != "TAN":
                 warnings.warn(
-                    f"MiniWCS supports only the TAN projection; header "
-                    f"{key}={ctype!r} is treated AS TAN — pixel areas "
-                    "and sky->pixel mappings may be wrong away from "
-                    "the reference point"
+                    f"MiniWCS supports the TAN/SIN/ARC projections; "
+                    f"header {key}={ctype!r} is treated AS TAN — pixel "
+                    "areas and sky->pixel mappings may be wrong away "
+                    "from the reference point"
                 )
                 break
             if ctype.endswith("-SIP"):
@@ -90,7 +93,13 @@ class MiniWCS:
         return abs(np.linalg.det(self.cd))
 
     def sky_to_pixel(self, ra, dec):
-        """TAN world->pixel; returns 1-based FITS (x, y) pixel coords."""
+        """Zenithal world->pixel; returns 1-based FITS (x, y) pixels.
+
+        TAN (gnomonic, the HST default), SIN (orthographic — radio
+        interferometry) and ARC (zenithal equidistant) share the
+        native-pole geometry and differ only in the radial scaling
+        ``R(c)``: tan(c), sin(c), c.
+        """
         ra = np.asarray(ra, dtype=float) * _D2R
         dec = np.asarray(dec, dtype=float) * _D2R
         ra0 = self.crval[0] * _D2R
@@ -99,21 +108,32 @@ class MiniWCS:
         cos_c = np.sin(dec0) * np.sin(dec) + np.cos(dec0) * np.cos(dec) * np.cos(
             ra - ra0
         )
-        # Standard (intermediate) coordinates in degrees
-        xi = np.cos(dec) * np.sin(ra - ra0) / cos_c / _D2R
-        eta = (
-            (np.cos(dec0) * np.sin(dec) - np.sin(dec0) * np.cos(dec) * np.cos(ra - ra0))
-            / cos_c
-            / _D2R
+        # direction components (= sin(c) * unit direction in the
+        # tangent plane); projection scales them by R(c)/sin(c)
+        sx = np.cos(dec) * np.sin(ra - ra0)
+        sy = (
+            np.cos(dec0) * np.sin(dec)
+            - np.sin(dec0) * np.cos(dec) * np.cos(ra - ra0)
         )
+        if self.proj == "SIN":
+            k = 1.0
+        elif self.proj == "ARC":
+            c = np.arccos(np.clip(cos_c, -1.0, 1.0))
+            sin_c = np.sin(c)
+            k = np.where(sin_c == 0.0, 1.0, c / np.where(sin_c == 0.0, 1.0, sin_c))
+        else:  # TAN
+            k = 1.0 / cos_c
+        # Standard (intermediate) coordinates in degrees
+        xi = k * sx / _D2R
+        eta = k * sy / _D2R
         dxy = self.cd_inv @ np.stack([xi, eta])
         return dxy[0] + self.crpix[0], dxy[1] + self.crpix[1]
 
     def pixel_to_sky(self, x, y):
-        """TAN pixel->world; accepts 1-based FITS (x, y), returns deg.
+        """Zenithal pixel->world; accepts 1-based FITS (x, y), deg out.
 
-        Inverse gnomonic projection — the exact inverse of
-        :meth:`sky_to_pixel` (round-trip asserted in tests).
+        Exact inverse of :meth:`sky_to_pixel` for the active projection
+        (round-trip asserted in tests).
         """
         x = np.asarray(x, dtype=float)
         y = np.asarray(y, dtype=float)
@@ -124,7 +144,12 @@ class MiniWCS:
         dec0 = self.crval[1] * _D2R
 
         rho = np.hypot(xi, eta)
-        c = np.arctan(rho)
+        if self.proj == "SIN":
+            c = np.arcsin(np.clip(rho, -1.0, 1.0))
+        elif self.proj == "ARC":
+            c = rho
+        else:  # TAN
+            c = np.arctan(rho)
         cos_c, sin_c = np.cos(c), np.sin(c)
         # guard rho=0 (the reference point itself)
         safe_rho = np.where(rho == 0.0, 1.0, rho)

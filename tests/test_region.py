@@ -271,7 +271,7 @@ def test_non_tan_wcs_warns():
     from psfmc_tpu.io.wcs import MiniWCS
 
     hdr = {
-        "CTYPE1": "RA---SIN", "CTYPE2": "DEC--SIN",
+        "CTYPE1": "RA---AIT", "CTYPE2": "DEC--AIT",
         "CRPIX1": 1.0, "CRPIX2": 1.0,
         "CRVAL1": 10.0, "CRVAL2": -5.0,
         "CD1_1": -1e-5, "CD1_2": 0.0, "CD2_1": 0.0, "CD2_2": 1e-5,

@@ -100,3 +100,67 @@ def test_pixel_sky_roundtrip():
     x2, y2 = w.sky_to_pixel(ra, dec)
     np.testing.assert_allclose(x2, xs, atol=1e-9)
     np.testing.assert_allclose(y2, ys, atol=1e-9)
+
+
+def test_sin_and_arc_projections():
+    """SIN/ARC round-trip exactly and satisfy their defining radial
+    properties; all three projections agree near the reference point."""
+    import numpy as np
+
+    from psfmc_tpu.io.wcs import MiniWCS
+
+    base = {
+        "CRPIX1": 100.0, "CRPIX2": 120.0,
+        "CRVAL1": 210.5, "CRVAL2": 54.25,
+        "CD1_1": -3e-4, "CD1_2": 2e-5, "CD2_1": 1.5e-5, "CD2_2": 3e-4,
+    }
+
+    def wcs_for(code):
+        h = dict(base, CTYPE1=f"RA---{code}", CTYPE2=f"DEC--{code}")
+        return MiniWCS(h)
+
+    for code in ("TAN", "SIN", "ARC"):
+        w = wcs_for(code)
+        assert w.proj == code
+        xs = np.array([1.0, 50.0, 180.0, 250.0])
+        ys = np.array([1.0, 60.0, 10.0, 230.0])
+        ra, dec = w.pixel_to_sky(xs, ys)
+        xb, yb = w.sky_to_pixel(ra, dec)
+        np.testing.assert_allclose(xb, xs, atol=1e-8)
+        np.testing.assert_allclose(yb, ys, atol=1e-8)
+
+    # ARC: the intermediate radius equals the true angular distance
+    w = wcs_for("ARC")
+    ra, dec = base["CRVAL1"], base["CRVAL2"] + 2.0  # 2 deg north
+    x, y = w.sky_to_pixel(ra, dec)
+    xi, eta = w.cd @ np.stack([
+        np.atleast_1d(x - w.crpix[0]), np.atleast_1d(y - w.crpix[1])
+    ])
+    assert abs(np.hypot(xi, eta)[0] - 2.0) < 1e-9
+
+    # SIN: radius = sin(c) in radians
+    w = wcs_for("SIN")
+    x, y = w.sky_to_pixel(ra, dec)
+    xi, eta = w.cd @ np.stack([
+        np.atleast_1d(x - w.crpix[0]), np.atleast_1d(y - w.crpix[1])
+    ])
+    assert abs(
+        np.hypot(xi, eta)[0] - np.degrees(np.sin(np.radians(2.0)))
+    ) < 1e-9
+
+    # all three agree to < 1e-3 px within an arcminute of the center
+    pts = [(base["CRVAL1"] + 0.01, base["CRVAL2"] + 0.008)]
+    ws = {c: wcs_for(c) for c in ("TAN", "SIN", "ARC")}
+    for ra, dec in pts:
+        ref = ws["TAN"].sky_to_pixel(ra, dec)
+        for c in ("SIN", "ARC"):
+            got = ws[c].sky_to_pixel(ra, dec)
+            assert abs(got[0] - ref[0]) < 1e-3
+            assert abs(got[1] - ref[1]) < 1e-3
+
+    # an unsupported projection still warns and assumes TAN
+    import pytest
+
+    with pytest.warns(UserWarning, match="TAN"):
+        w = MiniWCS(dict(base, CTYPE1="RA---AIT", CTYPE2="DEC--AIT"))
+    assert w.proj == "TAN"

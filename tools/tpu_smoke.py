@@ -58,6 +58,7 @@ KNOB_CONFIGS = [
     ("lnpost=pallas_batched", {"PSFMC_LNPOST": "pallas_batched"}),
     ("fastmath=0", {"PSFMC_FASTMATH": "0"}),
     ("fastmath=mixed", {"PSFMC_FASTMATH": "mixed"}),
+    ("corr=recip", {"PSFMC_CORR_RECIP": "1"}),
 ]
 
 def run_config(name, env, comps, p0):
