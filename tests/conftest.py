@@ -17,6 +17,22 @@ jax.config.update("jax_platforms", "cpu")
 # compute path pins float32 explicitly regardless of this flag.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache for the suite (gitignored — unlike the
+# committed bench/dryrun .jaxcache, test programs churn with every
+# code change, so this is a local working-set cache, not an artifact).
+# The expensive files (hierarchy/sharding NUTS programs compile for
+# minutes) hit it on repeat runs; keys hash the optimized HLO, so a
+# code change simply misses and recompiles.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jaxcache_tests"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
