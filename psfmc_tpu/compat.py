@@ -17,7 +17,26 @@ __all__ = ["install_reference_shims"]
 
 
 def install_reference_shims():
-    """Idempotently register psfMC.* alias modules."""
+    """Idempotently register psfMC.* alias modules.
+
+    When the real drop-in ``psfMC`` alias PACKAGE is importable (it
+    ships with this distribution), prefer it: it provides the FULL
+    reference module surface (analysis/database/fitting/...), while
+    the ModuleType fallback below only covers what exec'd model files
+    need.  Registering the fallback first would occupy
+    ``sys.modules['psfMC']`` and block the package's submodules.
+    """
+    if "psfMC" in sys.modules and not getattr(
+        sys.modules["psfMC"], "__psfmc_tpu_shim__", False
+    ):
+        return  # the real drop-in package is already loaded
+    if "psfMC" not in sys.modules:
+        try:
+            import psfMC  # noqa: F401 — registers the full namespace
+
+            return
+        except ImportError:
+            pass
     if "psfMC" in sys.modules and getattr(
         sys.modules["psfMC"], "__psfmc_tpu_shim__", False
     ):

@@ -75,3 +75,39 @@ def test_reference_model_file_parses_and_builds():
     bad[0] = 1e9  # adu far outside its Normal's support is still finite,
     bad[1] = -100.0  # but a mag far below the Uniform prior is not
     assert float(fns.log_posterior(jnp.asarray(bad))) == -np.inf
+
+
+def test_dropin_psfmc_namespace():
+    """`import psfMC` works without any shim call: every public module
+    of the reference package (reference psfMC/__init__.py:1-5 and its
+    submodules) resolves to this framework's implementation."""
+    import psfMC
+    from psfMC import (  # noqa: F401
+        MultiComponentModel,
+        load_database,
+        model_galaxy_mcmc,
+    )
+    from psfMC.ModelComponents import (  # noqa: F401
+        Configuration,
+        PointSource,
+        Sersic,
+        Sky,
+    )
+    from psfMC.analysis import (  # noqa: F401
+        check_convergence_autocorr,
+        corner_plot,
+        plot_hist,
+        save_posterior_images,
+    )
+    from psfMC.database import save_database  # noqa: F401
+    from psfMC.distributions import Normal, Uniform  # noqa: F401
+    from psfMC.model_parser import component_list_from_file  # noqa: F401
+    from psfMC.models import MultiComponentModel as M2
+    from psfMC.utils import convolve, preprocess_obs  # noqa: F401
+
+    assert M2 is MultiComponentModel
+    assert psfMC.__version__.startswith("2.0b1")
+    # the alias objects ARE the framework's (no copies to drift)
+    import psfmc_tpu
+
+    assert model_galaxy_mcmc is psfmc_tpu.model_galaxy_mcmc
