@@ -80,6 +80,8 @@ def pytest_collection_modifyitems(config, items):
     from _slow_tests import SLOW_TESTS
 
     for item in items:
+        if item.get_closest_marker("slow") is not None:
+            continue  # inline @pytest.mark.slow wins
         nid = item.nodeid
         bare = nid.split("[", 1)[0]
         if nid in SLOW_TESTS or bare in SLOW_TESTS:

@@ -27,98 +27,7 @@ from psfmc_tpu.models.components import (
 from psfmc_tpu.models.multicomponent import MultiComponentModel
 
 
-def _sky_model(hw, noise):
-    psf = np.zeros((8, 8))
-    psf[4, 4] = 1.0
-    return MultiComponentModel(
-        [
-            Configuration(
-                obs_file=np.zeros((hw, hw)),
-                obsivm_file=np.full((hw, hw), 1.0 / noise**2),
-                psf_files=psf,
-                psfivm_files=np.full_like(psf, 1e12),
-                mag_zeropoint=25.0,
-            ),
-            Sky(adu=D.Uniform(loc=-2.0, scale=6.0)),
-        ]
-    )
-
-
-def _sky_stacks(rng, k, hw, noise, mu, sig):
-    adus = mu + sig * rng.randn(k)
-    obs = adus[:, None, None] + rng.randn(k, hw, hw) * noise
-    ivm = np.full((k, hw, hw), 1.0 / noise**2)
-    return obs, ivm, adus
-
-
-@pytest.mark.slow
-def test_shrinkage_matches_conjugate_formula(rng):
-    """Measurement error comparable to the population width: the
-    per-target posteriors must partially pool, matching the conjugate
-    formula  E[adu_k] = (y_k/s^2 + mu/sigma^2) / (1/s^2 + 1/sigma^2)
-    evaluated at the recovered hyperparameters."""
-    k, hw = 12, 16
-    mu_true, sig_true = 0.5, 0.06
-    noise = 0.9  # per-target sky precision s = noise/hw = 0.056
-    obs, ivm, adus = _sky_stacks(rng, k, hw, noise, mu_true, sig_true)
-    model = _sky_model(hw, noise)
-    res = fit_hierarchical(
-        model, obs, ivm,
-        population={"0_Sky_adu": NormalPopulation(
-            mu=D.Uniform(loc=-1.0, scale=3.0),
-            sigma=D.Uniform(loc=0.005, scale=0.8),
-        )},
-        sampler="nuts", chains=4, burn=500, iterations=500, seed=2,
-    )
-    assert isinstance(res, HierarchicalResult)
-    # the centered parametrization leaves a mild funnel at small
-    # sigma: a few divergent trajectories are expected, not a failure
-    assert res.diagnostics["divergences"] < 0.05 * 4 * 500
-    mu_hat, sig_hat = res.hyper_mean
-    # population mean recovered within its own posterior error + slack
-    assert abs(mu_hat - np.mean(adus)) < 4 * res.hyper_std[0] + 0.02
-
-    # conjugate partial-pooling check at the recovered (mu, sigma)
-    s_meas = noise / hw  # sky estimator std over hw*hw pixels
-    y_k = obs.mean(axis=(1, 2))  # per-target MLE
-    w = 1.0 / s_meas**2
-    wp = 1.0 / sig_hat**2
-    expect = (y_k * w + mu_hat * wp) / (w + wp)
-    np.testing.assert_allclose(
-        res.target_mean[:, 0], expect, atol=3 * s_meas / np.sqrt(k)
-        + 0.01,
-    )
-    # genuine shrinkage: posterior means sit between MLE and mu
-    shrunk = np.abs(res.target_mean[:, 0] - mu_hat)
-    raw = np.abs(y_k - mu_hat)
-    assert np.mean(shrunk < raw) > 0.8
-
-
-@pytest.mark.slow
-def test_pinned_width_conjugate_mu_posterior(rng):
-    """With the population width pinned (razor-thin prior), mu | data
-    is analytically Normal — mean and std must match."""
-    k, hw = 10, 16
-    mu_true, sig = 0.4, 0.05
-    noise = 0.8
-    obs, ivm, adus = _sky_stacks(rng, k, hw, noise, mu_true, sig)
-    model = _sky_model(hw, noise)
-    res = fit_hierarchical(
-        model, obs, ivm,
-        population={"0_Sky_adu": NormalPopulation(
-            mu=D.Uniform(loc=-1.0, scale=3.0),
-            sigma=D.Uniform(loc=sig - 5e-4, scale=1e-3),
-        )},
-        sampler="nuts", chains=4, burn=500, iterations=500, seed=3,
-    )
-    s_meas = noise / hw
-    tot = sig**2 + s_meas**2
-    y_k = obs.mean(axis=(1, 2))
-    mu_post = np.mean(y_k)  # flat prior: weighted mean, equal weights
-    mu_std = np.sqrt(tot / k)
-    chain = res.hyper_chain[:, 0]
-    assert abs(chain.mean() - mu_post) < 4 * mu_std / np.sqrt(10)+0.01
-    assert chain.std() == pytest.approx(mu_std, rel=0.35)
+from _hierarchy_helpers import _sky_model, _sky_stacks  # noqa: E402
 
 
 def test_ensemble_and_nuts_agree(rng):
@@ -147,59 +56,6 @@ def test_ensemble_and_nuts_agree(rng):
     assert r_nuts.target_mean.shape == (k, 1)
     assert r_ens.flatchain.shape[1] == k * 1 + 2
 
-
-@pytest.mark.slow
-def test_full_render_population_on_pointsource_mag(rng, gaussian_psf):
-    """Population over a rendered parameter: K point sources with
-    mags drawn from N(20.5, 0.25); the hierarchical fit recovers the
-    population through the full render/convolve/likelihood chain."""
-    from psfmc_tpu.batchfit import simulate_stack
-
-    psf = gaussian_psf[8:24, 8:24]
-    psf = psf / psf.sum()
-    k, hw, noise = 6, 16, 0.02
-    mu_true, sig_true = 20.5, 0.25
-    rng2 = np.random.RandomState(11)
-    mags = mu_true + sig_true * rng2.randn(k)
-    gen = MultiComponentModel(
-        [
-            Configuration(
-                obs_file=np.zeros((hw, hw)),
-                obsivm_file=np.full((hw, hw), 1.0 / noise**2),
-                psf_files=psf,
-                psfivm_files=np.full_like(psf, 1e12),
-                mag_zeropoint=25.0,
-            ),
-            Sky(adu=D.Normal(loc=0.05, scale=0.02)),
-            PointSource(
-                xy=D.Uniform(loc=(6.0, 6.0), scale=(4.0, 4.0)),
-                mag=D.Uniform(loc=19.5, scale=2.5),
-            ),
-        ]
-    )
-    thetas = gen.init_params_from_priors(k, random_state=rng2)
-    # slot layout (adu, mag, xy_x, xy_y): mag is column 1
-    names = list(gen.param_names)
-    assert names == ["0_Sky_adu", "1_PointSource_mag",
-                     "1_PointSource_xy"]
-    thetas[:, 1] = mags
-    obs, ivm, injected = simulate_stack(
-        gen, k, seed=7, thetas=thetas
-    )
-    res = fit_hierarchical(
-        gen, obs, ivm,
-        population={"1_PointSource_mag": NormalPopulation(
-            mu=D.Uniform(loc=19.5, scale=2.5),
-            sigma=D.Uniform(loc=0.02, scale=1.5),
-        )},
-        sampler="nuts", chains=4, burn=400, iterations=400, seed=8,
-    )
-    mu_hat = res.hyper_mean[0]
-    assert abs(mu_hat - np.mean(mags)) < 0.15, res.summary()
-    # per-target mags recovered (high SNR: tight)
-    assert np.all(
-        np.abs(res.target_mean[:, 1] - mags) < 0.05
-    ), res.target_mean[:, 1] - mags
 
 
 def test_validation_errors(rng, gaussian_psf):
