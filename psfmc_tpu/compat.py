@@ -26,20 +26,25 @@ def install_reference_shims():
     need.  Registering the fallback first would occupy
     ``sys.modules['psfMC']`` and block the package's submodules.
     """
-    if "psfMC" in sys.modules and not getattr(
+    have_real = "psfMC" in sys.modules and not getattr(
         sys.modules["psfMC"], "__psfmc_tpu_shim__", False
-    ):
-        return  # the real drop-in package is already loaded
-    if "psfMC" not in sys.modules:
+    )
+    if not have_real and "psfMC" not in sys.modules:
         try:
             import psfMC  # noqa: F401 — registers the full namespace
 
-            return
+            have_real = True
         except ImportError:
             pass
-    if "psfMC" in sys.modules and getattr(
-        sys.modules["psfMC"], "__psfmc_tpu_shim__", False
+    if have_real or (
+        "psfMC" in sys.modules and getattr(
+            sys.modules["psfMC"], "__psfmc_tpu_shim__", False
+        )
     ):
+        # reference namespace covered — but the documented NEW-style
+        # alias (psfmc_tpu.ModelComponents) must still register
+        # (review finding: the early return silently dropped it)
+        _install_new_style_alias()
         return
 
     from . import distributions as _distributions
@@ -60,13 +65,20 @@ def install_reference_shims():
     sys.modules.setdefault("psfMC.ModelComponents", comp_mod)
     sys.modules.setdefault("psfMC.distributions", _distributions)
 
-    # New-style alias: psfmc_tpu.ModelComponents
+    _install_new_style_alias()
+
+
+def _install_new_style_alias():
+    """Register psfmc_tpu.ModelComponents (new-style import alias)."""
     import psfmc_tpu
+    from .models import components as _components
 
     if not hasattr(psfmc_tpu, "ModelComponents"):
         alias = types.ModuleType("psfmc_tpu.ModelComponents")
-        for name in comp_mod.__all__ + ["ComponentBase", "PSFSelector"]:
+        names = ["Configuration", "PointSource", "Sersic", "Sky",
+                 "ComponentBase", "PSFSelector"]
+        for name in names:
             setattr(alias, name, getattr(_components, name))
-        alias.__all__ = list(comp_mod.__all__)
+        alias.__all__ = names[:4]
         psfmc_tpu.ModelComponents = alias
         sys.modules.setdefault("psfmc_tpu.ModelComponents", alias)

