@@ -10,9 +10,13 @@ implements the subset needed natively:
   rotated exactly into fk5 first — see :mod:`.wcs`),
 * shapes: ``circle``, ``ellipse``, ``box``, ``annulus``, ``point``,
   ``polygon`` (even-odd crossing test over pixel centers), and the
-  wedge family ``pie``/``panda``/``epanda``/``bpanda`` (angles are
-  degrees CCW from the +x pixel axis; the ``nangle``/``nradius``
-  display-subdivision counts do not change the covered area),
+  wedge family ``pie``/``panda``/``epanda``/``bpanda`` (the
+  ``nangle``/``nradius`` display-subdivision counts do not change the
+  covered area).  Region angles are degrees CCW from the +x pixel
+  axis in pixel frames; in sky frames they follow the WCS north
+  rotation (the pyregion mapping — identical on north-up images,
+  chirality flips ignored like pyregion),
+* ds9 ``;`` statement separators (``fk5; circle(...)``) are accepted,
 * include/exclude semantics: a leading ``-`` excludes; the inside-mask is
   ``(union of includes) & ~(union of excludes)`` — matching pyregion's
   filter combination, so ``~mask`` is the excluded-pixel map like the
