@@ -16,7 +16,13 @@ implements the subset needed natively:
   axis in pixel frames; in sky frames they follow the WCS north
   rotation (the pyregion mapping — identical on north-up images,
   chirality flips ignored like pyregion),
-* ds9 ``;`` statement separators (``fk5; circle(...)``) are accepted,
+* ds9 ``;`` statement separators (``fk5; circle(...)``) are accepted;
+  comments (to end-of-line, property text in ``{}`` guarded) are
+  stripped before statement splitting,
+* zero-area annotation shapes (``vector``/``text``/``segment``/
+  ``compass``/``ruler``/``projection``/``line``) warn and are skipped —
+  pyregion's mask filter ignores them too; unsupported AREA shapes and
+  frames remain hard errors,
 * include/exclude semantics: a leading ``-`` excludes; the inside-mask is
   ``(union of includes) & ~(union of excludes)`` — matching pyregion's
   filter combination, so ``~mask`` is the excluded-pixel map like the
@@ -28,6 +34,7 @@ suffixes and are converted to pixels with the WCS pixel scale.
 from __future__ import annotations
 
 import re
+import warnings
 
 import numpy as np
 
@@ -51,6 +58,37 @@ _SUPPORTED_SHAPES = {
     "circle", "ellipse", "box", "annulus", "point", "polygon",
     "panda", "epanda", "bpanda", "pie",
 }
+# zero-area display annotations: pyregion's mask filter simply ignores
+# these (reference utils.py:93-96), so a mixed annotation+mask file must
+# still rasterize — warn-and-skip, never a hard error.  Area shapes
+# outside _SUPPORTED_SHAPES stay hard errors (a dropped area shape
+# silently changes which pixels constrain the fit; a dropped arrow
+# does not).
+_ANNOTATION_SHAPES = {
+    "vector", "text", "segment", "compass", "ruler", "projection", "line",
+}
+
+
+def _strip_comment(line):
+    """Truncate a ds9 line at the first '#' outside {...} braces.
+
+    ds9 property comments ('circle(...) # color=red text={a; fig (2)}')
+    run to end-of-line; their text may contain ';' and '(' which must
+    never reach the statement splitter (a commented-out shape after ';'
+    once silently joined the fitting mask — round-4 advisor finding).
+    Braces guard property values like ``text={see #2}`` only when the
+    '#' introducing the property block has already been consumed, so a
+    bare unbraced '#' always starts a comment.
+    """
+    depth = 0
+    for i, ch in enumerate(line):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+        elif ch == "#" and depth == 0:
+            return line[:i]
+    return line
 
 _SHAPE_RE = re.compile(
     r"^\s*(?P<exclude>-?)\s*(?P<shape>[a-zA-Z]+)\s*\(\s*(?P<args>[^)]*)\)"
@@ -102,14 +140,16 @@ def parse_region_file(path_or_text):
     system = "image"
     shapes = []
     # ds9 accepts ';' as a statement separator ('fk5; circle(...)' and
-    # multiple shapes per line) — split segments before parsing
+    # multiple shapes per line).  Comments run to end-of-line and may
+    # themselves contain ';' or '(' — strip them BEFORE splitting so a
+    # commented-out shape can never contribute statements.
     lines = [
         seg.strip()
         for raw in text.splitlines()
-        for seg in raw.split(";")
+        for seg in _strip_comment(raw).split(";")
     ]
     for line in lines:
-        if not line or line.startswith("#"):
+        if not line:
             continue
         if line.startswith("global"):
             continue
@@ -138,6 +178,14 @@ def parse_region_file(path_or_text):
                 )
             continue
         shape = m.group("shape").lower()
+        if shape in _ANNOTATION_SHAPES:
+            warnings.warn(
+                f"ds9 annotation shape {shape!r} covers no area and is "
+                "ignored for masking (pyregion parity)",
+                UserWarning,
+                stacklevel=2,
+            )
+            continue
         if shape not in _SUPPORTED_SHAPES:
             raise ValueError(
                 f"ds9 region shape {shape!r} is not supported "
@@ -297,6 +345,14 @@ def _shape_inside(shape, xg, yg, wcs):
     if shape.shape == "panda":
         a1, a2 = raw[0] + ang_off, raw[1] + ang_off
         r1, r2 = sizes[3], sizes[4]
+        if not r2 > 0:
+            raise ValueError(
+                f"panda region outer radius must be positive, got {r2}"
+            )
+        if r1 > r2:
+            raise ValueError(
+                f"panda region inner radius exceeds outer ({r1} > {r2})"
+            )
         theta = np.degrees(np.arctan2(dy, dx)) % 360.0
         sq = dx * dx + dy * dy
         return (
