@@ -8,9 +8,13 @@ Sky + PointSource + 2 Sersics on the real 128x128 HST image with a
 accumulation during the retained phase.
 
 Prints ONE JSON line: {"metric", "value" (seconds, lower=better),
-"unit", "vs_baseline"}.  The reference publishes no timing (SURVEY.md
-section 6); the baseline is the repo north star "50k-sample fit in
-< 10 s on v5e-8" (BASELINE.json), so vs_baseline = 10 / value —
+"unit", "vs_baseline", "median", "reps", "rep_seconds"}.  value is the
+BEST of BENCH_REPS (default 5) complete timed passes run in this one
+process with the compiled programs reused — single-run wall-clock
+varies 0.57-0.84 s over tunnel state, so best-of-N is the framework
+cost and median the noise band.  The reference publishes no timing
+(SURVEY.md section 6); the baseline is the repo north star "50k-sample
+fit in < 10 s on v5e-8" (BASELINE.json), so vs_baseline = 10 / value —
 values > 1 beat that target.
 
 Compilation is excluded (programs are AOT-compiled before timing);
@@ -34,6 +38,11 @@ CHAINS = int(os.environ.get("BENCH_WALKERS", "250"))
 # configs whose wall-clock is otherwise dominated by the chain d2h
 # transfer, e.g. 2000 walkers x 30 MB over the tunnel)
 THIN = int(os.environ.get("BENCH_THIN", "1"))
+# N timed passes in ONE process (compiled programs reused): single-run
+# wall-clock varies 0.57-0.84 s over tunnel state on one day, so the
+# artifact reports best + median + the per-rep list instead of a
+# single-shot coin flip (round-4 verdict item 1).
+REPS = max(1, int(os.environ.get("BENCH_REPS", "5")))
 BASELINE_SECONDS = 10.0  # BASELINE.json north-star target (v5e-8)
 
 
@@ -113,6 +122,7 @@ def main():
     # formatting in this image's root logging handler.
     _jax_logger = logging.getLogger("jax")
     _jax_prev_level = _jax_logger.level
+    _jax_prev_propagate = _jax_logger.propagate
     _jax_logger.setLevel(logging.DEBUG)
     _jax_logger.propagate = False
     _compile_log = _CompileLog(logging.DEBUG)
@@ -120,7 +130,7 @@ def main():
 
     def _end_compile_logging():
         _jax_logger.setLevel(_jax_prev_level)
-        _jax_logger.propagate = True
+        _jax_logger.propagate = _jax_prev_propagate
         _jax_logger.removeHandler(_compile_log)
 
     spec_mod = importlib.util.spec_from_file_location(
@@ -225,19 +235,28 @@ def main():
     compile_s = time.time() - t_compile
     _end_compile_logging()
 
-    # Timed region: full production pass (burn + retained sampling),
-    # matching run_example.py's configuration.
-    sampler2 = EnsembleSampler(
-        CHAINS, spec.num_params, fns, seed=1, thin=THIN,
-        track_moments=THIN > 1,
-    )
-    t0 = time.time()
-    sampler2.init_state(p0)
-    sampler2.run_burn(BURN)
-    sampler2.reset()
-    sampler2.run_sampling(ITERATIONS)
-    jax.block_until_ready(sampler2.state.positions)
-    elapsed = time.time() - t0
+    # Timed region: REPS full production passes (burn + retained
+    # sampling) in this one process, reusing the compiled programs.
+    # Each rep is a complete fit matching run_example.py's
+    # configuration; best-of-reps is the steady-state framework cost,
+    # median shows the tunnel-noise band.
+    rep_times = []
+    sampler2 = None
+    for rep in range(REPS):
+        sampler2 = EnsembleSampler(
+            CHAINS, spec.num_params, fns, seed=1 + rep, thin=THIN,
+            track_moments=THIN > 1,
+        )
+        t0 = time.time()
+        sampler2.init_state(p0)
+        sampler2.run_burn(BURN)
+        sampler2.reset()
+        sampler2.run_sampling(ITERATIONS)
+        # real d2h sync (block_until_ready is a no-op on axon)
+        np.asarray(jnp.ravel(sampler2.state.positions)[0])
+        rep_times.append(time.time() - t0)
+    elapsed = min(rep_times)
+    median_s = float(np.median(rep_times))
 
     lnprob = sampler2.lnprobability
     total_evals = CHAINS * (BURN + ITERATIONS)
@@ -271,16 +290,37 @@ def main():
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+        "median": round(median_s, 3),
+        "reps": REPS,
+        "rep_seconds": [round(t, 3) for t in rep_times],
         "achieved_matmul_tflops": round(achieved_tflops, 2),
         "mfu": round(mfu, 4),
     }
     # diagnostics on stderr; the contract line on stdout
+    if cache_stats["hits"] == 0 and cache_stats["misses"] == 0:
+        # the parser is coupled to jax's log message strings — zero
+        # counts mean NO EVIDENCE (e.g. message format changed on a
+        # jax bump), not a cold cache
+        print(
+            "# compile cache: no hit/miss evidence captured (jax log "
+            f"format change?); dir={cache_dir}; warmup split: trace+lower "
+            f"{cache_stats['trace_s']:.1f}s, backend compile "
+            f"{cache_stats['compile_s']:.1f}s",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"# compile cache: {cache_stats['hits']} hits, "
+            f"{cache_stats['misses']} misses (dir={cache_dir}); warmup "
+            f"split: trace+lower {cache_stats['trace_s']:.1f}s, backend "
+            f"compile {cache_stats['compile_s']:.1f}s (cache hits make "
+            "this the deserialization cost), remainder is program "
+            "execution",
+            file=sys.stderr,
+        )
     print(
-        f"# compile cache: {cache_stats['hits']} hits, "
-        f"{cache_stats['misses']} misses (dir={cache_dir}); warmup split: "
-        f"trace+lower {cache_stats['trace_s']:.1f}s, backend compile "
-        f"{cache_stats['compile_s']:.1f}s (cache hits make this the "
-        "deserialization cost), remainder is program execution",
+        f"# reps={REPS} best={elapsed:.3f}s median={median_s:.3f}s "
+        f"all={['%.3f' % t for t in rep_times]}",
         file=sys.stderr,
     )
     print(
