@@ -28,57 +28,51 @@ __all__ = [
 ]
 
 
-def _between_variance(traces):
-    """Variance of the individual chain means (Gelman 2nd ed. p.303)."""
-    nsamples, nchains = traces.shape
-    chain_means = np.mean(traces, axis=0)
-    total_mean = np.mean(chain_means)
-    return nsamples / (nchains - 1) * np.sum((chain_means - total_mean) ** 2)
+# The classic Gelman-Rubin quantities below are the standard textbook
+# formulas (Gelman et al., BDA 2nd ed. §11.6, eqns 11.2-11.4; Brooks &
+# Gelman 1998 eq. 1.1) — W is the mean within-chain variance, B/n the
+# variance of the chain means, var-hat their (n-1)/n : 1/n blend.  Any
+# implementation converges on the same expressions; this one computes
+# them vectorized over an (nsamples, nchains) f64 matrix.
 
 
-def _within_variance(traces):
-    """Mean of the individual chain variances (Gelman 2nd ed. p.303)."""
-    nsamples, _nchains = traces.shape
-    chain_means = np.mean(traces, axis=0)
-    col_vars = np.sum((traces - chain_means) ** 2, axis=0) / (nsamples - 1)
-    return np.mean(col_vars)
+def _gelman_w_b(traces):
+    """(W, B/n, n, m) for a list of 1-D chains, promoted to float64.
 
-
-def _pooled_posterior_variance(traces):
-    """Weighted average of within/between variance (Gelman Eqn 11.3)."""
-    nsamples, _ = traces.shape
-    return (nsamples - 1) / nsamples * _within_variance(traces) + \
-        _between_variance(traces) / nsamples
+    Promotion matters: summing tens of thousands of float32 samples
+    sequentially accumulates rounding drift of order 1e-3 on O(10)
+    values — enough to visibly corrupt means and (through the two-pass
+    variance) inflate stds.
+    """
+    x = np.column_stack(traces).astype(np.float64)
+    n, m = x.shape
+    w = float(np.mean(np.var(x, axis=0, ddof=1)))
+    b_over_n = float(np.var(np.mean(x, axis=0), ddof=1))
+    return w, b_over_n, n, m
 
 
 def potential_scale_reduction(traces):
-    """Gelman-Rubin R-hat over a list of 1-D chains.
-
-    Chains are promoted to float64 before any reduction: summing tens of
-    thousands of float32 samples sequentially accumulates rounding drift
-    of order 1e-3 on O(10) values — enough to visibly corrupt means and
-    (through the two-pass variance) inflate stds.
-    """
-    all_samps = np.column_stack(traces).astype(np.float64)
-    nsamples, nchains = all_samps.shape
-    psrf_scale = (nchains + 1) / nchains
-    psrf_offset = (1 - nsamples) / (nchains * nsamples)
-    pooled_var = _pooled_posterior_variance(all_samps)
-    within_var = _within_variance(all_samps)
-    if within_var == 0:
+    """Gelman-Rubin R-hat over a list of 1-D chains (BDA §11.6)."""
+    w, b_over_n, n, m = _gelman_w_b(traces)
+    if w == 0:
         return 1.0
-    return np.sqrt(psrf_scale * pooled_var / within_var + psrf_offset)
+    var_hat = (n - 1) / n * w + b_over_n  # marginal posterior variance
+    # sqrt of the (m+1)/m-corrected variance ratio, minus the
+    # (n-1)/(m n) sampling-variability term (Brooks & Gelman eq. 1.1)
+    return np.sqrt((m + 1) / m * var_hat / w - (n - 1) / (m * n))
 
 
 def num_effective_samples(traces):
-    """Effective sample count corrected for chain autocorrelation."""
-    all_samps = np.column_stack(traces).astype(np.float64)
-    nsamples, nchains = all_samps.shape
-    pooled_var = _pooled_posterior_variance(all_samps)
-    between_var = _between_variance(all_samps)
-    if between_var == 0 or pooled_var > between_var:
-        return nsamples * nchains
-    return nsamples * nchains * pooled_var / between_var
+    """Effective sample count n*m*var-hat/B (BDA eqn 11.4), capped at
+    n*m so autocorrelated sampling is never reported as better than
+    independent (B underestimates or vanishes for short/agreeing
+    chains)."""
+    w, b_over_n, n, m = _gelman_w_b(traces)
+    var_hat = (n - 1) / n * w + b_over_n
+    b = n * b_over_n
+    if b == 0 or var_hat > b:
+        return n * m
+    return n * m * var_hat / b
 
 
 def check_convergence_autocorr(sampler, min_chain_to_tau_ratio=10, verbose=0):

@@ -41,11 +41,11 @@ def test_float32_chain_moments_not_corrupted():
     assert abs(psrf - 1.0) < 0.01
     neff = num_effective_samples(traces32)
     assert neff > 10000
-    # the pooled variance implied by the statistics stays at truth:
-    # reconstruct via _within_variance on the promoted stack
-    from psfmc_tpu.analysis.statistics import _within_variance
+    # the within-chain variance implied by the statistics stays at
+    # truth on the promoted stack
+    from psfmc_tpu.analysis.statistics import _gelman_w_b
 
-    wv = _within_variance(np.column_stack(traces32).astype(np.float64))
+    wv, _b_over_n, _n, _m = _gelman_w_b(traces32)
     assert abs(np.sqrt(wv) - true_std) / true_std < 0.02
 
 
