@@ -738,6 +738,81 @@ class EnsembleSampler:
                 callback(done, nsteps)
         return self
 
+    def sample(self, p0=None, lnprob0=None, rstate0=None, iterations=1,
+               thin=1, storechain=True, segment=None, **_ignored):
+        """emcee-2.x-style step generator: yields ``(pos, lnprob, rstate)``.
+
+        API parity for users who drive the sampler directly the way the
+        reference's own fitting loop does (reference fitting.py:68-74)::
+
+            for step, result in enumerate(sampler.sample(p0, iterations=n)):
+                pos = result[0]
+
+        One tuple is yielded per iteration.  Internally the walk still
+        runs as compiled device scans of ``segment`` steps (default:
+        the whole phase as one program) and the per-step states are
+        replayed from the recorded chain — a Python dispatch per step
+        would defeat the scan.  Calling it again with a new ``p0``
+        (the reference's convergence-retry idiom) re-seats the walker
+        positions but keeps the image accumulators running.
+
+        ``storechain=False`` runs the same program but discards the
+        recorded chain (image accumulators still advance; ``reset()``
+        clears them, which the emcee burn -> reset -> sample idiom does
+        anyway).
+
+        Divergences from emcee 2.x (documented, deliberate): the third
+        element is the device PRNG key (an opaque token, like emcee's
+        random state; ``rstate0``/``lnprob0`` are accepted and ignored
+        — the state lives on device), and there is no 4th "blobs"
+        element: per-sample model images never leave the device (see
+        ``accumulated_images`` / ``posterior_moments``).
+        """
+        if thin != 1 or self.thin != 1:
+            raise ValueError(
+                "sample() yields every step: thin must be 1 (use "
+                "run_sampling(thin=...) for on-device thinning)"
+            )
+        if self.state is None:
+            if p0 is None:
+                raise ValueError("no current sampler state: pass p0")
+            self.init_state(p0)
+        elif p0 is not None:
+            p = jnp.asarray(p0, self.fns.dtype)
+            if self.sharding is not None:
+                p = _put_sharded(p, self.sharding)
+            self.state = replace(
+                self.state,
+                positions=p,
+                log_prob=self._batched_lnpost()(p),
+            )
+        it = int(iterations)
+        if it <= 0:
+            return
+        for n in self._segments(it, segment):
+            prev_naccept = self._cold_naccept(self.state)
+            chain, lnprob = self._sample_segment(n)
+            self._naccept += self._cold_naccept(self.state) - prev_naccept
+            if storechain:
+                if self._chain is None:
+                    self._chain, self._lnprob = chain, lnprob
+                else:
+                    self._chain = np.concatenate(
+                        [self._chain, chain], axis=1
+                    )
+                    self._lnprob = np.concatenate(
+                        [self._lnprob, lnprob], axis=1
+                    )
+            self._nsteps_total += n
+            for s in range(n):
+                yield chain[:, s, :], lnprob[:, s], self.state.key
+
+    def clear_blobs(self):
+        """No-op parity shim: emcee blobs (per-step model images in the
+        reference) never exist on the host here — images accumulate on
+        device (``accumulated_images``), so there is nothing to clear
+        between steps."""
+
     # -- checkpoint / resume -------------------------------------------------
     def checkpoint_payload(self):
         """Full resume state as a dict of host arrays (checkpoint v2).

@@ -325,3 +325,68 @@ def test_rejuvenate_stuck_handles_minus_inf():
     assert not np.isfinite(np.asarray(s.state.log_prob)[0])
     assert s.rejuvenate_stuck(random_state=np.random.RandomState(1)) == 1
     assert np.all(np.isfinite(np.asarray(s.state.log_prob)))
+
+
+def test_sample_generator_reference_idiom():
+    """emcee-2.x generator parity: the reference's own fitting loop
+    (reference fitting.py:68-74) must run verbatim against our sampler —
+    burn via sample() + clear_blobs(), reset(), sample() again with the
+    final position, one (pos, lnprob, rstate) yield per iteration."""
+    post = GaussianPosterior()
+    nwalkers, dim = 32, 3
+    rng = np.random.RandomState(3)
+    param_vec = rng.randn(nwalkers, dim) * 0.1 + np.asarray(post.mean)
+
+    sampler = EnsembleSampler(nwalkers, dim, post, seed=7, image_shape=(2, 2))
+
+    burn, iters = 25, 40
+    nsteps = 0
+    for step, result in enumerate(sampler.sample(param_vec, iterations=burn)):
+        param_vec = result[0]
+        sampler.clear_blobs()
+        nsteps += 1
+    assert nsteps == burn
+    assert param_vec.shape == (nwalkers, dim)
+
+    sampler.reset()
+    assert sampler.chain is None
+
+    lnp_seen = []
+    for step, result in enumerate(
+            sampler.sample(param_vec, iterations=iters)):
+        pos, lnprob, rstate = result
+        assert pos.shape == (nwalkers, dim)
+        assert lnprob.shape == (nwalkers,)
+        assert np.all(np.isfinite(lnprob))
+        lnp_seen.append(lnprob)
+        nsteps += 1
+    assert nsteps == burn + iters
+
+    # yields replay the recorded chain exactly
+    assert sampler.chain.shape == (nwalkers, iters, dim)
+    np.testing.assert_array_equal(
+        np.stack(lnp_seen, axis=1), sampler.lnprobability
+    )
+    # image accumulation ran during the retained phase
+    assert sampler.accumulated_samples == nwalkers * iters
+
+    # segmented run yields identically often and continues the chain
+    for _ in sampler.sample(iterations=10, segment=4):
+        nsteps += 1
+    assert nsteps == burn + iters + 10
+    assert sampler.chain.shape == (nwalkers, iters + 10, dim)
+
+    # storechain=False advances positions without recording
+    before = sampler.chain.shape[1]
+    last = None
+    for result in sampler.sample(iterations=5, storechain=False):
+        last = result[0]
+    assert sampler.chain.shape[1] == before
+    assert last is not None and np.all(np.isfinite(last))
+
+
+def test_sample_generator_requires_thin_one():
+    post = GaussianPosterior()
+    s = EnsembleSampler(16, 3, post, seed=1, image_shape=(2, 2), thin=2)
+    with pytest.raises(ValueError, match="thin"):
+        next(s.sample(np.zeros((16, 3)), iterations=2))
