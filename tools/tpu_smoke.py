@@ -59,6 +59,7 @@ KNOB_CONFIGS = [
     ("fastmath=0", {"PSFMC_FASTMATH": "0"}),
     ("fastmath=mixed", {"PSFMC_FASTMATH": "mixed"}),
     ("corr=recip", {"PSFMC_CORR_RECIP": "1"}),
+    ("conv=stack", {"PSFMC_CONV_STACK": "1"}),
 ]
 
 def run_config(name, env, comps, p0):
