@@ -173,12 +173,14 @@ def main():
     probe_done = threading.Event()
     probe_err = []
 
+    from psfmc_tpu.profiling import device_sync
+
     def _probe():
         # capture failures: the outage has TWO modes (hang and fast
         # UNAVAILABLE) — a swallowed exception here would misreport the
         # fast mode as a slow timeout
         try:
-            np.asarray(jnp.ravel(jnp.sum(jnp.ones(4) * 2.0))[0])
+            device_sync(jnp.sum(jnp.ones(4) * 2.0))
         except BaseException as e:  # noqa: BLE001
             probe_err.append(e)
         finally:
@@ -259,7 +261,7 @@ def main():
         sampler2.reset()
         sampler2.run_sampling(ITERATIONS)
         # real d2h sync (block_until_ready is a no-op on axon)
-        np.asarray(jnp.ravel(sampler2.state.positions)[0])
+        device_sync(sampler2.state.positions)
         rep_times.append(time.time() - t0)
     elapsed = min(rep_times)
     median_s = float(np.median(rep_times))

@@ -70,25 +70,21 @@ _ANNOTATION_SHAPES = {
 
 
 def _strip_comment(line):
-    """Truncate a ds9 line at the first '#' outside {...} braces.
+    """Truncate a ds9 line at the first '#'.
 
     ds9 property comments ('circle(...) # color=red text={a; fig (2)}')
     run to end-of-line; their text may contain ';' and '(' which must
     never reach the statement splitter (a commented-out shape after ';'
     once silently joined the fitting mask — round-4 advisor finding).
-    Braces guard property values like ``text={see #2}`` only when the
-    '#' introducing the property block has already been consumed, so a
-    bare unbraced '#' always starts a comment.
+    In well-formed ds9 braces only ever appear INSIDE the property
+    comment (after its opening '#'), so truncating at the first '#'
+    unconditionally is correct — ``text={see #2}`` is already past the
+    cut.  Tracking brace depth before the '#' (a previous iteration of
+    this function) was wrong: an unclosed '{' ahead of a comment
+    suppressed stripping and resurrected commented-out shapes.
     """
-    depth = 0
-    for i, ch in enumerate(line):
-        if ch == "{":
-            depth += 1
-        elif ch == "}":
-            depth = max(0, depth - 1)
-        elif ch == "#" and depth == 0:
-            return line[:i]
-    return line
+    i = line.find("#")
+    return line if i < 0 else line[:i]
 
 _SHAPE_RE = re.compile(
     r"^\s*(?P<exclude>-?)\s*(?P<shape>[a-zA-Z]+)\s*\(\s*(?P<args>[^)]*)\)"
@@ -369,6 +365,11 @@ def _shape_inside(shape, xg, yg, wcs):
                 "epanda region outer semi-axes must be positive, got "
                 f"({ao}, {bo})"
             )
+        if ai > ao or bi > bo:
+            raise ValueError(
+                "epanda region inner semi-axes exceed outer "
+                f"(({ai}, {bi}) > ({ao}, {bo}))"
+            )
         rot = (raw[8] if len(raw) > 8 else 0.0) + ang_off
         ang = np.deg2rad(rot)
         u = np.cos(ang) * dx + np.sin(ang) * dy
@@ -393,6 +394,11 @@ def _shape_inside(shape, xg, yg, wcs):
                 "bpanda region outer width/height must be positive, "
                 f"got ({wo}, {ho})"
             )
+        if wi > wo or hi > ho:
+            raise ValueError(
+                "bpanda region inner width/height exceed outer "
+                f"(({wi}, {hi}) > ({wo}, {ho}))"
+            )
         rot = (raw[8] if len(raw) > 8 else 0.0) + ang_off
         ang = np.deg2rad(rot)
         u = np.cos(ang) * dx + np.sin(ang) * dy
@@ -406,6 +412,14 @@ def _shape_inside(shape, xg, yg, wcs):
         return dx * dx + dy * dy <= r * r
     if shape.shape == "annulus":
         r1, r2 = sizes[0], sizes[1]
+        if not r2 > 0:
+            raise ValueError(
+                f"annulus region outer radius must be positive, got {r2}"
+            )
+        if r1 > r2:
+            raise ValueError(
+                f"annulus region inner radius exceeds outer ({r1} > {r2})"
+            )
         sq = dx * dx + dy * dy
         return (sq >= r1 * r1) & (sq <= r2 * r2)
     if shape.shape == "ellipse":

@@ -156,8 +156,10 @@ class MiniWCS:
         SIP corrections are small (a few px over thousands, with
         |dA/du| ~ 1e-3) so convergence is fast; the AP/BP inverse
         polynomials, when present, provide the starting guess.  Warns
-        only when no inverse coefficients exist AND the iteration fails
-        to close below 1e-6 px (round-4 verdict item 3).
+        whenever the iteration fails to close below 1e-6 px — with or
+        without AP/BP cards (a diverged fixed point hands garbage/NaN
+        centers to the region rasterizer, which must never happen
+        silently).
         """
         if self.sip_ap is not None or self.sip_bp is not None:
             u = U + (_sip_eval(self.sip_ap, U, V)
@@ -172,20 +174,26 @@ class MiniWCS:
         for _ in range(20):
             fu, fv = self._sip_forward(u, v)
             ru, rv = fu - U, fv - V
-            if np.max(np.abs(ru)) < tol and np.max(np.abs(rv)) < tol:
+            resid = float(np.max(np.hypot(ru, rv)))
+            if not np.isfinite(resid):
+                break  # diverged — iterating further only makes NaNs
+            if resid < tol:
                 break
             u = u - ru
             v = v - rv
-        else:
-            if not had_inverse:
-                import warnings
+        if not (np.isfinite(resid) and resid < tol):
+            import warnings
 
-                warnings.warn(
-                    "SIP inversion did not converge below 1e-6 px and "
-                    "the header carries no AP/BP inverse coefficients; "
-                    "sky->pixel positions may be off by up to "
-                    f"{float(np.max(np.hypot(ru, rv))):.2g} px"
-                )
+            hint = (
+                "the AP/BP inverse-coefficient guess did not help"
+                if had_inverse
+                else "the header carries no AP/BP inverse coefficients"
+            )
+            warnings.warn(
+                "SIP inversion did not converge below 1e-6 px "
+                f"({hint}); sky->pixel positions may be off by up to "
+                f"{resid:.2g} px"
+            )
         return u, v
 
     def pixel_area_deg2(self):

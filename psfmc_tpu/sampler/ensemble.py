@@ -694,6 +694,29 @@ class EnsembleSampler:
             np.moveaxis(_fetch(lnprob), 0, 1),
         )
 
+    def _advance_segment(self, n: int, storechain: bool = True):
+        """One retained-sampling segment + ALL the bookkeeping.
+
+        The single place maintaining the chain/lnprob/acceptance/step
+        invariants for the retained phase — ``run_sampling`` and the
+        ``sample()`` generator both call it, so the two entry points
+        can never desynchronize.  Returns the segment's (chain, lnprob)
+        in emcee layout.
+        """
+        prev_naccept = self._cold_naccept(self.state)
+        chain, lnprob = self._sample_segment(n)
+        self._naccept += self._cold_naccept(self.state) - prev_naccept
+        if storechain:
+            if self._chain is None:
+                self._chain, self._lnprob = chain, lnprob
+            else:
+                self._chain = np.concatenate([self._chain, chain], axis=1)
+                self._lnprob = np.concatenate(
+                    [self._lnprob, lnprob], axis=1
+                )
+        self._nsteps_total += n
+        return chain, lnprob
+
     def run_burn(self, nsteps: int, segment=None, callback=None):
         """Burn-in: no chain recording, no image accumulation.
 
@@ -724,22 +747,14 @@ class EnsembleSampler:
             segment = max(self.thin, (segment // self.thin) * self.thin)
         done = 0
         for n in self._segments(nsteps, segment):
-            prev_naccept = self._cold_naccept(self.state)
-            chain, lnprob = self._sample_segment(n)
-            self._naccept += self._cold_naccept(self.state) - prev_naccept
-            if self._chain is None:
-                self._chain, self._lnprob = chain, lnprob
-            else:
-                self._chain = np.concatenate([self._chain, chain], axis=1)
-                self._lnprob = np.concatenate([self._lnprob, lnprob], axis=1)
-            self._nsteps_total += n
+            self._advance_segment(n)
             done += n
             if callback is not None:
                 callback(done, nsteps)
         return self
 
     def sample(self, p0=None, lnprob0=None, rstate0=None, iterations=1,
-               thin=1, storechain=True, segment=None, **_ignored):
+               thin=1, storechain=True, segment=None, **kwargs):
         """emcee-2.x-style step generator: yields ``(pos, lnprob, rstate)``.
 
         API parity for users who drive the sampler directly the way the
@@ -768,6 +783,18 @@ class EnsembleSampler:
         element: per-sample model images never leave the device (see
         ``accumulated_images`` / ``posterior_moments``).
         """
+        # only the known emcee-2.x parity extras pass silently; a
+        # misspelled 'iterations' must not quietly run 1 step
+        unknown = set(kwargs) - {"blobs0", "mh_proposal"}
+        if unknown:
+            raise TypeError(
+                f"sample() got unexpected keyword arguments "
+                f"{sorted(unknown)}"
+            )
+        if kwargs.get("mh_proposal") is not None:
+            raise ValueError(
+                "mh_proposal is not supported (stretch/DE moves only)"
+            )
         if thin != 1 or self.thin != 1:
             raise ValueError(
                 "sample() yields every step: thin must be 1 (use "
@@ -790,20 +817,7 @@ class EnsembleSampler:
         if it <= 0:
             return
         for n in self._segments(it, segment):
-            prev_naccept = self._cold_naccept(self.state)
-            chain, lnprob = self._sample_segment(n)
-            self._naccept += self._cold_naccept(self.state) - prev_naccept
-            if storechain:
-                if self._chain is None:
-                    self._chain, self._lnprob = chain, lnprob
-                else:
-                    self._chain = np.concatenate(
-                        [self._chain, chain], axis=1
-                    )
-                    self._lnprob = np.concatenate(
-                        [self._lnprob, lnprob], axis=1
-                    )
-            self._nsteps_total += n
+            chain, lnprob = self._advance_segment(n, storechain=storechain)
             for s in range(n):
                 yield chain[:, s, :], lnprob[:, s], self.state.key
 

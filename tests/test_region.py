@@ -563,3 +563,34 @@ def test_degenerate_outer_sizes_are_hard_errors():
         )
     with pytest.raises(ValueError, match="semi-axes"):
         region_mask("image\nellipse(32,32,0,5,0)\n", (64, 64))
+
+
+def test_unclosed_brace_does_not_suppress_comment_stripping():
+    """Review finding (round 5): an unclosed '{' ahead of a '#' must not
+    resurrect a commented-out shape (truncation is at the FIRST '#',
+    unconditionally — in well-formed ds9 braces only occur inside the
+    property comment)."""
+    from psfmc_tpu.io.region import parse_region_file
+
+    shapes = parse_region_file(
+        "image\ncircle(16,16,8) tag={oops # old: ; circle(60,60,4)\n"
+    )
+    assert [s.shape for s in shapes] == ["circle"]
+    assert shapes[0].params[2][0] == 8.0
+
+
+def test_wedge_and_annulus_degenerate_sizes_raise_consistently():
+    """Review finding (round 5): epanda/bpanda/annulus validate like
+    panda — inner exceeding outer is a typo, not an empty region."""
+    import pytest
+
+    from psfmc_tpu.io.region import region_mask
+
+    with pytest.raises(ValueError, match="inner semi-axes exceed"):
+        region_mask("image\nepanda(16,16,0,360,4,8,8,3,3,1)\n", (32, 32))
+    with pytest.raises(ValueError, match="inner width/height exceed"):
+        region_mask("image\nbpanda(16,16,0,360,4,9,9,4,4,1)\n", (32, 32))
+    with pytest.raises(ValueError, match="inner radius exceeds"):
+        region_mask("image\nannulus(16,16,9,4)\n", (32, 32))
+    with pytest.raises(ValueError, match="outer radius must be positive"):
+        region_mask("image\nannulus(16,16,0,0)\n", (32, 32))

@@ -390,3 +390,14 @@ def test_sample_generator_requires_thin_one():
     s = EnsembleSampler(16, 3, post, seed=1, image_shape=(2, 2), thin=2)
     with pytest.raises(ValueError, match="thin"):
         next(s.sample(np.zeros((16, 3)), iterations=2))
+
+
+def test_sample_generator_rejects_typo_kwargs():
+    """Review finding (round 5): a misspelled 'iterations' must raise,
+    not silently run the default 1 step."""
+    post = GaussianPosterior()
+    s = EnsembleSampler(16, 3, post, seed=1, image_shape=(2, 2))
+    with pytest.raises(TypeError, match="iteration"):
+        next(s.sample(np.zeros((16, 3)), iteration=500))
+    with pytest.raises(ValueError, match="mh_proposal"):
+        next(s.sample(np.zeros((16, 3)), mh_proposal=object()))

@@ -280,3 +280,17 @@ def test_sip_nonconvergent_inversion_warns():
     ra, dec = MiniWCS(HDR_CD).pixel_to_sky(240.0, 240.0)
     with pytest.warns(UserWarning, match="did not converge"):
         w.sky_to_pixel(ra, dec)
+
+
+def test_sip_nonconvergent_with_inverse_coeffs_still_warns():
+    """Review finding (round 5): the non-convergence warning must fire
+    even when AP/BP cards are present — a diverged fixed point hands
+    NaN centers to the region rasterizer otherwise silently."""
+    import pytest
+
+    w = MiniWCS(_sip_header({
+        "A_2_0": 0.1, "AP_ORDER": 2, "AP_2_0": -0.1,
+    }))
+    ra, dec = MiniWCS(HDR_CD).pixel_to_sky(240.0, 240.0)
+    with pytest.warns(UserWarning, match="did not converge"):
+        w.sky_to_pixel(ra, dec)
