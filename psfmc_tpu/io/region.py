@@ -345,6 +345,10 @@ def _shape_inside(shape, xg, yg, wcs):
             raise ValueError(
                 f"panda region outer radius must be positive, got {r2}"
             )
+        if r1 < 0:
+            raise ValueError(
+                f"panda region inner radius is negative: {r1}"
+            )
         if r1 > r2:
             raise ValueError(
                 f"panda region inner radius exceeds outer ({r1} > {r2})"
@@ -364,6 +368,10 @@ def _shape_inside(shape, xg, yg, wcs):
             raise ValueError(
                 "epanda region outer semi-axes must be positive, got "
                 f"({ao}, {bo})"
+            )
+        if ai < 0 or bi < 0:
+            raise ValueError(
+                f"epanda region inner semi-axes are negative: ({ai}, {bi})"
             )
         if ai > ao or bi > bo:
             raise ValueError(
@@ -394,6 +402,11 @@ def _shape_inside(shape, xg, yg, wcs):
                 "bpanda region outer width/height must be positive, "
                 f"got ({wo}, {ho})"
             )
+        if wi < 0 or hi < 0:
+            raise ValueError(
+                f"bpanda region inner width/height are negative: "
+                f"({wi}, {hi})"
+            )
         if wi > wo or hi > ho:
             raise ValueError(
                 "bpanda region inner width/height exceed outer "
@@ -408,37 +421,95 @@ def _shape_inside(shape, xg, yg, wcs):
         outer = (np.abs(u) <= wo / 2) & (np.abs(v) <= ho / 2)
         return _angle_in_wedge(theta, a1, a2) & outer & ~inner
     if shape.shape == "circle":
+        if len(sizes) != 1:
+            raise ValueError(
+                f"circle region takes exactly one radius, got {sizes}"
+            )
         r = sizes[0]
+        if not r > 0:
+            raise ValueError(
+                f"circle region radius must be positive, got {r}"
+            )
         return dx * dx + dy * dy <= r * r
     if shape.shape == "annulus":
-        r1, r2 = sizes[0], sizes[1]
-        if not r2 > 0:
+        # ds9 multi-annulus: annulus(x, y, r1, r2, ..., rn) draws
+        # contiguous rings; the covered area is r1 <= r <= rn
+        radii = sizes
+        if len(radii) < 2:
             raise ValueError(
-                f"annulus region outer radius must be positive, got {r2}"
+                f"annulus region needs at least two radii, got {radii}"
             )
-        if r1 > r2:
+        if radii[0] < 0:
             raise ValueError(
-                f"annulus region inner radius exceeds outer ({r1} > {r2})"
+                f"annulus region inner radius is negative: {radii[0]}"
             )
+        if not radii[-1] > 0:
+            raise ValueError(
+                "annulus region outer radius must be positive, got "
+                f"{radii[-1]}"
+            )
+        if any(a > b for a, b in zip(radii, radii[1:])):
+            raise ValueError(
+                f"annulus region radii must be non-decreasing, got {radii}"
+            )
+        r1, r2 = radii[0], radii[-1]
         sq = dx * dx + dy * dy
         return (sq >= r1 * r1) & (sq <= r2 * r2)
-    if shape.shape == "ellipse":
-        a, b = sizes[0], sizes[1]
-        if not (a > 0 and b > 0):
+    if shape.shape in ("ellipse", "box"):
+        # Plain form: (x, y, s1, s2 [, angle]).  ds9 ellipse-annulus /
+        # box-annulus: (x, y, s1, s2, s3, s4, ..., [angle]) — pairs of
+        # sizes drawing nested outlines; the covered area is between
+        # the innermost and outermost.  Trailing arg count odd => last
+        # is the rotation angle (raw value, never unit-scaled).
+        n = len(sizes)
+        if n < 2:
             raise ValueError(
-                f"ellipse region semi-axes must be positive, got "
-                f"({a}, {b})"
+                f"{shape.shape} region needs at least two sizes, got "
+                f"{sizes}"
             )
-        ang = np.deg2rad((raw[2] if len(raw) > 2 else 0.0) + ang_off)
+        if n % 2:
+            ang_raw, dims = raw[n - 1], sizes[: n - 1]
+        else:
+            ang_raw, dims = 0.0, sizes
+        pairs = [(dims[i], dims[i + 1]) for i in range(0, len(dims), 2)]
+        kind = "semi-axes" if shape.shape == "ellipse" else "width/height"
+        if pairs[0][0] < 0 or pairs[0][1] < 0:
+            raise ValueError(
+                f"{shape.shape} region inner {kind} are negative: "
+                f"{pairs[0]}"
+            )
+        if not (pairs[-1][0] > 0 and pairs[-1][1] > 0):
+            raise ValueError(
+                f"{shape.shape} region outer {kind} must be positive, "
+                f"got {pairs[-1]}"
+            )
+        if len(pairs) == 1 and not (pairs[0][0] > 0 and pairs[0][1] > 0):
+            raise ValueError(
+                f"{shape.shape} region {kind} must be positive, got "
+                f"{pairs[0]}"
+            )
+        if any(p[0] > q[0] or p[1] > q[1]
+               for p, q in zip(pairs, pairs[1:])):
+            raise ValueError(
+                f"{shape.shape} region size pairs must be "
+                f"non-decreasing, got {pairs}"
+            )
+        ang = np.deg2rad(ang_raw + ang_off)
         u = np.cos(ang) * dx + np.sin(ang) * dy
         v = -np.sin(ang) * dx + np.cos(ang) * dy
-        return (u / a) ** 2 + (v / b) ** 2 <= 1.0
-    if shape.shape == "box":
-        w, h = sizes[0], sizes[1]
-        ang = np.deg2rad((raw[2] if len(raw) > 2 else 0.0) + ang_off)
-        u = np.cos(ang) * dx + np.sin(ang) * dy
-        v = -np.sin(ang) * dx + np.cos(ang) * dy
-        return (np.abs(u) <= w / 2) & (np.abs(v) <= h / 2)
+
+        def _inside(p):
+            s1, s2 = p
+            if shape.shape == "ellipse":
+                if s1 == 0 or s2 == 0:
+                    return np.zeros_like(u, dtype=bool)
+                return (u / s1) ** 2 + (v / s2) ** 2 <= 1.0
+            return (np.abs(u) <= s1 / 2) & (np.abs(v) <= s2 / 2)
+
+        outer = _inside(pairs[-1])
+        if len(pairs) == 1:
+            return outer
+        return outer & ~_inside(pairs[0])
     if shape.shape == "point":
         return (np.round(xg) == np.round(cx)) & (np.round(yg) == np.round(cy))
     raise ValueError(f"Unsupported region shape: {shape.shape}")

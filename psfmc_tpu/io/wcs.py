@@ -181,6 +181,12 @@ class MiniWCS:
                 break
             u = u - ru
             v = v - rv
+        else:
+            # exhausted: the measured residual predates the final
+            # update — re-measure at the returned (u, v) so the
+            # warning (and its magnitude) are truthful
+            fu, fv = self._sip_forward(u, v)
+            resid = float(np.max(np.hypot(fu - U, fv - V)))
         if not (np.isfinite(resid) and resid < tol):
             import warnings
 

@@ -694,19 +694,25 @@ class EnsembleSampler:
             np.moveaxis(_fetch(lnprob), 0, 1),
         )
 
-    def _advance_segment(self, n: int, storechain: bool = True):
-        """One retained-sampling segment + ALL the bookkeeping.
+    def _advance_segment(self, n: int, storechain: bool = True,
+                         burn: bool = False):
+        """One device segment + ALL the bookkeeping.
 
         The single place maintaining the chain/lnprob/acceptance/step
-        invariants for the retained phase — ``run_sampling`` and the
-        ``sample()`` generator both call it, so the two entry points
-        can never desynchronize.  Returns the segment's (chain, lnprob)
-        in emcee layout.
+        invariants — ``run_burn``, ``run_sampling`` and the
+        ``sample()`` generator all call it, so the entry points can
+        never desynchronize.  Returns the segment's (chain, lnprob) in
+        emcee layout (``(None, None)`` for burn segments, which record
+        nothing).
         """
         prev_naccept = self._cold_naccept(self.state)
-        chain, lnprob = self._sample_segment(n)
+        if burn:
+            self._burn_segment(n)
+            chain = lnprob = None
+        else:
+            chain, lnprob = self._sample_segment(n)
         self._naccept += self._cold_naccept(self.state) - prev_naccept
-        if storechain:
+        if chain is not None and storechain:
             if self._chain is None:
                 self._chain, self._lnprob = chain, lnprob
             else:
@@ -727,10 +733,7 @@ class EnsembleSampler:
         """
         done = 0
         for n in self._segments(nsteps, segment):
-            prev_naccept = self._cold_naccept(self.state)
-            self._burn_segment(n)
-            self._naccept += self._cold_naccept(self.state) - prev_naccept
-            self._nsteps_total += n
+            self._advance_segment(n, burn=True)
             done += n
             if callback is not None:
                 callback(done, nsteps)

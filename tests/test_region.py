@@ -590,7 +590,54 @@ def test_wedge_and_annulus_degenerate_sizes_raise_consistently():
         region_mask("image\nepanda(16,16,0,360,4,8,8,3,3,1)\n", (32, 32))
     with pytest.raises(ValueError, match="inner width/height exceed"):
         region_mask("image\nbpanda(16,16,0,360,4,9,9,4,4,1)\n", (32, 32))
-    with pytest.raises(ValueError, match="inner radius exceeds"):
+    with pytest.raises(ValueError, match="non-decreasing"):
         region_mask("image\nannulus(16,16,9,4)\n", (32, 32))
     with pytest.raises(ValueError, match="outer radius must be positive"):
         region_mask("image\nannulus(16,16,0,0)\n", (32, 32))
+
+
+def test_multi_size_shape_variants():
+    """Review finding (round 5): ds9 multi-annulus / ellipse-annulus /
+    box-annulus variants were silently misread (extra radii dropped; an
+    ellipse-annulus size parsed as a rotation angle).  Now they cover
+    the area between innermost and outermost, and sign/ordering typos
+    raise."""
+    import pytest
+
+    from psfmc_tpu.io.region import region_mask
+
+    # multi-annulus == annulus(first, last)
+    m = region_mask("image\nannulus(16,16,2,4,6,8)\n", (32, 32))
+    ref = region_mask("image\nannulus(16,16,2,8)\n", (32, 32))
+    np.testing.assert_array_equal(m, ref)
+
+    # ellipse annulus: between inner and outer ellipse, angle honored
+    m = region_mask("image\nellipse(16,16,3,2,9,6,30)\n", (32, 32))
+    outer = region_mask("image\nellipse(16,16,9,6,30)\n", (32, 32))
+    inner = region_mask("image\nellipse(16,16,3,2,30)\n", (32, 32))
+    np.testing.assert_array_equal(m, outer & ~inner)
+    assert inner.any() and m.sum() == outer.sum() - (outer & inner).sum()
+
+    # box annulus likewise
+    m = region_mask("image\nbox(16,16,4,3,12,9,0)\n", (32, 32))
+    outer = region_mask("image\nbox(16,16,12,9,0)\n", (32, 32))
+    inner = region_mask("image\nbox(16,16,4,3,0)\n", (32, 32))
+    np.testing.assert_array_equal(m, outer & ~inner)
+
+    # plain forms still work (even/odd trailing-arg counts)
+    assert region_mask("image\nellipse(16,16,5,3)\n", (32, 32)).any()
+    assert region_mask("image\nbox(16,16,6,4)\n", (32, 32)).any()
+
+    # typos raise instead of degrading the mask
+    with pytest.raises(ValueError, match="non-decreasing"):
+        region_mask("image\nellipse(16,16,9,6,3,2,30)\n", (32, 32))
+    with pytest.raises(ValueError, match="exactly one radius"):
+        region_mask("image\ncircle(16,16,5,7)\n", (32, 32))
+    with pytest.raises(ValueError, match="radius must be positive"):
+        region_mask("image\ncircle(16,16,-5)\n", (32, 32))
+    with pytest.raises(ValueError, match="must be positive"):
+        region_mask("image\nbox(16,16,0,5,0)\n", (32, 32))
+    with pytest.raises(ValueError, match="negative"):
+        region_mask("image\nannulus(16,16,-3,5)\n", (32, 32))
+    with pytest.raises(ValueError, match="negative"):
+        region_mask("image\nepanda(16,16,0,360,4,-2,2,5,5,1)\n", (32, 32))
