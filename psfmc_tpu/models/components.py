@@ -465,6 +465,31 @@ def _register_shape_attrs(comp, c0, shape_kw, allow_trunc=False):
     """
     if c0 is not None:
         comp.c0 = c0
+        # Extreme-disky honesty warning: for c = c0 + 2 -> 0 the light
+        # concentrates into axis ridges of width ~(2^c - 1)^(1/c) px
+        # (1e-4 px by c0=-1.8) that NO point sampling or local
+        # correction integrates — measured total-flux errors reach
+        # ~4x at c0=-1.8 and the render collapses to ~zero flux by
+        # c0=-1.9 (see test_properties calibration sweep, 2026-08-21).
+        # Warn at model build, where the user can still bound the prior.
+        low = None
+        if hasattr(c0, "interval"):
+            try:
+                low = float(np.ravel(np.asarray(c0.interval(1.0)))[0])
+            except Exception:
+                low = None
+        elif isinstance(c0, (int, float, np.floating)):
+            low = float(c0)
+        if low is not None and low < -1.5:
+            import warnings
+
+            warnings.warn(
+                f"c0 support reaches {low:.3g} < -1.5: extreme-disky "
+                "isophotes concentrate flux into axis ridges that "
+                "point sampling cannot integrate; total-flux "
+                "normalization errors grow to ~4x by c0=-1.8. Bound "
+                "the c0 prior at >= -1.2 for quantitative photometry."
+            )
     fnames = {
         n for m in _FOURIER_MODES for n in (f"f{m}", f"f{m}_phi")
     } | {f"b{m}" for m in _BENDING_MODES} | set(_ROT_ATTRS)

@@ -625,3 +625,36 @@ def test_expdisk_devauc_aliases(rng, gaussian_psf):
             )
         comps = component_list_from_file(path)
         assert type(comps[0]).__name__ == "ExpDisk"
+
+
+def test_deep_disky_c0_prior_warns_at_build():
+    """c0 support reaching below -1.5 gets a model-build warning: the
+    extreme-disky flux normalization is measurably unreliable there
+    (round-5 hypothesis-discovered 2.3x corner; calibration sweep in
+    test_properties)."""
+    import warnings
+
+    import pytest
+
+    from psfmc_tpu import distributions as D
+    from psfmc_tpu.models.components import Sersic
+
+    kw = dict(
+        xy=D.Uniform(loc=(10.0, 10.0), scale=(4.0, 4.0)),
+        mag=D.Uniform(loc=20.0, scale=2.0),
+        reff=D.Uniform(loc=2.0, scale=4.0),
+        reff_b=D.Uniform(loc=2.0, scale=4.0),
+        index=1.5,
+        angle=0.0,
+        angle_degrees=True,
+    )
+    with pytest.warns(UserWarning, match="extreme-disky"):
+        Sersic(c0=D.Uniform(loc=-1.9, scale=2.0), **kw)
+    with pytest.warns(UserWarning, match="extreme-disky"):
+        Sersic(c0=-1.7, **kw)
+    # bounded priors and ordinary constants stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Sersic(c0=D.Uniform(loc=-1.2, scale=2.0), **kw)
+        Sersic(c0=0.4, **kw)
+        Sersic(**kw)
