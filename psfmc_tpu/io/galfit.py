@@ -471,8 +471,14 @@ def _shape_params(obj, margins):
     am = margins["angle"]
     if "C0" in obj.params:
         v = _val(obj, "C0")
+        # Margin floor: for GALFIT values in the reliable regime
+        # (v >= -1.2) keep the generated prior above -1.45 so the
+        # extreme-disky build warning (flux normalization errors grow
+        # to ~4x by c0=-1.8, see components._register_shape_attrs)
+        # only fires when the GALFIT fit itself sits in that regime.
+        lo_floor = -1.9 if v < -1.2 else -1.45
         out["c0"] = _P(
-            v, _free(obj, "C0"), max(-1.9, v - 1.0), v + 1.0
+            v, _free(obj, "C0"), max(lo_floor, v - 1.0), v + 1.0
         )
     for m in (1, 2, 3, 4):
         key = f"F{m}"
