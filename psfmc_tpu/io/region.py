@@ -276,9 +276,23 @@ def _angle_in_wedge(theta, a1, a2):
     return (theta - a1) % 360.0 <= span
 
 
+# minimum argument counts (ds9 grammar): coordinates + required sizes.
+# polygon is validated separately (even count >= 6).
+_MIN_SHAPE_ARGS = {
+    "circle": 3, "ellipse": 4, "box": 4, "annulus": 4, "point": 2,
+    "pie": 4, "panda": 8, "epanda": 10, "bpanda": 10,
+}
+
+
 def _shape_inside(shape, xg, yg, wcs):
     """Boolean inside-map for one shape. xg/yg are 1-based pixel centers."""
     p = shape.params
+    need = _MIN_SHAPE_ARGS.get(shape.shape)
+    if need is not None and len(p) < need:
+        raise ValueError(
+            f"{shape.shape} region needs at least {need} arguments, "
+            f"got {len(p)}"
+        )
     sky = shape.system in _ALL_SKY_SYSTEMS
     if shape.shape == "polygon":
         if len(p) < 6 or len(p) % 2:

@@ -225,3 +225,45 @@ def test_shaped_sersic_flux_invariant_property(
         assert abs(img.sum() - base.sum()) <= 0.05 * abs(base.sum())
     else:
         assert 0.45 * base.sum() <= img.sum() <= 4.5 * base.sum()
+
+
+# ---- ds9 parser totality (round-5 fuzz) ------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    shape=st.sampled_from(
+        ["circle", "ellipse", "box", "annulus", "point", "polygon",
+         "panda", "epanda", "bpanda", "pie"]
+    ),
+    args=st.lists(
+        st.floats(-50, 50, allow_nan=False), min_size=0, max_size=12
+    ),
+)
+def test_region_shapes_total_on_partial_args(shape, args):
+    """Any argument list either rasterizes or raises ValueError — never
+    IndexError (fuzz-discovered: bare 'circle()' indexed past the
+    params list).  A malformed region file must fail loudly and
+    attributably, not with a stack trace from the middle of the
+    rasterizer."""
+    text = f"image\n{shape}(" + ",".join(f"{a:.3f}" for a in args) + ")\n"
+    try:
+        region_mask(text, (16, 16))
+    except ValueError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60,
+))
+def test_region_parser_total_on_garbage_lines(line):
+    """Arbitrary printable garbage either parses (as comment/skip) or
+    raises ValueError."""
+    from psfmc_tpu.io.region import parse_region_file
+
+    try:
+        parse_region_file("image\n" + line + "\n")
+    except ValueError:
+        pass
