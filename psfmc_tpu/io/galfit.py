@@ -149,7 +149,13 @@ def parse_feedme(source: str) -> GalfitModel:
         if commented:
             continue
         if key == "0":
-            kind = _tokenize(body)[0].lower()
+            kind_toks = _tokenize(body)
+            if not kind_toks:
+                raise ValueError(
+                    "GALFIT feedme: '0)' component line carries no "
+                    "component type"
+                )
+            kind = kind_toks[0].lower()
             current = GalfitObject(kind=kind)
             model.objects.append(current)
             continue
@@ -254,9 +260,22 @@ def _mu_to_mag(mu, factor, zp, plate_scale):
     return zp - 2.5 * np.log10(counts_px * factor)
 
 
-def _val(obj, key, default=None):
+_REQUIRED = object()  # sentinel: no default -> missing key is an error
+
+
+def _val(obj, key, default=_REQUIRED):
     v = obj.params.get(key)
-    return v[0][0] if v else default
+    if v:
+        return v[0][0]
+    if default is _REQUIRED:
+        # a truncated/corrupted feedme must fail attributably, not
+        # with a NoneType TypeError from the middle of a conversion
+        # (fuzz-discovered, round 5)
+        raise ValueError(
+            f"GALFIT {obj.kind} component is missing its required "
+            f"{key}) parameter line"
+        )
+    return default
 
 
 def _free(obj, key, idx=0):
@@ -340,7 +359,8 @@ def _obj_params(obj, zp, plate_scale, margins):
         w = max(1.0, abs(v))
         res = {"adu": _P(v, _free(obj, "1"), v - w, v + w)}
         for attr, key in (("dx", "2"), ("dy", "3")):
-            g = _val(obj, key)
+            # gradient lines are optional in real feedmes
+            g = _val(obj, key, None)
             if g is not None and (g != 0.0 or _free(obj, key)):
                 gw = max(0.01, 10.0 * abs(g))
                 res[attr] = _P(g, _free(obj, key), g - gw, g + gw)
@@ -516,10 +536,10 @@ def _shape_params(obj, margins):
                 rot_ang + 180.0,
             )
             out["rot_out"] = _size(rot_out, _free(obj, "R2"), sf)
-            r_in = _val(obj, "R1")
+            r_in = _val(obj, "R1", None)
             if r_in is not None and r_in > 0:
                 out["rot_in"] = _size(r_in, _free(obj, "R1"), sf)
-            p = _val(obj, "R4")
+            p = _val(obj, "R4", None)
             if p is not None:
                 out["rot_pow"] = _P(
                     p, _free(obj, "R4"), max(0.05, p / 2.0),

@@ -704,3 +704,58 @@ def test_fit_region_note_from_h_entry():
     )
     assert "fit region x:101-228 y:51-178" in src
     assert "full_obs[50:178, 100:228]" in src
+
+
+def test_feedme_totality_fuzz():
+    """Round-5 fuzz: structurally-plausible garbage feedmes either
+    convert or raise ValueError — never IndexError/TypeError (found:
+    bare '0)' line; sersic missing its required 3) mag line hit a
+    NoneType TypeError mid-conversion)."""
+    from hypothesis import given, settings, strategies as st
+
+    from psfmc_tpu.io.galfit import components_from_feedme
+
+    kinds = st.sampled_from(
+        ["sersic", "expdisk", "devauc", "psf", "sky", "gaussian",
+         "moffat", "king", "nuker", "ferrer", "edgedisk", "garbage"]
+    )
+    num = st.floats(-100, 100, allow_nan=False).map(lambda v: f"{v:.4g}")
+    pkey = st.sampled_from(
+        ["1", "2", "3", "4", "5", "6", "7", "8", "9", "10",
+         "C0", "F1", "B2", "R1", "R2", "R3", "R4", "T0", "Z"]
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(
+        st.tuples(kinds, st.lists(
+            st.tuples(pkey, num, st.sampled_from(["0", "1"])), max_size=8
+        )),
+        min_size=1, max_size=3,
+    ))
+    def run(objs):
+        import warnings
+
+        lines = []
+        for kind, params in objs:
+            lines.append(f"0) {kind}")
+            for k, v, t in params:
+                lines.append(f" {k}) {v} {t}")
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                components_from_feedme("\n".join(lines))
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_feedme_missing_required_line_is_value_error():
+    import pytest
+
+    from psfmc_tpu.io.galfit import components_from_feedme, parse_feedme
+
+    with pytest.raises(ValueError, match="required 3\\)"):
+        components_from_feedme("0) sersic\n 1) 10 10 1 1\n")
+    with pytest.raises(ValueError, match="no\\s+component type"):
+        parse_feedme("0)\n")
