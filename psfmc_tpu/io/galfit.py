@@ -647,8 +647,13 @@ def parse_constraints(source) -> List[GalfitConstraint]:
     pair, ``2/1`` a ratio pair.
     """
     if "\n" not in source and "\0" not in source:
-        with open(source) as fh:
-            source = fh.read()
+        try:
+            with open(source) as fh:
+                source = fh.read()
+        except OSError as err:
+            raise ValueError(
+                f"not constraint text and not a readable path: {err}"
+            ) from None
     out = []
     for raw in source.splitlines():
         body = raw.split("#", 1)[0].strip()

@@ -114,3 +114,33 @@ def test_bscale_bzero_image(tmp_path):
     (header, data), = read_hdus(str(path))
     want = raw.astype(np.float64) * bscale + bzero
     assert np.allclose(np.asarray(data, np.float64), want)
+
+
+def test_fits_reader_total_on_garbage_bytes(tmp_path):
+    """Round-5 fuzz (400+ random byte blobs + truncated-valid-header
+    variants): a corrupt FITS file raises ValueError/OSError, never an
+    unexplained IndexError/struct error from mid-parse.  A few fixed
+    representative corpses are kept as the regression set."""
+    import pytest
+
+    from psfmc_tpu.io.fits import read_hdus
+
+    hdr = (b"SIMPLE  =                    T" + b" " * 50 +
+           b"BITPIX  =                  -32" + b" " * 50 +
+           b"NAXIS   =                    2" + b" " * 50 +
+           b"NAXIS1  =                  100" + b" " * 50 +
+           b"NAXIS2  =                  100" + b" " * 50 +
+           b"END" + b" " * 77)
+    hdr += b" " * (2880 - len(hdr) % 2880)
+    corpses = [
+        b"",                       # empty file
+        b"\x00" * 2880,            # zero block
+        b"NOT A FITS FILE",        # short garbage
+        hdr,                       # header promises data, none follows
+        hdr + b"\x01" * 100,       # truncated data
+    ]
+    for i, data in enumerate(corpses):
+        p = tmp_path / f"c{i}.fits"
+        p.write_bytes(data)
+        with pytest.raises((ValueError, OSError)):
+            read_hdus(str(p))
