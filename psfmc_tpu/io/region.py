@@ -431,7 +431,10 @@ def _shape_inside(shape, xg, yg, wcs):
         u = np.cos(ang) * dx + np.sin(ang) * dy
         v = -np.sin(ang) * dx + np.cos(ang) * dy
         theta = np.degrees(np.arctan2(v, u)) % 360.0
-        inner = (np.abs(u) <= wi / 2) & (np.abs(v) <= hi / 2)
+        if wi == 0 or hi == 0:  # zero-area inner box covers nothing
+            inner = np.zeros_like(u, dtype=bool)
+        else:
+            inner = (np.abs(u) <= wi / 2) & (np.abs(v) <= hi / 2)
         outer = (np.abs(u) <= wo / 2) & (np.abs(v) <= ho / 2)
         return _angle_in_wedge(theta, a1, a2) & outer & ~inner
     if shape.shape == "circle":
@@ -448,11 +451,7 @@ def _shape_inside(shape, xg, yg, wcs):
     if shape.shape == "annulus":
         # ds9 multi-annulus: annulus(x, y, r1, r2, ..., rn) draws
         # contiguous rings; the covered area is r1 <= r <= rn
-        radii = sizes
-        if len(radii) < 2:
-            raise ValueError(
-                f"annulus region needs at least two radii, got {radii}"
-            )
+        radii = sizes  # >= 2 entries by the _MIN_SHAPE_ARGS gate
         if radii[0] < 0:
             raise ValueError(
                 f"annulus region inner radius is negative: {radii[0]}"
@@ -475,12 +474,7 @@ def _shape_inside(shape, xg, yg, wcs):
         # sizes drawing nested outlines; the covered area is between
         # the innermost and outermost.  Trailing arg count odd => last
         # is the rotation angle (raw value, never unit-scaled).
-        n = len(sizes)
-        if n < 2:
-            raise ValueError(
-                f"{shape.shape} region needs at least two sizes, got "
-                f"{sizes}"
-            )
+        n = len(sizes)  # >= 2 by the _MIN_SHAPE_ARGS gate
         if n % 2:
             ang_raw, dims = raw[n - 1], sizes[: n - 1]
         else:
@@ -497,11 +491,6 @@ def _shape_inside(shape, xg, yg, wcs):
                 f"{shape.shape} region outer {kind} must be positive, "
                 f"got {pairs[-1]}"
             )
-        if len(pairs) == 1 and not (pairs[0][0] > 0 and pairs[0][1] > 0):
-            raise ValueError(
-                f"{shape.shape} region {kind} must be positive, got "
-                f"{pairs[0]}"
-            )
         if any(p[0] > q[0] or p[1] > q[1]
                for p, q in zip(pairs, pairs[1:])):
             raise ValueError(
@@ -514,9 +503,12 @@ def _shape_inside(shape, xg, yg, wcs):
 
         def _inside(p):
             s1, s2 = p
+            if s1 == 0 or s2 == 0:
+                # zero-area inner outline covers nothing — without this
+                # a zero-width box would still "cover" the line of
+                # pixel centers sitting exactly on the region axis
+                return np.zeros_like(u, dtype=bool)
             if shape.shape == "ellipse":
-                if s1 == 0 or s2 == 0:
-                    return np.zeros_like(u, dtype=bool)
                 return (u / s1) ** 2 + (v / s2) ** 2 <= 1.0
             return (np.abs(u) <= s1 / 2) & (np.abs(v) <= s2 / 2)
 

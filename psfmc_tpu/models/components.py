@@ -475,7 +475,12 @@ def _register_shape_attrs(comp, c0, shape_kw, allow_trunc=False):
         low = None
         if hasattr(c0, "interval"):
             try:
-                low = float(np.ravel(np.asarray(c0.interval(1.0)))[0])
+                # MASS-based bound, not the hard support: a Normal c0
+                # prior has support (-inf, inf) but essentially zero
+                # probability below -1.5 — interval(0.998) (0.1% tail)
+                # only warns when the fit can actually visit the
+                # unreliable regime
+                low = float(np.ravel(np.asarray(c0.interval(0.998)))[0])
             except Exception:
                 low = None
         elif isinstance(c0, (int, float, np.floating)):

@@ -641,3 +641,16 @@ def test_multi_size_shape_variants():
         region_mask("image\nannulus(16,16,-3,5)\n", (32, 32))
     with pytest.raises(ValueError, match="negative"):
         region_mask("image\nepanda(16,16,0,360,4,-2,2,5,5,1)\n", (32, 32))
+
+
+def test_zero_size_inner_annulus_variants_cover_nothing():
+    """Review finding (round 5, pass 3): a zero-area inner box in a
+    box-annulus (or bpanda) must exclude NOTHING — |u| <= 0 is true on
+    the line of pixel centers sitting exactly on the region axis."""
+    inner0 = region_mask("image\nbox(16,16,0,4,8,6,0)\n", (32, 32))
+    plain = region_mask("image\nbox(16,16,8,6,0)\n", (32, 32))
+    np.testing.assert_array_equal(inner0, plain)
+    bp0 = region_mask("image\nbpanda(16,16,0,360,4,0,4,8,6,1)\n", (32, 32))
+    bp_plain = region_mask("image\nbpanda(16,16,0,360,4,0,0,8,6,1)\n",
+                           (32, 32))
+    np.testing.assert_array_equal(bp0, bp_plain)

@@ -652,9 +652,12 @@ def test_deep_disky_c0_prior_warns_at_build():
         Sersic(c0=D.Uniform(loc=-1.9, scale=2.0), **kw)
     with pytest.warns(UserWarning, match="extreme-disky"):
         Sersic(c0=-1.7, **kw)
-    # bounded priors and ordinary constants stay silent
+    # bounded priors, ordinary constants, and unbounded-support priors
+    # with negligible mass below -1.5 (review finding: interval(1.0)
+    # made EVERY Normal c0 prior warn) stay silent
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         Sersic(c0=D.Uniform(loc=-1.2, scale=2.0), **kw)
+        Sersic(c0=D.Normal(loc=0.0, scale=0.1), **kw)
         Sersic(c0=0.4, **kw)
         Sersic(**kw)
