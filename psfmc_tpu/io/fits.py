@@ -432,27 +432,52 @@ def _pad_block(fobj, nbytes):
         fobj.write(b"\x00" * pad)
 
 
+def _write_hdus_to(fobj, hdus):
+    for i, (header, data) in enumerate(hdus):
+        primary = i == 0
+        if isinstance(data, (bytes, bytearray)):
+            _write_header(fobj, header, primary, None, xtension="BINTABLE")
+            fobj.write(data)
+            _pad_block(fobj, len(data))
+        elif data is None:
+            _write_header(fobj, header, primary, None)
+        else:
+            data = np.ascontiguousarray(data)
+            if data.dtype not in _DTYPE_BITPIX:
+                data = data.astype(np.float64)
+            _write_header(fobj, header, primary, data)
+            raw = data.astype(data.dtype.newbyteorder(">")).tobytes()
+            fobj.write(raw)
+            _pad_block(fobj, len(raw))
+
+
 def write_hdus(path, hdus):
-    """Write HDUs to ``path``.  Each HDU is (header, data) where data is a
-    numpy array (image), raw bytes tagged by an XTENSION=BINTABLE header,
-    or None."""
-    with open(path, "wb") as fobj:
-        for i, (header, data) in enumerate(hdus):
-            primary = i == 0
-            if isinstance(data, (bytes, bytearray)):
-                _write_header(fobj, header, primary, None, xtension="BINTABLE")
-                fobj.write(data)
-                _pad_block(fobj, len(data))
-            elif data is None:
-                _write_header(fobj, header, primary, None)
-            else:
-                data = np.ascontiguousarray(data)
-                if data.dtype not in _DTYPE_BITPIX:
-                    data = data.astype(np.float64)
-                _write_header(fobj, header, primary, data)
-                raw = data.astype(data.dtype.newbyteorder(">")).tobytes()
-                fobj.write(raw)
-                _pad_block(fobj, len(raw))
+    """Write HDUs to ``path`` ATOMICALLY.  Each HDU is (header, data)
+    where data is a numpy array (image), raw bytes tagged by an
+    XTENSION=BINTABLE header, or None.
+
+    Atomicity matters operationally: the fitting driver overwrites the
+    trace database (the ONLY copy, carrying the resume checkpoint) at
+    every segment boundary — a preemption landing inside an in-place
+    write would truncate it and lose the whole run.  The bytes go to a
+    same-directory temp file, are fsynced, then ``os.replace``d over
+    the target (atomic on POSIX); a failed write leaves the previous
+    file untouched.
+    """
+    path = os.fspath(path)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fobj:
+            _write_hdus_to(fobj, hdus)
+            fobj.flush()
+            os.fsync(fobj.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def writeto(path, data, header=None, overwrite=True, **_ignored):

@@ -144,3 +144,41 @@ def test_fits_reader_total_on_garbage_bytes(tmp_path):
         p.write_bytes(data)
         with pytest.raises((ValueError, OSError)):
             read_hdus(str(p))
+
+
+def test_write_hdus_is_atomic(tmp_path, monkeypatch):
+    """The fitting driver overwrites the trace DB (the only copy,
+    carrying the resume checkpoint) at every segment boundary — a
+    write that dies mid-file must leave the previous version intact
+    (round-5 reliability fix: in-place open(path, 'wb') truncated
+    first, so any failure destroyed the checkpoint)."""
+    import numpy as np
+    import pytest
+
+    from psfmc_tpu.io import fits as pf
+
+    path = tmp_path / "db.fits"
+    good = np.arange(12, dtype=np.float32).reshape(3, 4)
+    pf.writeto(str(path), good)
+    before = path.read_bytes()
+
+    # a writer that explodes mid-stream
+    real = pf._write_hdus_to
+
+    def boom(fobj, hdus):
+        fobj.write(b"partial garbage")
+        raise RuntimeError("simulated preemption")
+
+    monkeypatch.setattr(pf, "_write_hdus_to", boom)
+    with pytest.raises(RuntimeError, match="preemption"):
+        pf.writeto(str(path), good * 2)
+    monkeypatch.setattr(pf, "_write_hdus_to", real)
+
+    # previous file untouched, no temp litter
+    assert path.read_bytes() == before
+    assert list(tmp_path.glob("*.tmp.*")) == []
+    np.testing.assert_array_equal(pf.getdata(str(path)), good)
+
+    # normal overwrite still round-trips
+    pf.writeto(str(path), good * 3)
+    np.testing.assert_array_equal(pf.getdata(str(path)), good * 3)
