@@ -400,6 +400,31 @@ def model_galaxy_mcmc(
                     "re-running sampling from scratch"
                 )
                 database = None
+            elif (
+                int(np.asarray(ckpt["positions"]).shape[-1])
+                != int(sum(mc_model.param_lens))
+                or any(
+                    n not in database.colnames
+                    for n in mc_model.param_names
+                )
+            ):
+                # The model FILE changed since the checkpoint was
+                # written (components added/removed/renamed): restoring
+                # would either mis-seat the parameter vector or die on
+                # a missing trace column deep inside the restore — fail
+                # soft and attributably instead.
+                n_match = sum(
+                    n in database.colnames for n in mc_model.param_names
+                )
+                warn(
+                    "Existing checkpoint was written for a model with "
+                    f"{int(np.asarray(ckpt['positions']).shape[-1])} "
+                    f"parameters ({n_match}/{len(mc_model.param_names)} "
+                    "trace columns match) but the current model file "
+                    f"defines {int(sum(mc_model.param_lens))} — the "
+                    "model changed; re-running sampling from scratch"
+                )
+                database = None
             else:
                 burn_total = max(burn, int(database.meta.get("MCBURN", 0)))
                 burn_done = int(database.meta.get("MCBURNDN", burn_total))

@@ -374,3 +374,31 @@ def test_map_reduced_chi2_in_headers(workdir):
     dof = max(int(good.sum()) - model.num_params, 1)
     expect = float(np.sum((resid * resid * ivm)[good])) / dof
     assert chi2nu == pytest.approx(expect, rel=1e-3)
+
+
+def test_resume_with_changed_model_restarts_attributably(workdir):
+    """Resuming a checkpoint after the model FILE changed (component
+    added) must warn naming the mismatch and re-run from scratch —
+    round-5 probe found a bare KeyError('2_Sersic_angle') from deep
+    inside the restore instead."""
+    model_galaxy_mcmc(
+        "model.py", output_name="out_chg", iterations=20, burn=20,
+        chains=16, seed=3,
+    )
+    with open("model.py", "a") as f:
+        f.write(
+            "Sersic(xy=Uniform(loc=array((12., 12.)), "
+            "scale=array((8., 8.))),\n"
+            "       mag=Uniform(loc=20.0, scale=3.0),\n"
+            "       reff=Uniform(loc=1.0, scale=3.0),\n"
+            "       reff_b=Uniform(loc=1.0, scale=3.0),\n"
+            "       index=Uniform(loc=0.5, scale=2.0),\n"
+            "       angle=Uniform(loc=0.0, scale=180.0))\n"
+        )
+    with pytest.warns(UserWarning, match="model changed"):
+        db = model_galaxy_mcmc(
+            "model.py", output_name="out_chg", iterations=30, burn=20,
+            chains=16, seed=3,
+        )
+    assert db.meta["MCITER"] == 30
+    assert "2_Sersic_angle" in db.colnames
