@@ -113,7 +113,11 @@ def save_database(sampler, model, db_name, meta_dict=None):
     extra_hdus = []
     state = getattr(sampler, "state", None)
     if state is not None:
-        extra_hdus.extend(_checkpoint_hdus(sampler.checkpoint_payload()))
+        ckpt_payload = sampler.checkpoint_payload()
+        ckpt_payload["sampler_kind"] = getattr(
+            sampler, "checkpoint_kind", "ensemble"
+        )
+        extra_hdus.extend(_checkpoint_hdus(ckpt_payload))
 
     if not is_primary():
         # Multi-process run: every host assembles the identical table
@@ -167,6 +171,8 @@ def _checkpoint_hdus(payload):
     )
     meta = [
         ("CKPTVERS", (2, "checkpoint format version")),
+        ("CKPTSMPL", (str(payload.get("sampler_kind", "ensemble")),
+                      "sampler family that wrote this checkpoint")),
         ("CKPTTEMP", (ntemps, "parallel-tempering rungs in checkpoint")),
         ("CKPTACCN", (int(payload.get("accum_count", 0)),
                       "samples in image accumulators")),
@@ -294,6 +300,13 @@ def load_checkpoint(db_name):
         "accum": None,
         "accum_count": int(ckpt.meta.get("CKPTACCN", 0)),
         "nsteps": int(ckpt.meta.get("CKPTSTEP", 0)),
+        # older checkpoints carry no CKPTSMPL: infer nuts from its
+        # adaptation cards, else stretch-family
+        "sampler_kind": str(ckpt.meta.get(
+            "CKPTSMPL",
+            "nuts" if ckpt.meta.get("CKPTEPS") is not None
+            else "ensemble",
+        )),
     }
     if ntemps > 1:
         dim = positions.shape[-1]

@@ -401,6 +401,20 @@ def model_galaxy_mcmc(
                 )
                 database = None
             elif (
+                ckpt.get("sampler_kind", "ensemble")
+                != getattr(sampler, "checkpoint_kind", "ensemble")
+            ):
+                # nuts <-> stretch-family state is not interchangeable,
+                # and silently concatenating two samplers' chains in
+                # one DB corrupts autocorrelation-based diagnostics
+                warn(
+                    "Existing checkpoint was written by the "
+                    f"{ckpt.get('sampler_kind', 'ensemble')!r} sampler "
+                    f"but sampler={getattr(sampler, 'checkpoint_kind', 'ensemble')!r} "
+                    "was requested; re-running sampling from scratch"
+                )
+                database = None
+            elif (
                 int(np.asarray(ckpt["positions"]).shape[-1])
                 != int(sum(mc_model.param_lens))
                 or any(

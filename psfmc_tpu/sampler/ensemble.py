@@ -401,6 +401,10 @@ class EnsembleSampler:
     ``get_autocorr_time``.
     """
 
+    # identifies which sampler family wrote a checkpoint (stretch-family
+    # state is interchangeable across ensemble/pt; nuts is not)
+    checkpoint_kind = "ensemble"
+
     def __init__(
         self,
         nwalkers: int,

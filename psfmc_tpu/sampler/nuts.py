@@ -363,6 +363,8 @@ class NUTSSampler:
     ``nwalkers`` plays the role of independent vmapped chains.
     """
 
+    checkpoint_kind = "nuts"
+
     def __init__(
         self,
         nwalkers: int,

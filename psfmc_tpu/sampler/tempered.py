@@ -520,6 +520,10 @@ class PTEnsembleSampler(EnsembleSampler):
     ``tempered_acceptance_fraction`` per rung.
     """
 
+    # stretch-family state: interchangeable with plain ensemble
+    # checkpoints (rung-count changes restart hot rungs gracefully)
+    checkpoint_kind = "ensemble"
+
     def __init__(
         self,
         nwalkers: int,

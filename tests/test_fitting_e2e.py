@@ -402,3 +402,20 @@ def test_resume_with_changed_model_restarts_attributably(workdir):
         )
     assert db.meta["MCITER"] == 30
     assert "2_Sersic_angle" in db.colnames
+
+
+def test_resume_with_different_sampler_restarts_attributably(workdir):
+    """An ensemble checkpoint resumed with sampler='nuts' must warn and
+    re-run from scratch: the state families are not interchangeable and
+    mixing two samplers' chains in one DB corrupts autocorrelation
+    diagnostics (round-5 probe: it silently concatenated)."""
+    model_galaxy_mcmc(
+        "model.py", output_name="out_sw", iterations=20, burn=20,
+        chains=16, seed=4,
+    )
+    with pytest.warns(UserWarning, match="written by the 'ensemble'"):
+        db = model_galaxy_mcmc(
+            "model.py", output_name="out_sw", iterations=30, burn=20,
+            chains=16, seed=4, sampler="nuts", max_depth=4,
+        )
+    assert db.meta["MCITER"] == 30
