@@ -44,6 +44,7 @@ _HEADER_COMMENTS = {
     "MCWALKRS": "number of walkers run",
     "MCCONVRG": "Has MCMC sampler converged?",
     "MCACCEPT": "Acceptance fraction (avg of all walkers)",
+    "MCDATSUM": "crc32 of obs+ivm data (resume identity check)",
     "MCLNZ": "ln marginal likelihood (tempered-run estimate)",
     "MCLNZERR": "ln evidence error (estimator spread)",
     "MCPPCP": "posterior-predictive p-value (deviance)",

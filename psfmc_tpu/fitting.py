@@ -192,6 +192,24 @@ def model_galaxy_evidence(
     )
 
 
+def _data_fingerprint(mc_model):
+    """crc32 over the baked observation data + variance (all bands).
+
+    Identifies WHICH data a trace database was sampled against: a
+    resumed fit whose obs/ivm files were re-reduced in between would
+    silently mix two posteriors in one chain (round-5 resume guard).
+    """
+    import zlib
+
+    spec = mc_model.spec
+    specs = getattr(spec, "band_specs", None) or [spec]
+    h = 0
+    for s in specs:
+        for arr in (s.obs_data, s.obs_var):
+            h = zlib.crc32(np.ascontiguousarray(arr).tobytes(), h)
+    return int(h)
+
+
 def model_galaxy_mcmc(
     model_file,
     output_name=None,
@@ -401,6 +419,20 @@ def model_galaxy_mcmc(
                 )
                 database = None
             elif (
+                database.meta.get("MCDATSUM") is not None
+                and int(database.meta["MCDATSUM"])
+                != _data_fingerprint(mc_model)
+            ):
+                # the obs/ivm data changed since the checkpoint was
+                # written (re-reduction?): resuming would mix two
+                # posteriors in one chain
+                warn(
+                    "Existing database was sampled against different "
+                    "observation data (MCDATSUM mismatch — obs/ivm "
+                    "files changed?); re-running sampling from scratch"
+                )
+                database = None
+            elif (
                 ckpt.get("sampler_kind", "ensemble")
                 != getattr(sampler, "checkpoint_kind", "ensemble")
             ):
@@ -604,6 +636,7 @@ def _run_sampling(
                 ("MCCHAINS", sampler.nwalkers),
                 ("MCCONVRG", bool(converged)),
                 ("MCACCEPT", float(sampler.acceptance_fraction.mean())),
+                ("MCDATSUM", _data_fingerprint(mc_model)),
             ]
         )
         if niter > 0 and getattr(sampler, "ntemps", 1) >= 3:

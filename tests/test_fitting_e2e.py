@@ -419,3 +419,22 @@ def test_resume_with_different_sampler_restarts_attributably(workdir):
             chains=16, seed=4, sampler="nuts", max_depth=4,
         )
     assert db.meta["MCITER"] == 30
+
+
+def test_resume_with_changed_data_restarts_attributably(workdir):
+    """Re-reduced observation data between runs must not silently mix
+    two posteriors in one resumed chain: the DB records a data
+    fingerprint (MCDATSUM) and a mismatch warns + restarts."""
+    model_galaxy_mcmc(
+        "model.py", output_name="out_dat", iterations=20, burn=20,
+        chains=16, seed=5,
+    )
+    # "re-reduce" the observation: same shape, different pixels
+    obs = fits.getdata("sci.fits")
+    fits.writeto("sci.fits", (obs + 0.01).astype(np.float32))
+    with pytest.warns(UserWarning, match="different\\s+observation data"):
+        db = model_galaxy_mcmc(
+            "model.py", output_name="out_dat", iterations=30, burn=20,
+            chains=16, seed=5,
+        )
+    assert db.meta["MCITER"] == 30
